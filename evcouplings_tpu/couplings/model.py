@@ -1,0 +1,669 @@
+"""
+CouplingsModel: storage and calculations for pairwise undirected graphical
+models of sequences (Potts models) — statistical energies, mutation effects,
+and coupling scores.
+
+Parity target: reference evcouplings/couplings/model.py:236-1253, including
+the exact plmc_v2/plmc_v1 binary file formats (reader model.py:317-512,
+writer model.py:1200-1253). The numba kernels of the reference are replaced
+by the vectorized kernels in evcouplings_tpu.ops (numpy float64 host path
+for bit-level parity; batch device paths for large scans).
+
+plmc_v2 layout (all little-endian):
+  int32[5]   L, num_symbols, N_valid, N_invalid, num_iter
+  float[5]   theta, lambda_h, lambda_J, lambda_group, N_eff
+  S1[q]      alphabet
+  float[N]   sequence weights (N = N_valid + N_invalid)
+  S1[L]      target sequence
+  int32[L]   index list
+  float[L,q]      f_i
+  float[L,q]      h_i
+  float[P,q,q]    f_ij upper triangle (i<j, row-major pair order)
+  float[P,q,q]    J_ij upper triangle
+A negative lambda_h marks a mean-field model (lambda_h = -pseudocount).
+"""
+
+from collections.abc import Iterable
+from copy import deepcopy
+
+import numpy as np
+import pandas as pd
+
+from evcouplings_tpu.ops import hamiltonian as _ham
+from evcouplings_tpu.ops import scores as _scores
+
+_SLICE = np.s_[:]
+HAMILTONIAN_COMPONENTS = [FULL, COUPLINGS, FIELDS] = [0, 1, 2]
+NUM_COMPONENTS = len(HAMILTONIAN_COMPONENTS)
+
+
+def _read_array(f, dtype, count):
+    """np.fromfile that also works on non-file buffers (e.g. BytesIO)."""
+    dtype = np.dtype(dtype)
+    try:
+        data = np.fromfile(f, dtype, count)
+    except (AttributeError, OSError, TypeError, ValueError):
+        raw = f.read(dtype.itemsize * count)
+        data = np.frombuffer(raw, dtype=dtype).copy()
+    if data.size != count:
+        raise ValueError(
+            "Premature end of model file (wanted {} x {}, got {})".format(
+                count, dtype, data.size
+            )
+        )
+    return data
+
+
+def _triu_pairs(L):
+    """Upper-triangle pair indices in the file's row-major (i<j) order."""
+    return np.triu_indices(L, k=1)
+
+
+class CouplingsModel:
+    """Potts model parameter container with EC scoring and mutation deltas."""
+
+    def __init__(self, model_file=None, precision="float32",
+                 file_format="plmc_v2", **kwargs):
+        """Initialize from a binary model file (path or open handle).
+
+        Use from_params() to construct directly from in-memory arrays
+        (e.g. from the TPU PLM fitter).
+        """
+        if model_file is None:
+            # bare object; from_params fills the fields
+            return
+
+        is_file_obj = hasattr(model_file, "read")
+
+        if file_format == "plmc_v2":
+            if is_file_obj:
+                self._read_plmc_v2(model_file, precision)
+            else:
+                with open(model_file, "rb") as f:
+                    self._read_plmc_v2(f, precision)
+        elif file_format == "plmc_v1":
+            if is_file_obj:
+                self._read_plmc_v1(model_file, precision,
+                                   kwargs.get("alphabet", None))
+            else:
+                with open(model_file, "rb") as f:
+                    self._read_plmc_v1(f, precision,
+                                       kwargs.get("alphabet", None))
+        else:
+            raise ValueError(
+                "Illegal file format {}, valid options are: "
+                "plmc_v2, plmc_v1".format(file_format)
+            )
+
+        self._finalize_init()
+
+    def _finalize_init(self):
+        self.alphabet_map = {s: i for i, s in enumerate(self.alphabet)}
+
+        # in non-gap mode the focus sequence may contain the gap character
+        # even though gap is not in the model alphabet; a failing mapping
+        # means there is no usable target sequence
+        try:
+            self.target_seq_mapped = np.array(
+                [self.alphabet_map[x] for x in self.target_seq]
+            )
+            self.has_target_seq = (np.sum(self.target_seq_mapped) > 0)
+        except KeyError:
+            self.target_seq_mapped = np.zeros((self.L), dtype=np.int32)
+            self.has_target_seq = False
+
+        self._reset_precomputed()
+
+    @classmethod
+    def from_params(cls, J_ij, h_i, f_i, f_ij, alphabet, target_seq,
+                    index_list, weights=None, theta=0.8, lambda_h=0.01,
+                    lambda_J=0.01, lambda_group=0.0, N_valid=None,
+                    N_invalid=0, num_iter=0, N_eff=None):
+        """Construct a model from in-memory parameters (fitter output)."""
+        m = cls(model_file=None)
+        m.L, m.num_symbols = h_i.shape
+        m.N_valid = int(N_valid) if N_valid is not None else (
+            len(weights) if weights is not None else 0
+        )
+        m.N_invalid = int(N_invalid)
+        m.num_iter = int(num_iter)
+        m.theta = float(theta)
+        m.lambda_h = float(lambda_h)
+        m.lambda_J = float(lambda_J)
+        m.lambda_group = float(lambda_group)
+        m.N_eff = float(N_eff) if N_eff is not None else (
+            float(np.sum(weights)) if weights is not None else float(m.N_valid)
+        )
+        m.alphabet = np.array(list(alphabet), dtype="U1")
+        m.weights = (
+            np.asarray(weights, dtype=np.float64)
+            if weights is not None
+            else np.ones(m.N_valid)
+        )
+        m._target_seq = np.array(list(target_seq), dtype="U1")
+        m.index_list = np.asarray(index_list, dtype=np.int64)
+        m.f_i = np.asarray(f_i, dtype=np.float64)
+        m.h_i = np.asarray(h_i, dtype=np.float64)
+        m.f_ij = np.asarray(f_ij, dtype=np.float64)
+        m.J_ij = np.asarray(J_ij, dtype=np.float64)
+        m._finalize_init()
+        return m
+
+    def _reset_precomputed(self):
+        """Drop precomputed mutation matrices and scores."""
+        self._single_mut_mat_full = None
+        self._double_mut_mat = None
+        self._cn_scores = None
+        self._fn_scores = None
+        self._mi_scores_raw = None
+        self._mi_scores_apc = None
+        self._ecs = None
+
+    # ------------------------------------------------------------------
+    # binary codec
+    # ------------------------------------------------------------------
+
+    def _read_plmc_v2(self, f, precision):
+        """Read the plmc_v2 binary format (reference model.py:317-400).
+
+        The pair-block triangles are read in single bulk reads instead of a
+        Python loop per pair.
+        """
+        (self.L, self.num_symbols, self.N_valid, self.N_invalid,
+         self.num_iter) = _read_array(f, "int32", 5)
+
+        (self.theta, self.lambda_h, self.lambda_J, self.lambda_group,
+         self.N_eff) = _read_array(f, precision, 5)
+
+        self.alphabet = _read_array(f, "S1", self.num_symbols).astype("U1")
+        self.weights = _read_array(
+            f, precision, int(self.N_valid) + int(self.N_invalid)
+        )
+        self._target_seq = _read_array(f, "S1", self.L).astype("U1")
+        self.index_list = _read_array(f, "int32", self.L)
+
+        L, q = int(self.L), int(self.num_symbols)
+        self.f_i = _read_array(f, precision, L * q).reshape(L, q).astype(
+            np.float64
+        )
+        self.h_i = _read_array(f, precision, L * q).reshape(L, q).astype(
+            np.float64
+        )
+
+        n_pairs = L * (L - 1) // 2
+        ii, jj = _triu_pairs(L)
+
+        self.f_ij = np.zeros((L, L, q, q))
+        blocks = _read_array(f, precision, n_pairs * q * q).reshape(
+            n_pairs, q, q
+        )
+        self.f_ij[ii, jj] = blocks
+        self.f_ij[jj, ii] = blocks.transpose(0, 2, 1)
+
+        self.J_ij = np.zeros((L, L, q, q))
+        blocks = _read_array(f, precision, n_pairs * q * q).reshape(
+            n_pairs, q, q
+        )
+        self.J_ij[ii, jj] = blocks
+        self.J_ij[jj, ii] = blocks.transpose(0, 2, 1)
+
+        # negative lambda_h marks a mean-field model (stores -pseudocount)
+        if self.lambda_h < 0:
+            from evcouplings_tpu.couplings.mean_field import (
+                MeanFieldCouplingsModel,
+            )
+
+            self.__class__ = MeanFieldCouplingsModel
+            self.transform_from_plmc_model()
+
+    def _read_plmc_v1(self, f, precision, alphabet=None):
+        """Read the legacy plmc_v1 format (reference model.py:402-512):
+        interleaved (i, j, f_ij, J_ij) with 1-based indices, no metadata."""
+        GAP = "-"
+        ALPHABET_PROTEIN_NOGAP = "ACDEFGHIKLMNPQRSTVWY"
+        ALPHABET_PROTEIN = GAP + ALPHABET_PROTEIN_NOGAP
+
+        self.L, = _read_array(f, "int32", 1)
+        self.num_symbols, = _read_array(f, "int32", 1)
+
+        if alphabet is None:
+            if self.num_symbols == 21:
+                alphabet = ALPHABET_PROTEIN
+            elif self.num_symbols == 20:
+                alphabet = ALPHABET_PROTEIN_NOGAP
+            else:
+                raise ValueError(
+                    "Could not guess default alphabet for {} states, "
+                    "specify alphabet parameter.".format(self.num_symbols)
+                )
+        else:
+            if len(alphabet) != self.num_symbols:
+                raise ValueError(
+                    "Size of alphabet ({}) does not agree with number of "
+                    "states in model ({})".format(
+                        len(alphabet), self.num_symbols
+                    )
+                )
+
+        self.alphabet = np.array(list(alphabet))
+        self._target_seq = _read_array(f, "S1", self.L).astype("U1")
+        self.index_list = _read_array(f, "int32", self.L)
+
+        # information missing from v1 files
+        self.N_valid = None
+        self.N_invalid = None
+        self.num_iter = None
+        self.theta = None
+        self.lambda_h = None
+        self.lambda_J = None
+        self.lambda_group = None
+        self.N_eff = None
+        self.weights = None
+
+        L, q = int(self.L), int(self.num_symbols)
+        self.f_i = _read_array(f, precision, L * q).reshape(L, q).astype(
+            np.float64
+        )
+        self.h_i = _read_array(f, precision, L * q).reshape(L, q).astype(
+            np.float64
+        )
+
+        self.f_ij = np.zeros((L, L, q, q))
+        self.J_ij = np.zeros((L, L, q, q))
+
+        for i in range(L - 1):
+            for j in range(i + 1, L):
+                file_i, file_j = _read_array(f, "int32", 2)
+                if i + 1 != file_i or j + 1 != file_j:
+                    raise ValueError(
+                        "Error: column pair indices inconsistent. "
+                        "Expected: {} {}; File: {} {}".format(
+                            i + 1, j + 1, file_i, file_j
+                        )
+                    )
+                block = _read_array(f, precision, q * q).reshape(q, q)
+                self.f_ij[i, j] = block
+                self.f_ij[j, i] = block.T
+                block = _read_array(f, precision, q * q).reshape(q, q)
+                self.J_ij[i, j] = block
+                self.J_ij[j, i] = block.T
+
+    def to_file(self, out_file, precision="float32", file_format="plmc_v2"):
+        """Write the model in plmc_v2 (default) or plmc_v1 binary format.
+
+        Byte-level parity with reference model.py:1200-1253.
+        """
+        new = file_format.lower() == "plmc_v2"
+        L, q = int(self.L), int(self.num_symbols)
+        ii, jj = _triu_pairs(L)
+
+        with open(out_file, "wb") as f:
+            np.array([self.L, self.num_symbols], dtype="int32").tofile(f)
+            if new:
+                np.array(
+                    [self.N_valid, self.N_invalid, self.num_iter],
+                    dtype="int32",
+                ).tofile(f)
+                np.array(
+                    [self.theta, self.lambda_h, self.lambda_J,
+                     self.lambda_group, self.N_eff],
+                    dtype=precision,
+                ).tofile(f)
+                alphabet_bytes = self.alphabet.astype("S1")
+                alphabet_bytes[alphabet_bytes != b""].tofile(f)
+                self.weights.astype(precision).tofile(f)
+
+            target_bytes = self.target_seq.astype("S1")
+            target_bytes[target_bytes != b""].tofile(f)
+            np.asarray(self.index_list).astype("int32").tofile(f)
+            self.f_i.astype(precision).tofile(f)
+            self.h_i.astype(precision).tofile(f)
+
+            if not new:
+                for i in range(L - 1):
+                    for j in range(i + 1, L):
+                        np.array([i + 1, j + 1], dtype="int32").tofile(f)
+                        self.f_ij[i, j].astype(precision).tofile(f)
+                        self.J_ij[i, j].astype(precision).tofile(f)
+            else:
+                self.f_ij[ii, jj].astype(precision).tofile(f)
+                self.J_ij[ii, jj].astype(precision).tofile(f)
+
+    # ------------------------------------------------------------------
+    # target sequence / index mapping
+    # ------------------------------------------------------------------
+
+    @property
+    def target_seq(self):
+        """Target/focus sequence used for delta_hamiltonian calculations."""
+        return self._target_seq
+
+    @target_seq.setter
+    def target_seq(self, sequence):
+        self._reset_precomputed()
+
+        if len(sequence) != self.L:
+            raise ValueError(
+                "Sequence length inconsistent with model length: "
+                "{} {}".format(len(sequence), self.L)
+            )
+
+        if isinstance(sequence, str):
+            sequence = list(sequence)
+
+        self._target_seq = np.array(sequence)
+        self.target_seq_mapped = np.array(
+            [self.alphabet_map[x] for x in self.target_seq]
+        )
+        self.has_target_seq = True
+
+    @property
+    def index_list(self):
+        """Mapping of model positions to sequence numbering."""
+        return self._index_list
+
+    @index_list.setter
+    def index_list(self, mapping):
+        if len(mapping) != self.L:
+            raise ValueError(
+                "Mapping length inconsistent with model length: "
+                "{} {}".format(len(mapping), self.L)
+            )
+
+        self._index_list = deepcopy(mapping)
+        self.index_map = {b: a for a, b in enumerate(self.index_list)}
+
+        if hasattr(self, "_ecs"):
+            self._calculate_ecs()
+
+    # ------------------------------------------------------------------
+    # energies / mutation deltas
+    # ------------------------------------------------------------------
+
+    def convert_sequences(self, sequences):
+        """Map sequence strings to integer symbol matrices."""
+        seq_lens = list(set(map(len, sequences)))
+        if len(seq_lens) != 1:
+            raise ValueError(
+                "Input sequences have different lengths: " + str(seq_lens)
+            )
+
+        L_seq = seq_lens[0]
+        if L_seq != self.L:
+            raise ValueError(
+                "Sequence lengths do not correspond to model length: "
+                "{} {}".format(L_seq, self.L)
+            )
+
+        S = np.empty((len(sequences), L_seq), dtype=int)
+        for i, s in enumerate(sequences):
+            try:
+                S[i] = [self.alphabet_map[x] for x in s]
+            except KeyError:
+                raise ValueError(
+                    "Invalid symbol in sequence {}: {}".format(i, s)
+                )
+        return S
+
+    def hamiltonians(self, sequences):
+        """Statistical energies (total, couplings, fields) per sequence."""
+        if isinstance(sequences, list):
+            sequences = self.convert_sequences(sequences)
+        return _ham.hamiltonians(sequences, self.J_ij, self.h_i)
+
+    @property
+    def single_mut_mat_full(self):
+        """(L, q, 3) delta Hamiltonians for all single mutants."""
+        if self._single_mut_mat_full is None:
+            self._single_mut_mat_full = _ham.single_mutant_hamiltonians(
+                self.target_seq_mapped, self.J_ij, self.h_i
+            )
+        return self._single_mut_mat_full
+
+    @property
+    def single_mut_mat(self):
+        """(L, q) total delta Hamiltonians for all single mutants."""
+        return self.single_mut_mat_full[:, :, FULL]
+
+    def delta_hamiltonian(self, substitutions, verify_mutants=True):
+        """Delta energy for a list of (pos, subs_from, subs_to) tuples."""
+        pos = np.empty(len(substitutions), dtype=int)
+        subs = np.empty(len(substitutions), dtype=int)
+
+        try:
+            for i, (subs_pos, subs_from, subs_to) in enumerate(substitutions):
+                pos[i] = self.index_map[subs_pos]
+                subs[i] = self.alphabet_map[subs_to]
+                if verify_mutants and subs_from != self.target_seq[pos[i]]:
+                    raise ValueError(
+                        "Inconsistency with target sequence: "
+                        "pos={} target={} subs={}".format(
+                            subs_pos, self.target_seq[pos[i]], subs_from
+                        )
+                    )
+        except KeyError:
+            raise ValueError(
+                "Illegal substitution: {}{}{}\nAlphabet: {}\n"
+                "Positions: {}".format(
+                    subs_from, subs_pos, subs_to,
+                    self.alphabet_map, self.index_list
+                )
+            )
+
+        return _ham.delta_hamiltonian(
+            pos, subs, self.target_seq_mapped, self.J_ij, self.h_i
+        )
+
+    @property
+    def double_mut_mat(self):
+        """(L, L, q, q) delta Hamiltonians for all double mutants."""
+        if self._double_mut_mat is None:
+            self._double_mut_mat = _ham.double_mutant_matrix(
+                self.single_mut_mat, self.J_ij, self.target_seq_mapped
+            )
+        return self._double_mut_mat
+
+    # ------------------------------------------------------------------
+    # EC scores
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def apc(cls, matrix):
+        """Average product correction (Dunn et al., 2008)."""
+        return _scores.apc(matrix)
+
+    def _calculate_ecs(self):
+        """FN/CN scores (Ekeberg et al., 2013) and MI scores + EC table."""
+        self._fn_scores = _scores.fn_scores(self.J_ij)
+        self._mi_scores_raw = _scores.mi_scores(self.f_ij, self.f_i)
+        self._cn_scores = _scores.apc(self._fn_scores)
+        self._mi_scores_apc = _scores.apc(self._mi_scores_raw)
+
+        L = int(self.L)
+        ii, jj = _triu_pairs(L)
+        index_arr = np.asarray(self.index_list)
+        try:
+            seqdist = np.abs(index_arr[ii] - index_arr[jj])
+        except TypeError:
+            seqdist = np.full(len(ii), np.nan)
+
+        self._ecs = pd.DataFrame(
+            {
+                "i": index_arr[ii],
+                "A_i": self.target_seq[ii],
+                "j": index_arr[jj],
+                "A_j": self.target_seq[jj],
+                "seqdist": seqdist,
+                "mi_raw": self._mi_scores_raw[ii, jj],
+                "mi_apc": self._mi_scores_apc[ii, jj],
+                "fn": self._fn_scores[ii, jj],
+                "cn": self._cn_scores[ii, jj],
+            }
+        ).sort_values(by="cn", ascending=False)
+
+    @property
+    def cn_scores(self):
+        """(L, L) corrected-norm scores."""
+        if self._cn_scores is None:
+            self._calculate_ecs()
+        return self._cn_scores
+
+    @property
+    def fn_scores(self):
+        """(L, L) Frobenius-norm scores."""
+        if self._fn_scores is None:
+            self._calculate_ecs()
+        return self._fn_scores
+
+    @property
+    def mi_scores_raw(self):
+        """(L, L) mutual information scores (no APC)."""
+        if self._mi_scores_raw is None:
+            self._calculate_ecs()
+        return self._mi_scores_raw
+
+    @property
+    def mi_scores_apc(self):
+        """(L, L) mutual information scores (APC-corrected)."""
+        if self._mi_scores_apc is None:
+            self._calculate_ecs()
+        return self._mi_scores_apc
+
+    @property
+    def ecs(self):
+        """EC DataFrame sorted by CN score."""
+        if self._ecs is None:
+            self._calculate_ecs()
+        return self._ecs
+
+    def to_independent_model(self):
+        """Single-site model fit with L2 regularization (BFGS per site).
+
+        Parity: reference model.py:882-925 (scipy fmin_bfgs with identical
+        objective/gradient).
+        """
+        from scipy.optimize import fmin_bfgs
+
+        def _log_post(x, *args):
+            (fi, lambda_h, N) = args
+            logZ = np.log(np.exp(x).sum())
+            return N * (logZ - (fi * x).sum()) + lambda_h * ((x ** 2).sum())
+
+        def _gradient(x, *args):
+            (fi, lambda_h, N) = args
+            Z = np.exp(x).sum()
+            P = np.exp(x) / Z
+            return N * (P - fi) + lambda_h * 2 * x
+
+        h_i = np.zeros((self.L, self.num_symbols))
+        for i in range(self.L):
+            x0 = np.zeros(self.num_symbols)
+            h_i[i] = fmin_bfgs(
+                _log_post, x0, _gradient,
+                args=(self.f_i[i], self.lambda_h, self.N_eff),
+                disp=False,
+            )
+
+        c0 = deepcopy(self)
+        c0.h_i = h_i
+        c0.J_ij.fill(0)
+        c0._reset_precomputed()
+        return c0
+
+    # ------------------------------------------------------------------
+    # index-mapped accessors (syntactic sugar)
+    # ------------------------------------------------------------------
+
+    def __map(self, indices, mapping):
+        is_sequence = (
+            isinstance(indices, Iterable)
+            and not isinstance(indices, str)
+            and not isinstance(indices, tuple)
+        )
+        if is_sequence:
+            return np.array([mapping[i] for i in indices])
+        return mapping[indices]
+
+    def __4d_access(self, matrix, i=None, j=None, A_i=None, A_j=None):
+        i = self.__map(i, self.index_map) if i is not None else _SLICE
+        j = self.__map(j, self.index_map) if j is not None else _SLICE
+        A_i = self.__map(A_i, self.alphabet_map) if A_i is not None else _SLICE
+        A_j = self.__map(A_j, self.alphabet_map) if A_j is not None else _SLICE
+        return matrix[i, j, A_i, A_j]
+
+    def __2d_access(self, matrix, i=None, A_i=None):
+        i = self.__map(i, self.index_map) if i is not None else _SLICE
+        A_i = self.__map(A_i, self.alphabet_map) if A_i is not None else _SLICE
+        return matrix[i, A_i]
+
+    def __2d_access_score_matrix(self, matrix, i=None, j=None):
+        i = self.__map(i, self.index_map) if i is not None else _SLICE
+        j = self.__map(j, self.index_map) if j is not None else _SLICE
+        return matrix[i, j]
+
+    def Jij(self, i=None, j=None, A_i=None, A_j=None):
+        """J_ij with index/symbol mapping applied."""
+        return self.__4d_access(self.J_ij, i, j, A_i, A_j)
+
+    def fij(self, i=None, j=None, A_i=None, A_j=None):
+        """f_ij with index/symbol mapping applied."""
+        return self.__4d_access(self.f_ij, i, j, A_i, A_j)
+
+    def hi(self, i=None, A_i=None):
+        """h_i with index/symbol mapping applied."""
+        return self.__2d_access(self.h_i, i, A_i)
+
+    def fi(self, i=None, A_i=None):
+        """f_i with index/symbol mapping applied."""
+        return self.__2d_access(self.f_i, i, A_i)
+
+    def cn(self, i=None, j=None):
+        """CN scores with index mapping applied."""
+        return self.__2d_access_score_matrix(self.cn_scores, i, j)
+
+    def fn(self, i=None, j=None):
+        """FN scores with index mapping applied."""
+        return self.__2d_access_score_matrix(self.fn_scores, i, j)
+
+    def mi_apc(self, i=None, j=None):
+        """APC-corrected MI scores with index mapping applied."""
+        return self.__2d_access_score_matrix(self.mi_scores_apc, i, j)
+
+    def mi_raw(self, i=None, j=None):
+        """Raw MI scores with index mapping applied."""
+        return self.__2d_access_score_matrix(self.mi_scores_raw, i, j)
+
+    def mn(self, i=None):
+        """Map sequence numbering to internal model numbering."""
+        if i is None:
+            return np.array(sorted(self.index_map.values()))
+        return self.__map(i, self.index_map)
+
+    def mui(self, i=None):
+        """Legacy alias of mn()."""
+        return self.mn(i)
+
+    def sn(self, i=None):
+        """Map internal numbering to sequence numbering."""
+        if i is None:
+            return np.array(self.index_list)
+        return self.__map(i, self.index_list)
+
+    def itu(self, i=None):
+        """Legacy alias of sn()."""
+        return self.sn(i)
+
+    def seq(self, i=None):
+        """Target sequence symbols (optionally at mapped positions)."""
+        if i is None:
+            return self.target_seq
+        i = self.__map(i, self.index_map)
+        return self.__map(i, self.target_seq)
+
+    def smm(self, i=None, A_i=None):
+        """Single-mutant delta Hamiltonians with index/symbol mapping."""
+        return self.__2d_access(self.single_mut_mat, i, A_i)
+
+    def dmm(self, i=None, j=None, A_i=None, A_j=None):
+        """Double-mutant delta Hamiltonians with index/symbol mapping."""
+        return self.__4d_access(self.double_mut_mat, i, j, A_i, A_j)

@@ -1,0 +1,116 @@
+"""
+YAML configuration handling.
+
+Parity target: reference evcouplings/utils/config.py:28-161
+(same API: parse_config / read_config_file / write_config_file /
+check_required / iterate_files and the two error classes). Uses PyYAML
+with a numpy-aware dumper instead of ruamel.
+"""
+
+import numpy as np
+import yaml
+
+
+class MissingParameterError(Exception):
+    """Exception for missing parameters"""
+
+
+class InvalidParameterError(Exception):
+    """Exception for invalid parameter settings"""
+
+
+class _ConfigDumper(yaml.SafeDumper):
+    """YAML dumper that knows how to serialize numpy scalars/arrays."""
+
+
+def _represent_np_float(dumper, data):
+    return dumper.represent_float(float(data))
+
+
+def _represent_np_int(dumper, data):
+    return dumper.represent_int(int(data))
+
+
+def _represent_np_array(dumper, data):
+    return dumper.represent_list(data.tolist())
+
+
+def _represent_np_str(dumper, data):
+    return dumper.represent_str(str(data))
+
+
+_ConfigDumper.add_multi_representer(np.floating, _represent_np_float)
+_ConfigDumper.add_multi_representer(np.integer, _represent_np_int)
+_ConfigDumper.add_representer(np.ndarray, _represent_np_array)
+_ConfigDumper.add_multi_representer(np.str_, _represent_np_str)
+# tuples render as YAML lists (safe dumper rejects python/tuple otherwise)
+_ConfigDumper.add_representer(
+    tuple, lambda dumper, data: dumper.represent_list(list(data))
+)
+
+
+def parse_config(config_str, preserve_order=False):
+    """Parse a configuration string (or file object) into a dict.
+
+    ``preserve_order`` is accepted for API compatibility; PyYAML dicts
+    preserve insertion order natively on Python >= 3.7.
+    """
+    try:
+        return yaml.safe_load(config_str)
+    except yaml.YAMLError as e:
+        raise InvalidParameterError(
+            "Could not parse input configuration. "
+            "Formatting mistake in config file? "
+            "See YAML error above for details."
+        ) from e
+
+
+def read_config_file(filename, preserve_order=False):
+    """Read and parse a YAML configuration file."""
+    with open(filename) as f:
+        return parse_config(f, preserve_order)
+
+
+def write_config_file(out_filename, config):
+    """Save configuration data structure to a YAML file."""
+    with open(out_filename, "w") as f:
+        f.write(
+            yaml.dump(
+                config, Dumper=_ConfigDumper,
+                default_flow_style=False, sort_keys=False,
+            )
+        )
+
+
+def check_required(params, keys):
+    """Verify the required set of parameters is present in the configuration.
+
+    Raises
+    ------
+    MissingParameterError
+    """
+    missing = [k for k in keys if k not in params]
+    if missing:
+        raise MissingParameterError(
+            "Missing required parameters: {} \nGiven: {}".format(
+                ", ".join(missing), params
+            )
+        )
+
+
+def iterate_files(outcfg, subset=None):
+    """Iterate file items (keys ending in _file/_files) in an outconfig.
+
+    Yields tuples (file path, entry key, index); index is None for single
+    ``*_file`` entries.
+    """
+    for k, v in outcfg.items():
+        if subset is not None and k not in subset:
+            continue
+        if v is None:
+            continue
+        if k.endswith("_file"):
+            yield (v, k, None)
+        elif k.endswith("_files"):
+            for i, f in enumerate(v):
+                yield (f, k, i)

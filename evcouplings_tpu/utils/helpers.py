@@ -1,0 +1,219 @@
+"""
+Small generic helpers (persistent dict, ordered default dict, text wrapping,
+segment finding, templating, retry logic).
+
+Parity target: reference evcouplings/utils/helpers.py:20-324 (same API).
+"""
+
+import csv
+import json
+import os
+import pickle
+import time
+from collections import OrderedDict
+
+
+class PersistentDict(dict):
+    """Persistent dictionary with an API compatible with shelve and anydbm.
+
+    Data is kept in memory and written to disk on sync/close, in json
+    (default), csv, or pickle format.
+    """
+
+    def __init__(self, filename, flag="c", mode=None, format="json",
+                 *args, **kwds):
+        self.flag = flag            # r=readonly, c=create, or n=new
+        self.mode = mode            # None or an octal triple like 0644
+        self.format = format       # 'csv', 'json', or 'pickle'
+        self.filename = filename
+        if flag != "n" and os.access(filename, os.R_OK):
+            with open(filename, "rb" if format != "csv" else "r") as fileobj:
+                self.load(fileobj)
+        dict.__init__(self, *args, **kwds)
+
+    def sync(self):
+        """Write dict to disk"""
+        if self.flag == "r":
+            return
+        tempname = self.filename + ".tmp"
+        try:
+            with open(tempname, "wb" if self.format != "csv" else "w") as fileobj:
+                self.dump(fileobj)
+        except Exception:
+            os.remove(tempname)
+            raise
+        os.replace(tempname, self.filename)
+        if self.mode is not None:
+            os.chmod(self.filename, self.mode)
+
+    def close(self):
+        self.sync()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc_info):
+        self.close()
+
+    def dump(self, fileobj):
+        if self.format == "csv":
+            csv.writer(fileobj).writerows(self.items())
+        elif self.format == "json":
+            fileobj.write(json.dumps(self, separators=(",", ":")).encode())
+        elif self.format == "pickle":
+            pickle.dump(dict(self), fileobj, 2)
+        else:
+            raise NotImplementedError("Unknown format: " + repr(self.format))
+
+    def load(self, fileobj):
+        # try formats from most restrictive to least restrictive
+        for loader in (pickle.load, self._load_json, csv.reader):
+            try:
+                fileobj.seek(0)
+                if loader is csv.reader:
+                    return self.update(loader(fileobj))
+                return self.update(loader(fileobj))
+            except Exception:
+                pass
+        raise ValueError("File not in a supported format")
+
+    @staticmethod
+    def _load_json(fileobj):
+        data = fileobj.read()
+        if isinstance(data, bytes):
+            data = data.decode()
+        return json.loads(data)
+
+
+class DefaultOrderedDict(OrderedDict):
+    """OrderedDict with defaultdict semantics (picklable).
+
+    Based on the pattern used by the reference (helpers.py:104-120).
+    """
+
+    def __init__(self, default_factory=None, **kwargs):
+        OrderedDict.__init__(self, **kwargs)
+        self.default_factory = default_factory
+
+    def __missing__(self, key):
+        if self.default_factory is None:
+            raise KeyError(key)
+        result = self[key] = self.default_factory()
+        return result
+
+
+def wrap(text, width=80):
+    """Wrap a (whitespace-free) string into fixed-width lines.
+
+    Unlike textwrap, does not attempt to break at word boundaries — the
+    input is a biological sequence.
+    """
+    return "\n".join(
+        text[i:i + width] for i in range(0, len(text), width)
+    )
+
+
+def range_overlap(a, b):
+    """Source: http://stackoverflow.com/questions/2953967/
+    built-in-function-for-computing-overlap-in-python
+
+    Length of the overlap of two closed-open ranges (start, end).
+    """
+    return max(0, min(a[1], b[1]) - max(a[0], b[0]))
+
+
+def find_segments(data):
+    """Find consecutive index segments in an iterable of positions.
+
+    Returns a list of (start, end) tuples (inclusive bounds) for each run
+    of consecutive integers.
+    """
+    data = list(data)
+    if not data:
+        return []
+
+    segments = []
+    start = prev = data[0]
+    for x in data[1:]:
+        if x == prev + 1:
+            prev = x
+        else:
+            segments.append((start, prev))
+            start = prev = x
+    segments.append((start, prev))
+    return segments
+
+
+def render_template(template_file, mapping):
+    """Render a jinja2 template file with the given mapping."""
+    import jinja2
+
+    with open(template_file) as f:
+        template = jinja2.Template(f.read())
+    return template.render(mapping)
+
+
+class Progressbar:
+    """Minimal text progress bar (stderr), API-compatible subset of
+    the reference helper."""
+
+    def __init__(self, total_size, bar_length=60):
+        self.total_size = total_size
+        self.bar_length = bar_length
+        self.progress = 0
+
+    def __iadd__(self, chunk):
+        self.update(chunk)
+        return self
+
+    def update(self, chunk):
+        import sys
+
+        self.progress += chunk
+        done = int(
+            self.bar_length * min(self.progress, self.total_size)
+            / max(self.total_size, 1)
+        )
+        sys.stderr.write(
+            "\r[{}{}] {:.1%}".format(
+                "=" * done, " " * (self.bar_length - done),
+                min(self.progress / max(self.total_size, 1), 1.0)
+            )
+        )
+        sys.stderr.flush()
+
+
+def retry(func, retry_max_number=None, retry_wait=None,
+          exceptions=None, retry_action=None):
+    """Retry a function call with an optional wait between attempts.
+
+    Parameters
+    ----------
+    func : callable
+        Zero-argument function to execute
+    retry_max_number : int, optional
+        Maximum number of attempts (None = single attempt, no retry)
+    retry_wait : float, optional
+        Seconds to sleep between attempts
+    exceptions : tuple(Exception), optional
+        Retry only on these exception types (default: Exception)
+    retry_action : callable, optional
+        Zero-argument function run after each failed attempt
+    """
+    if exceptions is None:
+        exceptions = (Exception,)
+
+    attempts = retry_max_number if retry_max_number is not None else 1
+
+    last_exc = None
+    for attempt in range(attempts):
+        try:
+            return func()
+        except exceptions as e:
+            last_exc = e
+            if retry_action is not None:
+                retry_action()
+            if retry_wait is not None and attempt < attempts - 1:
+                time.sleep(retry_wait)
+
+    raise last_exc

@@ -1,0 +1,20 @@
+"""
+Test configuration: force the CPU backend with 8 virtual devices so
+sharding/multi-chip code paths are exercised without TPU hardware, and
+enable x64 so float64 oracle comparisons are meaningful.
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

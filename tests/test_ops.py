@@ -1,0 +1,169 @@
+"""
+Kernel unit tests: vectorized TPU kernels vs literal numpy oracles.
+"""
+
+import numpy as np
+import pytest
+
+from oracles import (
+    o_frequencies, o_pair_frequencies, o_identities_to_seq,
+    o_num_cluster_members, o_hamiltonians, o_single_mutant_hamiltonians,
+    o_delta_hamiltonian, o_zero_sum_gauge, random_symmetric_J,
+)
+
+from evcouplings_tpu.ops.weights import (
+    num_cluster_members, identities_to_seq, _identity_count_threshold,
+)
+from evcouplings_tpu.ops.frequencies import frequencies, pair_frequencies
+from evcouplings_tpu.ops.hamiltonian import (
+    hamiltonians, single_mutant_hamiltonians, delta_hamiltonian,
+    double_mutant_matrix, hamiltonians_device,
+)
+from evcouplings_tpu.ops.gauge import zero_sum_gauge
+from evcouplings_tpu.ops.scores import apc, fn_scores, mi_scores
+
+
+RNG = np.random.default_rng(7)
+
+
+def random_msa(n=40, L=13, q=5):
+    return RNG.integers(0, q, size=(n, L)).astype(np.int64)
+
+
+class TestWeights:
+    def test_identity_count_threshold(self):
+        # k/L >= theta iff k >= thr
+        for L in (10, 13, 100, 157):
+            for theta in (0.8, 0.5, 0.31, 1.0, 0.999):
+                thr = _identity_count_threshold(L, theta)
+                for k in range(0, L + 1):
+                    assert (k / L >= theta) == (k >= thr), (L, theta, k)
+
+    @pytest.mark.parametrize("theta", [0.3, 0.5, 0.8])
+    def test_num_cluster_members(self, theta):
+        m = random_msa(n=37, L=11, q=4)  # low q => many neighbors
+        got = num_cluster_members(m, theta)
+        want = o_num_cluster_members(m, theta)
+        np.testing.assert_array_equal(got, want)
+
+    def test_identities_to_seq(self):
+        m = random_msa(n=25, L=14, q=6)
+        seq = random_msa(n=1, L=14, q=6)[0]
+        got = identities_to_seq(seq, m)
+        want = o_identities_to_seq(seq, m)
+        np.testing.assert_array_equal(got, want)
+
+
+class TestFrequencies:
+    def test_frequencies(self):
+        m = random_msa(n=50, L=9, q=5)
+        w = RNG.uniform(0.1, 1.0, size=50)
+        got = frequencies(m, w, 5)
+        want = o_frequencies(m, w, 5)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    def test_pair_frequencies(self):
+        m = random_msa(n=30, L=7, q=4)
+        w = RNG.uniform(0.1, 1.0, size=30)
+        fi = o_frequencies(m, w, 4)
+        got = pair_frequencies(m, w, 4, fi)
+        want = o_pair_frequencies(m, w, 4, fi)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+class TestHamiltonians:
+    def setup_method(self):
+        self.L, self.q = 9, 5
+        self.J = random_symmetric_J(self.L, self.q, RNG)
+        self.h = RNG.normal(size=(self.L, self.q))
+        self.target = RNG.integers(0, self.q, size=self.L)
+
+    def test_hamiltonians(self):
+        seqs = random_msa(n=12, L=self.L, q=self.q)
+        got = hamiltonians(seqs, self.J, self.h)
+        want = o_hamiltonians(seqs, self.J, self.h)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+    def test_hamiltonians_device(self):
+        seqs = random_msa(n=12, L=self.L, q=self.q)
+        got = hamiltonians_device(seqs, self.J, self.h)
+        want = o_hamiltonians(seqs, self.J, self.h)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_single_mutant_hamiltonians(self):
+        got = single_mutant_hamiltonians(self.target, self.J, self.h)
+        want = o_single_mutant_hamiltonians(self.target, self.J, self.h)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_delta_hamiltonian_single(self):
+        pos = np.array([3])
+        subs = np.array([(self.target[3] + 1) % self.q])
+        got = delta_hamiltonian(pos, subs, self.target, self.J, self.h)
+        want = o_delta_hamiltonian(pos, subs, self.target, self.J, self.h)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_delta_hamiltonian_multi(self):
+        pos = np.array([1, 4, 7])
+        subs = (self.target[pos] + np.array([1, 2, 3])) % self.q
+        got = delta_hamiltonian(pos, subs, self.target, self.J, self.h)
+        want = o_delta_hamiltonian(pos, subs, self.target, self.J, self.h)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_double_mutant_matrix_consistency(self):
+        # dmm[i,j,a,b] must equal the explicit multi-substitution delta
+        smm = single_mutant_hamiltonians(self.target, self.J, self.h)[:, :, 0]
+        dmm = double_mutant_matrix(smm, self.J, self.target)
+        for (i, j, a, b) in [(0, 5, 1, 2), (2, 8, 0, 4), (3, 4, 3, 3)]:
+            want = o_delta_hamiltonian(
+                np.array([i, j]), np.array([a, b]),
+                self.target, self.J, self.h,
+            )[0]
+            np.testing.assert_allclose(dmm[i, j, a, b], want, rtol=1e-10)
+
+
+class TestScores:
+    def test_zero_sum_gauge(self):
+        J = random_symmetric_J(8, 4, RNG)
+        got = zero_sum_gauge(J)
+        want = o_zero_sum_gauge(J)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+        # invariant: row/col sums of each off-diagonal block are ~0
+        assert abs(got[0, 1].sum(axis=0)).max() < 1e-10
+        assert abs(got[0, 1].sum(axis=1)).max() < 1e-10
+
+    def test_apc_reference_formula(self):
+        fn = np.abs(RNG.normal(size=(10, 10)))
+        fn = (fn + fn.T) / 2
+        np.fill_diagonal(fn, 0)
+        L = 10
+        col_means = fn.mean(axis=0) * L / (L - 1)
+        m_mean = fn.mean() * L / (L - 1)
+        want = fn - np.outer(col_means, col_means) / m_mean
+        np.fill_diagonal(want, 0)
+        np.testing.assert_allclose(apc(fn), want, rtol=1e-12)
+
+    def test_fn_scores(self):
+        J = random_symmetric_J(6, 3, RNG)
+        J0 = o_zero_sum_gauge(J)
+        want = np.zeros((6, 6))
+        for i in range(5):
+            for j in range(i + 1, 6):
+                want[i, j] = want[j, i] = np.linalg.norm(J0[i, j], "fro")
+        np.testing.assert_allclose(fn_scores(J), want, rtol=1e-10)
+
+    def test_mi_scores(self):
+        m = random_msa(n=60, L=6, q=4)
+        w = np.ones(60)
+        fi = o_frequencies(m, w, 4)
+        fij = o_pair_frequencies(m, w, 4, fi)
+        got = mi_scores(fij, fi)
+        # literal reference loop (model.py:796-799)
+        want = np.zeros((6, 6))
+        for i in range(5):
+            for j in range(i + 1, 6):
+                p = fij[i, j]
+                mm = np.outer(fi[i], fi[j])
+                want[i, j] = want[j, i] = np.sum(
+                    p[p > 0] * np.log(p[p > 0] / mm[p > 0])
+                )
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
