@@ -1,0 +1,339 @@
+"""
+Pseudolikelihood-maximization (PLM) Potts-model fit — the TPU-native
+replacement for the external `plmc` C binary (reference wrapper:
+evcouplings/couplings/tools.py:126-307; reference build docs README.md:37-43).
+
+Model
+-----
+P(x_r = a | x_{-r}) = softmax_a( h_r(a) + sum_{j != r} J_rj(a, x_j) )
+
+loss(h, J) = - sum_s w_s sum_r log P(x_sr | x_s,-r)
+             + lambda_h ||h||^2 + lambda_J sum_{i<j} ||J_ij||^2
+             [+ lambda_group * sum_{i<j} ||J_ij||_F   (smoothed group-L1)]
+
+TPU-first design
+----------------
+- The coupling tensor is stored directly in flat (L*q, L*q) layout with
+  J_flat[(r,a),(j,b)] = J[r,j,a,b]; pair symmetry J[j,i,b,a] == J[i,j,a,b]
+  is then plain matrix symmetry, enforced as J_eff = 0.5 (P + P^T) with the
+  L diagonal q x q blocks masked to zero. Initialized symmetric, the
+  gradient stays symmetric, so the shared-parameter semantics of plmc are
+  preserved exactly.
+- Per-site conditional logits for a whole block of sequences are ONE MXU
+  matmul: logits = onehot(B, Lq) @ J_eff^T + h. The same matmul powers the
+  backward pass (onehot^T @ softmax-residuals), so the entire gradient is
+  MXU work. Blocks are streamed with lax.scan so HBM holds only codes
+  (int8), parameters, and optimizer state — never the N x L x q one-hot.
+- Across a device mesh, rows are sharded on the "data" axis via shard_map;
+  the block-local negative log-likelihood and gradient contributions are
+  merged with psum. Parameters and LBFGS state are replicated.
+- Optimizer: L-BFGS with zoom line search (optax), entirely jit-compiled;
+  one host sync per iteration to record the plmc-style iteration table.
+  Adam fallback for very large L where LBFGS history would not fit HBM.
+"""
+
+import functools
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from evcouplings_tpu.ops.encode import pad_rows
+
+
+@dataclass(frozen=True)
+class PlmConfig:
+    """Fit hyperparameters (mirrors the plmc CLI surface).
+
+    lambda_J is the per-pair l2 strength AFTER any (q-1)(L-1) scaling done
+    by the calling protocol (reference couplings/protocol.py:157-179).
+    """
+    lambda_h: float = 0.01
+    lambda_J: float = 16.0
+    lambda_group: float = 0.0
+    max_iter: int = 100
+    conv_tol: float = 1e-5          # ||g|| <= tol * max(1, ||x||), libLBFGS-style
+    memory_size: int = 5
+    solver: str = "lbfgs"           # or "adam"
+    adam_lr: float = 5e-3
+    block_size: int = 2048
+    dtype: str = "float32"
+    precision: str = "highest"      # matmul precision: highest|high|default
+
+
+def _precision(name):
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+def _diag_block_mask(L, q, dtype):
+    """(Lq, Lq) mask that zeroes the L diagonal q x q blocks (computed via
+    iota comparison; XLA fuses it into the consumer without materializing)."""
+    lq = L * q
+    site = jax.lax.broadcasted_iota(jnp.int32, (lq, lq), 0) // q
+    site_t = jax.lax.broadcasted_iota(jnp.int32, (lq, lq), 1) // q
+    return (site != site_t).astype(dtype)
+
+
+def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
+    """Block-streamed negative log pseudolikelihood over local rows.
+
+    codes: (N_local_pad, L) int8 with -1 meaning "no contribution"
+    (one_hot of -1 is the zero vector, which simultaneously removes the
+    site's conditional term and its context contribution — used for
+    ignore_gaps mode and row padding).
+    """
+    lq = L * q
+
+    def local_nll(J_eff, h_flat, codes, weights):
+        n_pad = codes.shape[0]
+        num_blocks = n_pad // block_size
+
+        def body(acc, block_idx):
+            start = block_idx * block_size
+            c = jax.lax.dynamic_slice_in_dim(codes, start, block_size, 0)
+            w = jax.lax.dynamic_slice_in_dim(weights, start, block_size, 0)
+            oh = jax.nn.one_hot(c, q, dtype=dtype).reshape(block_size, lq)
+
+            # (B, Lq) @ (Lq, Lq): per-site conditional logits for the block
+            logits = jax.lax.dot_general(
+                oh, J_eff,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=prec,
+            ) + h_flat[None, :]
+
+            logp = jax.nn.log_softmax(
+                logits.reshape(block_size, L, q), axis=-1
+            ).reshape(block_size, lq)
+
+            # sum_r log P(x_sr | ...) as a masked gather via the one-hot
+            per_seq = jnp.sum(oh * logp, axis=1)
+            return acc - jnp.dot(w.astype(dtype), per_seq,
+                                 precision=prec), None
+
+        init = jnp.zeros((), dtype=dtype)
+        if axis_name is not None:
+            # inside shard_map the carry becomes varying along the data
+            # axis; mark the init accordingly
+            init = jax.lax.pvary(init, (axis_name,))
+        acc, _ = jax.lax.scan(
+            body, init, jnp.arange(num_blocks, dtype=jnp.int32),
+        )
+        return acc
+
+    return local_nll
+
+
+def make_plm_loss(L, q, cfg: PlmConfig, mesh=None):
+    """Build loss(params, codes, weights) -> scalar.
+
+    params: {"J": (Lq, Lq), "h": (L, q)}. If a mesh (with axis "data") is
+    given, codes/weights are expected sharded on that axis and the local
+    NLL contributions are psum-merged inside shard_map.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    prec = _precision(cfg.precision)
+    axis_name = None if mesh is None else "data"
+    local_nll = _make_local_nll(
+        L, q, cfg.block_size, prec, dtype, axis_name=axis_name
+    )
+
+    def nll(J_eff, h_flat, codes, weights):
+        if mesh is None:
+            return local_nll(J_eff, h_flat, codes, weights)
+
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        def shard_fn(J_eff, h_flat, codes, weights):
+            return jax.lax.psum(
+                local_nll(J_eff, h_flat, codes, weights), "data"
+            )
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=P(),
+        )(J_eff, h_flat, codes, weights)
+
+    mask = None
+
+    def loss(params, codes, weights):
+        # symmetric shared-pair parametrization with zero diagonal blocks
+        P_mat = params["J"]
+        J_eff = 0.5 * (P_mat + P_mat.T) * _diag_block_mask(L, q, dtype)
+        h_flat = params["h"].reshape(L * q)
+
+        value = nll(J_eff, h_flat, codes, weights)
+
+        # l2 regularization; full-tensor sum counts each i<j pair twice
+        reg = (
+            cfg.lambda_h * jnp.sum(params["h"] ** 2)
+            + cfg.lambda_J * 0.5 * jnp.sum(J_eff ** 2)
+        )
+
+        if cfg.lambda_group > 0:
+            # smoothed group-L1 over pair blocks
+            blocks = J_eff.reshape(L, q, L, q)
+            norms = jnp.sqrt(
+                jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12
+            )
+            reg = reg + cfg.lambda_group * 0.5 * jnp.sum(norms)
+
+        return value + reg
+
+    return loss
+
+
+@dataclass
+class PlmFitResult:
+    J_ij: np.ndarray            # (L, L, q, q) float64, zero diagonal
+    h_i: np.ndarray             # (L, q) float64
+    iteration_table: list       # list of per-iteration dict records
+    num_iter: int
+    converged: bool
+    final_loss: float
+
+
+def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
+            mesh=None, callback=None):
+    """Fit a Potts model by pseudolikelihood maximization.
+
+    Parameters
+    ----------
+    codes : (N, L) int array, entries in [0, q) or -1 (excluded position)
+    weights : (N,) float array of sequence weights
+    num_symbols : alphabet size q
+    cfg : PlmConfig
+    mesh : optional jax.sharding.Mesh with a "data" axis for row-parallel
+        multi-device fitting
+    callback : optional fn(iteration_record_dict) for progress streaming
+
+    Returns
+    -------
+    PlmFitResult
+    """
+    codes = np.asarray(codes)
+    weights = np.asarray(weights, dtype=np.float64)
+    N, L = codes.shape
+    q = int(num_symbols)
+    dtype = jnp.dtype(cfg.dtype)
+
+    # pad rows so the block scan (and even device sharding) has static shape
+    n_devices = 1 if mesh is None else mesh.devices.size
+    row_multiple = cfg.block_size * n_devices
+    codes_p, _ = pad_rows(codes.astype(np.int8), row_multiple)
+    w_p, _ = pad_rows(weights, row_multiple)
+    # padding rows: weight 0 AND codes -1 (zero one-hot) => no contribution
+    codes_p[N:] = -1
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        codes_d = jax.device_put(jnp.asarray(codes_p), data_sharding)
+        w_d = jax.device_put(
+            jnp.asarray(w_p, dtype=dtype), data_sharding
+        )
+    else:
+        replicated = None
+        codes_d = jnp.asarray(codes_p)
+        w_d = jnp.asarray(w_p, dtype=dtype)
+
+    loss_fn = make_plm_loss(L, q, cfg, mesh=mesh)
+    loss_data = functools.partial(loss_fn, codes=codes_d, weights=w_d)
+
+    params = {
+        "J": jnp.zeros((L * q, L * q), dtype=dtype),
+        "h": jnp.zeros((L, q), dtype=dtype),
+    }
+    if mesh is not None:
+        params = jax.device_put(params, replicated)
+
+    if cfg.solver == "lbfgs":
+        opt = optax.lbfgs(memory_size=cfg.memory_size)
+    elif cfg.solver == "adam":
+        opt = optax.adam(cfg.adam_lr)
+    else:
+        raise ValueError("Unknown solver: {}".format(cfg.solver))
+
+    state = opt.init(params)
+
+    if cfg.solver == "lbfgs":
+        value_and_grad = optax.value_and_grad_from_state(loss_data)
+
+        @jax.jit
+        def step(params, state):
+            value, grad = value_and_grad(params, state=state)
+            updates, state = opt.update(
+                grad, state, params,
+                value=value, grad=grad, value_fn=loss_data,
+            )
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.tree_utils.tree_l2_norm(grad)
+            xnorm = optax.tree_utils.tree_l2_norm(params)
+            return params, state, value, gnorm, xnorm
+    else:
+        vg = jax.value_and_grad(loss_data)
+
+        @jax.jit
+        def step(params, state):
+            value, grad = vg(params)
+            updates, state = opt.update(grad, state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.tree_utils.tree_l2_norm(grad)
+            xnorm = optax.tree_utils.tree_l2_norm(params)
+            return params, state, value, gnorm, xnorm
+
+    import time
+
+    table = []
+    converged = False
+    value = float("nan")
+    t0 = time.time()
+
+    for it in range(1, cfg.max_iter + 1):
+        params, state, value, gnorm, xnorm = step(params, state)
+        value, gnorm, xnorm = (
+            float(value), float(gnorm), float(xnorm)
+        )
+        record = {
+            "iter": it,
+            "fx": value,
+            "gnorm": gnorm,
+            "xnorm": xnorm,
+            "hnorm": float(jnp.linalg.norm(params["h"])),
+            "Jnorm": float(jnp.linalg.norm(params["J"])),
+            "time": time.time() - t0,
+        }
+        table.append(record)
+        if callback is not None:
+            callback(record)
+
+        # libLBFGS-style relative gradient convergence
+        if gnorm <= cfg.conv_tol * max(1.0, xnorm):
+            converged = True
+            break
+
+    # materialize the effective symmetric couplings
+    P_mat = np.asarray(params["J"], dtype=np.float64)
+    J_flat = 0.5 * (P_mat + P_mat.T)
+    J_ij = J_flat.reshape(L, q, L, q).transpose(0, 2, 1, 3)
+    J_ij[np.arange(L), np.arange(L)] = 0.0
+
+    return PlmFitResult(
+        J_ij=J_ij,
+        h_i=np.asarray(params["h"], dtype=np.float64),
+        iteration_table=table,
+        num_iter=len(table),
+        converged=converged,
+        final_loss=value,
+    )

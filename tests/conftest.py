@@ -1,14 +1,17 @@
 """
 Test configuration: force the CPU backend with 8 virtual devices so
-sharding/multi-chip code paths are exercised without TPU hardware, and
-enable x64 so float64 oracle comparisons are meaningful.
+sharding/multi-chip code paths are exercised without TPU hardware (and so
+tests don't round-trip every op through the TPU tunnel), and enable x64 so
+float64 oracle comparisons are meaningful.
 
-Must run before jax is imported anywhere.
+Must run before jax is imported anywhere. Note the session environment may
+pre-set JAX_PLATFORMS (e.g. to the axon TPU plugin), so override, don't
+setdefault.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu"

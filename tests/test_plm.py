@@ -1,0 +1,199 @@
+"""
+PLM fitter tests: loss correctness vs numpy oracle, optimizer convergence,
+coupling recovery on synthetic data, and mesh-sharded equivalence.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from evcouplings_tpu.ops.plm import PlmConfig, make_plm_loss, fit_plm
+
+RNG = np.random.default_rng(3)
+
+
+def o_plm_loss(P_mat, h, codes, weights, lh, lJ, q):
+    """Literal numpy pseudolikelihood loss (same parametrization)."""
+    N, L = codes.shape
+    J_flat = 0.5 * (P_mat + P_mat.T)
+    J = J_flat.reshape(L, q, L, q).transpose(0, 2, 1, 3)
+    J[np.arange(L), np.arange(L)] = 0.0
+
+    nll = 0.0
+    for s in range(N):
+        x = codes[s]
+        for r in range(L):
+            if x[r] < 0:
+                continue
+            logits = h[r].copy()
+            for j in range(L):
+                if j != r and x[j] >= 0:
+                    logits += J[r, j, :, x[j]]
+            lse = np.log(np.exp(logits - logits.max()).sum()) + logits.max()
+            nll -= weights[s] * (logits[x[r]] - lse)
+
+    reg = lh * (h ** 2).sum() + lJ * 0.5 * (J ** 2).sum()
+    return nll + reg
+
+
+class TestLoss:
+    def test_loss_matches_oracle(self):
+        L, q, N = 5, 4, 7
+        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
+        weights = RNG.uniform(0.3, 1.0, size=N)
+        cfg = PlmConfig(lambda_h=0.02, lambda_J=0.5, block_size=8,
+                        dtype="float64")
+        loss = make_plm_loss(L, q, cfg)
+
+        P_mat = RNG.normal(size=(L * q, L * q)) * 0.3
+        h = RNG.normal(size=(L, q)) * 0.2
+
+        codes_p = np.full((8, L), -1, dtype=np.int8)
+        codes_p[:N] = codes
+        w_p = np.zeros(8)
+        w_p[:N] = weights
+
+        got = float(loss(
+            {"J": jnp.asarray(P_mat), "h": jnp.asarray(h)},
+            jnp.asarray(codes_p), jnp.asarray(w_p),
+        ))
+        want = o_plm_loss(P_mat, h, codes, weights, 0.02, 0.5, q)
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    def test_loss_ignores_masked_positions(self):
+        # gap positions coded -1 must contribute neither as target nor
+        # as context
+        L, q = 4, 3
+        codes = np.array([[0, 1, -1, 2], [1, -1, 0, 0]], dtype=np.int8)
+        weights = np.array([1.0, 0.5])
+        cfg = PlmConfig(lambda_h=0.0, lambda_J=0.0, block_size=2,
+                        dtype="float64")
+        loss = make_plm_loss(L, q, cfg)
+        P_mat = RNG.normal(size=(L * q, L * q))
+        h = RNG.normal(size=(L, q))
+        got = float(loss(
+            {"J": jnp.asarray(P_mat), "h": jnp.asarray(h)},
+            jnp.asarray(codes), jnp.asarray(weights),
+        ))
+        want = o_plm_loss(P_mat, h, codes, weights, 0.0, 0.0, q)
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+
+    def test_gradient_stays_symmetric(self):
+        L, q, N = 4, 3, 10
+        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
+        weights = np.ones(N)
+        cfg = PlmConfig(block_size=16, dtype="float64")
+        loss = make_plm_loss(L, q, cfg)
+
+        codes_p = np.full((16, L), -1, dtype=np.int8)
+        codes_p[:N] = codes
+        w_p = np.zeros(16, dtype=np.float32)
+        w_p[:N] = 1.0
+
+        params = {
+            "J": jnp.zeros((L * q, L * q), dtype=jnp.float64),
+            "h": jnp.zeros((L, q), dtype=jnp.float64),
+        }
+        g = jax.grad(loss)(params, jnp.asarray(codes_p), jnp.asarray(w_p))
+        gJ = np.asarray(g["J"])
+        np.testing.assert_allclose(gJ, gJ.T, rtol=1e-12, atol=1e-12)
+
+
+class TestFit:
+    def make_coupled_msa(self, N=600, L=8, q=4):
+        """Synthetic MSA where columns 2 and 5 are perfectly coupled."""
+        codes = RNG.integers(0, q, size=(N, L))
+        codes[:, 5] = (codes[:, 2] + 1) % q
+        return codes
+
+    def test_fit_recovers_coupling(self):
+        codes = self.make_coupled_msa()
+        N = codes.shape[0]
+        cfg = PlmConfig(
+            lambda_h=0.01, lambda_J=0.05, max_iter=120,
+            block_size=128, dtype="float64",
+        )
+        res = fit_plm(codes, np.ones(N), 4, cfg)
+        assert res.num_iter > 1
+
+        from evcouplings_tpu.ops.scores import cn_scores
+
+        cn = cn_scores(res.J_ij)
+        ii, jj = np.triu_indices(8, k=1)
+        best = np.argmax(cn[ii, jj])
+        assert (ii[best], jj[best]) == (2, 5)
+
+    def test_fit_converges_and_reduces_loss(self):
+        codes = self.make_coupled_msa(N=200)
+        cfg = PlmConfig(max_iter=200, block_size=64, dtype="float64",
+                        lambda_J=0.1)
+        records = []
+        res = fit_plm(codes, np.ones(200), 4, cfg,
+                      callback=records.append)
+        assert res.converged
+        assert records[-1]["fx"] < records[0]["fx"]
+        # J must satisfy plmc invariants
+        np.testing.assert_allclose(
+            res.J_ij, res.J_ij.transpose(1, 0, 3, 2), atol=1e-12
+        )
+        assert np.all(res.J_ij[np.arange(8), np.arange(8)] == 0)
+
+    def test_matches_scipy_lbfgs_optimum(self):
+        """Same objective optimized with scipy must reach the same loss."""
+        from scipy.optimize import minimize
+
+        L, q, N = 4, 3, 50
+        codes = RNG.integers(0, q, size=(N, L))
+        weights = RNG.uniform(0.5, 1.0, size=N)
+        cfg = PlmConfig(lambda_h=0.01, lambda_J=0.2, max_iter=500,
+                        conv_tol=1e-9, block_size=64, dtype="float64")
+
+        res = fit_plm(codes, weights, q, cfg)
+
+        loss = make_plm_loss(L, q, cfg)
+        codes_p = np.full((64, L), -1, dtype=np.int8)
+        codes_p[:N] = codes
+        w_p = np.zeros(64, dtype=np.float32)
+        w_p[:N] = weights
+        codes_j, w_j = jnp.asarray(codes_p), jnp.asarray(w_p)
+
+        lq = L * q
+
+        def unpack(x):
+            return {
+                "J": jnp.asarray(x[: lq * lq].reshape(lq, lq)),
+                "h": jnp.asarray(x[lq * lq:].reshape(L, q)),
+            }
+
+        vg = jax.jit(jax.value_and_grad(
+            lambda p: loss(p, codes_j, w_j)
+        ))
+
+        def fun(x):
+            v, g = vg(unpack(x))
+            return float(v), np.concatenate(
+                [np.asarray(g["J"]).ravel(), np.asarray(g["h"]).ravel()]
+            )
+
+        x0 = np.zeros(lq * lq + L * q)
+        opt = minimize(fun, x0, jac=True, method="L-BFGS-B",
+                       options={"maxiter": 500, "gtol": 1e-9})
+
+        np.testing.assert_allclose(res.final_loss, opt.fun, rtol=1e-5)
+
+    def test_mesh_sharded_fit_matches_single_device(self):
+        from jax.sharding import Mesh
+
+        codes = self.make_coupled_msa(N=128, L=6, q=3)
+        cfg = PlmConfig(max_iter=15, block_size=16, dtype="float64")
+
+        res1 = fit_plm(codes, np.ones(128), 3, cfg)
+
+        devices = np.array(jax.devices()[:8])
+        mesh = Mesh(devices, axis_names=("data",))
+        res8 = fit_plm(codes, np.ones(128), 3, cfg, mesh=mesh)
+
+        np.testing.assert_allclose(res1.final_loss, res8.final_loss,
+                                   rtol=1e-9)
+        np.testing.assert_allclose(res1.J_ij, res8.J_ij, atol=1e-8)
