@@ -1,0 +1,82 @@
+"""
+Headline benchmark: PLM site-gradient inner-loop throughput on one chip.
+
+Metric (BASELINE.json): sequences*sites/s per chip on a PF00071-scale MSA
+(L ~ 160 match columns, q = 21). One "iteration" = one value-and-gradient
+evaluation of the full pseudolikelihood objective plus the optimizer
+update — the same unit as one plmc LBFGS iteration (reference
+evcouplings/couplings/tools.py:20-123 iteration table).
+
+Baseline: the reference's engine is the external plmc C binary with OpenMP
+(README.md:41-43). It publishes no numbers, so the baseline constant below
+is an analytic upper bound for 32-thread plmc: the conditional-logit
+inner loop costs ~2*L*q flops per sequence-site per objective+gradient
+pass (~6.7 kflop at L=160); granting the C code 32 cores x 1 GFLOP/s
+effective scalar-ish throughput (generous for gather-heavy code) gives
+  32e9 / 6.7e3 ~ 4.8e6 seq*site/s  -> rounded UP to 5.0e6.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+PLMC_32T_BASELINE = 5.0e6  # seq*site/s, analytic bound, see module docstring
+
+N, L, Q = 16384, 160, 21
+WARMUP_STEPS = 3
+BENCH_STEPS = 12
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from evcouplings_tpu.ops.plm import PlmConfig, make_plm_loss
+
+    # bf16 matmuls with f32 accumulation: the parity path uses
+    # precision="highest"; the production throughput path uses "default"
+    cfg = PlmConfig(block_size=2048, precision="default", solver="adam")
+    loss = make_plm_loss(L, Q, cfg)
+
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, Q, size=(N, L)), dtype=jnp.int8)
+    weights = jnp.ones((N,), dtype=jnp.float32)
+
+    params = {
+        "J": jnp.zeros((L * Q, L * Q), dtype=jnp.float32),
+        "h": jnp.zeros((L, Q), dtype=jnp.float32),
+    }
+    opt = optax.adam(cfg.adam_lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        value, grad = jax.value_and_grad(loss)(params, codes, weights)
+        updates, state = opt.update(grad, state, params)
+        return optax.apply_updates(params, updates), state, value
+
+    for _ in range(WARMUP_STEPS):
+        params, state, value = step(params, state)
+    jax.block_until_ready(params)
+
+    t0 = time.perf_counter()
+    for _ in range(BENCH_STEPS):
+        params, state, value = step(params, state)
+    jax.block_until_ready(params)
+    elapsed = time.perf_counter() - t0
+
+    throughput = N * L * BENCH_STEPS / elapsed
+    print(json.dumps({
+        "metric": "plm_fit_seq_sites_per_s",
+        "value": round(throughput, 1),
+        "unit": "seq*site/s per chip",
+        "vs_baseline": round(throughput / PLMC_32T_BASELINE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
