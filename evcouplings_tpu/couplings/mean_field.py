@@ -1,0 +1,344 @@
+"""
+Mean-field direct couplings analysis (DCA).
+
+Parity target: reference evcouplings/couplings/mean_field.py —
+MeanFieldDCA (:41-329), MeanFieldCouplingsModel (:332-714),
+regularizers (:717-788). The numba kernels are replaced by the batched
+kernels in evcouplings_tpu.ops.mean_field.
+
+Model-file convention: a mean-field model is stored in the plmc_v2
+binary format with lambda_h = -pseudo_count as marker and placeholder
+values for the plmc-only fields (reference mean_field.py:629-671,
+model.py:391-400).
+"""
+
+from copy import deepcopy
+
+import numpy as np
+
+from evcouplings_tpu.align.alignment import parse_header
+from evcouplings_tpu.couplings.model import CouplingsModel
+from evcouplings_tpu.ops import mean_field as _mf
+
+# arbitrary value written to file for plmc-specific parameters
+_PLACEHOLDER = -1
+
+
+def regularize_frequencies(f_i, pseudo_count=0.5):
+    """Pseudo-count-regularized single-site frequencies.
+
+    f~ = (1 - pc) * f + pc / q (reference mean_field.py:717-744).
+    """
+    _, num_symbols = f_i.shape
+    return (1.0 - pseudo_count) * f_i + pseudo_count / float(num_symbols)
+
+
+def regularize_pair_frequencies(f_ij, pseudo_count=0.5):
+    """Pseudo-count-regularized pair frequencies.
+
+    Off-diagonal position pairs get pc / q^2; the diagonal (i, i) blocks
+    get (1 - pc) * f_ij[i,i] + (pc / q) * identity so that
+    f~_ij[i,i,a,a] tracks the regularized single-site frequency
+    (reference mean_field.py:747-788).
+    """
+    L, _, num_symbols, _ = f_ij.shape
+    reg = (1.0 - pseudo_count) * f_ij + pseudo_count / float(num_symbols ** 2)
+
+    idx = np.arange(L)
+    reg[idx, idx] = (
+        (1.0 - pseudo_count) * f_ij[idx, idx]
+        + (pseudo_count / num_symbols) * np.identity(num_symbols)[None]
+    )
+    return reg
+
+
+class MeanFieldDCA:
+    """Mean-field DCA inference from a focus-mode (a2m) alignment.
+
+    The input alignment must have the target sequence as first record;
+    focus columns are the non-gap uppercase columns of the target.
+    Parity: reference mean_field.py:41-329.
+    """
+
+    def __init__(self, alignment):
+        self._raw_alignment = alignment
+        target_seq = self._raw_alignment[0]
+
+        focus_cols = np.array([
+            c.isupper() and c not in (
+                self._raw_alignment._match_gap,
+                self._raw_alignment._insert_gap,
+            )
+            for c in target_seq
+        ])
+        focus_ali = self._raw_alignment.select(columns=focus_cols)
+
+        # target-sequence numbering restricted to focus columns
+        _, start, stop = parse_header(self._raw_alignment.ids[0])
+        self.index_list = np.array(range(start, stop + 1))[focus_cols]
+
+        # drop sequences containing non-alphabet symbols
+        np_alphabet = np.array(list(focus_ali.alphabet))
+        valid_sequences = np.array([
+            np.isin(seq, np_alphabet).all() for seq in focus_ali.matrix
+        ])
+        self.alignment = focus_ali.select(sequences=valid_sequences)
+
+        self._reset()
+
+    def _reset(self):
+        """Drop weights, frequencies and covariance state (fit() may be
+        called repeatedly with different theta/pseudo-count)."""
+        self.alignment.weights = None
+        self.alignment._frequencies = None
+        self.alignment._pair_frequencies = None
+        self.regularized_frequencies = None
+        self.regularized_pair_frequencies = None
+        self.covariance_matrix = None
+        self.covariance_matrix_inv = None
+
+    def fit(self, theta=0.8, pseudo_count=0.5):
+        """Run mean-field DCA; returns a MeanFieldCouplingsModel.
+
+        Pipeline (reference mean_field.py:163-222): reweight sequences at
+        theta -> pseudo-count-regularize f_i/f_ij -> covariance matrix ->
+        J = -C^{-1} -> fields.
+        """
+        self._reset()
+
+        self.alignment.set_weights(identity_threshold=theta)
+        self.regularize_frequencies(pseudo_count=pseudo_count)
+        self.regularize_pair_frequencies(pseudo_count=pseudo_count)
+
+        self.compute_covariance_matrix()
+        self.covariance_matrix_inv = -np.linalg.inv(self.covariance_matrix)
+
+        J_ij = self.reshape_invC_to_4d()
+        h_i = self.fields()
+
+        return MeanFieldCouplingsModel(
+            alignment=self.alignment,
+            index_list=self.index_list,
+            regularized_f_i=self.regularized_frequencies,
+            regularized_f_ij=self.regularized_pair_frequencies,
+            h_i=h_i,
+            J_ij=J_ij,
+            theta=theta,
+            pseudo_count=pseudo_count,
+        )
+
+    def regularize_frequencies(self, pseudo_count=0.5):
+        self.regularized_frequencies = regularize_frequencies(
+            self.alignment.frequencies, pseudo_count=pseudo_count
+        )
+        return self.regularized_frequencies
+
+    def regularize_pair_frequencies(self, pseudo_count=0.5):
+        self.regularized_pair_frequencies = regularize_pair_frequencies(
+            self.alignment.pair_frequencies, pseudo_count=pseudo_count
+        )
+        return self.regularized_pair_frequencies
+
+    def compute_covariance_matrix(self):
+        self.covariance_matrix = _mf.compute_covariance_matrix(
+            self.regularized_frequencies, self.regularized_pair_frequencies
+        )
+        return self.covariance_matrix
+
+    def reshape_invC_to_4d(self):
+        return _mf.reshape_invC_to_4d(
+            self.covariance_matrix_inv,
+            self.alignment.L,
+            self.alignment.num_symbols,
+        )
+
+    def fields(self):
+        return _mf.fields_from_couplings(
+            self.reshape_invC_to_4d(), self.regularized_frequencies
+        )
+
+
+class MeanFieldCouplingsModel(CouplingsModel):
+    """CouplingsModel specialization for mean-field results: stores
+    regularized frequencies and adds DI (direct information) scoring.
+
+    Parity: reference mean_field.py:332-714.
+    """
+
+    def __init__(self, alignment=None, index_list=None, regularized_f_i=None,
+                 regularized_f_ij=None, h_i=None, J_ij=None, theta=None,
+                 pseudo_count=None):
+        # Note: also constructed by CouplingsModel.__read_plmc_v2 via a
+        # __class__ swap + transform_from_plmc_model(), in which case
+        # __init__ is never called (reference model.py:391-400).
+        self.L = alignment.L
+        self.num_symbols = alignment.num_symbols
+        self.N_valid = alignment.N
+
+        if alignment.weights is None:
+            self.weights = np.ones((alignment.N))
+        else:
+            self.weights = alignment.weights
+        self.N_eff = self.weights.sum()
+
+        self.alphabet = np.array(list(alignment.alphabet))
+        self.alphabet_map = {s: i for i, s in enumerate(self.alphabet)}
+
+        # set numbering before the target_seq setter creates the _ecs
+        # cache slot, so no eager EC/DI computation is triggered here
+        # (the reference's init order recomputes ECs during __init__;
+        # the results are identical, this just defers the work)
+        self.index_list = index_list
+
+        # first record of a focus alignment is the target sequence
+        self.target_seq = list(alignment.matrix[0])
+
+        self.f_i = alignment.frequencies
+        self.f_ij = alignment.pair_frequencies
+        self.regularized_f_i = regularized_f_i
+        self.regularized_f_ij = regularized_f_ij
+
+        self.h_i = h_i
+        self.J_ij = J_ij
+        self.theta = theta
+        self.pseudo_count = pseudo_count
+
+        # only valid-sequence weights are stored, so the codec's
+        # N_valid + N_invalid weight read requires N_invalid = 0
+        self.N_invalid = 0
+
+        self._decode_unused_fields(save_pseudo_count=False)
+        self._reset_precomputed()
+
+    def _reset_precomputed(self):
+        """Additionally reset DI scores."""
+        super()._reset_precomputed()
+        self._di_scores = None
+
+    def _calculate_ecs(self):
+        """FN/CN/MI scores via the parent, then DI scores appended.
+
+        The stored EC table is sorted by (i, j) with a "di" column; the
+        return value is sorted by DI descending (reference
+        mean_field.py:440-478).
+        """
+        super()._calculate_ecs()
+
+        self._di_scores = _mf.direct_information(
+            self.J_ij, self.regularized_f_i
+        )
+
+        ii, jj = np.triu_indices(self.L, k=1)
+        self._ecs = self._ecs.sort_values(by=["i", "j"])
+        self._ecs.loc[:, "di"] = self._di_scores[ii, jj]
+
+        return self._ecs.sort_values(by="di", ascending=False)
+
+    def regularize_f_i(self):
+        self.regularized_f_i = regularize_frequencies(
+            self.f_i, pseudo_count=self.pseudo_count
+        )
+        return self.regularized_f_i
+
+    def regularize_f_ij(self):
+        self.regularized_f_ij = regularize_pair_frequencies(
+            self.f_ij, pseudo_count=self.pseudo_count
+        )
+        return self.regularized_f_ij
+
+    def tilde_fields(self, i, j):
+        """h-tilde fields of the two-site model for positions (i, j).
+
+        Note: the reference's method (mean_field.py:530-552) forwards
+        mismatched arguments to its kernel; this implementation passes
+        the corrected inputs (exp couplings of the pair, regularized
+        single-site frequencies of both positions).
+        """
+        return _mf.tilde_fields(
+            np.exp(self.J_ij[i, j]),
+            self.regularized_f_i[i],
+            self.regularized_f_i[j],
+        )
+
+    @property
+    def di_scores(self):
+        """(L, L) direct information scores."""
+        if self._di_scores is None:
+            self._calculate_ecs()
+        return self._di_scores
+
+    def to_independent_model(self):
+        """Single-site model: h = log f~, J = 0 (overrides the BFGS fit
+        of the parent; reference mean_field.py:576-594)."""
+        c0 = deepcopy(self)
+        c0.h_i = np.log(self.regularized_f_i)
+        c0.J_ij.fill(0)
+        c0._reset_precomputed()
+        return c0
+
+    def to_raw_ec_file(self, couplings_file):
+        """Write the mean-field raw EC file:
+        `i A_i j A_j mi_raw mi_apc di cn` per pair (i < j), 6 decimals
+        (reference mean_field.py:596-617)."""
+        ii, jj = np.triu_indices(self.L, k=1)
+        with open(couplings_file, "w") as f:
+            for i, j in zip(ii, jj):
+                f.write(" ".join(map(str, [
+                    self.index_list[i], self.target_seq[i],
+                    self.index_list[j], self.target_seq[j],
+                    "{0:.6f}".format(self.mi_scores_raw[i, j]),
+                    "{0:.6f}".format(self.mi_scores_apc[i, j]),
+                    "{0:.6f}".format(self.di_scores[i, j]),
+                    "{0:.6f}".format(self.cn_scores[i, j]),
+                ])) + "\n")
+
+    def transform_from_plmc_model(self):
+        """Fix up a model loaded from a plmc_v2 file (called by the codec
+        after detecting lambda_h < 0): decode the pseudo-count, restore
+        the f_ij diagonal, and regularize frequencies."""
+        self._decode_unused_fields()
+
+        idx = np.arange(self.L)
+        diag = np.zeros((self.L, self.num_symbols, self.num_symbols))
+        diag[:, np.arange(self.num_symbols), np.arange(self.num_symbols)] = (
+            self.f_i
+        )
+        self.f_ij[idx, idx] = diag
+
+        self.regularize_f_i()
+        self.regularize_f_ij()
+        self._di_scores = None
+
+    def _encode_unused_fields(self):
+        """Store the pseudo-count as -lambda_h and placeholders for the
+        plmc-only fields, for serialization."""
+        self.lambda_J = _PLACEHOLDER
+        self.lambda_group = _PLACEHOLDER
+        self.num_iter = _PLACEHOLDER
+        self.lambda_h = -self.pseudo_count
+
+    def _decode_unused_fields(self, save_pseudo_count=True):
+        """Null out plmc-only fields; optionally recover the pseudo-count
+        from lambda_h."""
+        self.lambda_J = None
+        self.lambda_group = None
+        self.num_iter = None
+        if save_pseudo_count:
+            self.pseudo_count = -self.lambda_h
+        self.lambda_h = None
+
+    def to_file(self, out_file, precision="float32", file_format="plmc_v2"):
+        """Write in plmc_v2 format (plmc_v1 is not supported for
+        mean-field models)."""
+        if file_format == "plmc_v1":
+            raise ValueError(
+                "Illegal file format: plmc_v1. Valid option: plmc_v2."
+            )
+
+        self._encode_unused_fields()
+        try:
+            super().to_file(
+                out_file, precision=precision, file_format=file_format
+            )
+        finally:
+            self._decode_unused_fields()

@@ -144,3 +144,107 @@ def random_symmetric_J(L, q, rng, scale=0.5):
             J[i, j] = block
             J[j, i] = block.T
     return J
+
+
+# ---------------------------------------------------------------------------
+# mean-field DCA oracles (literal loop semantics of reference
+# evcouplings/couplings/mean_field.py numba kernels)
+# ---------------------------------------------------------------------------
+
+def o_flatten_index(i, alpha, num_symbols):
+    return i * (num_symbols - 1) + alpha
+
+
+def o_compute_covariance_matrix(f_i, f_ij):
+    L, num_symbols = f_i.shape
+    C = np.zeros((L * (num_symbols - 1), L * (num_symbols - 1)))
+    for i in range(L):
+        for j in range(L):
+            for a in range(num_symbols - 1):
+                for b in range(num_symbols - 1):
+                    C[
+                        o_flatten_index(i, a, num_symbols),
+                        o_flatten_index(j, b, num_symbols),
+                    ] = f_ij[i, j, a, b] - f_i[i, a] * f_i[j, b]
+    return C
+
+
+def o_reshape_invC_to_4d(invC, L, num_symbols):
+    J = np.zeros((L, L, num_symbols, num_symbols))
+    for i in range(L):
+        for j in range(L):
+            for a in range(num_symbols - 1):
+                for b in range(num_symbols - 1):
+                    J[i, j, a, b] = invC[
+                        o_flatten_index(i, a, num_symbols),
+                        o_flatten_index(j, b, num_symbols),
+                    ]
+    return J
+
+
+def o_fields(J_ij, f_i):
+    L, num_symbols = f_i.shape
+    hi = np.zeros((L, num_symbols))
+    for i in range(L):
+        log_fi = np.log(f_i[i] / f_i[i, num_symbols - 1])
+        J_sum = np.zeros((1, num_symbols))
+        for j in range(L):
+            if i != j:
+                J_sum += np.dot(
+                    J_ij[i, j], f_i[j].reshape((1, num_symbols)).T
+                ).T
+        hi[i] = log_fi - J_sum
+    return hi
+
+
+def o_tilde_fields(W, f_i, f_j, epsilon=1e-4):
+    num_symbols = f_i.shape[0]
+    h_i = np.full((1, num_symbols), 1 / float(num_symbols))
+    h_j = np.full((1, num_symbols), 1 / float(num_symbols))
+    diff = 1.0
+    while diff > epsilon:
+        tmp_1 = np.dot(h_j, W.T)
+        tmp_2 = np.dot(h_i, W)
+        h_i_new = f_i / tmp_1
+        h_i_new /= h_i_new.sum()
+        h_j_new = f_j / tmp_2
+        h_j_new /= h_j_new.sum()
+        diff = max(
+            np.abs(h_i_new - h_i).max(), np.abs(h_j_new - h_j).max()
+        )
+        h_i, h_j = h_i_new, h_j_new
+    return h_i, h_j
+
+
+def o_direct_information(J_ij, f_i):
+    L, num_symbols = f_i.shape
+    di = np.zeros((L, L))
+    for i in range(L):
+        for j in range(i + 1, L):
+            W = np.exp(J_ij[i, j])
+            h_i, h_j = o_tilde_fields(W, f_i[i], f_i[j])
+            p = W * np.dot(h_i.T, h_j)
+            p = p / p.sum()
+            fij = np.dot(
+                f_i[i].reshape((1, num_symbols)).T,
+                f_i[j].reshape((1, num_symbols)),
+            )
+            tiny = 1.0e-100
+            di[i, j] = di[j, i] = np.trace(
+                np.dot(p.T, np.log((p + tiny) / (fij + tiny)))
+            )
+    return di
+
+
+def o_regularize_pair_frequencies(f_ij, pseudo_count):
+    L, _, num_symbols, _ = f_ij.shape
+    reg = (1.0 - pseudo_count) * f_ij + pseudo_count / float(num_symbols ** 2)
+    ident = np.identity(num_symbols)
+    for i in range(L):
+        for a in range(num_symbols):
+            for b in range(num_symbols):
+                reg[i, i, a, b] = (
+                    (1.0 - pseudo_count) * f_ij[i, i, a, b]
+                    + (pseudo_count / num_symbols) * ident[a, b]
+                )
+    return reg
