@@ -411,9 +411,10 @@ class Alignment:
             return self
 
         mod_matrix = np.copy(self.matrix)
-        if columns is not None:
+        # guard empty selections: np.char funcs reject zero-size arrays
+        if columns is not None and mod_matrix[:, columns].size > 0:
             mod_matrix[:, columns] = func(mod_matrix[:, columns])
-        if sequences is not None:
+        if sequences is not None and mod_matrix[sequences, :].size > 0:
             mod_matrix[sequences, :] = func(mod_matrix[sequences, :])
 
         return Alignment(

@@ -1,0 +1,271 @@
+"""
+In-process TPU-native replacement for the external `plmc` C binary.
+
+The reference shells out to plmc (wrapper
+evcouplings/couplings/tools.py:126-307) and parses its stderr
+(parse_plmc_log, tools.py:20-123). Here the whole computation runs
+in-process on the accelerator: focus-mode alignment preparation,
+O(N^2 L) sequence reweighting, the pseudolikelihood LBFGS fit
+(evcouplings_tpu.ops.plm — MXU matmul kernels, optionally row-sharded
+over a device mesh), weighted frequency counts, EC scoring, and the
+plmc_v2 `.model` + raw EC file artifacts, byte-compatible with the
+reference toolchain.
+
+plmc conventions reproduced deliberately:
+- focus sequence name is matched after splitting at "/"
+  (tools.py:213-220); region numbering parsed from the "/start-end"
+  suffix
+- the wrapper's theta is our theta directly (the 1-theta transform in
+  tools.py:236-239 is a plmc CLI convention that no longer exists here)
+- lambda_J passed in is the FINAL per-pair strength (any
+  (q-1)(L-1) scaling is applied by the calling protocol,
+  couplings/protocol.py:157-179)
+- `-g` (ignore_gaps): gap positions contribute neither a conditional
+  term nor context (encoded as -1 codes -> zero one-hot rows)
+- raw EC file: `i A_i j A_j fn cn` rows for i < j in row-major order
+"""
+
+from collections import namedtuple
+
+import numpy as np
+import pandas as pd
+
+from evcouplings_tpu.align.alignment import (
+    ALPHABET_PROTEIN,
+    Alignment,
+    parse_header,
+)
+from evcouplings_tpu.couplings.model import CouplingsModel
+from evcouplings_tpu.ops import scores as _scores
+from evcouplings_tpu.ops.frequencies import frequencies, pair_frequencies
+from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+from evcouplings_tpu.ops.weights import num_cluster_members
+from evcouplings_tpu.utils.system import ResourceError, verify_resources
+
+# result contract mirrors the reference PlmcResult (tools.py:111-123)
+# so protocol-level restart logic is interchangeable
+PlmResult = namedtuple(
+    "PlmResult",
+    [
+        "couplings_file", "param_file",
+        "iteration_table", "focus_seq_index",
+        "num_valid_seqs", "num_total_seqs",
+        "num_valid_sites", "num_total_sites",
+        "region_start", "effective_samples",
+        "optimization_status",
+    ],
+)
+
+
+def prepare_alignment(alignment_file, focus_seq=None,
+                      alphabet=ALPHABET_PROTEIN):
+    """Load an alignment and prepare integer codes for the PLM fit.
+
+    Focus mode: locate the focus sequence (name matched after stripping
+    the "/start-end" range), restrict to its uppercase non-gap columns,
+    and derive target numbering from its header. Non-focus mode uses
+    all columns and numbering 1..L.
+
+    Sequences containing out-of-alphabet symbols in the selected
+    columns are invalid: excluded from the fit but kept (weight 0) in
+    the stored weight vector, as in the plmc `.model` format.
+
+    Returns a dict with codes (N_valid, L), valid_index, target info,
+    and bookkeeping counts.
+    """
+    with open(alignment_file) as f:
+        ali = Alignment.from_file(f, "fasta", alphabet=alphabet)
+
+    N_total = ali.N
+
+    if focus_seq is not None:
+        focus_name = focus_seq.split("/")[0]
+        focus_index = None
+        for i, id_ in enumerate(ali.ids):
+            if id_.split("/")[0] == focus_name or id_ == focus_seq:
+                focus_index = i
+                break
+        if focus_index is None:
+            raise ResourceError(
+                "Focus sequence {} not found in alignment".format(focus_seq)
+            )
+
+        target_row = ali.matrix[focus_index]
+        focus_cols = np.array([
+            c.isupper() and c not in (ali._match_gap, ali._insert_gap)
+            for c in target_row
+        ])
+
+        _, region_start, region_end = parse_header(ali.ids[focus_index])
+        if region_start is None:
+            region_start = 1
+
+        matrix = ali.matrix[:, focus_cols]
+        index_list = np.arange(
+            region_start, region_start + ali.L
+        )[focus_cols]
+        target_seq = target_row[focus_cols]
+        num_total_sites = ali.L
+    else:
+        focus_index = None
+        region_start = 1
+        matrix = ali.matrix
+        index_list = np.arange(1, ali.L + 1)
+        target_seq = ali.matrix[0]
+        num_total_sites = ali.L
+
+    L = matrix.shape[1]
+
+    # integer codes; invalid rows = any symbol outside the alphabet
+    alphabet_map = {c: i for i, c in enumerate(alphabet)}
+    codes = np.full(matrix.shape, -1, dtype=np.int8)
+    for c, idx in alphabet_map.items():
+        codes[matrix == c] = idx
+    valid_rows = (codes >= 0).all(axis=1)
+    valid_index = np.flatnonzero(valid_rows)
+
+    return {
+        "alignment": ali,
+        "codes": codes[valid_rows],
+        "valid_index": valid_index,
+        "focus_index": focus_index,
+        "target_seq": target_seq,
+        "index_list": index_list,
+        "region_start": int(region_start),
+        "num_valid_seqs": int(valid_rows.sum()),
+        "num_total_seqs": int(N_total),
+        "num_valid_sites": int(L),
+        "num_total_sites": int(num_total_sites),
+        "alphabet": alphabet,
+    }
+
+
+def write_raw_ec_file(couplings_file, index_list, target_seq, fn, cn):
+    """plmc-format raw EC file: `i A_i j A_j fn cn` for i < j."""
+    L = len(index_list)
+    ii, jj = np.triu_indices(L, k=1)
+    with open(couplings_file, "w") as f:
+        for i, j in zip(ii, jj):
+            f.write("{} {} {} {} {:.6f} {:.6f}\n".format(
+                index_list[i], target_seq[i],
+                index_list[j], target_seq[j],
+                fn[i, j], cn[i, j],
+            ))
+
+
+def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
+            alphabet=None, theta=None, scale=None, ignore_gaps=False,
+            iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
+            cpu=None, binary=None, mesh=None, solver="lbfgs",
+            block_size=2048, callback=None):
+    """Fit a Potts model by pseudolikelihood maximization and write the
+    plmc-compatible artifacts.
+
+    Drop-in replacement for reference run_plmc (couplings/tools.py:
+    126-307); `cpu` and `binary` are accepted for config compatibility
+    and ignored (compute runs on the JAX default device / the given
+    mesh).
+
+    Returns PlmResult (same fields as the reference PlmcResult).
+    """
+    verify_resources("Alignment file does not exist", alignment)
+
+    if alphabet is None:
+        alphabet = ALPHABET_PROTEIN
+    if theta is None:
+        theta = 0.8
+    if scale is None:
+        scale = 1.0
+    if iterations is None:
+        iterations = 100
+    if lambda_h is None:
+        lambda_h = 0.01
+    if lambda_J is None:
+        lambda_J = 0.01
+    if lambda_g is None:
+        lambda_g = 0.0
+
+    prep = prepare_alignment(alignment, focus_seq=focus_seq,
+                             alphabet=alphabet)
+    codes = prep["codes"]
+    N, L = codes.shape
+    q = len(alphabet)
+
+    # O(N^2 L) reweighting on the MXU (gaps participate in identity,
+    # reference alignment.py:1192-1233 semantics)
+    cluster_sizes = num_cluster_members(codes, theta)
+    weights = scale / cluster_sizes
+    n_eff = float(weights.sum())
+
+    # gap handling for the likelihood: with ignore_gaps, gap positions
+    # are missing data (code -1 -> zero one-hot)
+    fit_codes = codes
+    if ignore_gaps:
+        gap_code = 0      # gap is by convention first character
+        fit_codes = np.where(codes == gap_code, -1, codes).astype(np.int8)
+
+    cfg = PlmConfig(
+        lambda_h=float(lambda_h),
+        lambda_J=float(lambda_J),
+        lambda_group=float(lambda_g),
+        max_iter=int(iterations),
+        solver=solver,
+        block_size=int(block_size),
+    )
+    fit = fit_plm(fit_codes, weights, q, cfg, mesh=mesh, callback=callback)
+
+    # weighted frequencies (no pseudocount) for the .model file
+    f_i = frequencies(codes, weights, q)
+    f_ij = pair_frequencies(codes, weights, q, f_i)
+
+    # full-precision scoring for the raw EC file
+    fn = _scores.fn_scores(fit.J_ij)
+    cn = _scores.apc(fn)
+
+    iter_table = pd.DataFrame(fit.iteration_table)
+
+    # weight vector in plmc layout: all sequences in original order,
+    # invalid rows with weight 0
+    all_weights = np.zeros(prep["num_total_seqs"])
+    all_weights[prep["valid_index"]] = weights
+
+    model = CouplingsModel.from_params(
+        J_ij=fit.J_ij,
+        h_i=fit.h_i,
+        f_i=f_i,
+        f_ij=f_ij,
+        alphabet=alphabet,
+        target_seq=prep["target_seq"],
+        index_list=prep["index_list"],
+        weights=all_weights,
+        theta=float(theta),
+        lambda_h=float(lambda_h),
+        lambda_J=float(lambda_J),
+        lambda_group=float(lambda_g),
+        N_valid=prep["num_valid_seqs"],
+        N_invalid=prep["num_total_seqs"] - prep["num_valid_seqs"],
+        num_iter=fit.num_iter,
+        N_eff=n_eff,
+    )
+
+    if param_file is not None:
+        model.to_file(param_file, precision="float32",
+                      file_format="plmc_v2")
+
+    write_raw_ec_file(
+        couplings_file, prep["index_list"], prep["target_seq"], fn, cn
+    )
+
+    status = (
+        "converged" if fit.converged
+        else "maximum number of iterations reached"
+    )
+
+    return PlmResult(
+        couplings_file, param_file,
+        iter_table, prep["focus_index"],
+        prep["num_valid_seqs"], prep["num_total_seqs"],
+        prep["num_valid_sites"], prep["num_total_sites"],
+        prep["region_start"], n_eff,
+        status,
+    )

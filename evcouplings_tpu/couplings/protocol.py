@@ -1,0 +1,556 @@
+"""
+Couplings-stage protocols: infer evolutionary couplings from an
+alignment and post-process them into scored EC tables.
+
+Parity target: reference evcouplings/couplings/protocol.py —
+infer_plmc (:56-257), rescore_cn_score_ecs (:260-361), standard
+(:363-429), complex_probability (:432-478), complex (:481-594),
+mean_field (:597-789), _postprocess_inference (:792-918),
+PROTOCOLS/run (:922-975).
+
+The external plmc invocation of the reference is replaced by the
+in-process TPU fitter (evcouplings_tpu.couplings.fitter.run_plm); the
+artifact contract (raw EC file, .model, iteration table, outcfg keys)
+is unchanged, including restart via reuse_ecs.
+"""
+
+import string
+
+import numpy as np
+import pandas as pd
+
+from evcouplings_tpu.align.alignment import (
+    ALPHABET_DNA,
+    ALPHABET_PROTEIN,
+    ALPHABET_PROTEIN_NOGAP,
+    ALPHABET_PROTEIN_NOGAP_ORDERED,
+    ALPHABET_PROTEIN_ORDERED,
+    ALPHABET_RNA,
+    Alignment,
+    read_fasta,
+)
+from evcouplings_tpu.couplings import fitter as ct
+from evcouplings_tpu.couplings import mapping, pairs
+from evcouplings_tpu.couplings.mean_field import MeanFieldDCA
+from evcouplings_tpu.couplings.model import CouplingsModel
+from evcouplings_tpu.utils import BailoutException
+from evcouplings_tpu.utils.config import (
+    InvalidParameterError,
+    check_required,
+    read_config_file,
+    write_config_file,
+)
+from evcouplings_tpu.utils.system import (
+    create_prefix_folders,
+    valid_file,
+    verify_resources,
+)
+from evcouplings_tpu.visualize.pairs import (
+    ec_lines_pymol_script,
+    enrichment_pymol_script,
+)
+from evcouplings_tpu.visualize.parameters import evzoom_json
+
+ALPHABET_MAP = {
+    "aa": ALPHABET_PROTEIN,
+    "dna": ALPHABET_DNA,
+    "rna": ALPHABET_RNA,
+}
+
+SCORING_MODELS = (
+    "skewnormal",
+    "normal",
+    "evcomplex",
+)
+
+
+def infer_plmc(**kwargs):
+    """Shared EC-inference core for monomer and complex protocols:
+    run (or reuse) the PLM fit and load the raw EC table.
+
+    Returns (outcfg, ecs, segments).
+    """
+    check_required(
+        kwargs,
+        [
+            "prefix", "alignment_file",
+            "focus_mode", "focus_sequence", "theta",
+            "alphabet", "segments", "ignore_gaps", "iterations",
+            "lambda_h", "lambda_J", "lambda_group",
+            "scale_clusters",
+            "cpu", "reuse_ecs",
+        ],
+    )
+
+    prefix = kwargs["prefix"]
+    model = prefix + ".model"
+
+    outcfg = {
+        "model_file": model,
+        "raw_ec_file": prefix + "_ECs.txt",
+        "ec_file": prefix + "_CouplingScores.csv",
+        # passed through stage
+        "focus_mode": kwargs["focus_mode"],
+        "focus_sequence": kwargs["focus_sequence"],
+        "segments": kwargs["segments"],
+    }
+
+    verify_resources(
+        "Input alignment does not exist", kwargs["alignment_file"]
+    )
+    create_prefix_folders(prefix)
+
+    lambda_J = kwargs["lambda_J"]
+
+    segments = kwargs["segments"]
+    if segments is not None:
+        segments = [mapping.Segment.from_list(s) for s in segments]
+
+    # alphabet selection (shortcuts aa/dna/rna)
+    if kwargs["alphabet"] is None:
+        alphabet = ALPHABET_PROTEIN
+    else:
+        alphabet = kwargs["alphabet"]
+        if alphabet in ALPHABET_MAP:
+            alphabet = ALPHABET_MAP[alphabet]
+
+    # scale lambda_J with the number of couplings per site
+    # (reference protocol.py:157-179)
+    if kwargs["lambda_J_times_Lq"]:
+        num_symbols = len(alphabet)
+        if kwargs["ignore_gaps"]:
+            num_symbols -= 1
+
+        with open(kwargs["alignment_file"]) as f:
+            seq_id, seq = next(read_fasta(f))
+
+        # focus-mode match columns: uppercase or gap
+        gap = alphabet[0]
+        L = len([c for c in seq if c == c.upper() or c == gap])
+        lambda_J *= (num_symbols - 1) * (L - 1)
+
+    plm_outcfg_file = prefix + ".couplings_standard_plmc.outcfg"
+
+    if kwargs["reuse_ecs"] and valid_file(plm_outcfg_file):
+        plmc_result = read_config_file(plm_outcfg_file)
+
+        required_files = [outcfg["raw_ec_file"]]
+        if outcfg["model_file"] is not None:
+            required_files += [outcfg["model_file"]]
+        verify_resources(
+            "Tried to reuse ECs, but empty or does not exist",
+            *required_files,
+        )
+    else:
+        plmc_result = ct.run_plm(
+            kwargs["alignment_file"],
+            outcfg["raw_ec_file"],
+            outcfg["model_file"],
+            focus_seq=kwargs["focus_sequence"] if kwargs["focus_mode"]
+            else None,
+            alphabet=alphabet,
+            theta=kwargs["theta"],
+            scale=kwargs["scale_clusters"],
+            ignore_gaps=kwargs["ignore_gaps"],
+            iterations=kwargs["iterations"],
+            lambda_h=kwargs["lambda_h"],
+            lambda_J=lambda_J,
+            lambda_g=kwargs["lambda_group"],
+            cpu=kwargs["cpu"],
+        )
+
+        iter_table_file = prefix + "_iteration_table.csv"
+        plmc_result.iteration_table.to_csv(iter_table_file)
+
+        plmc_result = dict(plmc_result._asdict())
+        plmc_result["iteration_table"] = iter_table_file
+        write_config_file(plm_outcfg_file, plmc_result)
+
+    outcfg.update({
+        "num_sites": plmc_result["num_valid_sites"],
+        "num_valid_sequences": plmc_result["num_valid_seqs"],
+        "effective_sequences": plmc_result["effective_samples"],
+        "region_start": plmc_result["region_start"],
+    })
+
+    ecs = pairs.read_raw_ec_file(outcfg["raw_ec_file"])
+
+    if segments is not None:
+        seg_mapper = mapping.SegmentIndexMapper(
+            kwargs["focus_mode"], outcfg["region_start"], *segments
+        )
+        ecs = mapping.segment_map_ecs(ecs, seg_mapper)
+
+    return outcfg, ecs, segments
+
+
+def rescore_cn_score_ecs(ecs, segments, outcfg, kwargs, score="cn"):
+    """Probabilistic rescoring of CN-score-based ECs.
+
+    logistic_regression gives full rescoring (new score + probability +
+    expected-true-EC counts); the mixture models only attach a
+    probability on top of the CN score. Returns (ecs, outcfg_update).
+    """
+    check_required(
+        kwargs,
+        ["scoring_model", "min_sequence_distance", "theta",
+         "frequencies_file"],
+    )
+
+    scoring_model = kwargs.get("scoring_model", "skewnormal")
+    outcfg_update = {}
+
+    if scoring_model == "logistic_regression":
+        scorer = pairs.LogisticRegressionScorer()
+        freqs = pd.read_csv(kwargs["frequencies_file"])
+
+        num_sites = outcfg["num_sites"]
+        min_seq_dist = kwargs["min_sequence_distance"]
+
+        ecs = scorer.score(
+            ecs, freqs, kwargs["theta"],
+            outcfg["effective_sequences"], num_sites, score=score,
+        )
+
+        # expected-true-positive counts (single segment only)
+        if segments is None or len(segments) == 1:
+            is_longrange = (
+                (ecs.i - ecs.j).abs() >= min_seq_dist
+            ).astype(int)
+            ecs_lr = ecs.assign(longrange_count=is_longrange.cumsum())
+
+            expected_all = ecs_lr.query(
+                "longrange_count <= @num_sites"
+            ).probability.sum()
+            expected_lr = ecs_lr.query(
+                "longrange_count <= @num_sites and "
+                "abs(i - j) >= @min_seq_dist"
+            ).probability.sum()
+
+            outcfg_update = {
+                "expected_true_ecs_all": float(expected_all),
+                "expected_true_ecs_longrange": float(expected_lr),
+            }
+    else:
+        ecs = pairs.add_mixture_probability(ecs, model=scoring_model)
+        ecs = ecs.assign(score=ecs[score])
+
+    return ecs.sort_values(by="score", ascending=False), outcfg_update
+
+
+def standard(**kwargs):
+    """Protocol: infer monomer ECs with the TPU PLM fitter."""
+    check_required(
+        kwargs,
+        ["prefix", "min_sequence_distance", "theta", "frequencies_file"],
+    )
+
+    prefix = kwargs["prefix"]
+
+    outcfg, ecs, segments = infer_plmc(**kwargs)
+    model = CouplingsModel(outcfg["model_file"])
+
+    ecs, rescorer_outcfg_update = rescore_cn_score_ecs(
+        ecs, segments, outcfg, kwargs, score="cn"
+    )
+
+    is_single_segment = segments is None or len(segments) == 1
+    outcfg = {
+        **outcfg,
+        **rescorer_outcfg_update,
+        **_postprocess_inference(
+            ecs, kwargs, model, outcfg, prefix,
+            generate_enrichment=is_single_segment,
+            generate_line_plot=is_single_segment,
+            score="score",
+        ),
+    }
+
+    write_config_file(prefix + ".couplings_standard.outcfg", outcfg)
+    return outcfg
+
+
+def complex_probability(ecs, scoring_model, use_all_ecs=False,
+                        score="cn"):
+    """Attach confidence to complex ECs; by default the mixture model is
+    fit separately to intra- and inter-segment ECs."""
+    if use_all_ecs:
+        return pairs.add_mixture_probability(ecs, model=scoring_model)
+
+    inter_ecs = ecs.query("segment_i != segment_j")
+    intra_ecs = ecs.query("segment_i == segment_j")
+
+    intra_ecs = pairs.add_mixture_probability(
+        intra_ecs, model=scoring_model, score=score
+    )
+    inter_ecs = pairs.add_mixture_probability(
+        inter_ecs, model=scoring_model, score=score
+    )
+
+    return pd.concat([intra_ecs, inter_ecs]).sort_values(
+        score, ascending=False
+    )
+
+
+def complex(**kwargs):
+    """Protocol: infer ECs for protein complexes (segment-aware scoring,
+    inter-EC convenience output)."""
+    check_required(
+        kwargs,
+        ["prefix", "min_sequence_distance", "scoring_model",
+         "use_all_ecs_for_scoring"],
+    )
+
+    prefix = kwargs["prefix"]
+
+    outcfg, ecs, segments = infer_plmc(**kwargs)
+    model = CouplingsModel(outcfg["model_file"])
+
+    if kwargs["scoring_model"] in SCORING_MODELS:
+        use_all_ecs = bool(kwargs["use_all_ecs_for_scoring"]) \
+            if kwargs["use_all_ecs_for_scoring"] is not None else False
+        ecs = complex_probability(
+            ecs, kwargs["scoring_model"], use_all_ecs
+        )
+    else:
+        raise InvalidParameterError(
+            "Invalid scoring_model parameter: "
+            "{}. Valid options are: {}".format(
+                kwargs["scoring_model"], ", ".join(SCORING_MODELS)
+            )
+        )
+
+    # segment -> PDB chain convention: A, B, ... in segment order
+    chain_mapping = dict(zip(
+        [s.segment_id for s in segments], string.ascii_uppercase,
+    ))
+
+    outcfg = {
+        **outcfg,
+        **_postprocess_inference(
+            ecs, kwargs, model, outcfg, prefix,
+            generate_line_plot=True,
+            generate_enrichment=False,
+            ec_filter="segment_i != segment_j or abs(i - j) >= {}",
+            chain=chain_mapping,
+        ),
+    }
+
+    # inter-segment ECs as separate convenience file
+    ecs = pd.read_csv(outcfg["ec_file"])
+    outcfg["inter_ec_file"] = prefix + "_CouplingScores_inter.csv"
+    ecs.query("segment_i != segment_j").to_csv(
+        outcfg["inter_ec_file"], index=False
+    )
+
+    write_config_file(prefix + ".couplings_complex.outcfg", outcfg)
+    return outcfg
+
+
+def mean_field(**kwargs):
+    """Protocol: infer ECs by mean-field DCA (focus mode only)."""
+    check_required(
+        kwargs,
+        [
+            "prefix", "alignment_file", "segments",
+            "focus_mode", "focus_sequence", "theta",
+            "pseudo_count", "alphabet",
+            "min_sequence_distance",
+            "ec_score_type",
+        ],
+    )
+
+    if not kwargs["focus_mode"]:
+        raise InvalidParameterError(
+            "For now, mean field DCA can only be run in focus mode."
+        )
+
+    prefix = kwargs["prefix"]
+    model_file = prefix + ".model"
+
+    outcfg = {
+        "model_file": model_file,
+        "raw_ec_file": prefix + "_ECs.txt",
+        "ec_file": prefix + "_CouplingScores.csv",
+        "focus_mode": kwargs["focus_mode"],
+        "focus_sequence": kwargs["focus_sequence"],
+        "segments": kwargs["segments"],
+    }
+
+    alignment_file = kwargs["alignment_file"]
+    verify_resources("Input alignment does not exist", alignment_file)
+    create_prefix_folders(prefix)
+
+    segments = kwargs["segments"]
+    if segments is not None:
+        segments = [mapping.Segment.from_list(s) for s in segments]
+
+    if kwargs["alphabet"] is None:
+        alphabet = ALPHABET_PROTEIN
+    else:
+        alphabet = kwargs["alphabet"]
+        if alphabet in ALPHABET_MAP:
+            alphabet = ALPHABET_MAP[alphabet]
+
+    with open(alignment_file) as f:
+        input_alignment = Alignment.from_file(
+            f, alphabet=alphabet, format="fasta"
+        )
+
+    mf_dca = MeanFieldDCA(input_alignment)
+    model = mf_dca.fit(
+        theta=kwargs["theta"], pseudo_count=kwargs["pseudo_count"]
+    )
+
+    model.to_raw_ec_file(outcfg["raw_ec_file"])
+    if outcfg["model_file"] is not None:
+        model.to_file(outcfg["model_file"], file_format="plmc_v2")
+
+    outcfg.update({
+        "num_sites": model.L,
+        "num_valid_sequences": model.N_valid,
+        "effective_sequences": float(round(model.N_eff, 1)),
+        "region_start": int(model.index_list[0]),
+    })
+
+    # mean-field raw EC format has four score columns
+    ecs = pd.read_csv(
+        outcfg["raw_ec_file"], sep=" ",
+        names=["i", "A_i", "j", "A_j", "mi_raw", "mi_apc", "di", "cn"],
+    )
+
+    ec_score_type = kwargs.get("ec_score_type", "cn")
+    valid_ec_type_choices = ["cn", "di", "mi_raw", "mi_apc"]
+    if ec_score_type not in valid_ec_type_choices:
+        raise InvalidParameterError(
+            "Invalid choice for valid_ec_type: {}, valid options "
+            "are: {}".format(
+                ec_score_type, ", ".join(valid_ec_type_choices)
+            )
+        )
+
+    if ec_score_type == "cn":
+        # distribution-based rescoring only applies to CN scores
+        ecs, rescorer_outcfg_update = rescore_cn_score_ecs(
+            ecs, segments, outcfg, kwargs, score="cn"
+        )
+    else:
+        ecs = ecs.assign(
+            score=ecs[ec_score_type], probability=np.nan
+        ).sort_values(by="score", ascending=False)
+        rescorer_outcfg_update = {}
+
+    is_single_segment = segments is None or len(segments) == 1
+    outcfg = {
+        **outcfg,
+        **rescorer_outcfg_update,
+        **_postprocess_inference(
+            ecs, kwargs, model, outcfg, prefix,
+            generate_enrichment=is_single_segment,
+            generate_line_plot=is_single_segment,
+            score="score",
+        ),
+    }
+
+    write_config_file(prefix + ".couplings_meanfield.outcfg", outcfg)
+    return outcfg
+
+
+def _postprocess_inference(ecs, kwargs, model, outcfg, prefix,
+                           generate_line_plot=False,
+                           generate_enrichment=False,
+                           ec_filter="abs(i - j) >= {}",
+                           chain=None, score="cn"):
+    """Shared post-processing: EC csv, long-range subset, pymol
+    scripts, enrichment, EVzoom JSON. Returns extra outcfg entries."""
+    ext_outcfg = {}
+
+    ecs.to_csv(outcfg["ec_file"], index=False)
+
+    # a non-positive maximum score crashes everything downstream
+    if ecs[score].max() <= 0:
+        raise BailoutException("couplings: No couplings identified")
+
+    if kwargs["min_sequence_distance"] is not None:
+        ext_outcfg["ec_longrange_file"] = (
+            prefix + "_CouplingScores_longrange.csv"
+        )
+        ecs_longrange = ecs.query(
+            ec_filter.format(kwargs["min_sequence_distance"])
+        )
+        ecs_longrange.to_csv(ext_outcfg["ec_longrange_file"], index=False)
+
+        if generate_line_plot:
+            ext_outcfg["ec_lines_pml_file"] = prefix + "_draw_ec_lines.pml"
+            L = outcfg["num_sites"]
+            ec_lines_pymol_script(
+                ecs_longrange.iloc[:L, :],
+                ext_outcfg["ec_lines_pml_file"],
+                chain=chain,
+                score_column=score,
+            )
+
+    if generate_enrichment:
+        ext_outcfg["enrichment_file"] = prefix + "_enrichment.csv"
+
+        min_seqdist = kwargs["min_sequence_distance"]
+        if min_seqdist is None:
+            min_seqdist = 0
+
+        ecs_enriched = pairs.enrichment(
+            ecs, score=score, min_seqdist=min_seqdist
+        )
+        ecs_enriched.to_csv(ext_outcfg["enrichment_file"], index=False)
+
+        ext_outcfg["enrichment_pml_files"] = []
+        for sphere_view, pml_suffix in [
+            (True, "_enrichment_spheres.pml"),
+            (False, "_enrichment_sausage.pml"),
+        ]:
+            pml_file = prefix + pml_suffix
+            enrichment_pymol_script(
+                ecs_enriched, pml_file, sphere_view=sphere_view
+            )
+            ext_outcfg["enrichment_pml_files"].append(pml_file)
+
+    if outcfg.get("model_file", None) is not None:
+        ext_outcfg["evzoom_file"] = prefix + "_evzoom.json"
+
+        # EVzoom amino-acid reordering (proteins only)
+        alphabet = "".join(model.alphabet)
+        if alphabet == ALPHABET_PROTEIN_NOGAP:
+            reorder = ALPHABET_PROTEIN_NOGAP_ORDERED
+        elif alphabet == ALPHABET_PROTEIN:
+            reorder = ALPHABET_PROTEIN_ORDERED
+        else:
+            reorder = None
+
+        with open(ext_outcfg["evzoom_file"], "w") as f:
+            f.write(evzoom_json(model, reorder=reorder) + "\n")
+
+    return ext_outcfg
+
+
+PROTOCOLS = {
+    # standard monomer pseudolikelihood inference (TPU PLM fitter)
+    "standard": standard,
+    # pseudolikelihood inference for protein complexes
+    "complex": complex,
+    # mean-field approximation
+    "mean_field": mean_field,
+}
+
+
+def run(**kwargs):
+    """Dispatch to the couplings protocol named by kwargs["protocol"]."""
+    check_required(kwargs, ["protocol"])
+
+    if kwargs["protocol"] not in PROTOCOLS:
+        raise InvalidParameterError(
+            "Invalid protocol selection: "
+            "{}. Valid protocols are: {}".format(
+                kwargs["protocol"], ", ".join(PROTOCOLS.keys())
+            )
+        )
+
+    return PROTOCOLS[kwargs["protocol"]](**kwargs)

@@ -166,6 +166,11 @@ def make_plm_loss(L, q, cfg: PlmConfig, mesh=None):
     mask = None
 
     def loss(params, codes, weights):
+        # pin the compute dtype: under jax_enable_x64 the optimizer's
+        # line search scalars are float64 and would otherwise promote
+        # the whole graph (the cast is transparent to autodiff)
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+
         # symmetric shared-pair parametrization with zero diagonal blocks
         P_mat = params["J"]
         J_eff = 0.5 * (P_mat + P_mat.T) * _diag_block_mask(L, q, dtype)

@@ -1,0 +1,181 @@
+"""
+SQL-backed job tracker.
+
+Parity target: reference evcouplings/utils/tracker/sql.py
+(SQLTracker :45-283, ComputeJob row schema :285-343). The reference
+requires SQLAlchemy; this implementation speaks DB-API directly and
+ships a dependency-free sqlite3 backend (connection strings
+`sqlite:///path/to.db` or `sqlite://:memory:`). Other SQL backends are
+used through SQLAlchemy when it is installed.
+
+Table schema matches the reference ComputeJob ORM row: job_id, prefix,
+pipeline, location, status, message, runner_id, stage, time_created,
+time_started, time_updated, config, fingerprint, results.
+"""
+
+import json
+import os
+import socket
+import sqlite3
+from datetime import datetime, timezone
+
+from evcouplings_tpu.utils.config import InvalidParameterError
+from evcouplings_tpu.utils.helpers import retry
+from evcouplings_tpu.utils.tracker.base import ResultTracker
+
+JOB_TABLE_NAME = "evcouplings_jobs"
+
+_CREATE_TABLE = """
+CREATE TABLE IF NOT EXISTS {table} (
+    key INTEGER PRIMARY KEY,
+    job_id TEXT UNIQUE,
+    prefix TEXT,
+    pipeline TEXT,
+    location TEXT,
+    status TEXT,
+    message TEXT,
+    runner_id TEXT,
+    stage TEXT,
+    time_created TEXT,
+    time_started TEXT,
+    time_updated TEXT,
+    config TEXT,
+    fingerprint TEXT,
+    results TEXT
+)
+""".format(table=JOB_TABLE_NAME)
+
+
+def _now():
+    return datetime.now(timezone.utc).isoformat()
+
+
+class SQLTracker(ResultTracker):
+    """Job tracker persisting to a SQL database.
+
+    Every update runs in its own connection/transaction so concurrent
+    pipeline processes can share one database; failures are retried
+    with the configured backoff.
+    """
+
+    def __init__(self, **kwargs):
+        super().__init__(**kwargs)
+
+        cs = self.connection_string
+        if cs is None or not cs.startswith("sqlite"):
+            raise InvalidParameterError(
+                "SQLTracker currently supports sqlite connection strings "
+                "(sqlite:///path/to.db); got: {}".format(cs)
+            )
+
+        # sqlite:///relative.db | sqlite:////abs/path.db | sqlite://:memory:
+        path = cs.split("sqlite://", 1)[1]
+        if path.startswith("/") and not path.startswith("//"):
+            path = path[1:]
+        elif path.startswith("//"):
+            path = path[1:]
+        self.db_path = path if path else ":memory:"
+
+        if self.db_path != ":memory:":
+            parent = os.path.dirname(os.path.abspath(self.db_path))
+            os.makedirs(parent, exist_ok=True)
+
+        self._execute(lambda conn: conn.execute(_CREATE_TABLE))
+
+    def _connect(self):
+        conn = sqlite3.connect(self.db_path, timeout=60)
+        conn.row_factory = sqlite3.Row
+        return conn
+
+    def _execute(self, func):
+        def attempt():
+            conn = self._connect()
+            try:
+                result = func(conn)
+                conn.commit()
+                return result
+            finally:
+                conn.close()
+
+        return retry(
+            attempt,
+            self.retry_max_number,
+            self.retry_wait,
+            exceptions=(sqlite3.OperationalError,),
+        )
+
+    def get(self):
+        """Return the current job row as a dict (or None)."""
+        def _get(conn):
+            cur = conn.execute(
+                "SELECT * FROM {} WHERE job_id = ?".format(JOB_TABLE_NAME),
+                (self.job_id,),
+            )
+            row = cur.fetchone()
+            return dict(row) if row is not None else None
+
+        return self._execute(_get)
+
+    def update(self, status=None, message=None, stage=None, results=None):
+        def _update(conn):
+            cur = conn.execute(
+                "SELECT key, results, time_started FROM {} "
+                "WHERE job_id = ?".format(JOB_TABLE_NAME),
+                (self.job_id,),
+            )
+            row = cur.fetchone()
+            now = _now()
+
+            if row is None:
+                conn.execute(
+                    "INSERT INTO {} (job_id, prefix, pipeline, location, "
+                    "runner_id, config, time_created, results) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?, ?)".format(
+                        JOB_TABLE_NAME
+                    ),
+                    (
+                        self.job_id, self.prefix, self.pipeline,
+                        os.path.dirname(self.prefix or "") or None,
+                        socket.gethostname(),
+                        json.dumps(self.config, default=str),
+                        now, json.dumps({}),
+                    ),
+                )
+                merged = {}
+                time_started = None
+            else:
+                merged = json.loads(row["results"] or "{}")
+                time_started = row["time_started"]
+
+            sets, args = ["time_updated = ?"], [now]
+
+            if status is not None:
+                sets.append("status = ?")
+                args.append(status)
+                if status == "running" and time_started is None:
+                    sets.append("time_started = ?")
+                    args.append(now)
+            if message is not None:
+                sets.append("message = ?")
+                args.append(str(message))
+            if stage is not None:
+                sets.append("stage = ?")
+                args.append(stage)
+            if results is not None:
+                # shallow merge, excluding files slated for deletion
+                merged.update({
+                    k: v for k, v in results.items()
+                    if k not in (self.delete_list or [])
+                })
+                sets.append("results = ?")
+                args.append(json.dumps(merged, default=str))
+
+            args.append(self.job_id)
+            conn.execute(
+                "UPDATE {} SET {} WHERE job_id = ?".format(
+                    JOB_TABLE_NAME, ", ".join(sets)
+                ),
+                args,
+            )
+
+        self._execute(_update)

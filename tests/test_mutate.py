@@ -1,0 +1,127 @@
+"""
+Mutation-effect calculation tests: mutation-string parsing, table
+predictions vs direct kernel calls (incl. NaN handling and segment
+lookups), the single-mutant matrix, and mutant splitting.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from test_model import make_model
+
+from evcouplings_tpu.mutate import (
+    extract_mutations,
+    predict_mutation_table,
+    single_mutant_matrix,
+    split_mutants,
+)
+
+
+class TestExtractMutations:
+    def test_single(self):
+        assert extract_mutations("K50R") == [(50, "K", "R")]
+
+    def test_multiple_with_offset(self):
+        assert extract_mutations("K50R,I100V", offset=2) == [
+            (52, "K", "R"), (102, "I", "V")
+        ]
+
+    def test_wildtype_spellings(self):
+        for s in ("wt", "WT", "wild", ""):
+            assert extract_mutations(s) == []
+
+
+class TestPredictMutationTable:
+    def test_matches_model_deltas(self):
+        m = make_model()  # positions 5..12
+        wt = {pos: m.seq(pos) for pos in m.index_list}
+        muts = [
+            "{}5A".format(wt[5]),
+            "{}7C,{}10W".format(wt[7], wt[10]),
+            "wt",
+        ]
+        table = pd.DataFrame({"mutant": muts})
+        pred = predict_mutation_table(m, table)
+
+        exp0 = m.delta_hamiltonian([(5, wt[5], "A")])[0]
+        exp1 = m.delta_hamiltonian([(7, wt[7], "C"), (10, wt[10], "W")])[0]
+        assert pred.prediction_epistatic.iloc[0] == pytest.approx(exp0)
+        assert pred.prediction_epistatic.iloc[1] == pytest.approx(exp1)
+        # wild type: empty substitution list => delta 0
+        assert pred.prediction_epistatic.iloc[2] == pytest.approx(0.0)
+
+    def test_components(self):
+        m = make_model()
+        wt5 = m.seq(5)
+        table = pd.DataFrame({"mutant": ["{}5A".format(wt5)]})
+        full = predict_mutation_table(m, table, hamiltonian="full")
+        coup = predict_mutation_table(m, table, hamiltonian="couplings")
+        fields = predict_mutation_table(m, table, hamiltonian="fields")
+        assert full.prediction_epistatic.iloc[0] == pytest.approx(
+            coup.prediction_epistatic.iloc[0]
+            + fields.prediction_epistatic.iloc[0]
+        )
+        with pytest.raises(ValueError):
+            predict_mutation_table(m, table, hamiltonian="bogus")
+
+    def test_invalid_mutations_get_nan(self):
+        m = make_model()
+        table = pd.DataFrame({"mutant": [
+            "A999C",                       # position not in model
+            "{}5J".format(m.seq(5)),       # J not in alphabet
+        ]})
+        pred = predict_mutation_table(m, table)
+        assert pred.prediction_epistatic.isna().all()
+
+    def test_index_as_mutant_source(self):
+        m = make_model()
+        wt5 = m.seq(5)
+        table = pd.DataFrame(
+            {"x": [1.0]}, index=["{}5A".format(wt5)]
+        )
+        pred = predict_mutation_table(m, table, mutant_column=None)
+        assert pred.prediction_epistatic.iloc[0] == pytest.approx(
+            m.delta_hamiltonian([(5, wt5, "A")])[0]
+        )
+
+
+class TestSingleMutantMatrix:
+    def test_layout_and_values(self):
+        m = make_model()
+        smm_table = single_mutant_matrix(m)
+        # L positions x (20 non-gap symbols - 1 self) per position
+        assert len(smm_table) == 8 * 19
+        assert list(smm_table.columns) == [
+            "segment", "mutant", "pos", "wt", "subs", "frequency",
+            "column_conservation", "prediction_epistatic",
+        ]
+        row = smm_table.iloc[0]
+        assert row.prediction_epistatic == pytest.approx(
+            m.smm(row.pos, row.subs)
+        )
+        assert row.frequency == pytest.approx(m.fi(row.pos, row.subs))
+        assert row.mutant == "{}{}{}".format(row.wt, row.pos, row.subs)
+        # no gap or self substitutions
+        assert not (smm_table.subs == "-").any()
+        assert not (smm_table.wt == smm_table.subs).any()
+
+    def test_include_self_subs(self):
+        m = make_model()
+        t = single_mutant_matrix(m, exclude_self_subs=False)
+        assert len(t) == 8 * 20
+        self_rows = t[t.wt == t.subs]
+        assert self_rows.prediction_epistatic.values == pytest.approx(
+            np.zeros(len(self_rows))
+        )
+
+
+class TestSplitMutants:
+    def test_single_and_double(self):
+        x = pd.DataFrame({"mutant": ["K50R", "I100V,K120R"]})
+        out = split_mutants(x)
+        assert list(out.num_mutations) == [1, 2]
+        assert out.pos.iloc[0] == "50"
+        assert out.pos.iloc[1] == "100,120"
+        assert out.wt.iloc[1] == "I,K"
+        assert out.subs.iloc[1] == "V,R"

@@ -1,0 +1,283 @@
+"""
+End-to-end protocol tests: align `existing` -> couplings `standard` /
+`mean_field` -> mutate calculations, all on a bundled synthetic focus
+alignment (the hermetic minimum pipeline slice; no external binaries).
+"""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from evcouplings_tpu.align import protocol as align_protocol
+from evcouplings_tpu.couplings import protocol as couplings_protocol
+from evcouplings_tpu.couplings.model import CouplingsModel
+from evcouplings_tpu.couplings.pairs import read_raw_ec_file
+from evcouplings_tpu.mutate import predict_mutation_table, single_mutant_matrix
+
+
+def write_synthetic_a2m(path, N=150, L=18, seed=7):
+    """Focus-style alignment with several coupled column pairs, of
+    graded strength, so score distributions have a real signal tail
+    (a single planted outlier degenerates the EM mixture fit)."""
+    rng = np.random.default_rng(seed)
+    aa = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+    mat = np.empty((N, L), dtype="U1")
+    for col in range(L):
+        probs = rng.dirichlet(np.ones(20) * 0.4)
+        mat[:, col] = rng.choice(aa, size=N, p=probs)
+
+    # planted covarying pairs: (cols, symbols, concordance)
+    planted = [
+        ((2, 9), ("A", "W"), ("C", "Y"), 0.90),
+        ((4, 15), ("D", "R"), ("E", "K"), 0.78),
+        ((6, 12), ("F", "L"), ("H", "T"), 0.68),
+    ]
+    for (ci, cj), (si0, si1), (sj0, sj1), conc in planted:
+        state = rng.integers(0, 2, size=N)
+        follow = rng.random(N) < conc
+        partner = np.where(follow, state, 1 - state)
+        mat[:, ci] = np.where(state == 0, si0, si1)
+        mat[:, cj] = np.where(partner == 0, sj0, sj1)
+    # sprinkle a few gaps in non-target rows
+    gap_rows = rng.integers(1, N, size=10)
+    gap_cols = rng.integers(0, L, size=10)
+    mat[gap_rows, gap_cols] = "-"
+
+    with open(path, "w") as f:
+        f.write(">TARGET_SEQ/11-{}\n".format(11 + L - 1))
+        f.write("".join(mat[0]) + "\n")
+        for k in range(1, N):
+            f.write(">seq{}/1-{}\n{}\n".format(k, L, "".join(mat[k])))
+    return mat
+
+
+ALIGN_KWARGS = dict(
+    sequence_id="TARGET_SEQ",
+    first_index=None,
+    extract_annotation=False,
+    seqid_filter=None,
+    hhfilter=None,
+    minimum_sequence_coverage=50,
+    minimum_column_coverage=70,
+    compute_num_effective_seqs=True,
+    theta=0.8,
+)
+
+COUPLINGS_KWARGS = dict(
+    focus_mode=True,
+    theta=0.8,
+    alphabet=None,
+    ignore_gaps=False,
+    iterations=40,
+    lambda_h=0.01,
+    lambda_J=0.01,
+    lambda_group=None,
+    lambda_J_times_Lq=True,
+    scale_clusters=None,
+    cpu=None,
+    reuse_ecs=False,
+    min_sequence_distance=3,
+    scoring_model="skewnormal",
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tmp_path_factory):
+    """Run align existing -> couplings standard once for all tests."""
+    d = tmp_path_factory.mktemp("slice")
+    a2m = str(d / "input.a2m")
+    write_synthetic_a2m(a2m)
+
+    prefix = str(d / "run" / "test")
+    align_outcfg = align_protocol.run(
+        protocol="existing", prefix=prefix, input_alignment=a2m,
+        **ALIGN_KWARGS,
+    )
+
+    couplings_outcfg = couplings_protocol.run(
+        protocol="standard",
+        prefix=prefix,
+        alignment_file=align_outcfg["alignment_file"],
+        focus_sequence=align_outcfg["focus_sequence"],
+        segments=align_outcfg["segments"],
+        frequencies_file=align_outcfg["frequencies_file"],
+        **COUPLINGS_KWARGS,
+    )
+    return d, prefix, align_outcfg, couplings_outcfg
+
+
+class TestAlignExisting:
+    def test_outputs_exist(self, pipeline_dir):
+        _, prefix, outcfg, _ = pipeline_dir
+        for key in ("alignment_file", "statistics_file",
+                    "frequencies_file", "identities_file",
+                    "raw_focus_alignment_file", "target_sequence_file",
+                    "sequence_weights_file"):
+            assert os.path.isfile(outcfg[key]), key
+
+        assert outcfg["focus_mode"] is True
+        assert outcfg["focus_sequence"] == "TARGET_SEQ/11-28"
+        assert outcfg["first_index"] == 11
+        assert outcfg["num_sites"] == 18
+        assert outcfg["effective_sequences"] > 0
+
+    def test_statistics_content(self, pipeline_dir):
+        _, prefix, outcfg, _ = pipeline_dir
+        stats = pd.read_csv(outcfg["statistics_file"])
+        assert stats.num_seqs.iloc[0] == outcfg["num_sequences"]
+        assert stats.N_eff.iloc[0] == pytest.approx(
+            outcfg["effective_sequences"], abs=0.01
+        )
+
+        freqs = pd.read_csv(outcfg["frequencies_file"])
+        assert list(freqs.columns[:3]) == ["i", "A_i", "conservation"]
+        assert freqs.i.iloc[0] == 11
+
+        idents = pd.read_csv(outcfg["identities_file"])
+        assert idents.identity_to_query.iloc[0] == pytest.approx(1.0)
+
+    def test_segments(self, pipeline_dir):
+        _, _, outcfg, _ = pipeline_dir
+        # layout: [segment_id, segment_type, sequence_id,
+        #          region_start, region_end, positions]
+        seg = outcfg["segments"][0]
+        assert seg[1] == "aa"
+        assert seg[2] == "TARGET_SEQ"
+        assert seg[3] == 11
+
+    def test_missing_target_raises(self, tmp_path):
+        a2m = str(tmp_path / "x.a2m")
+        write_synthetic_a2m(a2m, N=10)
+        from evcouplings_tpu.utils.config import InvalidParameterError
+
+        with pytest.raises(InvalidParameterError):
+            align_protocol.run(
+                protocol="existing", prefix=str(tmp_path / "y"),
+                input_alignment=a2m,
+                **{**ALIGN_KWARGS, "sequence_id": "NOT_THERE"},
+            )
+
+
+class TestCouplingsStandard:
+    def test_artifacts(self, pipeline_dir):
+        _, prefix, _, outcfg = pipeline_dir
+        for key in ("raw_ec_file", "model_file", "ec_file",
+                    "ec_longrange_file", "enrichment_file",
+                    "evzoom_file"):
+            assert os.path.isfile(outcfg[key]), key
+        assert os.path.isfile(prefix + "_iteration_table.csv")
+
+    def test_coupled_pair_is_top_ec(self, pipeline_dir):
+        """The planted covarying pair (columns 2, 9 -> positions 13, 20)
+        must rank first by CN score."""
+        _, _, _, outcfg = pipeline_dir
+        raw = read_raw_ec_file(outcfg["raw_ec_file"])
+        top = raw.iloc[0]
+        assert (top.i, top.j) == (13, 20)
+
+        ecs = pd.read_csv(outcfg["ec_file"])
+        assert {"probability", "score"} <= set(ecs.columns)
+        top_scored = ecs.iloc[0]
+        assert (top_scored.i, top_scored.j) == (13, 20)
+        assert top_scored.probability > 0.5
+
+    def test_model_file_roundtrip(self, pipeline_dir):
+        _, _, align_outcfg, outcfg = pipeline_dir
+        model = CouplingsModel(outcfg["model_file"])
+        assert model.L == 18
+        assert model.num_symbols == 21
+        assert "".join(model.target_seq) != ""
+        assert model.index_list[0] == 11
+        assert model.N_eff == pytest.approx(
+            outcfg["effective_sequences"], rel=1e-5
+        )
+        # CN scores recomputed from stored parameters match the raw file
+        raw = read_raw_ec_file(outcfg["raw_ec_file"], sort=False)
+        cn_from_model = model.cn()
+        ii = model.mn(raw.i.values)
+        jj = model.mn(raw.j.values)
+        assert cn_from_model[ii, jj] == pytest.approx(
+            raw.cn.values, abs=5e-6
+        )
+
+    def test_evzoom_json_valid(self, pipeline_dir):
+        _, _, _, outcfg = pipeline_dir
+        with open(outcfg["evzoom_file"]) as f:
+            data = json.load(f)
+        assert set(data) == {"map", "logo", "couplings"}
+        assert len(data["map"]["letters"]) == 18
+
+    def test_reuse_ecs(self, pipeline_dir):
+        """With reuse_ecs, the fit is skipped and artifacts reused."""
+        d, prefix, align_outcfg, outcfg = pipeline_dir
+        mtime = os.path.getmtime(outcfg["model_file"])
+
+        outcfg2 = couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **{**COUPLINGS_KWARGS, "reuse_ecs": True},
+        )
+        assert os.path.getmtime(outcfg2["model_file"]) == mtime
+
+    def test_logistic_regression_scoring(self, pipeline_dir):
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix2 = str(d / "run2" / "test")
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix2,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **{**COUPLINGS_KWARGS, "scoring_model": "logistic_regression"},
+        )
+        assert "expected_true_ecs_all" in outcfg
+        ecs = pd.read_csv(outcfg["ec_file"])
+        assert {"probability", "score", "mad_score"} <= set(ecs.columns)
+
+
+class TestCouplingsMeanField:
+    def test_mean_field_protocol(self, pipeline_dir):
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix3 = str(d / "run3" / "test")
+        outcfg = couplings_protocol.run(
+            protocol="mean_field",
+            prefix=prefix3,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            focus_mode=True,
+            theta=0.8,
+            pseudo_count=0.5,
+            alphabet=None,
+            min_sequence_distance=3,
+            ec_score_type="di",
+            scoring_model="skewnormal",
+        )
+        ecs = pd.read_csv(outcfg["ec_file"])
+        assert {"mi_raw", "mi_apc", "di", "cn", "score"} <= set(ecs.columns)
+        # DI selected as score; planted pair on top
+        top = ecs.iloc[0]
+        assert (top.i, top.j) == (13, 20)
+
+
+class TestMutateOnFittedModel:
+    def test_single_mutant_matrix_and_table(self, pipeline_dir):
+        _, _, _, outcfg = pipeline_dir
+        model = CouplingsModel(outcfg["model_file"])
+
+        smm = single_mutant_matrix(model)
+        assert len(smm) == 18 * 19
+
+        wt11 = model.seq(11)
+        table = pd.DataFrame({"mutant": ["{}11A".format(wt11)]})
+        pred = predict_mutation_table(model, table)
+        assert np.isfinite(pred.prediction_epistatic.iloc[0])
