@@ -1,0 +1,108 @@
+"""
+Job tracking backends (selected via the management.tracker_type config).
+
+Parity target: reference evcouplings/utils/tracker/__init__.py —
+EStatus enum (:27-38), get_result_tracker (:41-140), env-var
+credentials (:17-18), retry policy defaults (:20-24). An additional
+dependency-free sqlite backend backs the "sql" tracker (see sql.py).
+"""
+
+from copy import deepcopy
+from os import environ
+
+from evcouplings_tpu.utils.config import InvalidParameterError
+from evcouplings_tpu.utils.tracker.base import (  # noqa: F401
+    NullTracker,
+    ResultTracker,
+)
+
+TRACKER_USERNAME_KEY = "EVCOUPLINGS_TRACKER_USERNAME"
+TRACKER_PASSWORD_KEY = "EVCOUPLINGS_TRACKER_PASSWORD"
+
+# default retry policy: one attempt (no retry), 60 s between retries
+TRACKER_MAX_NUM_RETRIES = None
+TRACKER_RETRY_WAIT = 60
+
+
+class EStatus:
+    """Job status values."""
+    INIT = "initialized"
+    PEND = "pending"
+    RUN = "running"
+    DONE = "done"
+    FAIL = "failed"        # job failed due to bug
+    TERM = "terminated"    # job was terminated externally
+    BAILOUT = "bailout"    # pipeline stopped itself (hopeless results)
+
+
+FINAL_STATES = {EStatus.DONE, EStatus.TERM, EStatus.FAIL, EStatus.BAILOUT}
+FAILURE_STATES = {EStatus.TERM, EStatus.FAIL, EStatus.BAILOUT}
+
+
+def get_result_tracker(config):
+    """Create the tracker selected by the job configuration.
+
+    tracker_type None -> NullTracker; "sql" -> SQLTracker;
+    "mongodb" -> MongoDBTracker. Credentials may be substituted into
+    the connection string from environment variables.
+    """
+    # copy so the tracker cannot accidentally mutate the job config
+    config = deepcopy(config)
+
+    management = config.get("management", {})
+    tracker_type = management.get("tracker_type")
+
+    if tracker_type is None:
+        return NullTracker()
+
+    connection_string = management.get("connection_string")
+    job_id = management.get("job_id", None)
+    prefix = config.get("global", {}).get("prefix", None)
+    pipeline = config.get("pipeline")
+    file_list = management.get("tracker_file_list", None)
+    delete_list = management.get("delete", [])
+
+    if connection_string is None:
+        raise InvalidParameterError(
+            "Must provide parameter 'connection_string' in management "
+            "section of config when using a tracker."
+        )
+    if job_id is None:
+        raise InvalidParameterError(
+            "Must provide unique 'job_id' in management section "
+            "of config when using a tracker."
+        )
+
+    # optional credentials via environment variables
+    connection_string = connection_string.format(
+        username=environ.get(TRACKER_USERNAME_KEY),
+        password=environ.get(TRACKER_PASSWORD_KEY),
+    )
+
+    kwargs = {
+        "connection_string": connection_string,
+        "job_id": job_id,
+        "prefix": prefix,
+        "pipeline": pipeline,
+        "file_list": file_list,
+        "delete_list": delete_list,
+        "config": config,
+        "retry_max_number": management.get(
+            "tracker_max_retries", TRACKER_MAX_NUM_RETRIES
+        ),
+        "retry_wait": management.get(
+            "tracker_retry_wait", TRACKER_RETRY_WAIT
+        ),
+    }
+
+    if tracker_type == "mongodb":
+        from evcouplings_tpu.utils.tracker.mongodb import MongoDBTracker
+        return MongoDBTracker(**kwargs)
+    elif tracker_type == "sql":
+        from evcouplings_tpu.utils.tracker.sql import SQLTracker
+        return SQLTracker(**kwargs)
+    else:
+        raise InvalidParameterError(
+            "Not a valid job result tracker: '{}'. "
+            "Valid options are: None, 'sql', 'mongodb'".format(tracker_type)
+        )

@@ -1,0 +1,171 @@
+"""
+Pipeline runtime tests: monomer pipeline execution through
+execute_wrapped (flag files, stage chaining, skip/reuse, archive) and
+the sqlite job tracker.
+"""
+
+import os
+import tarfile
+
+import pandas as pd
+import pytest
+
+from test_protocols import ALIGN_KWARGS, COUPLINGS_KWARGS, write_synthetic_a2m
+
+from evcouplings_tpu.utils import pipeline
+from evcouplings_tpu.utils.config import read_config_file
+from evcouplings_tpu.utils.tracker import EStatus, get_result_tracker
+from evcouplings_tpu.utils.tracker.sql import SQLTracker
+
+
+def make_config(tmp_path, stages=("align", "couplings"), management=None):
+    a2m = str(tmp_path / "input.a2m")
+    write_synthetic_a2m(a2m)
+
+    config = {
+        "pipeline": "protein_monomer",
+        "stages": list(stages),
+        "global": {
+            "prefix": str(tmp_path / "out" / "job"),
+            "sequence_id": "TARGET_SEQ",
+            "theta": 0.8,
+        },
+        "tools": {"jackhmmer": None, "hhfilter": None, "plmc": None},
+        "databases": {},
+        "align": {
+            "protocol": "existing",
+            "input_alignment": a2m,
+            **{k: v for k, v in ALIGN_KWARGS.items()
+               if k not in ("sequence_id", "theta")},
+        },
+        "couplings": {
+            "protocol": "standard",
+            "frequencies_file": None,  # overridden by align output
+            **{k: v for k, v in COUPLINGS_KWARGS.items()
+               if k != "theta"},
+        },
+        "mutate": {
+            "protocol": "standard",
+            "mutation_dataset_file": None,
+        },
+        "compare": {"protocol": "standard"},
+        "fold": {"protocol": "standard"},
+        "management": management or {},
+    }
+    return config
+
+
+class TestExecute:
+    def test_monomer_align_couplings(self, tmp_path):
+        config = make_config(tmp_path)
+        global_state = pipeline.execute_wrapped(**config)
+
+        prefix = config["global"]["prefix"]
+        # success flag written, no failure flags
+        assert os.path.isfile(prefix + ".done")
+        assert not os.path.isfile(prefix + ".failed")
+
+        # stage in/outcfg chain exists (insert_dir layout:
+        # <dir>/<rootname>/<stage>/<rootname>_<stage>.incfg)
+        from evcouplings_tpu.utils.system import insert_dir
+
+        for stage in ("align", "couplings"):
+            stage_prefix = insert_dir(prefix, stage)
+            assert os.path.isfile(
+                "{}_{}.incfg".format(stage_prefix, stage)
+            )
+            assert os.path.isfile(
+                "{}_{}.outcfg".format(stage_prefix, stage)
+            )
+
+        # stage outputs merged into final state
+        assert "alignment_file" in global_state
+        assert "ec_file" in global_state
+        assert os.path.isfile(global_state["ec_file"])
+        assert os.path.isfile(prefix + "_final.outcfg")
+
+        final = read_config_file(prefix + "_final.outcfg")
+        assert final["ec_file"] == global_state["ec_file"]
+
+    def test_skip_reuses_previous_outputs(self, tmp_path):
+        config = make_config(tmp_path)
+        pipeline.execute_wrapped(**config)
+
+        # second run: skip align, run couplings only
+        config2 = make_config(tmp_path, stages=("couplings",))
+        ec_file = pipeline.execute_wrapped(**config2)["ec_file"]
+        assert os.path.isfile(ec_file)
+
+    def test_skip_without_previous_outputs_fails(self, tmp_path):
+        from evcouplings_tpu.utils.system import ResourceError
+
+        config = make_config(tmp_path, stages=("couplings",))
+        with pytest.raises(ResourceError):
+            pipeline.execute_wrapped(**config)
+        assert os.path.isfile(config["global"]["prefix"] + ".failed")
+
+    def test_archive(self, tmp_path):
+        config = make_config(
+            tmp_path,
+            management={"archive": ["ec_file", "alignment_file"]},
+        )
+        global_state = pipeline.execute_wrapped(**config)
+
+        archive = config["global"]["prefix"] + ".tar.gz"
+        assert global_state["archive_file"] == archive
+        with tarfile.open(archive) as tar:
+            names = tar.getnames()
+        assert any("CouplingScores" in n for n in names)
+
+    def test_delete_outputs(self, tmp_path):
+        config = make_config(
+            tmp_path, management={"delete": ["raw_ec_file"]}
+        )
+        global_state = pipeline.execute_wrapped(**config)
+        assert "raw_ec_file" not in global_state
+
+    def test_invalid_pipeline_rejected(self, tmp_path):
+        from evcouplings_tpu.utils.config import InvalidParameterError
+
+        config = make_config(tmp_path)
+        config["pipeline"] = "bogus"
+        with pytest.raises(InvalidParameterError):
+            pipeline.execute(**config)
+
+
+class TestSQLTracker:
+    def test_tracks_job_lifecycle(self, tmp_path):
+        db = str(tmp_path / "jobs.db")
+        config = make_config(
+            tmp_path,
+            management={
+                "tracker_type": "sql",
+                "connection_string": "sqlite:///" + db,
+                "job_id": "job-1",
+            },
+        )
+        pipeline.execute_wrapped(**config)
+
+        tracker = get_result_tracker(config)
+        row = tracker.get()
+        assert row["status"] == EStatus.DONE
+        assert row["stage"] == "couplings"
+        assert row["pipeline"] == "protein_monomer"
+        import json
+        results = json.loads(row["results"])
+        assert "ec_file" in results
+
+    def test_update_merges_results(self, tmp_path):
+        tracker = SQLTracker(
+            connection_string="sqlite:///" + str(tmp_path / "t.db"),
+            job_id="x", prefix=str(tmp_path / "p"), pipeline="m",
+            file_list=None, delete_list=["secret_file"], config={},
+        )
+        tracker.update(status=EStatus.RUN, results={"a": 1})
+        tracker.update(results={"b": 2, "secret_file": "/x"})
+        import json
+        row = tracker.get()
+        results = json.loads(row["results"])
+        assert results == {"a": 1, "b": 2}
+        assert row["status"] == EStatus.RUN
+        assert row["time_started"] is not None
