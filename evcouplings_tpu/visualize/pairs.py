@@ -132,3 +132,379 @@ def enrichment_pymol_script(enrichment_table, output_file,
 
         if not sphere_view:
             f.write("cartoon putty{}\n".format(chain_sel))
+
+
+# ---------------------------------------------------------------------------
+# contact map plotting
+# (parity: reference visualize/pairs.py:195-1272 — same API, leaner
+# rendering)
+# ---------------------------------------------------------------------------
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+
+STYLE_EC = {
+    "edgecolor": "none",
+    "c": "black",
+    "s": 80,
+}
+
+STYLE_CONTACT = {
+    "edgecolor": "none",
+    "c": "#b6d4e9",
+    "s": 100,
+}
+
+STYLE_CONTACT_BRIGHT = {
+    "edgecolor": "none",
+    "c": "#d9e7f5",
+    "s": 100,
+}
+
+STYLE_CONTACT_MULTIMER = {
+    "edgecolor": "none",
+    "c": "#fc8c3b",
+    "alpha": 0.3,
+    "s": 100,
+}
+
+STYLE_SECSTRUCT = {
+    "helix_turn_length": 2,
+    "strand_width_factor": 0.5,
+    "min_sse_length": 2,
+    "width": 1,
+    "line_width": 2,
+    "helix_color": "k",
+    "strand_color": "k",
+    "coil_color": "k",
+}
+
+STYLE_EC_COVERAGE = {
+    "color": "#d9d7d7",
+    "height": 0.8,
+}
+
+STYLE_STRUCTURE_COVERAGE = {
+    "color": "#83a7c8",
+    "height": 0.8,
+}
+
+
+def find_secondary_structure_segments(sse_string, offset=0):
+    """Identify (state, start, end) segments in an H/E/C string.
+
+    Parity: reference pairs.py:1225-1272.
+    """
+    sse_string = ["C" if x in ("-", "C") else x for x in sse_string]
+
+    segments = []
+    seg_start = 0
+    current = sse_string[0]
+
+    for i, state in enumerate(sse_string[1:], start=1):
+        if state != current:
+            segments.append(
+                (current, seg_start + offset, i - 1 + offset)
+            )
+            current = state
+            seg_start = i
+
+    segments.append(
+        (current, seg_start + offset, len(sse_string) - 1 + offset)
+    )
+    return offset, len(sse_string) - 1 + offset, segments
+
+
+def secondary_structure_cartoon(sse, ax=None, sequence_start=0,
+                                sequence_end=None, horizontal=True,
+                                flip_direction=False, center=0, width=1,
+                                helix_turn_length=1,
+                                strand_width_factor=0.5, line_width=2,
+                                min_sse_length=0, clipping=False,
+                                helix_color="k", strand_color="k",
+                                coil_color="k", draw_coils=True):
+    """Draw a 1D secondary-structure cartoon along an axis: zig-zag for
+    helices, arrows for strands, thin lines for coil."""
+    if ax is None:
+        ax = plt.gca()
+
+    def _xy(pos, offset):
+        # place along the sequence axis, offset on the other axis
+        return (pos, center + offset) if horizontal else \
+            (center + offset, pos)
+
+    for state, start, end in sse:
+        if end - start + 1 < min_sse_length and state != "C":
+            state = "C"
+
+        if state == "H":
+            # zig-zag helix
+            xs = np.arange(start, end + 0.01, helix_turn_length / 2)
+            ys = np.empty_like(xs)
+            ys[0::2] = center - width / 2
+            ys[1::2] = center + width / 2
+            pts = np.stack([xs, ys] if horizontal else [ys, xs]).T
+            ax.plot(
+                pts[:, 0], pts[:, 1], color=helix_color,
+                linewidth=line_width, solid_capstyle="round",
+            )
+        elif state == "E":
+            # strand: arrow along the sequence direction
+            d = -1 if flip_direction else 1
+            if horizontal:
+                ax.arrow(
+                    start, center, (end - start) * d, 0,
+                    width=width * strand_width_factor,
+                    head_length=min(1.5, end - start),
+                    length_includes_head=True,
+                    facecolor=strand_color, edgecolor="none",
+                )
+            else:
+                ax.arrow(
+                    center, start, 0, (end - start) * d,
+                    width=width * strand_width_factor,
+                    head_length=min(1.5, end - start),
+                    length_includes_head=True,
+                    facecolor=strand_color, edgecolor="none",
+                )
+        elif draw_coils:
+            pts = [_xy(start, 0), _xy(end, 0)]
+            ax.plot(
+                [pts[0][0], pts[1][0]], [pts[0][1], pts[1][1]],
+                color=coil_color, linewidth=line_width / 2,
+            )
+
+
+def plot_pairs(pairs_table, symmetric=False, ax=None, style=None):
+    """Scatter a table of (i, j) pairs; optional per-pair color / size
+    columns override the style."""
+    if ax is None:
+        ax = plt.gca()
+    style = dict(style or STYLE_EC)
+
+    if pairs_table is None or len(pairs_table) == 0:
+        return []
+
+    i = pairs_table.i.astype(float).values
+    j = pairs_table.j.astype(float).values
+
+    if "color" in pairs_table.columns:
+        style["c"] = pairs_table.color.values
+    if "size" in pairs_table.columns:
+        sizes = pairs_table["size"].astype(float).values
+        base = style.get("s", 80)
+        if np.all(sizes <= 1):
+            sizes = sizes * base
+        style["s"] = sizes
+
+    paths = [ax.scatter(i, j, **style)]
+    if symmetric:
+        paths.append(ax.scatter(j, i, **style))
+    return paths
+
+
+def _axis_ids(ecs, distance_maps, which):
+    """Collect numeric positions present in EC tables / distance maps."""
+    ids = set()
+    if ecs is not None and len(ecs) > 0:
+        ids |= set(pd.to_numeric(ecs.i, errors="coerce").dropna())
+        ids |= set(pd.to_numeric(ecs.j, errors="coerce").dropna())
+    for dm in distance_maps:
+        if dm is None:
+            continue
+        residues = dm.residues_i if which == "i" else dm.residues_j
+        ids |= set(pd.to_numeric(residues.id, errors="coerce").dropna())
+    return ids
+
+
+def plot_contact_map(ecs=None, monomer=None, multimer=None,
+                     distance_cutoff=5, secondary_structure=None,
+                     show_secstruct=True, ec_coverage=None,
+                     show_structure_coverage=False, scale_sizes=True,
+                     ec_style=STYLE_EC, monomer_style=STYLE_CONTACT,
+                     multimer_style=STYLE_CONTACT_MULTIMER,
+                     secstruct_style=STYLE_SECSTRUCT,
+                     ec_coverage_style=STYLE_EC_COVERAGE,
+                     structure_coverage_style=STYLE_STRUCTURE_COVERAGE,
+                     margin=5, invert_y=True, boundaries="union",
+                     symmetric=True, ax=None):
+    """Contact map: structure contacts as background discs, ECs as
+    points (green/red split by distance_cutoff when distances known).
+
+    Parity: reference pairs.py:195-391 (same parameters; simplified
+    rendering of coverage bars and cartoons).
+    """
+    if ax is None:
+        ax = plt.gca()
+
+    # background: intra + multimer structure contacts
+    if monomer is not None:
+        contacts = monomer.contacts(max_dist=distance_cutoff)
+        plot_pairs(
+            contacts, symmetric=monomer.symmetric, ax=ax,
+            style=monomer_style,
+        )
+    if multimer is not None:
+        contacts = multimer.contacts(max_dist=distance_cutoff)
+        plot_pairs(
+            contacts, symmetric=multimer.symmetric, ax=ax,
+            style=multimer_style,
+        )
+
+    # foreground: ECs (color split by structural distance if available)
+    if ecs is not None and len(ecs) > 0:
+        ecs = ecs.copy()
+        if "color" not in ecs.columns and monomer is not None:
+            dists = np.array([
+                monomer.dist(i, j, raise_na=False)
+                for i, j in zip(ecs.i, ecs.j)
+            ])
+            if multimer is not None:
+                dists_mm = np.array([
+                    multimer.dist(i, j, raise_na=False)
+                    for i, j in zip(ecs.i, ecs.j)
+                ])
+                dists = np.fmin(dists, dists_mm)
+            color = np.where(dists <= distance_cutoff, "#50a455", "#b2402f")
+            color[np.isnan(dists)] = "#404040"
+            ecs.loc[:, "color"] = color
+        plot_pairs(ecs, symmetric=symmetric, ax=ax, style=ec_style)
+
+    # determine axis boundaries
+    ids_i = _axis_ids(ecs, [monomer, multimer], "i")
+    ids_j = _axis_ids(ecs, [monomer, multimer], "j")
+    if isinstance(boundaries, (tuple, list)) and len(boundaries) == 2 \
+            and not isinstance(boundaries, str):
+        if isinstance(boundaries[0], (tuple, list)):
+            (min_i, max_i), (min_j, max_j) = boundaries
+        else:
+            min_i, max_i = boundaries
+            min_j, max_j = boundaries
+    else:
+        if len(ids_i) == 0 or len(ids_j) == 0:
+            min_i, max_i = 0, 1
+            min_j, max_j = 0, 1
+        else:
+            min_i, max_i = min(ids_i), max(ids_i)
+            min_j, max_j = min(ids_j), max(ids_j)
+
+    ax.set_xlim(min_i - margin, max_i + margin)
+    if invert_y:
+        ax.set_ylim(max_j + margin, min_j - margin)
+    else:
+        ax.set_ylim(min_j - margin, max_j + margin)
+
+    # secondary structure cartoons along both axes
+    if show_secstruct:
+        for dm, horizontal in [(monomer, True), (monomer, False)]:
+            if dm is None or "sec_struct_3state" not in dm.residues_i:
+                continue
+            res = dm.residues_i.dropna(subset=["sec_struct_3state"])
+            if len(res) == 0:
+                continue
+            sse_str = "".join(res.sec_struct_3state)
+            offset = int(pd.to_numeric(res.id).min())
+            _, _, segments = find_secondary_structure_segments(
+                sse_str, offset=offset
+            )
+            center = (min_j - margin + 1) if horizontal else \
+                (min_i - margin + 1)
+            secondary_structure_cartoon(
+                segments, ax=ax, horizontal=horizontal, center=center,
+                **{k: v for k, v in secstruct_style.items()
+                   if k in (
+                       "helix_turn_length", "strand_width_factor",
+                       "min_sse_length", "width", "line_width",
+                       "helix_color", "strand_color", "coil_color",
+                   )},
+            )
+
+    ax.set_xlabel("Position i")
+    ax.set_ylabel("Position j")
+    ax.set_aspect("equal", adjustable="box")
+    return ax
+
+
+def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
+                        d_intra_i, d_multimer_i,
+                        d_intra_j, d_multimer_j,
+                        d_inter, margin=5, boundaries="union",
+                        scale_sizes=True, show_secstruct=True, ax=None):
+    """Complex contact map: monomer quadrants on the diagonal blocks,
+    inter-molecule ECs/contacts off-diagonal.
+
+    Parity: reference pairs.py:393-579 (same parameters; quadrants
+    rendered into one axes with offset positions).
+    """
+    if ax is None:
+        ax = plt.gca()
+
+    # determine extents of both monomers
+    ids_1 = _axis_ids(intra1_ecs, [d_intra_i, d_multimer_i], "i")
+    ids_2 = _axis_ids(intra2_ecs, [d_intra_j, d_multimer_j], "i")
+    if inter_ecs is not None and len(inter_ecs) > 0:
+        ids_1 |= set(pd.to_numeric(inter_ecs.i, errors="coerce").dropna())
+        ids_2 |= set(pd.to_numeric(inter_ecs.j, errors="coerce").dropna())
+
+    min_1 = min(ids_1) if ids_1 else 0
+    max_1 = max(ids_1) if ids_1 else 1
+    min_2 = min(ids_2) if ids_2 else 0
+    max_2 = max(ids_2) if ids_2 else 1
+
+    # second monomer drawn offset after the first
+    offset_2 = max_1 + 2 * margin - min_2
+
+    def _shift(table, cols, offset):
+        if table is None or len(table) == 0:
+            return None
+        table = table.copy()
+        for c in cols:
+            table.loc[:, c] = (
+                pd.to_numeric(table[c], errors="coerce") + offset
+            )
+        return table
+
+    # monomer 1 block
+    plot_contact_map(
+        intra1_ecs, d_intra_i, d_multimer_i,
+        show_secstruct=False, margin=margin,
+        boundaries=(min_1, max_1), invert_y=False, ax=ax,
+    )
+
+    # monomer 2 block (shifted)
+    if d_intra_j is not None:
+        contacts = d_intra_j.contacts()
+        contacts = _shift(contacts, ["i", "j"], offset_2)
+        plot_pairs(contacts, symmetric=True, ax=ax, style=STYLE_CONTACT)
+    plot_pairs(
+        _shift(intra2_ecs, ["i", "j"], offset_2),
+        symmetric=True, ax=ax, style=STYLE_EC,
+    )
+
+    # inter quadrant: i from monomer 1, j from monomer 2 (shifted)
+    if d_inter is not None:
+        contacts = d_inter.contacts()
+        contacts = _shift(contacts, ["j"], offset_2)
+        plot_pairs(
+            contacts, symmetric=False, ax=ax, style=STYLE_CONTACT
+        )
+        if contacts is not None:
+            flipped = contacts.rename(columns={"i": "j", "j": "i"})
+            plot_pairs(
+                flipped, symmetric=False, ax=ax, style=STYLE_CONTACT
+            )
+    inter_shifted = _shift(inter_ecs, ["j"], offset_2)
+    if inter_shifted is not None:
+        plot_pairs(
+            inter_shifted, symmetric=False, ax=ax, style=STYLE_EC
+        )
+        flipped = inter_shifted.rename(columns={"i": "j", "j": "i"})
+        plot_pairs(flipped, symmetric=False, ax=ax, style=STYLE_EC)
+
+    lo = min_1 - margin
+    hi = max_2 + offset_2 + margin
+    ax.set_xlim(lo, hi)
+    ax.set_ylim(hi, lo)
+    ax.set_aspect("equal", adjustable="box")
+    return ax
