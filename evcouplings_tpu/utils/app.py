@@ -1,0 +1,418 @@
+"""
+`evcouplings` command-line application: config substitution from CLI
+flags, batch unrolling into sub-jobs, and job submission.
+
+Parity target: reference evcouplings/utils/app.py —
+substitute_config (:41-184), unroll_config (:186-245), run_jobs
+(:248-450), run (:453-486), click CLI (:492-563).
+"""
+
+import os
+import re
+from collections.abc import Mapping
+from copy import deepcopy
+from os import environ, path
+
+import click
+
+from evcouplings_tpu import utils
+from evcouplings_tpu.utils import pipeline
+from evcouplings_tpu.utils.config import (
+    InvalidParameterError,
+    check_required,
+    read_config_file,
+    write_config_file,
+)
+from evcouplings_tpu.utils.system import (
+    ResourceError,
+    create_prefix_folders,
+    valid_file,
+)
+from evcouplings_tpu.utils.tracker import EStatus, get_result_tracker
+
+# individual job config files are stored under this name
+CONFIG_NAME = "{}_config.txt"
+
+
+def substitute_config(**kwargs):
+    """Substitute command-line flags into the run configuration."""
+    # flag -> (config section, key)
+    CONFIG_MAP = {
+        "prefix": ("global", "prefix"),
+        "protein": ("global", "sequence_id"),
+        "seqfile": ("global", "sequence_file"),
+        "alignment": ("align", "input_alignment"),
+        "iterations": ("align", "iterations"),
+        "id": ("align", "seqid_filter"),
+        "seqcov": ("align", "minimum_sequence_coverage"),
+        "colcov": ("align", "minimum_column_coverage"),
+        "theta": ("global", "theta"),
+        "plmiter": ("couplings", "iterations"),
+        "queue": ("environment", "queue"),
+        "time": ("environment", "time"),
+        "cores": ("environment", "cores"),
+        "memory": ("environment", "memory"),
+    }
+
+    config_file = kwargs["config"]
+    if not valid_file(config_file):
+        raise ResourceError(
+            "Config file does not exist or is empty: {}".format(
+                config_file
+            )
+        )
+
+    config = read_config_file(config_file, preserve_order=True)
+
+    # plain flag -> config substitutions
+    for param, value in kwargs.items():
+        if param in CONFIG_MAP and value is not None:
+            outer, inner = CONFIG_MAP[param]
+            config[outer][inner] = value
+
+    # per-job CPU budget tracks the environment core request
+    if config["environment"]["cores"] is not None:
+        config["global"]["cpu"] = config["environment"]["cores"]
+
+    # existing alignment implies "existing" align protocol
+    if kwargs.get("alignment", None) is not None:
+        config["align"]["protocol"] = "existing"
+
+    # subregion of the protein
+    if kwargs.get("region", None) is not None:
+        region = kwargs["region"]
+        m = re.search(r"(\d+)-(\d+)", region)
+        if m:
+            start, end = map(int, m.groups())
+            config["global"]["region"] = [start, end]
+        else:
+            raise InvalidParameterError(
+                "Region string does not have format "
+                "start-end (e.g. 5-123): {}".format(region)
+            )
+
+    # pipeline stages to run
+    if kwargs.get("stages", None) is not None:
+        config["stages"] = kwargs["stages"].replace(" ", "").split(",")
+
+    # sequence search database: predefined name or custom path
+    if kwargs.get("database", None) is not None:
+        db = kwargs["database"]
+        if db in config["databases"]:
+            config["align"]["database"] = db
+        else:
+            config["align"]["database"] = "custom"
+            config["databases"]["custom"] = db
+
+    # bitscore / E-value thresholds (mutually exclusive; a list makes
+    # a batch sweep)
+    if (kwargs.get("bitscores", None) is not None
+            and kwargs.get("evalues", None) is not None):
+        raise InvalidParameterError(
+            "Can not specify bitscore and E-value threshold at the "
+            "same time."
+        )
+
+    if kwargs.get("bitscores", None) is not None:
+        thresholds = kwargs["bitscores"]
+        bitscore = True
+    elif kwargs.get("evalues", None) is not None:
+        thresholds = kwargs["evalues"]
+        bitscore = False
+    else:
+        thresholds = None
+
+    if thresholds is not None:
+        T = thresholds.replace(" ", "").split(",")
+        try:
+            x_cast = [(float(t) if "." in t else int(t)) for t in T]
+        except ValueError:
+            raise InvalidParameterError(
+                "Bitscore/E-value threshold(s) must be numeric: "
+                "{}".format(thresholds)
+            )
+
+        config["align"]["use_bitscores"] = bitscore
+
+        if len(x_cast) == 1:
+            config["align"]["domain_threshold"] = x_cast[0]
+            config["align"]["sequence_threshold"] = x_cast[0]
+        else:
+            config["batch"] = {}
+            for t in x_cast:
+                sub_prefix = ("_b" if bitscore else "_e") + str(t)
+                config["batch"][sub_prefix] = {
+                    "align": {
+                        "domain_threshold": t,
+                        "sequence_threshold": t,
+                    }
+                }
+
+    return config
+
+
+def unroll_config(config):
+    """Expand the batch section into individual job configurations.
+
+    Returns {sub-prefix: config}; without a batch section, a single
+    entry for the master run.
+    """
+    prefix = config["global"]["prefix"]
+    configs = {}
+
+    if config.get("batch", None) is None:
+        configs[prefix] = config
+    else:
+        for sub_id, delta_config in config["batch"].items():
+            sub_config = deepcopy(config)
+            sub_prefix = prefix + sub_id
+
+            sub_config["batch"] = None
+            sub_config["global"]["prefix"] = sub_prefix
+
+            # apply the per-subjob config delta (two nesting levels)
+            for section in delta_config:
+                if isinstance(delta_config[section], Mapping):
+                    for param, value in delta_config[section].items():
+                        sub_config[section][param] = value
+                else:
+                    sub_config[section] = delta_config[section]
+
+            configs[sub_prefix] = sub_config
+
+    return configs
+
+
+def run_jobs(configs, global_config, overwrite=False, workdir=None,
+             abort_on_error=True, environment=None):
+    """Write job config files and submit each sub-job (runcfg +
+    summarizer) via the configured engine; returns {prefix: job id}."""
+    cmd_base = (
+        environ.get("EVCOUPLINGS_RUNCFG_APP") or "evcouplings_runcfg"
+    )
+    summ_base = (
+        environ.get("EVCOUPLINGS_SUMMARIZE_APP")
+        or "evcouplings_summarize"
+    )
+
+    prefix = global_config["global"]["prefix"]
+
+    out_prefix = (
+        path.join(workdir, prefix) if workdir is not None else prefix
+    )
+
+    # overwrite protection: a previous config file means results exist
+    cfg_filename = CONFIG_NAME.format(out_prefix)
+    if not overwrite and valid_file(cfg_filename):
+        raise InvalidParameterError(
+            "Existing configuration file {} ".format(cfg_filename)
+            + "indicates current prefix {} ".format(prefix)
+            + "would overwrite existing results. Use --yolo "
+            + "flag to deactivate overwrite protection (e.g. for "
+            "restarting a job or running a different stage)."
+        )
+
+    create_prefix_folders(cfg_filename)
+    write_config_file(cfg_filename, global_config)
+
+    # write sub-job configs up front (the summarizer needs all paths)
+    for subjob_prefix, subjob_cfg in configs.items():
+        subjob_out_prefix = (
+            path.join(workdir, subjob_prefix)
+            if workdir is not None else subjob_prefix
+        )
+        subcfg_filename = CONFIG_NAME.format(subjob_out_prefix)
+        create_prefix_folders(subcfg_filename)
+        write_config_file(subcfg_filename, subjob_cfg)
+
+    config_files = [
+        CONFIG_NAME.format(subjob_prefix) for subjob_prefix in configs
+    ]
+
+    summ_cmd = "{} {} {} {}".format(
+        summ_base,
+        global_config["pipeline"],
+        global_config["global"]["prefix"],
+        " ".join(config_files),
+    )
+
+    submitter_cfg = global_config["environment"]
+    submitter_engine = submitter_cfg["engine"]
+    submitter_cores = submitter_cfg.get("cores")
+
+    # local engine: bound the number of concurrently running sub-jobs
+    submitter_kws = {}
+    if submitter_engine == "local" and submitter_cores is not None:
+        max_parallel_workers = submitter_cfg.get("parallel_workers")
+        if max_parallel_workers is None:
+            max_cores = os.cpu_count() or 1
+            max_parallel_workers = max(
+                1, int(max_cores / submitter_cores)
+            )
+        submitter_kws = {
+            "ncpu": min(len(configs), max_parallel_workers)
+        }
+
+    submitter = utils.SubmitterFactory(
+        submitter_engine,
+        db_path=out_prefix + "_job_database.txt",
+        **submitter_kws,
+    )
+
+    job_ids = {}
+
+    for job, job_cfg in configs.items():
+        job_prefix = job_cfg["global"]["prefix"]
+        job_cfg_file = CONFIG_NAME.format(job)
+
+        env = job_cfg["environment"]
+        cmd = utils.batch.Command(
+            [
+                "{} {}".format(cmd_base, job_cfg_file),
+                summ_cmd,
+            ],
+            name=job_prefix,
+            environment=environment or env["configuration"],
+            workdir=workdir,
+            resources={
+                utils.batch.EResource.queue: env["queue"],
+                utils.batch.EResource.time: env["time"],
+                utils.batch.EResource.mem: env["memory"],
+                utils.batch.EResource.nodes: env["cores"],
+                utils.batch.EResource.out: job_prefix + "_stdout.log",
+                utils.batch.EResource.error: job_prefix + "_stderr.log",
+            },
+        )
+
+        tracker = get_result_tracker(job_cfg)
+
+        try:
+            job_ids[job] = submitter.submit(cmd)
+            tracker.update(status=EStatus.PEND)
+        except RuntimeError as e:
+            tracker.update(status=EStatus.FAIL, message=str(e))
+            if abort_on_error:
+                raise
+
+    # wait for all runs to finish (blocking submitters only)
+    submitter.join()
+    return job_ids
+
+
+def run(**kwargs):
+    """Python entry point of the CLI (flags as keyword arguments)."""
+    config = substitute_config(**kwargs)
+
+    check_required(config, ["pipeline", "stages", "global"])
+    pipeline.verify_prefix(verify_subdir=False, **config)
+
+    # convenience: compute N_eff when alignment runs without couplings
+    if ("align" in config["stages"]
+            and "couplings" not in config["stages"]):
+        config["align"]["compute_num_effective_seqs"] = True
+
+    sub_configs = unroll_config(config)
+
+    run_jobs(
+        sub_configs, config, kwargs.get("yolo", False),
+        kwargs.get("workdir", None),
+    )
+
+
+CONTEXT_SETTINGS = dict(help_option_names=["-h", "--help"])
+
+
+@click.command(context_settings=CONTEXT_SETTINGS)
+@click.argument("config")
+@click.option("-P", "--prefix", default=None, help="Job prefix")
+@click.option(
+    "-S", "--stages", default=None,
+    help="Stages of pipeline to run (comma-separated)",
+)
+@click.option(
+    "-p", "--protein", default=None,
+    help="Sequence identifier of query protein",
+)
+@click.option(
+    "-s", "--seqfile", default=None,
+    help="FASTA file with query sequence",
+)
+@click.option(
+    "-a", "--alignment", default=None,
+    help="Existing sequence alignment to start from (aligned "
+         "FASTA/Stockholm). Use -p to select target sequence.",
+)
+@click.option(
+    "-r", "--region", default=None,
+    help="Region of query sequence (e.g 25-341)",
+)
+@click.option(
+    "-b", "--bitscores", default=None,
+    help="List of alignment bitscores (comma-separated, "
+         "length-normalized (float) or absolute score (int))",
+)
+@click.option(
+    "-e", "--evalues", default=None,
+    help="List of alignment E-values (negative exponent, "
+         "comma-separated)",
+)
+@click.option(
+    "-n", "--iterations", default=None,
+    help="Number of alignment iterations", type=int,
+)
+@click.option(
+    "-d", "--database", default=None,
+    help="Path or name of sequence database",
+)
+@click.option(
+    "-i", "--id", default=None,
+    help="Filter alignment at x% sequence identity", type=int,
+)
+@click.option(
+    "-f", "--seqcov", default=None,
+    help="Minimum % aligned positions per sequence", type=int,
+)
+@click.option(
+    "-m", "--colcov", default=None,
+    help="Minimum % aligned positions per column", type=int,
+)
+@click.option(
+    "-t", "--theta", default=None,
+    help="Downweight sequences above this identity cutoff during "
+         "inference (e.g. 0.8 for 80% identity cutoff)",
+    type=float,
+)
+@click.option(
+    "--plmiter", default=None,
+    help="Maximum number of iterations during inference", type=int,
+)
+@click.option(
+    "-Q", "--queue", default=None, help="Grid queue to run job(s)"
+)
+@click.option(
+    "-T", "--time", default=None,
+    help="Time requirement (hours) for batch jobs", type=int,
+)
+@click.option(
+    "-N", "--cores", default=None,
+    help="Number of cores for batch jobs", type=int,
+)
+@click.option(
+    "-M", "--memory", default=None,
+    help="Memory requirement for batch jobs (MB or 'auto')",
+)
+@click.option(
+    "-y", "--yolo", default=False, is_flag=True,
+    help="Disable overwrite protection",
+)
+def app(**kwargs):
+    """EVcouplings command line interface.
+
+    Command line options overwrite the corresponding config settings;
+    a list of bitscores or E-values creates one job per threshold.
+    """
+    run(**kwargs)
+
+
+if __name__ == "__main__":
+    app()

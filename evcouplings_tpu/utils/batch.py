@@ -1,0 +1,849 @@
+"""
+Job submission engines: local thread-pool execution with dependency
+tracking, and LSF / Slurm / SGE cluster submitters.
+
+Parity target: reference evcouplings/utils/batch.py — Command (:56),
+APluginRegister (:108), ASubmitter (:134), AClusterSubmitter (:227),
+LSFSubmitter (:456), SlurmSubmitter (:580), SGESubmitter (:703),
+LocalSubmitter (:1147). The cluster command templates (bsub/sbatch/
+qsub etc.) match the reference; the local engine replaces the
+reference's billiard broker/worker process pool with a dependency-
+aware thread pool over subprocesses (same public API, no extra
+dependencies, and statuses map correctly).
+"""
+
+import abc
+import inspect
+import os
+import re
+import signal
+import subprocess
+import threading
+import uuid
+from tempfile import NamedTemporaryFile
+
+import yaml
+
+from evcouplings_tpu.utils.helpers import PersistentDict
+
+
+class EStatus:
+    """Job status values used by submitters."""
+    RUN = "run"
+    PEND = "pend"
+    SUSP = "susp"
+    EXIT = "exit"
+    DONE = "done"
+
+
+class EResource:
+    """Resource keys understood by cluster submitters."""
+    time = "time"
+    mem = "mem"
+    nodes = "nodes"
+    queue = "queue"
+    error = "error"
+    out = "done"
+
+
+class Command:
+    """A shell command (plus environment setup, workdir, resources) to
+    be executed by a submitter."""
+
+    def __init__(self, command, name=None, environment=None,
+                 workdir=None, resources=None):
+        self.command_id = "c" + str(uuid.uuid4())
+        self.name = name
+
+        self.command = [command] if isinstance(command, str) else command
+        if environment is None:
+            self.environment = []
+        else:
+            self.environment = (
+                [environment] if isinstance(environment, str)
+                else environment
+            )
+        self.workdir = workdir
+        self.resources = resources
+
+    def __eq__(self, other):
+        if not isinstance(other, Command):
+            return False
+        return self.command_id == other.command_id
+
+    def __str__(self):
+        return "Command:{id}:\n\t{commands}".format(
+            id=self.command_id, commands="&".join(self.command)[:16]
+        )
+
+    def __repr__(self):
+        return "Command({id})".format(id=self.command_id)
+
+    def __hash__(self):
+        return hash(self.command_id)
+
+    def full_command_string(self):
+        """Environment setup + commands joined into one shell line."""
+        combine = " && " if self.environment else ""
+        return (
+            " && ".join(self.environment) + combine
+            + " && ".join(self.command)
+        )
+
+
+class APluginRegister(abc.ABCMeta):
+    """Metaclass auto-registering concrete submitter plugins by name."""
+
+    def __init__(cls, name, bases, nmspc):
+        super().__init__(name, bases, nmspc)
+        if not hasattr(cls, "registry"):
+            cls.registry = dict()
+        if not inspect.isabstract(cls):
+            # use the class-level registry name rather than
+            # instantiating the class (the reference's cls().name
+            # creates side effects like temp job-db files at import)
+            registry_name = nmspc.get("_registry_name")
+            if registry_name is None:
+                registry_name = str(cls().name)
+            cls.registry[registry_name.lower()] = cls
+
+    def __getitem__(cls, name):
+        return cls.registry[name]
+
+    def __iter__(cls):
+        return iter(cls.registry.values())
+
+    def __str__(cls):
+        if cls in cls.registry:
+            return cls.__name__
+        return cls.__name__ + ": " + ", ".join(
+            sc.__name__ for sc in cls
+        )
+
+
+class ASubmitter(metaclass=APluginRegister):
+    """Interface all submitters implement."""
+
+    @property
+    @abc.abstractmethod
+    def isBlocking(self):
+        """Whether join() blocks until all jobs finished."""
+        raise NotImplementedError
+
+    @property
+    @abc.abstractmethod
+    def name(self):
+        """Registry name of the submitter."""
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def submit(self, command, dependent=None):
+        """Submit a Command (optionally after dependencies); returns a
+        job id."""
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def cancel(self, command):
+        """Cancel a previously submitted command."""
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def monitor(self, command):
+        """Return the EStatus of a previously submitted command."""
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def join(self):
+        """Block until all submitted jobs finished (if blocking)."""
+        raise NotImplementedError
+
+
+def _run_shell(cmd, workdir=None):
+    """Run a shell command, returning (returncode, stdout, stderr)."""
+    p = subprocess.Popen(
+        cmd, shell=True,
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, universal_newlines=True,
+        cwd=workdir,
+    )
+    stdo, stde = p.communicate()
+    return p.returncode, stdo, stde
+
+
+class AClusterSubmitter(ASubmitter):
+    """Shared logic for schedulers driven by shell commands (bsub /
+    sbatch / qsub): submit/monitor/cancel templates + a persistent
+    job database."""
+
+    @property
+    @abc.abstractmethod
+    def submit_command(self):
+        raise NotImplementedError
+
+    @property
+    @abc.abstractmethod
+    def monitor_command(self):
+        raise NotImplementedError
+
+    @property
+    @abc.abstractmethod
+    def cancel_command(self):
+        raise NotImplementedError
+
+    @property
+    @abc.abstractmethod
+    def resource_flags(self):
+        raise NotImplementedError
+
+    @property
+    @abc.abstractmethod
+    def db(self):
+        raise NotImplementedError
+
+    @property
+    @abc.abstractmethod
+    def job_id_pattern(self):
+        raise NotImplementedError
+
+    def _get_job_id(self, output):
+        m = self.job_id_pattern.search(output)
+        if m is None:
+            raise RuntimeError(
+                "Could not parse job id from scheduler output: "
+                "{}".format(output)
+            )
+        return m.group(1)
+
+    @abc.abstractmethod
+    def _get_status(self, stdo):
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def _prepare_resources(self, resources):
+        raise NotImplementedError
+
+    @abc.abstractmethod
+    def _prepare_dependencies(self, dependent):
+        raise NotImplementedError
+
+    # -- job database ----------------------------------------------------
+
+    def _db_get(self, command_id):
+        return yaml.safe_load(self.db[command_id])
+
+    def _db_set(self, command_id, entry):
+        self.db[command_id] = yaml.safe_dump(entry)
+        self.db.sync()
+
+    def _record_submission(self, command, job_id):
+        try:
+            entry = self._db_get(command.command_id)
+            entry["tries"] += 1
+        except KeyError:
+            entry = {"tries": 1}
+
+        entry.update({
+            "name": command.name,
+            "job_id": job_id,
+            "status": EStatus.PEND,
+            "command": command.command,
+            "resources": command.resources,
+            "workdir": command.workdir,
+            "environment": command.environment,
+        })
+        self._db_set(command.command_id, entry)
+
+    # -- operations ------------------------------------------------------
+
+    def submit(self, command, dependent=None):
+        dep = self._prepare_dependencies(dependent)
+        resources = self._prepare_resources(command.resources or {})
+
+        submit = self.submit_command.format(
+            cmd=command.full_command_string(),
+            resources=resources,
+            dependent=dep,
+            name=command.command_id,
+        )
+
+        returncode, stdo, stde = _run_shell(submit, command.workdir)
+        if returncode != 0:
+            raise RuntimeError(
+                "Unsuccessful execution of " + repr(command)
+                + " (EXIT!=0) with error: " + stde
+            )
+
+        job_id = self._get_job_id(stdo)
+        self._record_submission(command, job_id)
+        return job_id
+
+    def monitor(self, command):
+        return self._internal_monitor(command.command_id)
+
+    def _internal_monitor(self, command_id):
+        try:
+            job_id = self._db_get(command_id)["job_id"]
+        except KeyError:
+            raise ValueError(
+                "Command " + repr(command_id)
+                + " has not been submitted yet."
+            )
+
+        cmd = self.monitor_command.format(job_id=job_id)
+        returncode, stdo, stde = _run_shell(cmd)
+        if returncode != 0:
+            raise RuntimeError(
+                "Unsuccessful monitoring of " + repr(command_id)
+                + " (EXIT!=0) with error: " + stde
+            )
+
+        status = self._get_status(stdo)
+
+        entry = self._db_get(command_id)
+        entry["status"] = status
+        self._db_set(command_id, entry)
+        return status
+
+    def cancel(self, command):
+        try:
+            entry = self._db_get(command.command_id)
+        except KeyError:
+            raise ValueError(
+                "Command " + repr(command)
+                + " has not been submitted yet."
+            )
+
+        if entry["status"] in (EStatus.DONE, EStatus.EXIT):
+            return True
+
+        cmd = self.cancel_command.format(job_id=entry["job_id"])
+        returncode, stdo, stde = _run_shell(cmd)
+        if returncode != 0:
+            raise RuntimeError(
+                "Unsuccessful cancellation of " + repr(command)
+                + " (EXIT!=0) with error: " + stde
+            )
+
+        entry["status"] = EStatus.EXIT
+        self._db_set(command.command_id, entry)
+        return True
+
+    def join(self):
+        import time
+
+        if not self.isBlocking:
+            return
+
+        unfinished = list(self.db.keys())
+        while unfinished:
+            unfinished = [
+                k for k in unfinished
+                if self._internal_monitor(k)
+                in (EStatus.PEND, EStatus.RUN)
+            ]
+            if unfinished:
+                time.sleep(1)
+
+
+class _ClusterSubmitterBase(AClusterSubmitter):
+    """Shared constructor/state for the concrete cluster submitters."""
+
+    def __init__(self, blocking=False, db_path=None):
+        self._blocking = blocking
+        if db_path is None:
+            tmp_db = NamedTemporaryFile(
+                delete=False, dir=os.getcwd(), suffix=".db"
+            )
+            tmp_db.close()
+            self._is_temp_db = True
+            self._db_path = tmp_db.name
+        else:
+            self._is_temp_db = False
+            self._db_path = db_path
+
+        self._db = PersistentDict(self._db_path)
+
+    def __del__(self):
+        try:
+            self._db.close()
+            if self._is_temp_db:
+                os.remove(self._db_path)
+        except (AttributeError, OSError):
+            pass
+
+    @property
+    def isBlocking(self):
+        return self._blocking
+
+    @property
+    def db(self):
+        return self._db
+
+
+class LSFSubmitter(_ClusterSubmitterBase):
+    """IBM LSF (bsub/bjobs/bkill)."""
+
+    _registry_name = "lsf"
+
+    _submit = "bsub -J {name} {dependent} {resources} '{cmd}'"
+    _monitor = "bjobs {job_id}"
+    _cancel = "bkill {job_id}"
+    _resources_flag = {
+        EResource.queue: "-q",
+        EResource.time: "-W",
+        EResource.mem: "-R",
+        EResource.nodes: "-n",
+        EResource.error: "-e",
+        EResource.out: "-o",
+    }
+    _job_id_re = re.compile(r"Job <([0-9]*)>")
+
+    @property
+    def name(self):
+        return "lsf"
+
+    @property
+    def submit_command(self):
+        return self._submit
+
+    @property
+    def monitor_command(self):
+        return self._monitor
+
+    @property
+    def cancel_command(self):
+        return self._cancel
+
+    @property
+    def resource_flags(self):
+        return self._resources_flag
+
+    @property
+    def job_id_pattern(self):
+        return self._job_id_re
+
+    def _get_status(self, stdo):
+        st = stdo.split("\n")[1].split()[2].strip()
+        return {
+            "PEND": EStatus.PEND,
+            "RUN": EStatus.RUN,
+            "DONE": EStatus.DONE,
+            "EXIT": EStatus.EXIT,
+        }.get(st, EStatus.SUSP)
+
+    def _prepare_dependencies(self, dependent):
+        if dependent is None:
+            return ""
+        try:
+            if isinstance(dependent, Command):
+                job_id = self._db_get(dependent.command_id)["job_id"]
+                return "-w {}".format(job_id)
+            dep_jobs = [
+                self._db_get(d.command_id)["job_id"] for d in dependent
+            ]
+            return "-w {}".format(
+                " && ".join("ended({})".format(d) for d in dep_jobs)
+            )
+        except KeyError:
+            raise ValueError(
+                "Specified dependent jobs have not been submitted yet."
+            )
+
+    def _prepare_resources(self, resources):
+        return " ".join(
+            "{} 'rusage[mem={}]'".format(self.resource_flags[k], v)
+            if k == EResource.mem
+            else "{} {}".format(self.resource_flags[k], v)
+            for k, v in resources.items()
+        )
+
+
+class SlurmSubmitter(_ClusterSubmitterBase):
+    """Slurm (sbatch --wrap 'srun ...' / squeue / scancel)."""
+
+    _registry_name = "slurm"
+
+    _submit = (
+        "sbatch --job-name={name} {dependent} {resources} "
+        "--wrap 'srun {cmd}'"
+    )
+    _monitor = "squeue -t all -j {job_id}"
+    _cancel = "scancel {job_id}"
+    _resources_flag = {
+        EResource.queue: "-p",
+        EResource.time: "-t",
+        EResource.mem: "--mem-per-cpu",
+        EResource.nodes: "-c",
+        EResource.error: "-e",
+        EResource.out: "-o",
+    }
+    _job_id_re = re.compile(r"Submitted batch job ([0-9]*)")
+
+    @property
+    def name(self):
+        return "slurm"
+
+    @property
+    def submit_command(self):
+        return self._submit
+
+    @property
+    def monitor_command(self):
+        return self._monitor
+
+    @property
+    def cancel_command(self):
+        return self._cancel
+
+    @property
+    def resource_flags(self):
+        return self._resources_flag
+
+    @property
+    def job_id_pattern(self):
+        return self._job_id_re
+
+    def _get_status(self, stdo):
+        st = stdo.split("\n")[1].split()[4].strip()
+        if st in ("PD", "CF"):
+            return EStatus.PEND
+        if st in ("R", "CG"):
+            return EStatus.RUN
+        if st == "CD":
+            return EStatus.DONE
+        if st in ("BF", "PR", "TO", "NF", "F", "CA"):
+            return EStatus.EXIT
+        return EStatus.SUSP
+
+    def _prepare_dependencies(self, dependent):
+        if dependent is None:
+            return ""
+        try:
+            if isinstance(dependent, Command):
+                dep_ids = [self._db_get(dependent.command_id)["job_id"]]
+            else:
+                dep_ids = [
+                    self._db_get(d.command_id)["job_id"]
+                    for d in dependent
+                ]
+            return (
+                "--kill-on-invalid-dep=yes "
+                "--dependency=afterok:{}".format(":".join(dep_ids))
+            )
+        except KeyError:
+            raise ValueError(
+                "Specified dependent jobs have not been submitted yet."
+            )
+
+    def _prepare_resources(self, resources):
+        return " ".join(
+            "{} {}".format(self.resource_flags[k], v)
+            for k, v in resources.items()
+        )
+
+
+class SGESubmitter(_ClusterSubmitterBase):
+    """Sun Grid Engine (qsub/qstat/qdel)."""
+
+    _registry_name = "sge"
+
+    _submit = "echo '{cmd}' | qsub -N {name} {dependent} {resources}"
+    _monitor = "qstat"
+    _cancel = "qdel {job_id}"
+    _resources_flag = {
+        EResource.queue: "-q",
+        EResource.time: "-l h_rt=",
+        EResource.mem: "-l h_vmem=",
+        EResource.nodes: "-pe smp",
+        EResource.error: "-e",
+        EResource.out: "-o",
+    }
+    _job_id_re = re.compile(r"Your job ([0-9]+) ")
+
+    @property
+    def name(self):
+        return "sge"
+
+    @property
+    def submit_command(self):
+        return self._submit
+
+    @property
+    def monitor_command(self):
+        return self._monitor
+
+    @property
+    def cancel_command(self):
+        return self._cancel
+
+    @property
+    def resource_flags(self):
+        return self._resources_flag
+
+    @property
+    def job_id_pattern(self):
+        return self._job_id_re
+
+    def _get_status(self, stdo):
+        # qstat lists all jobs; find the row for the monitored job id
+        for line in stdo.split("\n")[2:]:
+            fields = line.split()
+            if not fields:
+                continue
+            st = fields[4] if len(fields) > 4 else ""
+            if "qw" in st or "hqw" in st:
+                return EStatus.PEND
+            if "r" in st or "t" in st:
+                return EStatus.RUN
+            if "E" in st:
+                return EStatus.EXIT
+            if "s" in st or "S" in st:
+                return EStatus.SUSP
+        # job disappeared from qstat: finished
+        return EStatus.DONE
+
+    def _internal_monitor(self, command_id):
+        # SGE's qstat shows all user jobs; a missing job means DONE.
+        try:
+            job_id = self._db_get(command_id)["job_id"]
+        except KeyError:
+            raise ValueError(
+                "Command " + repr(command_id)
+                + " has not been submitted yet."
+            )
+
+        returncode, stdo, stde = _run_shell(self.monitor_command)
+        if returncode != 0:
+            raise RuntimeError(
+                "Unsuccessful monitoring of " + repr(command_id)
+                + " (EXIT!=0) with error: " + stde
+            )
+
+        status = EStatus.DONE
+        for line in stdo.split("\n"):
+            fields = line.split()
+            if fields and fields[0] == str(job_id):
+                st = fields[4] if len(fields) > 4 else ""
+                if "qw" in st:
+                    status = EStatus.PEND
+                elif "r" in st or "t" in st:
+                    status = EStatus.RUN
+                elif "E" in st:
+                    status = EStatus.EXIT
+                else:
+                    status = EStatus.SUSP
+                break
+
+        entry = self._db_get(command_id)
+        entry["status"] = status
+        self._db_set(command_id, entry)
+        return status
+
+    def _prepare_dependencies(self, dependent):
+        if dependent is None:
+            return ""
+        try:
+            if isinstance(dependent, Command):
+                dep_ids = [self._db_get(dependent.command_id)["job_id"]]
+            else:
+                dep_ids = [
+                    self._db_get(d.command_id)["job_id"]
+                    for d in dependent
+                ]
+            return "-hold_jid {}".format(",".join(map(str, dep_ids)))
+        except KeyError:
+            raise ValueError(
+                "Specified dependent jobs have not been submitted yet."
+            )
+
+    def _prepare_resources(self, resources):
+        parts = []
+        for k, v in resources.items():
+            flag = self.resource_flags[k]
+            if flag.endswith("="):
+                parts.append("{}{}".format(flag, v))
+            else:
+                parts.append("{} {}".format(flag, v))
+        return " ".join(parts)
+
+
+class LocalSubmitter(ASubmitter):
+    """Run commands locally with a dependency-aware thread pool.
+
+    Each job runs as a subprocess in its own process group (so cancel
+    kills the whole tree); jobs with dependencies start only after all
+    dependencies finished successfully, and inherit EXIT status if a
+    dependency failed. Job metadata is persisted in a PersistentDict.
+    """
+
+    _registry_name = "local"
+
+    def __init__(self, blocking=True, db_path=None, ncpu=1):
+        self._blocking = blocking
+        self._ncpu = max(1, int(ncpu))
+
+        if db_path is None:
+            tmp_db = NamedTemporaryFile(
+                delete=False, dir=os.getcwd(), suffix=".db"
+            )
+            tmp_db.close()
+            self._is_temp_db = True
+            self._db_path = tmp_db.name
+        else:
+            self._is_temp_db = False
+            self._db_path = db_path
+
+        self._db = PersistentDict(self._db_path)
+
+        self._lock = threading.RLock()
+        self._semaphore = threading.Semaphore(self._ncpu)
+        self._threads = {}
+        self._events = {}       # command_id -> Event set on completion
+        self._processes = {}    # command_id -> Popen
+        self._status = {}       # command_id -> EStatus
+        self._dependencies = {}  # command_id -> list of command_ids
+
+    def __del__(self):
+        try:
+            # terminate whatever is still running
+            with self._lock:
+                procs = list(self._processes.values())
+            for p in procs:
+                if p.poll() is None:
+                    try:
+                        os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                    except (ProcessLookupError, PermissionError):
+                        pass
+            self._db.close()
+            if self._is_temp_db:
+                os.remove(self._db_path)
+        except (AttributeError, OSError):
+            pass
+
+    @property
+    def isBlocking(self):
+        return self._blocking
+
+    @property
+    def name(self):
+        return "local"
+
+    def _db_set(self, command, status, pid=None):
+        entry = {
+            "name": command.name,
+            "job_id": pid,
+            "status": status,
+            "command": command.command,
+            "resources": command.resources,
+            "workdir": command.workdir,
+            "environment": command.environment,
+        }
+        self._db[command.command_id] = yaml.safe_dump(entry)
+        self._db.sync()
+
+    def _set_status(self, command, status, pid=None):
+        with self._lock:
+            self._status[command.command_id] = status
+            self._db_set(command, status, pid)
+
+    def _run_job(self, command, dependency_ids):
+        # wait for all dependencies; inherit failure
+        for dep_id in dependency_ids:
+            self._events[dep_id].wait()
+            if self._status.get(dep_id) != EStatus.DONE:
+                self._set_status(command, EStatus.EXIT)
+                self._events[command.command_id].set()
+                return
+
+        with self._semaphore:
+            # cancelled while pending: never start the process
+            with self._lock:
+                if self._status.get(command.command_id) == EStatus.EXIT:
+                    self._events[command.command_id].set()
+                    return
+            try:
+                p = subprocess.Popen(
+                    command.full_command_string(), shell=True,
+                    stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE, universal_newlines=True,
+                    cwd=command.workdir, preexec_fn=os.setsid,
+                )
+                with self._lock:
+                    self._processes[command.command_id] = p
+                self._set_status(command, EStatus.RUN, p.pid)
+
+                stdo, stde = p.communicate()
+                final = (
+                    EStatus.DONE if p.returncode == 0 else EStatus.EXIT
+                )
+                self._set_status(command, final, p.pid)
+            except Exception:
+                self._set_status(command, EStatus.EXIT)
+            finally:
+                self._events[command.command_id].set()
+
+    def submit(self, command, dependent=None):
+        if dependent is None:
+            dependency_ids = []
+        elif isinstance(dependent, Command):
+            dependency_ids = [dependent.command_id]
+        else:
+            dependency_ids = [d.command_id for d in dependent]
+
+        for dep_id in dependency_ids:
+            if dep_id not in self._events:
+                raise ValueError(
+                    "Specified dependent jobs have not been "
+                    "submitted yet."
+                )
+
+        with self._lock:
+            self._events[command.command_id] = threading.Event()
+            self._dependencies[command.command_id] = dependency_ids
+            self._set_status(command, EStatus.PEND)
+
+        thread = threading.Thread(
+            target=self._run_job, args=(command, dependency_ids),
+            daemon=True,
+        )
+        self._threads[command.command_id] = thread
+        thread.start()
+        return command.command_id
+
+    def monitor(self, command):
+        with self._lock:
+            if command.command_id not in self._status:
+                raise ValueError(
+                    "Command " + repr(command)
+                    + " has not been submitted yet."
+                )
+            return self._status[command.command_id]
+
+    def cancel(self, command):
+        with self._lock:
+            if command.command_id not in self._status:
+                raise ValueError(
+                    "Command " + repr(command)
+                    + " has not been submitted yet."
+                )
+            status = self._status[command.command_id]
+            p = self._processes.get(command.command_id)
+
+        if status in (EStatus.DONE, EStatus.EXIT):
+            return True
+
+        if p is not None and p.poll() is None:
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+
+        self._set_status(command, EStatus.EXIT)
+        self._events[command.command_id].set()
+        return True
+
+    def join(self):
+        if not self.isBlocking:
+            return
+        for event in list(self._events.values()):
+            event.wait()

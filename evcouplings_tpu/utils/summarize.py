@@ -1,0 +1,342 @@
+"""
+Run-level summary statistics and plots for `evcouplings` app runs
+(aggregates all sub-jobs of a batch sweep; invoked after each sub-job).
+
+Parity target: reference evcouplings/utils/summarize.py —
+protein_monomer (:27), _protein_monomer_plot (:121), protein_complex
+(:218), CLI (:363). Concurrent sub-jobs serialize writes to the shared
+summary files via filelock.
+"""
+
+import matplotlib
+matplotlib.use("Agg")
+
+from collections import defaultdict
+
+import click
+import filelock
+import matplotlib.pyplot as plt
+import pandas as pd
+
+from evcouplings_tpu.utils.config import (
+    InvalidParameterError,
+    read_config_file,
+)
+from evcouplings_tpu.utils.pipeline import FINAL_CONFIG_SUFFIX
+from evcouplings_tpu.utils.system import valid_file
+
+CONTEXT_SETTINGS = dict(help_option_names=["-h", "--help"])
+
+
+def protein_monomer(prefix, configs):
+    """Aggregate monomer sub-job results: alignment statistics table
+    (threshold, N_eff, significant ECs, precision) + summary plot."""
+    MIN_PROBABILITY = 0.9
+
+    ali_table = pd.DataFrame()
+    data = defaultdict(lambda: defaultdict())
+
+    for cfg_file in configs:
+        # sub-job may not have finished (or crashed) yet
+        if not valid_file(cfg_file):
+            continue
+
+        C = read_config_file(cfg_file)
+        sub_prefix = C["global"]["prefix"]
+        domain_threshold = C["align"]["domain_threshold"]
+        sub_index = (domain_threshold, sub_prefix)
+
+        final_state_cfg = sub_prefix + FINAL_CONFIG_SUFFIX
+        if not valid_file(final_state_cfg):
+            continue
+
+        R = read_config_file(final_state_cfg)
+        data[sub_index]["identities"] = R["identities_file"]
+        data[sub_index]["frequencies"] = R["frequencies_file"]
+        data[sub_index]["minimum_column_coverage"] = (
+            C["align"]["minimum_column_coverage"]
+        )
+
+        stat_file = R["statistics_file"]
+        ec_file = R.get("ec_file", "")
+        ec_comp_file = R.get("ec_compared_longrange_file", "")
+
+        if not valid_file(stat_file):
+            continue
+
+        stat_df = pd.read_csv(stat_file)
+        n_eff = R["effective_sequences"]
+        if n_eff is not None:
+            stat_df.loc[0, "N_eff"] = n_eff
+
+        stat_df.loc[0, "domain_threshold"] = domain_threshold
+        L = stat_df.loc[0, "num_cov"]
+
+        if valid_file(ec_file):
+            ecs = pd.read_csv(ec_file)
+            min_seq_dist = C["compare"]["min_sequence_distance"]
+            num_sig = len(ecs.query(
+                "abs(i-j) >= @min_seq_dist and "
+                "probability >= @MIN_PROBABILITY"
+            ))
+            stat_df.loc[0, "num_significant"] = num_sig
+
+        if valid_file(ec_comp_file):
+            ec_comp = pd.read_csv(ec_comp_file)
+            if len(ec_comp) > L:
+                stat_df.loc[0, "precision"] = (
+                    ec_comp.iloc[L]["precision"]
+                )
+
+        ali_table = pd.concat([ali_table, stat_df])
+
+    if len(ali_table) == 0:
+        return ali_table
+
+    ali_table = ali_table.sort_values(by="domain_threshold")
+
+    # locks serialize against concurrently finishing sub-jobs
+    fig = _protein_monomer_plot(ali_table, data)
+    plot_file = prefix + "_job_statistics_summary.pdf"
+    with filelock.FileLock(plot_file + ".lock"):
+        fig.savefig(plot_file, bbox_inches="tight")
+    plt.close(fig)
+
+    table_file = prefix + "_job_statistics_summary.csv"
+    with filelock.FileLock(table_file + ".lock"):
+        ali_table.to_csv(table_file, index=False, float_format="%.3f")
+
+    return ali_table
+
+
+def _protein_monomer_plot(ali_table, data):
+    """Five-panel monomer summary plot (coverage, identity
+    distribution, gap statistics, significant ECs, precision)."""
+    FONTSIZE = 16
+    fig = plt.figure(figsize=(15, 15))
+    gridsize = (3, 2)
+    ax_cov = plt.subplot2grid(gridsize, (0, 0), colspan=1)
+    ax_distr = plt.subplot2grid(gridsize, (0, 1), colspan=1)
+    ax_gaps = plt.subplot2grid(gridsize, (1, 0), colspan=2)
+    ax_sig = plt.subplot2grid(gridsize, (2, 0), colspan=1)
+    ax_comp = plt.subplot2grid(gridsize, (2, 1), colspan=1)
+
+    # 1) number of sequences + coverage vs threshold
+    ax_cov.plot(
+        ali_table.domain_threshold,
+        ali_table.N_eff / ali_table.num_cov,
+        "ok-", label="# Sequences",
+    )
+    ax_cov.set_xlabel("Domain inclusion threshold")
+    ax_cov.set_ylabel("# effective sequences / L")
+    ax_cov.set_title("Sequences and coverage", fontsize=FONTSIZE)
+    ax_cov.legend(loc="lower left")
+
+    ax_cov2 = ax_cov.twinx()
+    ax_cov2.plot(
+        ali_table.domain_threshold,
+        ali_table.num_cov / ali_table.seqlen,
+        "o-", label="Coverage", color="#2079b4",
+    )
+    ax_cov2.set_ylabel("Coverage (% of region)")
+    ax_cov2.legend(loc="lower right")
+    ax_cov2.set_ylim(0, 1)
+
+    # 2) identity + column coverage distributions per sub-job
+    for (domain_threshold, subjob), subdata in sorted(data.items()):
+        if valid_file(subdata["identities"]):
+            ids = pd.read_csv(
+                subdata["identities"]
+            ).identity_to_query.dropna()
+            ax_distr.hist(
+                ids, histtype="step", range=(0, 1.0),
+                bins=100, density=True, cumulative=True, linewidth=3,
+                label=str(domain_threshold),
+            )
+            ali_table.loc[
+                ali_table.prefix == subjob, "average_identity"
+            ] = ids.mean()
+
+        if valid_file(subdata["frequencies"]):
+            freqs = pd.read_csv(subdata["frequencies"])
+            ax_gaps.plot(
+                freqs.i, 1 - freqs.loc[:, "-"], "o", linewidth=3,
+                label=str(domain_threshold),
+            )
+            mincov = subdata["minimum_column_coverage"]
+            if mincov > 1:
+                mincov /= 100
+            ax_gaps.axhline(mincov, ls="--", color="k")
+
+    ax_distr.set_xlabel("% sequence identity to query")
+    ax_distr.set_title(
+        "Sequence identity distribution", fontsize=FONTSIZE
+    )
+    ax_distr.set_xlim(0, 1)
+    ax_distr.set_ylim(0, 1)
+    ax_distr.legend()
+
+    ax_gaps.set_title("Gap statistics", fontsize=FONTSIZE)
+    ax_gaps.set_xlabel("Sequence index")
+    ax_gaps.set_ylabel("Column coverage (1 - % gaps)")
+    ax_gaps.autoscale(enable=True, axis="x", tight=True)
+    ax_gaps.set_ylim(0, 1)
+    ax_gaps.legend(loc="best")
+
+    # 3) significant ECs + precision vs threshold
+    if "num_significant" in ali_table.columns:
+        ax_sig.plot(
+            ali_table.domain_threshold,
+            ali_table.num_significant / ali_table.num_cov,
+            "ok-",
+        )
+    ax_sig.set_title("Significant ECs", fontsize=FONTSIZE)
+    ax_sig.set_xlabel("Domain inclusion threshold")
+    ax_sig.set_ylabel("Fraction of significant ECs (% of L)")
+
+    if "precision" in ali_table.columns:
+        ax_comp.plot(
+            ali_table.domain_threshold, ali_table.precision, "ok-"
+        )
+    ax_comp.set_title("Comparison to 3D (top L ECs)", fontsize=FONTSIZE)
+    ax_comp.set_xlabel("Domain inclusion threshold")
+    ax_comp.set_ylabel("EC precision")
+    ax_comp.set_ylim(0, 1)
+
+    return fig
+
+
+def protein_complex(prefix, configs):
+    """Aggregate complex sub-job results (concatenation statistics,
+    significant monomer/inter ECs, segmentwise precision)."""
+    MIN_PROBABILITY = 0.9
+    NUM_INTER = 5
+    FIRST_SEGMENT = "A_1"
+    SECOND_SEGMENT = "B_1"
+
+    ali_table = pd.DataFrame()
+
+    for cfg_file in configs:
+        if not valid_file(cfg_file):
+            continue
+
+        C = read_config_file(cfg_file)
+        sub_prefix = C["global"]["prefix"]
+
+        final_state_cfg = sub_prefix + FINAL_CONFIG_SUFFIX
+        if not valid_file(final_state_cfg):
+            continue
+
+        R = read_config_file(final_state_cfg)
+
+        stat_file = R["statistics_file"]
+        ec_file = R.get("ec_file", "")
+        ec_comp_file = R.get("ec_compared_longrange_file", "")
+        concat_stat_file = R.get("concatentation_statistics_file", "")
+        first_stat_file = R.get("first_statistics_file", "")
+        second_stat_file = R.get("second_statistics_file", "")
+
+        if not valid_file(stat_file):
+            continue
+
+        stat_df = pd.read_csv(stat_file)
+        n_eff = R["effective_sequences"]
+        if n_eff is not None:
+            stat_df.loc[0, "N_eff"] = n_eff
+
+        if valid_file(concat_stat_file):
+            concat_stat_df = pd.read_csv(concat_stat_file)
+            stat_df.loc[0, "first_n_seqs"] = int(
+                concat_stat_df.loc[0, "num_seqs_1"]
+            )
+            stat_df.loc[0, "second_n_seqs"] = int(
+                concat_stat_df.loc[0, "num_seqs_2"]
+            )
+            stat_df.loc[0, "median_num_per_species_1"] = (
+                concat_stat_df.loc[0, "median_num_per_species_1"]
+            )
+            stat_df.loc[0, "median_num_per_species_2"] = (
+                concat_stat_df.loc[0, "median_num_per_species_2"]
+            )
+
+        if valid_file(ec_file):
+            ecs = pd.read_csv(ec_file)
+            min_seq_dist = C["compare"]["min_sequence_distance"]
+            num_sig = len(ecs.query(
+                "abs(i-j) >= @min_seq_dist and "
+                "probability >= @MIN_PROBABILITY"
+            ))
+            stat_df.loc[0, "num_significant"] = int(num_sig)
+
+            inter_ecs = ecs.query("segment_i != segment_j")
+            if len(inter_ecs) > 0:
+                stat_df.loc[0, "top_inter_rank"] = int(
+                    inter_ecs.index[0]
+                )
+
+        if valid_file(ec_comp_file):
+            ec_comp = pd.read_csv(ec_comp_file)
+            ec_comp_1 = ec_comp.query(
+                "segment_i == segment_j == @FIRST_SEGMENT"
+            )
+            ec_comp_2 = ec_comp.query(
+                "segment_i == segment_j == @SECOND_SEGMENT"
+            )
+            ec_comp_inter = ec_comp.query("segment_i != segment_j")
+
+            if valid_file(first_stat_file) and valid_file(
+                second_stat_file
+            ):
+                L_1 = pd.read_csv(first_stat_file).loc[0, "num_cov"]
+                L_2 = pd.read_csv(second_stat_file).loc[0, "num_cov"]
+
+                if len(ec_comp_1) > L_1:
+                    stat_df.loc[0, "first_monomer_precision"] = (
+                        ec_comp_1.iloc[L_1]["segmentwise_precision"]
+                    )
+                if len(ec_comp_2) > L_2:
+                    stat_df.loc[0, "second_monomer_precision"] = (
+                        ec_comp_2.iloc[L_2]["segmentwise_precision"]
+                    )
+                if len(ec_comp_inter) > NUM_INTER:
+                    stat_df.loc[0, "inter_precision"] = (
+                        ec_comp_inter.iloc[NUM_INTER][
+                            "segmentwise_precision"
+                        ]
+                    )
+
+        ali_table = pd.concat([ali_table, stat_df])
+
+    table_file = prefix + "_job_statistics_summary.csv"
+    with filelock.FileLock(table_file + ".lock"):
+        ali_table.to_csv(table_file, index=False, float_format="%.3f")
+
+    return ali_table
+
+
+PIPELINE_TO_SUMMARIZER = {
+    "protein_monomer": protein_monomer,
+    "protein_complex": protein_complex,
+}
+
+
+@click.command(context_settings=CONTEXT_SETTINGS)
+@click.argument("pipeline", nargs=1, required=True)
+@click.argument("prefix", nargs=1, required=True)
+@click.argument("configs", nargs=-1)
+def app(**kwargs):
+    """Create summary statistics for evcouplings pipeline runs."""
+    try:
+        summarizer = PIPELINE_TO_SUMMARIZER[kwargs["pipeline"]]
+    except KeyError:
+        raise InvalidParameterError(
+            "Not a valid pipeline, valid selections are: {}".format(
+                ",".join(PIPELINE_TO_SUMMARIZER.keys())
+            )
+        )
+
+    summarizer(kwargs["prefix"], kwargs["configs"])
+
+
+if __name__ == "__main__":
+    app()

@@ -1,0 +1,244 @@
+"""
+Batch submitter and app-shell tests: local engine submit/monitor/
+cancel/dependencies (cluster-without-a-cluster, following the
+reference test strategy), config substitution, and batch unrolling.
+"""
+
+import os
+import time
+
+import pytest
+
+from evcouplings_tpu.utils import SubmitterFactory
+from evcouplings_tpu.utils.app import substitute_config, unroll_config
+from evcouplings_tpu.utils.batch import (
+    ASubmitter,
+    Command,
+    EStatus,
+    LocalSubmitter,
+    LSFSubmitter,
+    SGESubmitter,
+    SlurmSubmitter,
+)
+from evcouplings_tpu.utils.config import InvalidParameterError
+
+
+class TestRegistry:
+    def test_all_engines_registered(self):
+        assert {"local", "lsf", "slurm", "sge"} <= set(
+            ASubmitter.registry
+        )
+
+    def test_factory(self, tmp_path):
+        s = SubmitterFactory(
+            "local", blocking=True,
+            db_path=str(tmp_path / "db.txt"),
+        )
+        assert s.name == "local"
+        with pytest.raises(ValueError):
+            SubmitterFactory("bogus")
+
+    def test_cluster_submitters_instantiable(self, tmp_path):
+        # instantiated but never submitted (no cluster available)
+        for cls in (LSFSubmitter, SlurmSubmitter, SGESubmitter):
+            sub = cls(blocking=False, db_path=str(tmp_path / "c.db"))
+            assert sub.submit_command
+            assert sub.monitor_command
+            assert sub.cancel_command
+
+    def test_slurm_command_templates(self, tmp_path):
+        sub = SlurmSubmitter(db_path=str(tmp_path / "s.db"))
+        assert "sbatch" in sub.submit_command
+        assert "srun" in sub.submit_command
+        assert "squeue" in sub.monitor_command
+        assert "scancel" in sub.cancel_command
+        assert sub._get_job_id("Submitted batch job 1234\n") == "1234"
+
+
+class TestLocalSubmitter:
+    def make(self, tmp_path, ncpu=2):
+        return LocalSubmitter(
+            blocking=True, db_path=str(tmp_path / "jobs.txt"),
+            ncpu=ncpu,
+        )
+
+    def test_submit_and_join(self, tmp_path):
+        sub = self.make(tmp_path)
+        out = tmp_path / "out.txt"
+        cmd = Command("echo hello > {}".format(out), name="hello")
+        sub.submit(cmd)
+        sub.join()
+        assert sub.monitor(cmd) == EStatus.DONE
+        assert out.read_text().strip() == "hello"
+
+    def test_failing_command(self, tmp_path):
+        sub = self.make(tmp_path)
+        cmd = Command("exit 1", name="fail")
+        sub.submit(cmd)
+        sub.join()
+        assert sub.monitor(cmd) == EStatus.EXIT
+
+    def test_dependency_ordering(self, tmp_path):
+        sub = self.make(tmp_path, ncpu=4)
+        out = tmp_path / "order.txt"
+        first = Command(
+            "sleep 0.3 && echo first >> {}".format(out), name="first"
+        )
+        second = Command("echo second >> {}".format(out), name="second")
+        sub.submit(first)
+        sub.submit(second, dependent=first)
+        sub.join()
+        assert out.read_text().split() == ["first", "second"]
+
+    def test_dependency_failure_propagates(self, tmp_path):
+        sub = self.make(tmp_path)
+        bad = Command("exit 3", name="bad")
+        follow = Command("echo never", name="follow")
+        sub.submit(bad)
+        sub.submit(follow, dependent=bad)
+        sub.join()
+        assert sub.monitor(bad) == EStatus.EXIT
+        assert sub.monitor(follow) == EStatus.EXIT
+
+    def test_cancel_running(self, tmp_path):
+        sub = self.make(tmp_path)
+        cmd = Command("sleep 30", name="sleeper")
+        sub.submit(cmd)
+        # wait for it to start
+        for _ in range(100):
+            if sub.monitor(cmd) == EStatus.RUN:
+                break
+            time.sleep(0.05)
+        assert sub.cancel(cmd) is True
+        sub.join()
+        assert sub.monitor(cmd) == EStatus.EXIT
+
+    def test_unsubmitted_monitor_raises(self, tmp_path):
+        sub = self.make(tmp_path)
+        with pytest.raises(ValueError):
+            sub.monitor(Command("true"))
+
+
+MINIMAL_CONFIG = """
+pipeline: protein_monomer
+stages:
+    - align
+batch:
+global:
+    prefix: {prefix}
+    sequence_id:
+    theta: 0.8
+environment:
+    engine: local
+    queue:
+    time:
+    cores:
+    memory:
+    configuration:
+align:
+    protocol: standard
+    domain_threshold: 0.5
+    sequence_threshold: 0.5
+    minimum_sequence_coverage: 50
+    minimum_column_coverage: 70
+    seqid_filter:
+    input_alignment:
+    iterations: 3
+    database: uniref90
+couplings:
+    protocol: standard
+    iterations: 100
+databases:
+    uniref90: /db/uniref90.fasta
+tools:
+    jackhmmer: jackhmmer
+"""
+
+
+class TestConfigSubstitution:
+    def write_config(self, tmp_path):
+        cfg = tmp_path / "config.txt"
+        cfg.write_text(
+            MINIMAL_CONFIG.format(prefix=str(tmp_path / "run" / "job"))
+        )
+        return str(cfg)
+
+    def base_kwargs(self, tmp_path):
+        return {
+            "config": self.write_config(tmp_path),
+            "prefix": None, "protein": None, "seqfile": None,
+            "alignment": None, "iterations": None, "id": None,
+            "seqcov": None, "colcov": None, "theta": None,
+            "plmiter": None, "queue": None, "time": None,
+            "cores": None, "memory": None,
+        }
+
+    def test_simple_substitution(self, tmp_path):
+        kwargs = self.base_kwargs(tmp_path)
+        kwargs.update({
+            "protein": "MYPROT", "theta": 0.9, "cores": 4,
+        })
+        config = substitute_config(**kwargs)
+        assert config["global"]["sequence_id"] == "MYPROT"
+        assert config["global"]["theta"] == 0.9
+        assert config["environment"]["cores"] == 4
+        assert config["global"]["cpu"] == 4
+
+    def test_alignment_switches_protocol(self, tmp_path):
+        kwargs = self.base_kwargs(tmp_path)
+        kwargs["alignment"] = "/some/file.fasta"
+        config = substitute_config(**kwargs)
+        assert config["align"]["protocol"] == "existing"
+        assert config["align"]["input_alignment"] == "/some/file.fasta"
+
+    def test_region_parsing(self, tmp_path):
+        kwargs = self.base_kwargs(tmp_path)
+        kwargs["region"] = "25-341"
+        config = substitute_config(**kwargs)
+        assert config["global"]["region"] == [25, 341]
+
+        kwargs["region"] = "nonsense"
+        with pytest.raises(InvalidParameterError):
+            substitute_config(**kwargs)
+
+    def test_stages_and_database(self, tmp_path):
+        kwargs = self.base_kwargs(tmp_path)
+        kwargs["stages"] = "align, couplings"
+        kwargs["database"] = "uniref90"
+        config = substitute_config(**kwargs)
+        assert config["stages"] == ["align", "couplings"]
+        assert config["align"]["database"] == "uniref90"
+
+        kwargs["database"] = "/custom/db.fasta"
+        config = substitute_config(**kwargs)
+        assert config["align"]["database"] == "custom"
+        assert config["databases"]["custom"] == "/custom/db.fasta"
+
+    def test_bitscore_sweep_creates_batch(self, tmp_path):
+        kwargs = self.base_kwargs(tmp_path)
+        kwargs["bitscores"] = "0.3,0.5,0.7"
+        config = substitute_config(**kwargs)
+        assert config["align"]["use_bitscores"] is True
+        assert set(config["batch"]) == {"_b0.3", "_b0.5", "_b0.7"}
+
+        configs = unroll_config(config)
+        assert len(configs) == 3
+        sub = configs[config["global"]["prefix"] + "_b0.5"]
+        assert sub["align"]["domain_threshold"] == 0.5
+        assert sub["batch"] is None
+
+    def test_exclusive_thresholds(self, tmp_path):
+        kwargs = self.base_kwargs(tmp_path)
+        kwargs["bitscores"] = "0.5"
+        kwargs["evalues"] = "5"
+        with pytest.raises(InvalidParameterError):
+            substitute_config(**kwargs)
+
+    def test_single_threshold_no_batch(self, tmp_path):
+        kwargs = self.base_kwargs(tmp_path)
+        kwargs["evalues"] = "5"
+        config = substitute_config(**kwargs)
+        assert config["align"]["use_bitscores"] is False
+        assert config["align"]["domain_threshold"] == 5
+        configs = unroll_config(config)
+        assert len(configs) == 1
