@@ -49,6 +49,22 @@ _ConfigDumper.add_representer(
 )
 
 
+class _ConfigLoader(yaml.SafeLoader):
+    """SafeLoader that accepts YAML sequences as mapping keys by
+    converting them to tuples (e.g. the `[O, O]:` atom-pair keys in
+    restraint configs; ruamel — used by the reference — does the same,
+    plain PyYAML rejects them as unhashable)."""
+
+    def construct_mapping(self, node, deep=False):
+        mapping = {}
+        for key_node, value_node in node.value:
+            key = self.construct_object(key_node, deep=True)
+            if isinstance(key, list):
+                key = tuple(key)
+            mapping[key] = self.construct_object(value_node, deep=deep)
+        return mapping
+
+
 def parse_config(config_str, preserve_order=False):
     """Parse a configuration string (or file object) into a dict.
 
@@ -56,7 +72,7 @@ def parse_config(config_str, preserve_order=False):
     preserve insertion order natively on Python >= 3.7.
     """
     try:
-        return yaml.safe_load(config_str)
+        return yaml.load(config_str, Loader=_ConfigLoader)
     except yaml.YAMLError as e:
         raise InvalidParameterError(
             "Could not parse input configuration. "
