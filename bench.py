@@ -78,5 +78,33 @@ def main():
     }))
 
 
+def bench_reweighting():
+    """Secondary metric (--all): O(N^2 L) reweighting kernel
+    throughput in row pairs per second (Pallas streaming kernel on
+    TPU, XLA one-hot matmul elsewhere)."""
+    from evcouplings_tpu.ops.weights import num_cluster_members
+
+    rng = np.random.default_rng(0)
+    m = rng.integers(0, Q, size=(N, L)).astype(np.int8)
+
+    num_cluster_members(m[:1024], 0.8)   # warm small shape
+    num_cluster_members(m, 0.8)          # compile full shape
+    t0 = time.perf_counter()
+    num_cluster_members(m, 0.8)
+    elapsed = time.perf_counter() - t0
+
+    pairs_per_s = N * N / elapsed
+    print(json.dumps({
+        "metric": "reweighting_row_pairs_per_s",
+        "value": round(pairs_per_s, 1),
+        "unit": "row pairs/s per chip",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
+    import sys
+
     main()
+    if "--all" in sys.argv:
+        bench_reweighting()

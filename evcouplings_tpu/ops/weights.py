@@ -90,6 +90,17 @@ def _pick_block_size(n, L, num_symbols):
     return max(8, (b // 8) * 8)
 
 
+def _use_pallas_path(n):
+    """Use the Pallas streaming kernel on real TPU hardware for large
+    alignments (avoids the N x L*q one-hot in HBM and is faster there);
+    the XLA path remains the default elsewhere (CPU tests, small N)."""
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return platform in ("tpu", "axon") and n >= 4096
+
+
 def num_cluster_members(matrix_mapped, identity_threshold):
     """Number of cluster members (inverse sequence weight) per sequence.
 
@@ -108,6 +119,16 @@ def num_cluster_members(matrix_mapped, identity_threshold):
     """
     matrix_mapped = np.asarray(matrix_mapped)
     n, L = matrix_mapped.shape
+
+    if _use_pallas_path(n):
+        from evcouplings_tpu.ops.weights_pallas import (
+            num_cluster_members_pallas,
+        )
+
+        return num_cluster_members_pallas(
+            matrix_mapped, identity_threshold
+        )
+
     num_symbols = int(matrix_mapped.max()) + 1
     min_count = _identity_count_threshold(L, identity_threshold)
 

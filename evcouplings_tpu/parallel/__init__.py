@@ -1,0 +1,166 @@
+"""
+Multi-device / multi-host parallelism helpers.
+
+The framework's scaling axis is N (alignment rows): the reweighting
+identity counts, frequency counts, and PLM gradients all reduce over
+rows, so rows are sharded along one mesh axis ("data"), parameters and
+per-site statistics replicated, and per-shard contributions merged
+with psum (see BASELINE.md north star; absent from the reference,
+which is single-node OpenMP — SURVEY.md §2.8).
+
+Entry points:
+- make_mesh(): device mesh with one "data" axis (all local/global
+  devices by default)
+- distributed_initialize(): jax.distributed bring-up for multi-host
+  pod slices
+- shard_rows() / replicate(): device_put with the matching shardings
+- num_cluster_members_sharded(): row-sharded O(N^2 L) reweighting
+- (the PLM fitter takes the mesh directly: ops.plm.fit_plm(mesh=...))
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def distributed_initialize(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Initialize jax.distributed for a multi-host run (no-op for a
+    single process). Arguments default to auto-detection from the
+    TPU environment."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(n_devices=None, axis=DATA_AXIS):
+    """1D device mesh over the first n_devices global devices (all by
+    default), with a single data-parallel axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def data_sharding(mesh, axis=DATA_AXIS):
+    """Rows sharded along the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh):
+    """Fully replicated across the mesh."""
+    return NamedSharding(mesh, P())
+
+
+def shard_rows(array, mesh, axis=DATA_AXIS, pad_multiple=None):
+    """Put an array on the mesh with axis 0 sharded (optionally padding
+    axis 0 to a multiple of mesh size x pad_multiple first).
+
+    Returns (sharded array, original row count).
+    """
+    array = np.asarray(array)
+    n = array.shape[0]
+
+    multiple = mesh.devices.size * (pad_multiple or 1)
+    n_pad = (-n) % multiple
+    if n_pad:
+        pad_width = [(0, n_pad)] + [(0, 0)] * (array.ndim - 1)
+        array = np.pad(array, pad_width)
+
+    return jax.device_put(array, data_sharding(mesh, axis)), n
+
+
+def replicate(tree, mesh):
+    """Replicate a pytree across the mesh."""
+    return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def num_cluster_members_sharded(matrix_mapped, identity_threshold,
+                                mesh=None, block_size=1024):
+    """Row-sharded sequence reweighting: each device computes the
+    neighbor counts of its row shard against the full (replicated)
+    code matrix; no collective needed for the counts themselves.
+
+    Same contract as ops.weights.num_cluster_members.
+    """
+    from jax import shard_map
+
+    from evcouplings_tpu.ops.encode import pad_rows
+    from evcouplings_tpu.ops.weights import _identity_count_threshold
+
+    if mesh is None:
+        mesh = make_mesh()
+
+    matrix_mapped = np.asarray(matrix_mapped)
+    n, L = matrix_mapped.shape
+    num_symbols = int(matrix_mapped.max()) + 1
+    min_count = _identity_count_threshold(L, identity_threshold)
+
+    n_dev = mesh.devices.size
+    block = min(block_size, max(8, ((n + 7) // 8) * 8))
+    codes, _ = pad_rows(
+        matrix_mapped.astype(np.int8), block * n_dev
+    )
+
+    codes_sharded = jax.device_put(
+        jnp.asarray(codes), data_sharding(mesh)
+    )
+    codes_full = jax.device_put(
+        jnp.asarray(codes), replicated_sharding(mesh)
+    )
+
+    def shard_fn(rows_local, all_codes):
+        # count neighbors of the local rows against all valid rows:
+        # reuse the blocked XLA kernel with the roles swapped — the
+        # "columns" axis is the full matrix, rows are the local shard
+        n_local = rows_local.shape[0]
+        oh_all = jax.nn.one_hot(
+            all_codes, num_symbols, dtype=jnp.int8
+        ).reshape(all_codes.shape[0], -1)
+
+        valid = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (1, all_codes.shape[0]), 1
+            ) < n
+        )
+
+        num_blocks = n_local // block
+
+        def body(_, block_idx):
+            start = block_idx * block
+            rows = jax.lax.dynamic_slice_in_dim(
+                rows_local, start, block, 0
+            )
+            oh_rows = jax.nn.one_hot(
+                rows, num_symbols, dtype=jnp.int8
+            ).reshape(block, -1)
+            ids = jax.lax.dot_general(
+                oh_rows, oh_all,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            is_neighbor = (ids >= min_count) & valid
+            return None, jnp.sum(
+                is_neighbor.astype(jnp.int32), axis=1
+            )
+
+        _, counts = jax.lax.scan(
+            body, None, jnp.arange(num_blocks, dtype=jnp.int32)
+        )
+        return counts.reshape(n_local)
+
+    counts = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS),
+    ))(codes_sharded, codes_full)
+
+    return np.asarray(counts)[:n].astype(np.float64)

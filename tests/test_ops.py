@@ -167,3 +167,24 @@ class TestScores:
                     p[p > 0] * np.log(p[p > 0] / mm[p > 0])
                 )
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+class TestPallasReweighting:
+    """Pallas streaming kernel vs the XLA path (interpret mode on CPU;
+    the compiled kernel is exercised on real TPU hardware)."""
+
+    def test_matches_xla_path(self):
+        from evcouplings_tpu.ops.weights_pallas import (
+            num_cluster_members_pallas,
+        )
+
+        rng = np.random.default_rng(17)
+        for (n, L, q, theta) in [
+            (100, 23, 21, 0.8), (300, 150, 21, 0.8), (57, 300, 5, 0.5),
+        ]:
+            m = rng.integers(0, q, size=(n, L))
+            m[5] = m[3]
+            m[n - 1] = m[0]
+            ref = num_cluster_members(m, theta)
+            got = num_cluster_members_pallas(m, theta, interpret=True)
+            assert np.array_equal(ref, got), (n, L, q, theta)
