@@ -37,9 +37,12 @@ def main():
 
     from evcouplings_tpu.ops.plm import PlmConfig, make_plm_loss
 
-    # bf16 matmuls with f32 accumulation: the parity path uses
-    # precision="highest"; the production throughput path uses "default"
-    cfg = PlmConfig(block_size=2048, precision="default", solver="adam")
+    # production throughput mode: bf16 compute with float32 master
+    # parameters (the parity path uses dtype float32 + "highest")
+    cfg = PlmConfig(
+        block_size=2048, precision="default", dtype="bfloat16",
+        solver="adam",
+    )
     loss = make_plm_loss(L, Q, cfg)
 
     rng = np.random.default_rng(0)

@@ -60,6 +60,10 @@ class PlmConfig:
     solver: str = "lbfgs"           # or "adam"
     adam_lr: float = 5e-3
     block_size: int = 2048
+    # compute dtype: "float32" (+ precision "highest") is the parity
+    # mode; "bfloat16" is the production throughput mode (bf16 compute
+    # with float32 master parameters and gradients — measured 246M
+    # seq*site/s vs 199M for float32 on TPU v5e at N=16384, L=160)
     dtype: str = "float32"
     precision: str = "highest"      # matmul precision: highest|high|default
 
@@ -99,7 +103,9 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
             start = block_idx * block_size
             c = jax.lax.dynamic_slice_in_dim(codes, start, block_size, 0)
             w = jax.lax.dynamic_slice_in_dim(weights, start, block_size, 0)
-            oh = jax.nn.one_hot(c, q, dtype=dtype).reshape(block_size, lq)
+            oh = jax.nn.one_hot(c, q, dtype=dtype).reshape(
+                block_size, lq
+            )
 
             # (B, Lq) @ (Lq, Lq): per-site conditional logits for the block
             logits = jax.lax.dot_general(
