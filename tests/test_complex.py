@@ -240,3 +240,207 @@ class TestBestHitProtocol:
 
         stats = pd.read_csv(outcfg["concatentation_statistics_file"])
         assert stats.num_species_overlap.iloc[0] == 5  # incl. Query
+
+
+class TestComplexCouplingsEndToEnd:
+    """Full complex slice: two synthetic monomer alignments with planted
+    inter-protein covariation -> best_hit concatenation -> couplings
+    `complex` protocol -> inter-EC recovery (reference stage chain
+    evcouplings/complex/protocol.py -> couplings/protocol.py:complex)."""
+
+    N = 140
+    L = 10
+    # (col in monomer 1, col in monomer 2, concordance), 0-based
+    INTER_PLANTED = [
+        (3, 6, 0.90),
+        (7, 2, 0.78),
+        (0, 9, 0.68),
+    ]
+    # (col_i, col_j, concordance) within each monomer; columns are
+    # disjoint from the inter-planted columns of the same monomer
+    INTRA_PLANTED_1 = (1, 8, 0.85)
+    INTRA_PLANTED_2 = (1, 5, 0.80)
+
+    def _make_monomers(self, tmp_path):
+        rng = np.random.default_rng(11)
+        aa20 = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+
+        def random_matrix(seed):
+            r = np.random.default_rng(seed)
+            mat = np.empty((self.N + 1, self.L), dtype="U1")
+            for col in range(self.L):
+                probs = r.dirichlet(np.ones(20) * 0.4)
+                mat[:, col] = r.choice(aa20, size=self.N + 1, p=probs)
+            return mat
+
+        mat1, mat2 = random_matrix(100), random_matrix(200)
+
+        def plant(mat_i, ci, mat_j, cj, conc, syms):
+            state = rng.integers(0, 2, size=self.N + 1)
+            follow = rng.random(self.N + 1) < conc
+            partner = np.where(follow, state, 1 - state)
+            (si0, si1), (sj0, sj1) = syms
+            mat_i[:, ci] = np.where(state == 0, si0, si1)
+            mat_j[:, cj] = np.where(partner == 0, sj0, sj1)
+
+        inter_syms = [
+            (("A", "W"), ("C", "Y")),
+            (("D", "R"), ("E", "K")),
+            (("F", "L"), ("H", "T")),
+        ]
+        for (ci, cj, conc), syms in zip(self.INTER_PLANTED, inter_syms):
+            plant(mat1, ci, mat2, cj, conc, syms)
+        plant(mat1, self.INTRA_PLANTED_1[0], mat1, self.INTRA_PLANTED_1[1],
+              self.INTRA_PLANTED_1[2], (("G", "S"), ("N", "Q")))
+        plant(mat2, self.INTRA_PLANTED_2[0], mat2, self.INTRA_PLANTED_2[1],
+              self.INTRA_PLANTED_2[2], (("I", "V"), ("M", "P")))
+
+        ids_1 = ["a{}/1-{}".format(k, self.L) for k in range(self.N)]
+        ids_2 = ["b{}/1-{}".format(k, self.L) for k in range(self.N)]
+        a1, a2 = str(tmp_path / "m1.fasta"), str(tmp_path / "m2.fasta")
+        for path, target, ids, mat in [
+            (a1, "T1/1-{}".format(self.L), ids_1, mat1),
+            (a2, "T2/1-{}".format(self.L), ids_2, mat2),
+        ]:
+            with open(path, "w") as f:
+                for name, row in zip([target] + ids, mat):
+                    f.write(">{}\n{}\n".format(name, "".join(row)))
+
+        # one species per paired row -> best_hit pairs row k with row k
+        species = ["Sp{}".format(k) for k in range(self.N)]
+        for tag, target, ids in [("1", "T1", ids_1), ("2", "T2", ids_2)]:
+            pd.DataFrame({
+                "id": [target + "/1-{}".format(self.L)] + ids,
+                "name": [target] + ids,
+                "OS": ["Query"] + species,
+            }).to_csv(tmp_path / ("anno" + tag + ".csv"), index=False)
+            pd.DataFrame({
+                "id": [target + "/1-{}".format(self.L)] + ids,
+                "identity_to_query": np.linspace(1.0, 0.3, self.N + 1),
+            }).to_csv(tmp_path / ("id" + tag + ".csv"), index=False)
+        return a1, a2
+
+    @pytest.fixture(scope="class")
+    def complex_run(self, tmp_path_factory):
+        from evcouplings_tpu.couplings import (
+            protocol as couplings_protocol,
+        )
+
+        tmp_path = tmp_path_factory.mktemp("complex_e2e")
+        a1, a2 = self._make_monomers(tmp_path)
+        prefix = str(tmp_path / "run" / "cplx")
+
+        seg = ["aa", "aa", "T", 1, self.L, list(range(1, self.L + 1))]
+        concat_outcfg = complex_protocol.run(
+            protocol="best_hit",
+            prefix=prefix,
+            first_alignment_file=a1,
+            second_alignment_file=a2,
+            first_focus_sequence="T1/1-{}".format(self.L),
+            second_focus_sequence="T2/1-{}".format(self.L),
+            first_focus_mode=True,
+            second_focus_mode=True,
+            first_region_start=1,
+            second_region_start=1,
+            first_segments=[seg],
+            second_segments=[seg],
+            first_identities_file=str(tmp_path / "id1.csv"),
+            second_identities_file=str(tmp_path / "id2.csv"),
+            first_annotation_file=str(tmp_path / "anno1.csv"),
+            second_annotation_file=str(tmp_path / "anno2.csv"),
+            use_best_reciprocal=False,
+            paralog_identity_threshold=0.95,
+            **MODIFY_KWARGS,
+        )
+
+        couplings_outcfg = couplings_protocol.run(
+            protocol="complex",
+            prefix=prefix,
+            alignment_file=concat_outcfg["alignment_file"],
+            focus_sequence=concat_outcfg["focus_sequence"],
+            segments=concat_outcfg["segments"],
+            focus_mode=True,
+            theta=0.8,
+            alphabet=None,
+            ignore_gaps=False,
+            iterations=50,
+            lambda_h=0.01,
+            lambda_J=0.01,
+            lambda_group=None,
+            lambda_J_times_Lq=True,
+            scale_clusters=None,
+            cpu=None,
+            reuse_ecs=False,
+            min_sequence_distance=3,
+            scoring_model="skewnormal",
+            use_all_ecs_for_scoring=False,
+        )
+        return concat_outcfg, couplings_outcfg
+
+    def test_concatenation_pairs_all_rows(self, complex_run):
+        concat_outcfg, _ = complex_run
+        with open(concat_outcfg["alignment_file"]) as f:
+            ali = Alignment.from_file(f)
+        # target row + N species pairs + the Query-species pair
+        # (the targets themselves pair under their shared "Query" OS)
+        assert ali.N == self.N + 2
+        assert ali.L == 2 * self.L
+
+    def test_inter_ec_file_recovers_planted_pairs(self, complex_run):
+        _, outcfg = complex_run
+        assert os.path.isfile(outcfg["inter_ec_file"])
+        inter = pd.read_csv(outcfg["inter_ec_file"])
+
+        # all inter rows cross segments, full L x L grid
+        assert set(inter.segment_i) == {"A_1"}
+        assert set(inter.segment_j) == {"B_1"}
+        assert len(inter) == self.L * self.L
+
+        # the two strong planted inter couplings are the top inter
+        # ECs in order; the weak one lands in the top decile
+        # (positions are 1-based)
+        expected = [
+            (ci + 1, cj + 1) for ci, cj, _ in self.INTER_PLANTED
+        ]
+        ranked = list(zip(inter.i, inter.j))
+        assert ranked[:2] == expected[:2]
+        assert expected[2] in ranked[: self.L]
+
+    def test_ec_file_segments_and_probability(self, complex_run):
+        _, outcfg = complex_run
+        ecs = pd.read_csv(outcfg["ec_file"])
+        for col in ("segment_i", "segment_j", "probability", "cn"):
+            assert col in ecs.columns
+        assert set(ecs.segment_i) <= {"A_1", "B_1"}
+
+        # ec_file keeps ALL pairs; the min_sequence_distance filter
+        # produces the separate longrange file, which keeps inter pairs
+        # regardless of |i - j|
+        longrange = pd.read_csv(outcfg["ec_longrange_file"])
+        intra_lr = longrange.query("segment_i == segment_j")
+        assert (abs(intra_lr.i - intra_lr.j) >= 3).all()
+        assert (longrange.query("segment_i != segment_j").shape[0]
+                == self.L * self.L)
+
+        # planted intra pairs are the top intra ECs of their segments
+        intra = ecs.query("segment_i == segment_j")
+        top_a = intra.query("segment_i == 'A_1'").iloc[0]
+        assert (top_a.i, top_a.j) == (
+            self.INTRA_PLANTED_1[0] + 1, self.INTRA_PLANTED_1[1] + 1
+        )
+        top_b = intra.query("segment_i == 'B_1'").iloc[0]
+        assert (top_b.i, top_b.j) == (
+            self.INTRA_PLANTED_2[0] + 1, self.INTRA_PLANTED_2[1] + 1
+        )
+
+    def test_model_file_segments(self, complex_run):
+        from evcouplings_tpu.couplings.model import CouplingsModel
+
+        _, outcfg = complex_run
+        model = CouplingsModel(outcfg["model_file"])
+        assert model.L == 2 * self.L
+        # strongest inter coupling visible in the raw CN matrix
+        ci, cj, _ = self.INTER_PLANTED[0]
+        cn = model.cn()
+        inter_block = cn[: self.L, self.L:]
+        assert inter_block[ci, cj] == inter_block.max()
