@@ -169,3 +169,87 @@ class TestSQLTracker:
         assert results == {"a": 1, "b": 2}
         assert row["status"] == EStatus.RUN
         assert row["time_started"] is not None
+
+
+class TestComplexPipeline:
+    """protein_complex pipeline through execute_wrapped: align_1/align_2
+    (existing) -> concatenate (best_hit) -> couplings (complex), with
+    first_/second_ output-key prefixing wired between stages."""
+
+    def test_complex_align_concatenate_couplings(self, tmp_path):
+        from test_complex import TestComplexCouplingsEndToEnd
+
+        gen = TestComplexCouplingsEndToEnd()
+        a1, a2 = gen._make_monomers(tmp_path)
+
+        align_section = {
+            "protocol": "existing",
+            "first_index": None,
+            "extract_annotation": False,
+            "seqid_filter": None,
+            "hhfilter": None,
+            "minimum_sequence_coverage": 0,
+            "minimum_column_coverage": 0,
+            "compute_num_effective_seqs": False,
+        }
+        config = {
+            "pipeline": "protein_complex",
+            "stages": ["align_1", "align_2", "concatenate", "couplings"],
+            "global": {
+                "prefix": str(tmp_path / "out" / "job"),
+                "theta": 0.8,
+            },
+            "tools": {},
+            "databases": {},
+            "align_1": {
+                **align_section,
+                "input_alignment": a1,
+                "sequence_id": "T1",
+            },
+            "align_2": {
+                **align_section,
+                "input_alignment": a2,
+                "sequence_id": "T2",
+            },
+            "concatenate": {
+                "protocol": "best_hit",
+                "use_best_reciprocal": False,
+                "paralog_identity_threshold": 0.95,
+                # annotations provided directly (the `existing` monomer
+                # protocol has no header annotations to extract here)
+                "first_annotation_file": str(tmp_path / "anno1.csv"),
+                "second_annotation_file": str(tmp_path / "anno2.csv"),
+                **{k: v for k, v in align_section.items()
+                   if k not in ("protocol", "first_index",
+                                "extract_annotation")},
+            },
+            "couplings": {
+                "protocol": "complex",
+                "focus_mode": True,
+                "use_all_ecs_for_scoring": False,
+                "frequencies_file": None,
+                **{k: v for k, v in COUPLINGS_KWARGS.items()
+                   if k not in ("theta", "focus_mode")},
+            },
+            "compare": {"protocol": "complex"},
+            "mutate": {"protocol": "complex"},
+            "fold": {"protocol": "complex_dock"},
+            "management": {},
+        }
+        global_state = pipeline.execute_wrapped(**config)
+
+        prefix = config["global"]["prefix"]
+        assert os.path.isfile(prefix + ".done")
+
+        # stage outputs chained through the prefixed keys
+        assert "first_alignment_file" in global_state
+        assert "second_alignment_file" in global_state
+        assert os.path.isfile(global_state["inter_ec_file"])
+
+        # the strongest planted inter coupling survives the full chain
+        inter = pd.read_csv(global_state["inter_ec_file"])
+        ci, cj, _ = gen.INTER_PLANTED[0]
+        assert (inter.i.iloc[0], inter.j.iloc[0]) == (ci + 1, cj + 1)
+        assert {"A_1", "B_1"} == (
+            set(inter.segment_i) | set(inter.segment_j)
+        )
