@@ -359,6 +359,45 @@ class Alignment:
 
         return cls.from_dict(seqs, **kwargs)
 
+    @classmethod
+    def from_path(cls, path, format=None, split_header=False, **kwargs):
+        """Create an alignment from a file path.
+
+        For plain FASTA/aligned A2M files this uses the native
+        single-pass C loader (evcouplings_tpu.native) when it is
+        built, falling back to the Python parsers for everything else
+        (stockholm annotation, a3m inserts, ragged input, ext not
+        built). Behavior is identical to from_file on an open handle.
+        """
+        if format is None:
+            with open(path) as f:
+                format = detect_format(f, filepath=path)
+            if format is None:
+                raise ValueError(
+                    "Format of alignment {} could not be "
+                    "automatically detected.".format(path)
+                )
+
+        if format == "fasta":
+            from evcouplings_tpu.native import (
+                HAVE_NATIVE, parse_fasta_native,
+            )
+
+            if HAVE_NATIVE:
+                try:
+                    ids, matrix = parse_fasta_native(path)
+                except ValueError:
+                    ids = None  # ragged (a3m-style): Python fallback
+                if ids is not None:
+                    if split_header:
+                        ids = [i.split()[0] for i in ids]
+                    return cls(matrix, ids, **kwargs)
+
+        with open(path) as f:
+            return cls.from_file(
+                f, format=format, split_header=split_header, **kwargs
+            )
+
     def __getitem__(self, index):
         if index in self.id_to_index:
             return self.matrix[self.id_to_index[index], :]

@@ -460,8 +460,7 @@ def existing(**kwargs):
                 "automatically detected.".format(input_alignment)
             )
 
-    with open(input_alignment) as f:
-        ali_raw = Alignment.from_file(f, format)
+    ali_raw = Alignment.from_path(input_alignment, format)
 
     annotation_file = None
     if kwargs["extract_annotation"]:

@@ -31,9 +31,8 @@ def write_concatenated_alignment(id_pairing, alignment_1, alignment_2,
     alignments contain only the rows that made it into the
     concatenation (in the same order).
     """
-    with open(alignment_1) as f1, open(alignment_2) as f2:
-        ali_1 = Alignment.from_file(f1)
-        ali_2 = Alignment.from_file(f2)
+    ali_1 = Alignment.from_path(alignment_1, "fasta")
+    ali_2 = Alignment.from_path(alignment_2, "fasta")
 
     all_cols_1 = np.arange(ali_1.matrix.shape[1])
     all_cols_2 = np.arange(ali_2.matrix.shape[1])

@@ -73,8 +73,7 @@ def prepare_alignment(alignment_file, focus_seq=None,
     Returns a dict with codes (N_valid, L), valid_index, target info,
     and bookkeeping counts.
     """
-    with open(alignment_file) as f:
-        ali = Alignment.from_file(f, "fasta", alphabet=alphabet)
+    ali = Alignment.from_path(alignment_file, "fasta", alphabet=alphabet)
 
     N_total = ali.N
 

@@ -1,0 +1,17 @@
+"""Build script for the native extensions (metadata lives in
+pyproject.toml). Build in place with:
+
+    python setup.py build_ext --inplace
+"""
+
+from setuptools import Extension, setup
+
+setup(
+    ext_modules=[
+        Extension(
+            "evcouplings_tpu.native._fasta",
+            sources=["native/fasta_io.c"],
+            extra_compile_args=["-O3"],
+        ),
+    ],
+)

@@ -1,0 +1,136 @@
+"""
+Native FASTA loader tests: the C extension must agree byte-for-byte
+with the Python reader on every format quirk, fall back cleanly on
+ragged input, and beat the Python reader on large files.
+"""
+
+import numpy as np
+import pytest
+
+from evcouplings_tpu.align.alignment import Alignment, read_fasta
+from evcouplings_tpu.native import HAVE_NATIVE, parse_fasta_native
+
+pytestmark = pytest.mark.skipif(
+    not HAVE_NATIVE,
+    reason="native _fasta extension not built "
+    "(python setup.py build_ext --inplace)",
+)
+
+
+def python_parse(path):
+    with open(path) as f:
+        items = list(read_fasta(f))
+    ids = [i for i, _ in items]
+    matrix = np.array([list(s) for _, s in items], dtype="U1")
+    return ids, matrix
+
+
+def check_equal(path):
+    ids_n, mat_n = parse_fasta_native(str(path))
+    ids_p, mat_p = python_parse(str(path))
+    assert ids_n == ids_p
+    assert mat_n.shape == mat_p.shape
+    assert (mat_n == mat_p).all()
+
+
+class TestNativeParser:
+    def test_basic(self, tmp_path):
+        p = tmp_path / "a.fasta"
+        p.write_text(">s1/1-4 desc here\nACDE\n>s2\nWY-k\n")
+        check_equal(p)
+
+    def test_wrapped_lines_and_crlf(self, tmp_path):
+        p = tmp_path / "a.fasta"
+        p.write_text(">s1\r\nACDE\r\nFGHI\r\n>s2 x\t\r\nKLMN\r\nPQRS\r\n")
+        ids, mat = parse_fasta_native(str(p))
+        assert ids == ["s1", "s2 x"]
+        assert "".join(mat[0]) == "ACDEFGHI"
+        assert "".join(mat[1]) == "KLMNPQRS"
+
+    def test_comment_lines_empty_lines_no_trailing_newline(self, tmp_path):
+        p = tmp_path / "a.fasta"
+        p.write_text("; file comment\n>s1\nAC\n\nDE\n;mid\n>s2\nFGH\nI")
+        ids, mat = parse_fasta_native(str(p))
+        assert ids == ["s1", "s2"]
+        assert "".join(mat[0]) == "ACDE"
+        assert "".join(mat[1]) == "FGHI"
+
+    def test_lowercase_a2m_kept(self, tmp_path):
+        p = tmp_path / "a.a2m"
+        p.write_text(">s1\nAc-.E\n>s2\ngY-wk\n")
+        check_equal(p)
+
+    def test_ragged_raises(self, tmp_path):
+        p = tmp_path / "a.fasta"
+        p.write_text(">s1\nACDE\n>s2\nWY\n")
+        with pytest.raises(ValueError, match="Unequal"):
+            parse_fasta_native(str(p))
+
+    def test_no_records_raises(self, tmp_path):
+        p = tmp_path / "a.fasta"
+        p.write_text("just text\nno headers\n")
+        with pytest.raises(ValueError, match="No FASTA"):
+            parse_fasta_native(str(p))
+
+    def test_missing_file_oserror(self, tmp_path):
+        with pytest.raises(OSError):
+            parse_fasta_native(str(tmp_path / "nope.fasta"))
+
+    def test_empty_sequences(self, tmp_path):
+        # zero-length rows are legal (L = 0)
+        p = tmp_path / "a.fasta"
+        p.write_text(">s1\n>s2\n")
+        ids, _, n, L = __import__(
+            "evcouplings_tpu.native._fasta", fromlist=["_fasta"]
+        ).parse_fasta(str(p))
+        assert (ids, n, L) == (["s1", "s2"], 2, 0)
+
+    def test_random_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        aa = np.array(list("ACDEFGHIKLMNPQRSTVWY-acdefg."))
+        N, L = 97, 53
+        mat = rng.choice(aa, size=(N, L))
+        p = tmp_path / "r.fasta"
+        with open(p, "w") as f:
+            for k in range(N):
+                f.write(">seq{} OS=Sp{}\n".format(k, k))
+                row = "".join(mat[k])
+                # wrap at 17 to exercise multi-line assembly
+                for j in range(0, L, 17):
+                    f.write(row[j:j + 17] + "\n")
+        check_equal(p)
+
+
+class TestFromPath:
+    def test_from_path_matches_from_file(self, tmp_path):
+        p = tmp_path / "a.fasta"
+        p.write_text(">s1/1-4 OS=X\nACDE\n>s2/1-4\nWYKL\n")
+        ali_path = Alignment.from_path(str(p))
+        with open(p) as f:
+            ali_file = Alignment.from_file(f, "fasta")
+        assert list(ali_path.ids) == list(ali_file.ids)
+        assert (ali_path.matrix == ali_file.matrix).all()
+
+    def test_from_path_split_header(self, tmp_path):
+        p = tmp_path / "a.fasta"
+        p.write_text(">s1/1-4 OS=X\nACDE\n>s2/1-4 OS=Y\nWYKL\n")
+        ali = Alignment.from_path(str(p), split_header=True)
+        assert list(ali.ids) == ["s1/1-4", "s2/1-4"]
+
+    def test_from_path_autodetect_and_ragged_fallback(self, tmp_path):
+        # a3m-style ragged file: native raises, Python a3m path absorbs
+        p = tmp_path / "a.a3m"
+        p.write_text(">s1\nACDE\n>s2\nWYkKL\n")
+        ali = Alignment.from_path(str(p), "a3m")
+        assert ali.N == 2
+
+    def test_from_path_stockholm(self, tmp_path):
+        p = tmp_path / "a.sto"
+        p.write_text(
+            "# STOCKHOLM 1.0\n"
+            "s1  ACDE\n"
+            "s2  WYKL\n"
+            "//\n"
+        )
+        ali = Alignment.from_path(str(p), "stockholm")
+        assert ali.N == 2 and ali.L == 4
