@@ -40,7 +40,9 @@ from evcouplings_tpu.ops import scores as _scores
 from evcouplings_tpu.ops.frequencies import frequencies, pair_frequencies
 from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
 from evcouplings_tpu.ops.weights import num_cluster_members
-from evcouplings_tpu.utils.system import ResourceError, verify_resources
+from evcouplings_tpu.utils.system import (
+    ResourceError, create_prefix_folders, verify_resources
+)
 
 # result contract mirrors the reference PlmcResult (tools.py:111-123)
 # so protocol-level restart logic is interchangeable
@@ -168,6 +170,12 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     Returns PlmResult (same fields as the reference PlmcResult).
     """
     verify_resources("Alignment file does not exist", alignment)
+
+    # output locations may be in not-yet-existing run directories
+    # (reference behavior: couplings/tools.py:196-211)
+    create_prefix_folders(couplings_file)
+    if param_file is not None:
+        create_prefix_folders(param_file)
 
     if alphabet is None:
         alphabet = ALPHABET_PROTEIN

@@ -393,6 +393,36 @@ class LinearLogisticModel:
         return 1.0 / (1.0 + np.exp(-self.decision_function(X)))
 
 
+def logreg_classifier_to_dict(classifier, feature_names=None):
+    """Serialize a logistic-regression classifier into the reference's
+    YAML-able dict schema (parity: reference pairs.py:736-766).
+
+    Accepts a LinearLogisticModel, or any object with the
+    sklearn-style attributes classes_/intercept_/coef_/n_iter_ and
+    get_params() (e.g. an actual sklearn LogisticRegression).
+    """
+    if isinstance(classifier, LinearLogisticModel):
+        return classifier.to_dict(feature_names=feature_names)
+
+    params = {
+        "classifier_settings": classifier.get_params(),
+        "model_settings": {
+            attrib: np.asarray(getattr(classifier, attrib)).tolist()
+            for attrib in ["classes_", "intercept_", "coef_", "n_iter_"]
+        },
+    }
+    if feature_names is not None:
+        params["feature_names"] = list(feature_names)
+    return params
+
+
+def logreg_classifier_from_dict(params):
+    """Deserialize the reference's classifier dict schema into a
+    (LinearLogisticModel, feature_names) pair (parity: reference
+    pairs.py:769-798 — sklearn-free equivalent)."""
+    return LinearLogisticModel.from_dict(params)
+
+
 class LogisticRegressionScorer:
     """Rescore EC tables with a logistic-regression model fit to a large
     set of reference runs.

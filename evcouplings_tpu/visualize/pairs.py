@@ -183,11 +183,15 @@ STYLE_SECSTRUCT = {
 STYLE_EC_COVERAGE = {
     "color": "#d9d7d7",
     "height": 0.8,
+    "width": 0.8,
+    "margin": 0.5,
 }
 
 STYLE_STRUCTURE_COVERAGE = {
     "color": "#83a7c8",
     "height": 0.8,
+    "missing_coverage_color": "#dddddd",
+    "available_coverage_color": "#ffffff",
 }
 
 
@@ -274,6 +278,309 @@ def secondary_structure_cartoon(sse, ax=None, sequence_start=0,
                 [pts[0][0], pts[1][0]], [pts[0][1], pts[1][1]],
                 color=coil_color, linewidth=line_width / 2,
             )
+
+
+def find_boundaries(boundaries, ecs, monomer, multimer, symmetric):
+    """Resolve axis boundaries for a contact map.
+
+    boundaries: "union" | "intersection" | "ecs" | "structure", a
+    (min, max) tuple applied to both axes, or [(min_x, max_x),
+    (min_y, max_y)]. Returns ((min_x, max_x), (min_y, max_y)).
+
+    Parity: reference visualize/pairs.py:70-192.
+    """
+    # manual ranges take precedence over data-derived ones
+    if isinstance(boundaries, tuple):
+        if len(boundaries) != 2:
+            raise ValueError(
+                "boundaries must be a tuple with 2 elements (min, max)."
+            )
+        return boundaries, boundaries
+
+    if isinstance(boundaries, list):
+        if (len(boundaries) != 2 or len(boundaries[0]) != 2
+                or len(boundaries[1]) != 2):
+            raise ValueError(
+                "boundaries must be a list of 2 tuples with 2 elements "
+                "[(min_x, max_x), (min_y, max_y)]."
+            )
+        return tuple(boundaries[0]), tuple(boundaries[1])
+
+    if boundaries not in ("union", "intersection", "ecs", "structure"):
+        raise ValueError(
+            "Not a valid value for boundaries: {}".format(boundaries)
+        )
+
+    def _axis_extent(axis):
+        ec_pos = set()
+        if ecs is not None and len(ecs) > 0:
+            if symmetric:
+                ec_pos = set(ecs.i.astype(int)) | set(ecs.j.astype(int))
+            else:
+                ec_pos = set(getattr(ecs, axis).astype(int))
+
+        structure_pos = set()
+        for dm in (monomer, multimer):
+            if dm is not None:
+                structure_pos |= set(
+                    getattr(dm, "residues_" + axis).id.astype(int)
+                )
+
+        # whichever set is empty falls back to the other, making
+        # union/intersection trivially the defined set
+        min_ec, max_ec = (
+            (min(ec_pos), max(ec_pos)) if ec_pos
+            else (min(structure_pos), max(structure_pos))
+        )
+        min_st, max_st = (
+            (min(structure_pos), max(structure_pos)) if structure_pos
+            else (min(ec_pos), max(ec_pos))
+        )
+
+        return {
+            "union": (min(min_ec, min_st), max(max_ec, max_st)),
+            "intersection": (max(min_ec, min_st), min(max_ec, max_st)),
+            "ecs": (min_ec, max_ec),
+            "structure": (min_st, max_st),
+        }[boundaries]
+
+    return _axis_extent("i"), _axis_extent("j")
+
+
+def set_range(pairs=None, symmetric=True, x=None, y=None,
+              ax=None, margin=0, invert_y=True):
+    """Set contact-map axis ranges from a pair table and/or explicit
+    (min, max) tuples, preserving axis inversion.
+
+    Parity: reference visualize/pairs.py:651-757.
+    """
+    if ax is None:
+        ax = plt.gca()
+
+    x_range, y_range = None, None
+
+    if pairs is not None:
+        i = pairs.i.astype(int)
+        j = pairs.j.astype(int)
+        if symmetric:
+            x_range = (
+                min(i.min(), j.min()) - margin,
+                max(i.max(), j.max()) + margin,
+            )
+            y_range = x_range
+        else:
+            x_range = (i.min() - margin, i.max() + margin)
+            y_range = (j.min() - margin, j.max() + margin)
+
+    if x is not None:
+        x_range = (x[0] - margin, x[1] + margin)
+    if y is not None:
+        y_range = (y[0] - margin, y[1] + margin)
+
+    if x_range is None or y_range is None:
+        raise ValueError(
+            "Axis remained unspecified (set pairs or x/y): "
+            "x: {} y: {}".format(x_range, y_range)
+        )
+
+    inverted_x = ax.xaxis_inverted()
+    inverted_y = ax.yaxis_inverted()
+
+    ax.set_xlim(x_range)
+    ax.set_ylim(y_range)
+
+    if inverted_x:
+        ax.invert_xaxis()
+    if inverted_y or invert_y:
+        ax.invert_yaxis()
+
+    ax.yaxis.set_ticks_position("left")
+    ax.xaxis.set_ticks_position(
+        "top" if ax.yaxis_inverted() else "bottom"
+    )
+
+    return x_range, y_range
+
+
+def scale(style, ax=None):
+    """Scale dot size / secondary-structure width in a style dict by
+    the linear extent of the plot, so elements keep a constant visual
+    size across map lengths. Parity: reference pairs.py:759-785."""
+    if ax is None:
+        ax = plt.gca()
+
+    x_range = ax.get_xlim()
+    y_range = ax.get_ylim()
+    L = max(
+        abs(x_range[1] - x_range[0]),
+        abs(y_range[1] - y_range[0]),
+    )
+
+    style = deepcopy(style)
+    if "s" in style:
+        style["s"] = style["s"] ** 2 / L
+    if "width" in style:
+        style["width"] = style["width"] * L / 100
+    return style
+
+
+def plot_ec_coverage(all_ecs, symmetric, style=STYLE_EC_COVERAGE,
+                     ax=None):
+    """Draw bars alongside the contact map marking the consecutive
+    position ranges covered by the EC table.
+
+    Parity: reference visualize/pairs.py:787-863.
+    """
+    from matplotlib import patches
+
+    from evcouplings_tpu.utils.helpers import find_segments
+
+    if ax is None:
+        ax = plt.gca()
+    if style is None:
+        style = {}
+
+    if symmetric:
+        all_pos = sorted(set(all_ecs.i.values) | set(all_ecs.j.values))
+        pos_i, pos_j = all_pos, all_pos
+    else:
+        pos_i = sorted(set(all_ecs.i.values))
+        pos_j = sorted(set(all_ecs.j.values))
+
+    margin = style.get("margin", 0)
+    width = style.get("width", 1)
+    x_offset = max(ax.get_xlim()) + margin
+    y_offset = max(ax.get_ylim()) + margin
+
+    def _draw(segments, offset, is_x):
+        for start, end in segments:
+            length = end - start + 1
+            if is_x:
+                anchor, size_x, size_y = (start, offset), length, width
+            else:
+                anchor, size_x, size_y = (offset, start), width, length
+            ax.add_patch(patches.Rectangle(
+                anchor, size_x, size_y, linewidth=0, edgecolor="none",
+                facecolor=style.get("color"), zorder=-10, clip_on=False,
+            ))
+
+    _draw(find_segments(pos_i), y_offset, True)
+    _draw(find_segments(pos_j), x_offset, False)
+
+
+def plot_structure_coverage(structure_coverage,
+                            style=STYLE_STRUCTURE_COVERAGE, ax=None):
+    """Shade the contact-map background by structural coverage: the
+    axes background takes the missing-coverage color, and a rectangle
+    in the available-coverage color is drawn for every covered segment
+    pair of every structure.
+
+    structure_coverage: list of (coverage_i, coverage_j, coverage_id)
+    as returned by DistanceMap.structure_coverage().
+
+    Parity: reference visualize/pairs.py:866-912.
+    """
+    from matplotlib import patches
+
+    if ax is None:
+        ax = plt.gca()
+    if style is None:
+        style = {}
+
+    if "missing_coverage_color" in style:
+        ax.set_facecolor(style["missing_coverage_color"])
+
+    available = style.get("available_coverage_color")
+
+    for coverage_i, coverage_j, _ in structure_coverage:
+        for start_i, end_i in coverage_i:
+            for start_j, end_j in coverage_j:
+                ax.add_patch(patches.Rectangle(
+                    (start_i, start_j),
+                    end_i - start_i + 1, end_j - start_j + 1,
+                    linewidth=0, edgecolor="none",
+                    facecolor=available, zorder=-10,
+                ))
+
+
+def plot_secondary_structure(secstruct_i, secstruct_j=None, ax=None,
+                             style=None, margin=None):
+    """Draw secondary-structure cartoons along both contact-map axes.
+
+    secstruct_i/j: dict position -> "H"/"E"/"C"/"-", or a DataFrame
+    with "id" and "sec_struct_3state" columns (Chain.residues /
+    DistanceMap.residues_i/j). Call only after the axis orientation of
+    the plot has been fixed.
+
+    Parity: reference visualize/pairs.py:915-1044.
+    """
+    if ax is None:
+        ax = plt.gca()
+    if style is None:
+        style = {}
+    if secstruct_j is None:
+        secstruct_j = secstruct_i
+
+    def _extract(secstruct, axis_range):
+        if isinstance(secstruct, pd.DataFrame):
+            if "sec_struct_3state" not in secstruct.columns:
+                return None, None, None
+            secstruct = secstruct.dropna(subset=["sec_struct_3state"])
+            secstruct = dict(zip(
+                secstruct.id.astype(int), secstruct.sec_struct_3state
+            ))
+
+        # keep only positions inside the plot range (drawing outside
+        # the axes creates artifacts)
+        lo, hi = min(axis_range), max(axis_range)
+        secstruct = {
+            pos: state for pos, state in secstruct.items()
+            if lo <= pos < hi
+        }
+        if not secstruct:
+            return None, None, None
+
+        first, last = min(secstruct), max(secstruct) + 1
+        sse_str = "".join(
+            secstruct.get(pos, "-") for pos in range(first, last)
+        )
+        return find_secondary_structure_segments(sse_str, offset=first)
+
+    if margin is None:
+        margin = 3 * style.get("width", 1)
+    else:
+        margin += style.get("width", 1)
+
+    x_range = ax.get_xlim()
+    y_range = ax.get_ylim()
+
+    start_i, end_i, segments_i = _extract(secstruct_i, x_range)
+    if segments_i is not None:
+        secondary_structure_cartoon(
+            segments_i,
+            **{
+                **style,
+                "center": max(y_range) + margin,
+                "ax": ax,
+                "sequence_start": start_i,
+                "sequence_end": end_i,
+                "horizontal": True,
+            },
+        )
+
+    start_j, end_j, segments_j = _extract(secstruct_j, y_range)
+    if segments_j is not None:
+        secondary_structure_cartoon(
+            segments_j,
+            **{
+                **style,
+                "center": max(x_range) + margin,
+                "ax": ax,
+                "sequence_start": start_j,
+                "sequence_end": end_j,
+                "horizontal": False,
+            },
+        )
 
 
 def plot_pairs(pairs_table, symmetric=False, ax=None, style=None):

@@ -1,0 +1,285 @@
+"""
+Visualization layer tests: contact-map helpers (boundaries, ranges,
+style scaling, coverage bars, secondary-structure cartoons), the
+contact-map entry points, and pymol script writers. All rendering runs
+on the matplotlib Agg backend.
+"""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import pytest
+
+from evcouplings_tpu.compare.distances import DistanceMap
+from evcouplings_tpu.visualize.pairs import (
+    STYLE_EC,
+    STYLE_SECSTRUCT,
+    complex_contact_map,
+    ec_lines_pymol_script,
+    enrichment_pymol_script,
+    find_boundaries,
+    find_secondary_structure_segments,
+    plot_contact_map,
+    plot_ec_coverage,
+    plot_secondary_structure,
+    plot_structure_coverage,
+    scale,
+    set_range,
+)
+
+
+def make_ecs(pairs):
+    return pd.DataFrame(
+        [(i, j, 1.0) for i, j in pairs], columns=["i", "j", "cn"]
+    )
+
+
+def make_distance_map(ids, cutoff_pattern=None):
+    n = len(ids)
+    residues = pd.DataFrame({
+        "id": [str(x) for x in ids],
+        "coord_id": [str(x) for x in ids],
+    })
+    mat = np.full((n, n), 10.0)
+    np.fill_diagonal(mat, 0.0)
+    if cutoff_pattern:
+        for a, b in cutoff_pattern:
+            mat[a, b] = mat[b, a] = 3.0
+    return DistanceMap(residues, residues, mat, symmetric=True)
+
+
+@pytest.fixture
+def ax():
+    fig, ax = plt.subplots()
+    yield ax
+    plt.close(fig)
+
+
+class TestFindBoundaries:
+    def setup_method(self):
+        self.ecs = make_ecs([(5, 20), (7, 30)])
+        self.dm = make_distance_map(range(10, 41))
+
+    def test_union(self):
+        (min_x, max_x), (min_y, max_y) = find_boundaries(
+            "union", self.ecs, self.dm, None, symmetric=True
+        )
+        assert (min_x, max_x) == (5, 40)
+        assert (min_y, max_y) == (5, 40)
+
+    def test_intersection(self):
+        (min_x, max_x), _ = find_boundaries(
+            "intersection", self.ecs, self.dm, None, symmetric=True
+        )
+        assert (min_x, max_x) == (10, 30)
+
+    def test_ecs_only(self):
+        (min_x, max_x), _ = find_boundaries(
+            "ecs", self.ecs, self.dm, None, symmetric=True
+        )
+        assert (min_x, max_x) == (5, 30)
+
+    def test_structure_only(self):
+        (min_x, max_x), _ = find_boundaries(
+            "structure", self.ecs, self.dm, None, symmetric=True
+        )
+        assert (min_x, max_x) == (10, 40)
+
+    def test_asymmetric_axes_differ(self):
+        ecs = make_ecs([(5, 100), (8, 120)])
+        (min_x, max_x), (min_y, max_y) = find_boundaries(
+            "ecs", ecs, None, None, symmetric=False
+        )
+        assert (min_x, max_x) == (5, 8)
+        assert (min_y, max_y) == (100, 120)
+
+    def test_missing_structure_falls_back_to_ecs(self):
+        (min_x, max_x), _ = find_boundaries(
+            "intersection", self.ecs, None, None, symmetric=True
+        )
+        assert (min_x, max_x) == (5, 30)
+
+    def test_manual_tuple_and_list(self):
+        assert find_boundaries((1, 9), None, None, None, True) == (
+            (1, 9), (1, 9)
+        )
+        assert find_boundaries(
+            [(1, 9), (2, 8)], None, None, None, True
+        ) == ((1, 9), (2, 8))
+
+    def test_invalid_raises(self):
+        with pytest.raises(ValueError):
+            find_boundaries("bogus", self.ecs, None, None, True)
+        with pytest.raises(ValueError):
+            find_boundaries((1, 2, 3), None, None, None, True)
+
+
+class TestSetRange:
+    def test_from_pairs_symmetric(self, ax):
+        x_range, y_range = set_range(
+            pairs=make_ecs([(3, 40), (10, 25)]), symmetric=True, ax=ax
+        )
+        assert x_range == (3, 40)
+        assert y_range == x_range
+        assert ax.yaxis_inverted()
+
+    def test_from_pairs_asymmetric_with_margin(self, ax):
+        x_range, y_range = set_range(
+            pairs=make_ecs([(3, 40), (10, 25)]), symmetric=False,
+            ax=ax, margin=2, invert_y=False,
+        )
+        assert x_range == (1, 12)
+        assert y_range == (23, 42)
+        assert not ax.yaxis_inverted()
+
+    def test_explicit_overrides(self, ax):
+        x_range, y_range = set_range(
+            pairs=make_ecs([(3, 40)]), x=(0, 100), y=(5, 50), ax=ax
+        )
+        assert x_range == (0, 100)
+        assert y_range == (5, 50)
+
+    def test_unspecified_raises(self, ax):
+        with pytest.raises(ValueError):
+            set_range(ax=ax)
+
+
+class TestScale:
+    def test_scales_s_and_width(self, ax):
+        ax.set_xlim(0, 200)
+        ax.set_ylim(0, 100)
+        scaled = scale({"s": 80, "width": 1, "c": "k"}, ax=ax)
+        assert scaled["s"] == pytest.approx(80 ** 2 / 200)
+        assert scaled["width"] == pytest.approx(2.0)
+        assert scaled["c"] == "k"
+
+    def test_original_untouched(self, ax):
+        style = {"s": 80}
+        ax.set_xlim(0, 100)
+        ax.set_ylim(0, 100)
+        scale(style, ax=ax)
+        assert style["s"] == 80
+
+
+class TestCoverage:
+    def test_ec_coverage_draws_segment_patches(self, ax):
+        ax.set_xlim(0, 50)
+        ax.set_ylim(50, 0)
+        # positions 1-3 and 10-12: two segments per axis
+        ecs = make_ecs([(1, 10), (2, 11), (3, 12)])
+        plot_ec_coverage(ecs, symmetric=True, ax=ax)
+        assert len(ax.patches) == 4
+
+    def test_ec_coverage_asymmetric(self, ax):
+        ax.set_xlim(0, 50)
+        ax.set_ylim(50, 0)
+        ecs = make_ecs([(1, 10), (2, 11), (3, 12)])
+        plot_ec_coverage(ecs, symmetric=False, ax=ax)
+        # one consecutive segment per axis
+        assert len(ax.patches) == 2
+
+    def test_structure_coverage_patches_and_background(self, ax):
+        coverage = [
+            ([(1, 10), (20, 30)], [(1, 10)], "1abc:A"),
+            ([(5, 15)], [(5, 15)], "2xyz:B"),
+        ]
+        plot_structure_coverage(coverage, ax=ax)
+        assert len(ax.patches) == 3
+        # background takes the missing-coverage color
+        assert ax.get_facecolor() != (1.0, 1.0, 1.0, 1.0)
+
+    def test_structure_coverage_from_distance_map(self, ax):
+        dm = make_distance_map(range(1, 6))
+        cov = dm.structure_coverage()
+        assert cov[0][0] == [(1, 5)]
+        plot_structure_coverage(cov, ax=ax)
+        assert len(ax.patches) == 1
+
+
+class TestSecondaryStructurePlot:
+    def test_from_dict(self, ax):
+        ax.set_xlim(0, 20)
+        ax.set_ylim(20, 0)
+        sse = {i: "H" for i in range(2, 9)}
+        sse.update({i: "E" for i in range(11, 16)})
+        before = len(ax.lines) + len(ax.patches)
+        plot_secondary_structure(sse, ax=ax, style=dict(STYLE_SECSTRUCT))
+        after = len(ax.lines) + len(ax.patches)
+        assert after > before
+
+    def test_from_dataframe(self, ax):
+        ax.set_xlim(0, 20)
+        ax.set_ylim(20, 0)
+        df = pd.DataFrame({
+            "id": list(range(1, 15)),
+            "sec_struct_3state": ["C"] * 3 + ["H"] * 6 + ["E"] * 5,
+        })
+        plot_secondary_structure(df, ax=ax, style=dict(STYLE_SECSTRUCT))
+        assert len(ax.lines) + len(ax.patches) > 0
+
+    def test_dataframe_without_column_is_noop(self, ax):
+        ax.set_xlim(0, 20)
+        ax.set_ylim(20, 0)
+        df = pd.DataFrame({"id": [1, 2, 3]})
+        plot_secondary_structure(df, ax=ax)
+        assert len(ax.lines) + len(ax.patches) == 0
+
+    def test_positions_outside_range_dropped(self, ax):
+        ax.set_xlim(0, 10)
+        ax.set_ylim(10, 0)
+        sse = {i: "H" for i in range(100, 120)}
+        plot_secondary_structure(sse, ax=ax)
+        assert len(ax.lines) + len(ax.patches) == 0
+
+    def test_segment_finder(self):
+        start, end, segments = find_secondary_structure_segments(
+            "HHHH--EEE", offset=5
+        )
+        assert (start, end) == (5, 13)
+        assert segments == [
+            ("H", 5, 8), ("C", 9, 10), ("E", 11, 13)
+        ]
+
+
+class TestContactMapEntryPoints:
+    def test_plot_contact_map_with_structure(self, ax):
+        dm = make_distance_map(range(1, 21), [(0, 5), (2, 9)])
+        ecs = make_ecs([(1, 6), (3, 10), (2, 15)])
+        plot_contact_map(ecs=ecs, monomer=dm, ax=ax)
+        assert len(ax.collections) > 0
+
+    def test_complex_contact_map(self, ax):
+        intra1 = make_ecs([(1, 5), (2, 8)])
+        intra2 = make_ecs([(3, 9)])
+        inter = make_ecs([(1, 3), (5, 9)])
+        complex_contact_map(
+            intra1, intra2, inter,
+            None, None, None, None, None, ax=ax,
+        )
+        assert len(ax.collections) > 0
+
+
+class TestPymolScripts:
+    def test_ec_lines_script(self, tmp_path):
+        out = tmp_path / "ecs.pml"
+        ecs = make_ecs([(1, 5), (2, 8)])
+        ecs["dist"] = [3.0, 8.0]
+        ec_lines_pymol_script(ecs, str(out))
+        text = out.read_text()
+        assert "as cartoon" in text
+        assert "green" in text and "red" in text
+
+    def test_enrichment_script(self, tmp_path):
+        out = tmp_path / "enrich.pml"
+        table = pd.DataFrame({
+            "i": range(1, 21),
+            "enrichment": np.linspace(5, 0.1, 20),
+        })
+        enrichment_pymol_script(table, str(out))
+        text = out.read_text()
+        assert "set_color" in text
+        assert "spheres" in text
