@@ -306,13 +306,16 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
 
     import time
 
+    from evcouplings_tpu.utils.tracing import annotate
+
     table = []
     converged = False
     value = float("nan")
     t0 = time.time()
 
     for it in range(1, cfg.max_iter + 1):
-        params, state, value, gnorm, xnorm = step(params, state)
+        with annotate("plm_step"):
+            params, state, value, gnorm, xnorm = step(params, state)
         value, gnorm, xnorm = (
             float(value), float(gnorm), float(xnorm)
         )

@@ -41,6 +41,9 @@ from evcouplings_tpu.utils.system import (
     verify_resources,
 )
 from evcouplings_tpu.utils.tracker import EStatus, get_result_tracker
+from evcouplings_tpu.utils.tracing import (
+    clear_spans, stage_timer, write_span_table
+)
 
 import evcouplings_tpu.align.protocol as ap
 import evcouplings_tpu.couplings.protocol as cp
@@ -97,6 +100,9 @@ def execute(**config):
     prefix = config["global"]["prefix"]
     create_prefix_folders(prefix)
 
+    # fresh span registry per job (several jobs may share a process)
+    clear_spans()
+
     # results accumulated while moving through the stages
     global_state = config["global"]
     num_stages_to_run = len(stages)
@@ -131,7 +137,8 @@ def execute(**config):
             }
             write_config_file(stage_incfg, incfg)
 
-            outcfg = runner(**incfg)
+            with stage_timer(stage):
+                outcfg = runner(**incfg)
 
             # avoid key collisions when a stage runs twice (complexes)
             if key_prefix is not None:
@@ -172,6 +179,12 @@ def execute(**config):
     tracker.update(status=EStatus.DONE, results=tracker_archive_update)
 
     global_state = delete_outputs(config, global_state)
+
+    # per-stage wall-clock table (observability the reference lacks;
+    # spans collected by utils.tracing.stage_timer around each runner)
+    runtime_file = write_span_table(prefix + "_runtime.csv")
+    if runtime_file is not None:
+        global_state["runtime_file"] = runtime_file
 
     write_config_file(prefix + FINAL_CONFIG_SUFFIX, global_state)
     return global_state

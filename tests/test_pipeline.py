@@ -87,6 +87,12 @@ class TestExecute:
         final = read_config_file(prefix + "_final.outcfg")
         assert final["ec_file"] == global_state["ec_file"]
 
+        # per-stage runtime table emitted by the tracing hooks
+        assert global_state["runtime_file"] == prefix + "_runtime.csv"
+        runtime = pd.read_csv(global_state["runtime_file"])
+        assert set(runtime.scope) == {"align", "couplings"}
+        assert (runtime.seconds > 0).all()
+
     def test_skip_reuses_previous_outputs(self, tmp_path):
         config = make_config(tmp_path)
         pipeline.execute_wrapped(**config)
