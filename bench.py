@@ -26,8 +26,9 @@ import numpy as np
 PLMC_32T_BASELINE = 5.0e6  # seq*site/s, analytic bound, see module docstring
 
 N, L, Q = 16384, 160, 21
-WARMUP_STEPS = 3
-BENCH_STEPS = 12
+STEPS_PER_CALL = 10
+WARMUP_CALLS = 2
+BENCH_CALLS = 4
 
 
 def main():
@@ -40,7 +41,7 @@ def main():
     # production throughput mode: bf16 compute with float32 master
     # parameters (the parity path uses dtype float32 + "highest")
     cfg = PlmConfig(
-        block_size=2048, precision="default", dtype="bfloat16",
+        block_size=4096, precision="default", dtype="bfloat16",
         solver="adam",
     )
     loss = make_plm_loss(L, Q, cfg)
@@ -56,23 +57,35 @@ def main():
     opt = optax.adam(cfg.adam_lr)
     state = opt.init(params)
 
+    # production step loop: STEPS_PER_CALL optimizer steps chained
+    # on-device per dispatch (ops/plm.py PlmConfig.steps_per_call) —
+    # the host round-trip through the TPU tunnel costs about as much
+    # as one grad eval, so chunking roughly doubles throughput
     @jax.jit
-    def step(params, state):
-        value, grad = jax.value_and_grad(loss)(params, codes, weights)
-        updates, state = opt.update(grad, state, params)
-        return optax.apply_updates(params, updates), state, value
+    def step_chunk(params, state):
+        def body(carry, _):
+            params, state = carry
+            value, grad = jax.value_and_grad(loss)(
+                params, codes, weights
+            )
+            updates, state = opt.update(grad, state, params)
+            return (optax.apply_updates(params, updates), state), value
+        (params, state), values = jax.lax.scan(
+            body, (params, state), None, length=STEPS_PER_CALL
+        )
+        return params, state, values
 
-    for _ in range(WARMUP_STEPS):
-        params, state, value = step(params, state)
+    for _ in range(WARMUP_CALLS):
+        params, state, values = step_chunk(params, state)
     jax.block_until_ready(params)
 
     t0 = time.perf_counter()
-    for _ in range(BENCH_STEPS):
-        params, state, value = step(params, state)
+    for _ in range(BENCH_CALLS):
+        params, state, values = step_chunk(params, state)
     jax.block_until_ready(params)
     elapsed = time.perf_counter() - t0
 
-    throughput = N * L * BENCH_STEPS / elapsed
+    throughput = N * L * BENCH_CALLS * STEPS_PER_CALL / elapsed
     print(json.dumps({
         "metric": "plm_fit_seq_sites_per_s",
         "value": round(throughput, 1),

@@ -66,6 +66,15 @@ class PlmConfig:
     # seq*site/s vs 199M for float32 on TPU v5e at N=16384, L=160)
     dtype: str = "float32"
     precision: str = "highest"      # matmul precision: highest|high|default
+    # optimizer steps chained on-device per host round-trip. The device
+    # time of one grad eval is ~5 ms at (N=16k, L=160) while a host
+    # dispatch through the TPU tunnel costs about as much again, so
+    # chunking steps into one lax.scan nearly doubles throughput. With
+    # k > 1 convergence is only checked every k steps (the iteration
+    # table is still recorded per step and truncated at the first
+    # converged iteration); keep 1 for exact plmc stop-at-convergence
+    # parity.
+    steps_per_call: int = 1
 
 
 def _precision(name):
@@ -281,8 +290,7 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     if cfg.solver == "lbfgs":
         value_and_grad = optax.value_and_grad_from_state(loss_data)
 
-        @jax.jit
-        def step(params, state):
+        def one_step(params, state):
             value, grad = value_and_grad(params, state=state)
             updates, state = opt.update(
                 grad, state, params,
@@ -295,14 +303,32 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     else:
         vg = jax.value_and_grad(loss_data)
 
-        @jax.jit
-        def step(params, state):
+        def one_step(params, state):
             value, grad = vg(params)
             updates, state = opt.update(grad, state, params)
             params = optax.apply_updates(params, updates)
             gnorm = optax.tree_utils.tree_l2_norm(grad)
             xnorm = optax.tree_utils.tree_l2_norm(params)
             return params, state, value, gnorm, xnorm
+
+    # chain steps_per_call optimizer steps on-device: one host round
+    # trip (and one metrics transfer) per chunk instead of per step
+    steps_per_call = max(1, int(cfg.steps_per_call))
+
+    @jax.jit
+    def step_chunk(params, state):
+        def body(carry, _):
+            params, state = carry
+            params, state, value, gnorm, xnorm = one_step(params, state)
+            return (params, state), jnp.stack(
+                [value.astype(jnp.float32),
+                 gnorm.astype(jnp.float32),
+                 xnorm.astype(jnp.float32)]
+            )
+        (params, state), metrics = jax.lax.scan(
+            body, (params, state), None, length=steps_per_call
+        )
+        return params, state, metrics
 
     import time
 
@@ -312,30 +338,41 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     converged = False
     value = float("nan")
     t0 = time.time()
+    it = 0
 
-    for it in range(1, cfg.max_iter + 1):
-        with annotate("plm_step"):
-            params, state, value, gnorm, xnorm = step(params, state)
-        value, gnorm, xnorm = (
-            float(value), float(gnorm), float(xnorm)
-        )
-        record = {
-            "iter": it,
-            "fx": value,
-            "gnorm": gnorm,
-            "xnorm": xnorm,
-            "hnorm": float(jnp.linalg.norm(params["h"])),
-            "Jnorm": float(jnp.linalg.norm(params["J"])),
-            "time": time.time() - t0,
-        }
-        table.append(record)
-        if callback is not None:
-            callback(record)
+    while it < cfg.max_iter and not converged:
+        n_steps = min(steps_per_call, cfg.max_iter - it)
+        with annotate("plm_step_chunk"):
+            params, state, metrics = step_chunk(params, state)
+        metrics = np.asarray(metrics, dtype=np.float64)
+        hnorm = float(jnp.linalg.norm(params["h"]))
+        Jnorm = float(jnp.linalg.norm(params["J"]))
+        now = time.time() - t0
 
-        # libLBFGS-style relative gradient convergence
-        if gnorm <= cfg.conv_tol * max(1.0, xnorm):
-            converged = True
-            break
+        # a chunk may overshoot max_iter or convergence by up to
+        # steps_per_call - 1 steps; the table is truncated to the
+        # first converged iteration (plmc semantics), the parameters
+        # keep the extra descent steps
+        for k in range(n_steps):
+            it += 1
+            value, gnorm, xnorm = metrics[k]
+            record = {
+                "iter": it,
+                "fx": value,
+                "gnorm": gnorm,
+                "xnorm": xnorm,
+                "hnorm": hnorm,
+                "Jnorm": Jnorm,
+                "time": now,
+            }
+            table.append(record)
+            if callback is not None:
+                callback(record)
+
+            # libLBFGS-style relative gradient convergence
+            if gnorm <= cfg.conv_tol * max(1.0, xnorm):
+                converged = True
+                break
 
     # materialize the effective symmetric couplings
     P_mat = np.asarray(params["J"], dtype=np.float64)
