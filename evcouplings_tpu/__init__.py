@@ -15,6 +15,21 @@ config/outcfg chaining) is preserved from the reference.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Opt-in persistent XLA compilation cache: first TPU compile of the
+# PLM fit / reweighting programs takes tens of seconds (minutes over a
+# remote-compile tunnel); pointing EVCOUPLINGS_COMPILE_CACHE at a
+# directory makes every later pipeline run with the same shapes start
+# hot. Set here (package import) so it precedes the first compile.
+_cache_dir = _os.environ.get("EVCOUPLINGS_COMPILE_CACHE")
+if _cache_dir:
+    import jax as _jax
+
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 class BailoutException(Exception):
     """Deliberate early-exit from a pipeline (e.g. no significant couplings).
