@@ -195,10 +195,10 @@ def create_archive(config, outcfg, prefix):
     prefix.tar.gz (default) or prefix.zip."""
     ALLOWED_FORMATS = ["targz", "zip"]
 
-    archive_format = config.get("management", {}).get(
+    archive_format = (config.get("management") or {}).get(
         "archive_format", "targz"
     )
-    archive_keys = config.get("management", {}).get("archive", None)
+    archive_keys = (config.get("management") or {}).get("archive", None)
     if archive_keys is None:
         return None
 
@@ -236,7 +236,7 @@ def create_archive(config, outcfg, prefix):
 def delete_outputs(config, outcfg):
     """Delete output files selected by management.delete; returns the
     cleaned output state."""
-    delete_keys = config.get("management", {}).get("delete", None)
+    delete_keys = (config.get("management") or {}).get("delete", None)
     if delete_keys is None:
         return outcfg
 

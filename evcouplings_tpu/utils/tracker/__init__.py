@@ -49,7 +49,8 @@ def get_result_tracker(config):
     # copy so the tracker cannot accidentally mutate the job config
     config = deepcopy(config)
 
-    management = config.get("management", {})
+    # an empty "management:" YAML section parses as None
+    management = config.get("management") or {}
     tracker_type = management.get("tracker_type")
 
     if tracker_type is None:
