@@ -393,6 +393,33 @@ class Alignment:
                         ids = [i.split()[0] for i in ids]
                     return cls(matrix, ids, **kwargs)
 
+        if format == "stockholm":
+            from evcouplings_tpu.native import (
+                HAVE_NATIVE_STOCKHOLM, parse_stockholm_native,
+            )
+
+            if HAVE_NATIVE_STOCKHOLM:
+                rhp = kwargs.get("raise_hmmer_prefixes", True)
+                try:
+                    ids, matrix, annotation = parse_stockholm_native(
+                        path, raise_hmmer_prefixes=rhp,
+                    )
+                except ValueError as e:
+                    if "HMMER added identifier prefixes" in str(e):
+                        raise
+                    ids = None  # unsupported layout: Python fallback
+                if ids is not None:
+                    if split_header:
+                        ids = [i.split()[0] for i in ids]
+                    ctor_kwargs = {
+                        k: v for k, v in kwargs.items()
+                        if k != "raise_hmmer_prefixes"
+                    }
+                    return cls(
+                        matrix, ids, annotation=annotation,
+                        **ctor_kwargs
+                    )
+
         with open(path) as f:
             return cls.from_file(
                 f, format=format, split_header=split_header, **kwargs

@@ -13,5 +13,10 @@ setup(
             sources=["native/fasta_io.c"],
             extra_compile_args=["-O3"],
         ),
+        Extension(
+            "evcouplings_tpu.native._stockholm",
+            sources=["native/stockholm_io.c"],
+            extra_compile_args=["-O3"],
+        ),
     ],
 )

@@ -134,3 +134,136 @@ class TestFromPath:
         )
         ali = Alignment.from_path(str(p), "stockholm")
         assert ali.N == 2 and ali.L == 4
+
+
+from evcouplings_tpu.native import (  # noqa: E402
+    HAVE_NATIVE_STOCKHOLM,
+    parse_stockholm_native,
+)
+from evcouplings_tpu.align.alignment import read_stockholm  # noqa: E402
+
+stockholm_only = pytest.mark.skipif(
+    not HAVE_NATIVE_STOCKHOLM,
+    reason="native _stockholm extension not built",
+)
+
+
+def python_parse_stockholm(path, **kwargs):
+    with open(path) as f:
+        return next(read_stockholm(f, read_annotation=True, **kwargs))
+
+
+def check_stockholm_equal(path):
+    ids, mat, anno = parse_stockholm_native(str(path))
+    ref = python_parse_stockholm(str(path))
+    assert ids == list(ref.seqs.keys())
+    assert ["".join(r) for r in mat] == list(ref.seqs.values())
+    assert dict(anno["GF"]) == dict(ref.gf)
+    assert dict(anno["GC"]) == dict(ref.gc)
+    assert {k: dict(v) for k, v in anno["GS"].items()} == \
+        {k: dict(v) for k, v in ref.gs.items()}
+    assert {k: dict(v) for k, v in anno["GR"].items()} == \
+        {k: dict(v) for k, v in ref.gr.items()}
+
+
+@stockholm_only
+class TestNativeStockholm:
+    def test_interleaved_blocks_and_annotation(self, tmp_path):
+        p = tmp_path / "a.sto"
+        p.write_text(
+            "# STOCKHOLM 1.0\n"
+            "#=GF ID family1\n"
+            "#=GF AC PF00000\n"
+            "#=GS seq1 DE first seq description\n"
+            "#=GS seq2 DE second one\n"
+            "\n"
+            "seq1 ACDE\n"
+            "seq2 FGHI\n"
+            "#=GR seq1 PP 8899\n"
+            "#=GC SS_cons HHHH\n"
+            "\n"
+            "seq1 KLMN\n"
+            "seq2 PQRS\n"
+            "#=GR seq1 PP 7766\n"
+            "#=GC SS_cons EEEE\n"
+            "//\n"
+        )
+        check_stockholm_equal(p)
+
+    def test_crlf_and_trailing_ws(self, tmp_path):
+        p = tmp_path / "a.sto"
+        p.write_text(
+            "# STOCKHOLM 1.0\r\nseq1 ACDE  \r\nseq2 -GH.\r\n//\r\n"
+        )
+        check_stockholm_equal(p)
+
+    def test_missing_header_raises(self, tmp_path):
+        p = tmp_path / "a.sto"
+        p.write_text("seq1 ACDE\n//\n")
+        with pytest.raises(ValueError, match="Header missing"):
+            parse_stockholm_native(str(p))
+
+    def test_truncated_raises(self, tmp_path):
+        p = tmp_path / "a.sto"
+        p.write_text("# STOCKHOLM 1.0\nseq1 ACDE\n")
+        with pytest.raises(ValueError, match="Truncated"):
+            parse_stockholm_native(str(p))
+
+    def test_ragged_raises(self, tmp_path):
+        p = tmp_path / "a.sto"
+        p.write_text("# STOCKHOLM 1.0\nseq1 ACDE\nseq2 FG\n//\n")
+        with pytest.raises(ValueError, match="unequal"):
+            parse_stockholm_native(str(p))
+
+    def test_hmmer_prefix_warning_raises(self, tmp_path):
+        p = tmp_path / "a.sto"
+        p.write_text(
+            "# STOCKHOLM 1.0\n"
+            "# WARNING: seq names have been made unique by adding "
+            "a prefix of X\n"
+            "seq1 ACDE\n//\n"
+        )
+        with pytest.raises(ValueError, match="HMMER"):
+            parse_stockholm_native(str(p))
+        # and suppressible like the Python reader
+        ids, _, _ = parse_stockholm_native(
+            str(p), raise_hmmer_prefixes=False
+        )
+        assert ids == ["seq1"]
+
+    def test_only_first_alignment(self, tmp_path):
+        p = tmp_path / "a.sto"
+        p.write_text(
+            "# STOCKHOLM 1.0\nseq1 ACDE\n//\n"
+            "# STOCKHOLM 1.0\nother WXYZ\n//\n"
+        )
+        ids, mat, _ = parse_stockholm_native(str(p))
+        assert ids == ["seq1"]
+
+    def test_random_interleaved_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(3)
+        aa = np.array(list("ACDEFGHIKLMNPQRSTVWY-."))
+        N, L, width = 61, 140, 37
+        mat = rng.choice(aa, size=(N, L))
+        p = tmp_path / "r.sto"
+        with open(p, "w") as f:
+            f.write("# STOCKHOLM 1.0\n")
+            for start in range(0, L, width):
+                for k in range(N):
+                    f.write("sq{}/1-{} {}\n".format(
+                        k, L, "".join(mat[k][start:start + width])
+                    ))
+                f.write("\n")
+            f.write("//\n")
+        check_stockholm_equal(p)
+
+    def test_from_path_uses_annotation(self, tmp_path):
+        p = tmp_path / "a.sto"
+        p.write_text(
+            "# STOCKHOLM 1.0\n"
+            "#=GS s1 DE my target protein\n"
+            "s1 ACDE\ns2 FGHI\n//\n"
+        )
+        ali = Alignment.from_path(str(p), "stockholm")
+        assert ali.N == 2
+        assert ali.annotation["GS"]["s1"]["DE"] == "my target protein"
