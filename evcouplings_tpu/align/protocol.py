@@ -656,8 +656,9 @@ def _make_hmmsearch_raw_fasta(alignment_result, prefix):
             query_ali.write(of)
         return raw_focus_alignment_file
 
-    with open(alignment_result["raw_alignment_file"]) as a:
-        ali = Alignment.from_file(a, format="stockholm")
+    ali = Alignment.from_path(
+        alignment_result["raw_alignment_file"], "stockholm"
+    )
 
     if not ("GC" in ali.annotation and "RF" in ali.annotation["GC"]):
         raise ValueError(
@@ -723,8 +724,7 @@ def hmmbuild_and_search(**kwargs):
                 "Format of input alignment {} could not be "
                 "automatically detected.".format(input_alignment_file)
             )
-    with open(input_alignment_file) as f:
-        ali_raw = Alignment.from_file(f, format)
+    ali_raw = Alignment.from_path(input_alignment_file, format)
 
     sequence_id = kwargs["sequence_id"]
     focus_index = None
@@ -870,8 +870,7 @@ def standard(**kwargs):
     target_seq_id = segment.sequence_id
     region_start = segment.region_start
 
-    with open(stockholm_file) as a:
-        ali_raw = Alignment.from_file(a, "stockholm")
+    ali_raw = Alignment.from_path(stockholm_file, "stockholm")
 
     if kwargs["extract_annotation"]:
         annotation_file = prefix + "_annotation.csv"

@@ -81,8 +81,7 @@ def filter_best_reciprocal(alignment, paralogs, most_similar_in_species,
                            allowed_error=0.02):
     """Keep only per-species best hits that are best reciprocal hits:
     not closer to any paralog than to the query (within allowed_error)."""
-    with open(alignment, "r") as inf:
-        ali = Alignment.from_file(inf)
+    ali = Alignment.from_path(alignment, "fasta")
 
     # paralog x sequence identity matrix (accelerator kernel per row)
     identity_mat = np.zeros((len(paralogs), len(ali.ids)), dtype=float)

@@ -392,10 +392,9 @@ def mean_field(**kwargs):
         if alphabet in ALPHABET_MAP:
             alphabet = ALPHABET_MAP[alphabet]
 
-    with open(alignment_file) as f:
-        input_alignment = Alignment.from_file(
-            f, alphabet=alphabet, format="fasta"
-        )
+    input_alignment = Alignment.from_path(
+        alignment_file, "fasta", alphabet=alphabet
+    )
 
     mf_dca = MeanFieldDCA(input_alignment)
     model = mf_dca.fit(

@@ -7,6 +7,10 @@ around it is native where the cost is real. Currently:
 - `_fasta` (native/fasta_io.c): single-pass FASTA/A2M loader returning
   the sequence block as one contiguous buffer (the reference parses
   line-by-line in Python, evcouplings/align/alignment.py:42-74).
+- `_stockholm` (native/stockholm_io.c): single-pass Stockholm loader
+  that concatenates interleaved residue blocks in C and hands the
+  markup lines to Python for annotation assembly (reference:
+  evcouplings/align/alignment.py:122-233).
 
 Build in place with:
 
