@@ -97,12 +97,17 @@ class MeanFieldDCA:
         self.covariance_matrix = None
         self.covariance_matrix_inv = None
 
-    def fit(self, theta=0.8, pseudo_count=0.5):
+    def fit(self, theta=0.8, pseudo_count=0.5, device=False):
         """Run mean-field DCA; returns a MeanFieldCouplingsModel.
 
         Pipeline (reference mean_field.py:163-222): reweight sequences at
         theta -> pseudo-count-regularize f_i/f_ij -> covariance matrix ->
         J = -C^{-1} -> fields.
+
+        device=True inverts the (L(q-1))^2 covariance matrix on the
+        JAX default device (TPU) instead of host float64 numpy — the
+        hot step for large L (a 6000^2 inversion at L=300). Host f64
+        remains the parity default.
         """
         self._reset()
 
@@ -111,7 +116,19 @@ class MeanFieldDCA:
         self.regularize_pair_frequencies(pseudo_count=pseudo_count)
 
         self.compute_covariance_matrix()
-        self.covariance_matrix_inv = -np.linalg.inv(self.covariance_matrix)
+        if device:
+            from evcouplings_tpu.ops.mean_field import (
+                invert_covariance_device,
+            )
+
+            self.covariance_matrix_inv = np.asarray(
+                invert_covariance_device(self.covariance_matrix),
+                dtype=np.float64,
+            )
+        else:
+            self.covariance_matrix_inv = -np.linalg.inv(
+                self.covariance_matrix
+            )
 
         J_ij = self.reshape_invC_to_4d()
         h_i = self.fields()

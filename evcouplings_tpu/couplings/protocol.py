@@ -398,7 +398,10 @@ def mean_field(**kwargs):
 
     mf_dca = MeanFieldDCA(input_alignment)
     model = mf_dca.fit(
-        theta=kwargs["theta"], pseudo_count=kwargs["pseudo_count"]
+        theta=kwargs["theta"], pseudo_count=kwargs["pseudo_count"],
+        # optional: invert the covariance matrix on the TPU instead
+        # of host float64 (worthwhile at large L)
+        device=bool(kwargs.get("device_inversion", False)),
     )
 
     model.to_raw_ec_file(outcfg["raw_ec_file"])

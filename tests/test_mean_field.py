@@ -204,3 +204,37 @@ class TestMeanFieldRoundtrip:
         model = MeanFieldDCA(ali).fit()
         with pytest.raises(ValueError):
             model.to_file(str(tmp_path / "x.model"), file_format="plmc_v1")
+
+
+class TestDeviceInversion:
+    def test_device_fit_matches_numpy_fit(self):
+        import numpy as np
+
+        from evcouplings_tpu.align.alignment import Alignment
+        from evcouplings_tpu.couplings.mean_field import MeanFieldDCA
+
+        rng = np.random.default_rng(5)
+        aa = list("ACDEFGHIKLMNPQRSTVWY")
+        N, L = 80, 8
+        mat = rng.choice(aa, size=(N, L))
+        seqs = {
+            ("T/1-{}".format(L) if i == 0 else "s{}".format(i)):
+                "".join(mat[i])
+            for i in range(N)
+        }
+        ali = Alignment.from_dict(seqs)
+
+        m_host = MeanFieldDCA(ali).fit(theta=0.8, pseudo_count=0.5)
+        m_dev = MeanFieldDCA(ali).fit(
+            theta=0.8, pseudo_count=0.5, device=True
+        )
+
+        # device path runs at the backend's native precision (f64 on
+        # the x64 CPU test backend, f32 on TPU); couplings must agree
+        # to matmul precision either way
+        np.testing.assert_allclose(
+            m_dev.J_ij, m_host.J_ij, rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            m_dev.h_i, m_host.h_i, rtol=1e-4, atol=1e-6
+        )
