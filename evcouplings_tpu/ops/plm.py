@@ -269,7 +269,6 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         w_d = jnp.asarray(w_p, dtype=dtype)
 
     loss_fn = make_plm_loss(L, q, cfg, mesh=mesh)
-    loss_data = functools.partial(loss_fn, codes=codes_d, weights=w_d)
 
     params = {
         "J": jnp.zeros((L * q, L * q), dtype=dtype),
@@ -287,36 +286,43 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
 
     state = opt.init(params)
 
-    if cfg.solver == "lbfgs":
-        value_and_grad = optax.value_and_grad_from_state(loss_data)
-
-        def one_step(params, state):
-            value, grad = value_and_grad(params, state=state)
-            updates, state = opt.update(
-                grad, state, params,
-                value=value, grad=grad, value_fn=loss_data,
-            )
-            params = optax.apply_updates(params, updates)
-            gnorm = optax.tree_utils.tree_l2_norm(grad)
-            xnorm = optax.tree_utils.tree_l2_norm(params)
-            return params, state, value, gnorm, xnorm
-    else:
-        vg = jax.value_and_grad(loss_data)
-
-        def one_step(params, state):
-            value, grad = vg(params)
-            updates, state = opt.update(grad, state, params)
-            params = optax.apply_updates(params, updates)
-            gnorm = optax.tree_utils.tree_l2_norm(grad)
-            xnorm = optax.tree_utils.tree_l2_norm(params)
-            return params, state, value, gnorm, xnorm
-
     # chain steps_per_call optimizer steps on-device: one host round
-    # trip (and one metrics transfer) per chunk instead of per step
+    # trip (and one metrics transfer) per chunk instead of per step.
+    # codes/weights enter as jit ARGUMENTS (not closure captures) so
+    # multi-process global arrays are legal (non-addressable arrays
+    # cannot be closed over).
     steps_per_call = max(1, int(cfg.steps_per_call))
 
     @jax.jit
-    def step_chunk(params, state):
+    def step_chunk(params, state, codes, weights):
+        loss_data = functools.partial(
+            loss_fn, codes=codes, weights=weights
+        )
+
+        if cfg.solver == "lbfgs":
+            value_and_grad = optax.value_and_grad_from_state(loss_data)
+
+            def one_step(params, state):
+                value, grad = value_and_grad(params, state=state)
+                updates, state = opt.update(
+                    grad, state, params,
+                    value=value, grad=grad, value_fn=loss_data,
+                )
+                params = optax.apply_updates(params, updates)
+                gnorm = optax.tree_utils.tree_l2_norm(grad)
+                xnorm = optax.tree_utils.tree_l2_norm(params)
+                return params, state, value, gnorm, xnorm
+        else:
+            vg = jax.value_and_grad(loss_data)
+
+            def one_step(params, state):
+                value, grad = vg(params)
+                updates, state = opt.update(grad, state, params)
+                params = optax.apply_updates(params, updates)
+                gnorm = optax.tree_utils.tree_l2_norm(grad)
+                xnorm = optax.tree_utils.tree_l2_norm(params)
+                return params, state, value, gnorm, xnorm
+
         def body(carry, _):
             params, state = carry
             params, state, value, gnorm, xnorm = one_step(params, state)
@@ -343,7 +349,9 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     while it < cfg.max_iter and not converged:
         n_steps = min(steps_per_call, cfg.max_iter - it)
         with annotate("plm_step_chunk"):
-            params, state, metrics = step_chunk(params, state)
+            params, state, metrics = step_chunk(
+                params, state, codes_d, w_d
+            )
         metrics = np.asarray(metrics, dtype=np.float64)
         hnorm = float(jnp.linalg.norm(params["h"]))
         Jnorm = float(jnp.linalg.norm(params["J"]))
