@@ -242,3 +242,82 @@ class TestConfigSubstitution:
         assert config["align"]["domain_threshold"] == 5
         configs = unroll_config(config)
         assert len(configs) == 1
+
+
+class TestAppEndToEnd:
+    """Full L6->L5->L4 stack: app.run unrolls a batch sweep, submits
+    each sub-job as an `evcouplings_runcfg` process via the local
+    engine, and each sub-job runs the hermetic existing->couplings
+    pipeline."""
+
+    @pytest.mark.slow
+    def test_batch_sweep_runs_two_subjobs(self, tmp_path):
+        from test_protocols import write_synthetic_a2m
+
+        from evcouplings_tpu.utils.app import run
+        from evcouplings_tpu.utils.config import (
+            read_config_file, write_config_file,
+        )
+
+        msa = str(tmp_path / "input.a2m")
+        write_synthetic_a2m(msa, N=60, L=18)
+
+        prefix = str(tmp_path / "runs" / "sweep")
+        config = {
+            "pipeline": "protein_monomer",
+            "stages": ["align", "couplings"],
+            "global": {
+                "prefix": prefix, "sequence_id": "TARGET_SEQ",
+                "sequence_file": None, "region": None,
+                "theta": 0.8, "cpu": None,
+            },
+            # sweep: two column-coverage settings -> two sub-jobs
+            "batch": {
+                "_cc0": {"align.minimum_column_coverage": 0},
+                "_cc30": {"align.minimum_column_coverage": 30},
+            },
+            "management": {},
+            "environment": {
+                "engine": "local", "cores": 1,
+                "memory": 1000, "time": "1:00",
+                "queue": None, "configuration": None,
+            },
+            "tools": {"hhfilter": None, "plmc": None},
+            "databases": {},
+            "align": {
+                "protocol": "existing", "input_alignment": msa,
+                "first_index": 1, "compute_num_effective_seqs": False,
+                "seqid_filter": None, "minimum_sequence_coverage": 0,
+                "minimum_column_coverage": 0,
+                "extract_annotation": False,
+            },
+            "couplings": {
+                "protocol": "standard", "iterations": 5,
+                "ignore_gaps": False, "reuse_ecs": False,
+                "lambda_h": 0.01, "lambda_J": 0.01,
+                "lambda_J_times_Lq": True, "lambda_group": None,
+                "scale_clusters": None, "alphabet": None,
+                "min_sequence_distance": 2,
+                "scoring_model": "skewnormal",
+            },
+        }
+        cfg_file = str(tmp_path / "sweep_config.txt")
+        write_config_file(cfg_file, config)
+
+        # sub-jobs are separate processes; share one XLA compile
+        # cache so the second job starts hot
+        os.environ["EVCOUPLINGS_COMPILE_CACHE"] = str(
+            tmp_path / "xla_cache"
+        )
+        try:
+            run(config=cfg_file, yolo=True)
+        finally:
+            os.environ.pop("EVCOUPLINGS_COMPILE_CACHE", None)
+
+        for suffix in ("_cc0", "_cc30"):
+            sub_prefix = "{}{}".format(prefix, suffix)
+            assert os.path.isfile(sub_prefix + ".done"), suffix
+            final = read_config_file(
+                sub_prefix + "_final.outcfg"
+            )
+            assert os.path.isfile(final["ec_file"])
