@@ -158,7 +158,8 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             alphabet=None, theta=None, scale=None, ignore_gaps=False,
             iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
             cpu=None, binary=None, mesh=None, solver="lbfgs",
-            block_size=2048, steps_per_call=1, callback=None):
+            block_size=2048, steps_per_call=1, callback=None,
+            checkpoint_file=None, checkpoint_every=50):
     """Fit a Potts model by pseudolikelihood maximization and write the
     plmc-compatible artifacts.
 
@@ -220,7 +221,11 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         block_size=int(block_size),
         steps_per_call=int(steps_per_call),
     )
-    fit = fit_plm(fit_codes, weights, q, cfg, mesh=mesh, callback=callback)
+    fit = fit_plm(
+        fit_codes, weights, q, cfg, mesh=mesh, callback=callback,
+        checkpoint_file=checkpoint_file,
+        checkpoint_every=checkpoint_every,
+    )
 
     # weighted frequencies (no pseudocount) for the .model file
     f_i = frequencies(codes, weights, q)

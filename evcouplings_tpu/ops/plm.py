@@ -33,6 +33,7 @@ TPU-first design
 """
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -223,7 +224,8 @@ class PlmFitResult:
 
 
 def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
-            mesh=None, callback=None):
+            mesh=None, callback=None, checkpoint_file=None,
+            checkpoint_every=50):
     """Fit a Potts model by pseudolikelihood maximization.
 
     Parameters
@@ -235,6 +237,18 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     mesh : optional jax.sharding.Mesh with a "data" axis for row-parallel
         multi-device fitting
     callback : optional fn(iteration_record_dict) for progress streaming
+    checkpoint_file : optional path; every `checkpoint_every`
+        iterations the parameters, Adam optimizer moments, and
+        iteration count are written there (atomic rename), and an
+        existing file resumes the fit from its recorded iteration.
+        plmc has no mid-fit checkpointing at all — long fits restart
+        from scratch on preemption; this covers that gap (the
+        reference's resume machinery is stage-level only,
+        utils/pipeline.py:202-224). LBFGS state (linesearch
+        internals) is not serialized; resuming an LBFGS fit restarts
+        the history from the checkpointed parameters, which changes
+        the step sequence but not the optimum.
+    checkpoint_every : checkpoint interval in iterations
 
     Returns
     -------
@@ -285,6 +299,58 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         raise ValueError("Unknown solver: {}".format(cfg.solver))
 
     state = opt.init(params)
+
+    # resume from a fit checkpoint if one exists
+    start_iter = 0
+    if checkpoint_file is not None and os.path.exists(checkpoint_file):
+        ckpt = np.load(checkpoint_file)
+        if (ckpt["J"].shape != (L * q, L * q)
+                or ckpt["h"].shape != (L, q)):
+            raise ValueError(
+                "Checkpoint {} does not match problem shape "
+                "(L={}, q={})".format(checkpoint_file, L, q)
+            )
+        params = {
+            "J": jnp.asarray(ckpt["J"], dtype=dtype),
+            "h": jnp.asarray(ckpt["h"], dtype=dtype),
+        }
+        if cfg.solver == "adam" and "adam_mu_J" in ckpt:
+            state = (
+                optax.ScaleByAdamState(
+                    count=jnp.asarray(ckpt["adam_count"]),
+                    mu={
+                        "J": jnp.asarray(ckpt["adam_mu_J"], dtype=dtype),
+                        "h": jnp.asarray(ckpt["adam_mu_h"], dtype=dtype),
+                    },
+                    nu={
+                        "J": jnp.asarray(ckpt["adam_nu_J"], dtype=dtype),
+                        "h": jnp.asarray(ckpt["adam_nu_h"], dtype=dtype),
+                    },
+                ),
+            ) + state[1:]
+        start_iter = int(ckpt["iteration"])
+        if mesh is not None:
+            params = jax.device_put(params, replicated)
+            state = jax.device_put(state, replicated)
+
+    def save_checkpoint(params, state, iteration):
+        arrays = {
+            "J": np.asarray(params["J"]),
+            "h": np.asarray(params["h"]),
+            "iteration": np.asarray(iteration),
+        }
+        if cfg.solver == "adam":
+            adam = state[0]
+            arrays.update(
+                adam_count=np.asarray(adam.count),
+                adam_mu_J=np.asarray(adam.mu["J"]),
+                adam_mu_h=np.asarray(adam.mu["h"]),
+                adam_nu_J=np.asarray(adam.nu["J"]),
+                adam_nu_h=np.asarray(adam.nu["h"]),
+            )
+        tmp = checkpoint_file + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, checkpoint_file)
 
     # chain steps_per_call optimizer steps on-device: one host round
     # trip (and one metrics transfer) per chunk instead of per step.
@@ -344,7 +410,8 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     converged = False
     value = float("nan")
     t0 = time.time()
-    it = 0
+    it = start_iter
+    last_ckpt = start_iter
 
     while it < cfg.max_iter and not converged:
         n_steps = min(steps_per_call, cfg.max_iter - it)
@@ -381,6 +448,14 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             if gnorm <= cfg.conv_tol * max(1.0, xnorm):
                 converged = True
                 break
+
+        if (checkpoint_file is not None
+                and it - last_ckpt >= checkpoint_every):
+            save_checkpoint(params, state, it)
+            last_ckpt = it
+
+    if checkpoint_file is not None and it > last_ckpt:
+        save_checkpoint(params, state, it)
 
     # materialize the effective symmetric couplings
     P_mat = np.asarray(params["J"], dtype=np.float64)

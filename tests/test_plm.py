@@ -197,3 +197,60 @@ class TestFit:
         np.testing.assert_allclose(res1.final_loss, res8.final_loss,
                                    rtol=1e-9)
         np.testing.assert_allclose(res1.J_ij, res8.J_ij, atol=1e-8)
+
+
+class TestCheckpointResume:
+    """Mid-fit checkpoint/resume (absent from plmc: preempted long
+    fits restart from scratch there)."""
+
+    def _data(self):
+        rng = np.random.default_rng(9)
+        codes = rng.integers(0, 5, size=(48, 6)).astype(np.int8)
+        return codes, np.ones(48)
+
+    def test_adam_resume_is_bitwise_identical(self, tmp_path):
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        cfg20 = PlmConfig(max_iter=20, block_size=16, solver="adam")
+
+        ref = fit_plm(codes, w, 5, cfg20)
+
+        # interrupted run: stop at 10, resume from checkpoint to 20
+        ckpt = str(tmp_path / "fit.ckpt.npz")
+        cfg10 = PlmConfig(max_iter=10, block_size=16, solver="adam")
+        fit_plm(codes, w, 5, cfg10, checkpoint_file=ckpt,
+                checkpoint_every=5)
+        resumed = fit_plm(codes, w, 5, cfg20, checkpoint_file=ckpt,
+                          checkpoint_every=5)
+
+        assert resumed.iteration_table[0]["iter"] == 11
+        np.testing.assert_array_equal(resumed.J_ij, ref.J_ij)
+        np.testing.assert_array_equal(resumed.h_i, ref.h_i)
+
+    def test_checkpoint_written_at_interval_and_end(self, tmp_path):
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        ckpt = str(tmp_path / "fit.ckpt.npz")
+        fit_plm(
+            codes, w, 5,
+            PlmConfig(max_iter=7, block_size=16, solver="adam"),
+            checkpoint_file=ckpt, checkpoint_every=100,
+        )
+        # interval never reached, but the final state is persisted
+        assert np.load(ckpt)["iteration"] == 7
+
+    def test_shape_mismatch_rejected(self, tmp_path):
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        ckpt = str(tmp_path / "fit.ckpt.npz")
+        fit_plm(codes, w, 5,
+                PlmConfig(max_iter=2, block_size=16, solver="adam"),
+                checkpoint_file=ckpt)
+        with pytest.raises(ValueError, match="shape"):
+            fit_plm(codes[:, :4].copy(), w, 5,
+                    PlmConfig(max_iter=2, block_size=16,
+                              solver="adam"),
+                    checkpoint_file=ckpt)
