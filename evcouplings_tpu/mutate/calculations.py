@@ -160,9 +160,12 @@ def split_mutants(x, mutant_column="mutant"):
     spl = pd.Series(mutations).map(_split)
 
     x = x.copy()
-    x.loc[:, "num_mutations"] = [len(m) for m in spl]
+    # whole-column assignment: replaces any pre-existing pos/wt/subs
+    # column regardless of its dtype (``.loc[:, col] = strings`` on an
+    # int column raises in pandas >= 2)
+    x["num_mutations"] = [len(m) for m in spl]
     for i, column in enumerate(["pos", "wt", "subs"]):
-        x.loc[:, column] = [
+        x[column] = [
             ",".join(str(sub[i]) for sub in mutant) for mutant in spl
         ]
     return x

@@ -283,3 +283,72 @@ class TestPymolScripts:
         text = out.read_text()
         assert "set_color" in text
         assert "spheres" in text
+
+
+class TestMutationMatrix:
+    def _table(self):
+        rows = []
+        rng = np.random.default_rng(2)
+        for pos in range(1, 7):
+            for sub in "ACDE":
+                rows.append({
+                    "mutant": "K{}{}".format(pos, sub),
+                    "pos": pos, "wt": "K", "subs": sub,
+                    "prediction_epistatic": float(rng.normal()),
+                })
+        return pd.DataFrame(rows)
+
+    def test_mpl_engine(self, ax):
+        from evcouplings_tpu.visualize.mutations import (
+            plot_mutation_matrix,
+        )
+
+        plot_mutation_matrix(
+            self._table(), effect_column="prediction_epistatic",
+            engine="mpl", ax=ax,
+        )
+        assert len(ax.collections) + len(ax.patches) > 0
+
+    def test_bokeh_engine_gated(self):
+        from evcouplings_tpu.visualize.mutations import (
+            plot_mutation_matrix,
+        )
+
+        try:
+            import bokeh  # noqa: F401
+            have_bokeh = True
+        except ImportError:
+            have_bokeh = False
+
+        if have_bokeh:
+            out = plot_mutation_matrix(
+                self._table(),
+                effect_column="prediction_epistatic", engine="bokeh",
+            )
+            assert out is not None
+        else:
+            with pytest.raises(ImportError):
+                plot_mutation_matrix(
+                    self._table(),
+                    effect_column="prediction_epistatic",
+                    engine="bokeh",
+                )
+
+    def test_invalid_engine(self):
+        from evcouplings_tpu.visualize.mutations import (
+            plot_mutation_matrix,
+        )
+
+        with pytest.raises(ValueError, match="engine"):
+            plot_mutation_matrix(self._table(), engine="nope")
+
+    def test_pymol_script(self, tmp_path):
+        from evcouplings_tpu.visualize.mutations import (
+            mutation_pymol_script,
+        )
+
+        out = tmp_path / "mut.pml"
+        mutation_pymol_script(self._table(), str(out))
+        text = out.read_text()
+        assert "as cartoon" in text
+        assert "show spheres" in text
