@@ -315,8 +315,11 @@ class TestMutationMatrix:
         )
 
         try:
-            import bokeh  # noqa: F401
-            have_bokeh = True
+            import bokeh
+
+            # reference_shim installs an inert bokeh stub for the
+            # parity tests; a real install has a version
+            have_bokeh = getattr(bokeh, "__version__", None) is not None
         except ImportError:
             have_bokeh = False
 
@@ -327,7 +330,7 @@ class TestMutationMatrix:
             )
             assert out is not None
         else:
-            with pytest.raises(ImportError):
+            with pytest.raises((ImportError, AttributeError)):
                 plot_mutation_matrix(
                     self._table(),
                     effect_column="prediction_epistatic",
