@@ -2,69 +2,79 @@
 EC filters for 3D structure prediction: geometric clashes with
 predicted secondary structure, and multiple-disulfide clashes.
 
-Parity target: reference evcouplings/fold/filter.py —
-detect_secstruct_clash (:16), secstruct_clashes (:95),
-disulfide_clashes (:143); logic from choose_CNS_constraint_set.m.
+Behavior-compatible with the reference (evcouplings/fold/filter.py:
+16-196, itself a port of choose_CNS_constraint_set.m:351-407), but
+formulated over longest secondary-structure runs instead of substring
+probes. The tests cross-check both formulations pairwise.
 """
 
-from copy import deepcopy
-from operator import xor
+import pandas as pd
+
+# pairs separated by at least this many positions never count as
+# clashing, regardless of secondary structure
+_MAX_CLASH_SEPARATION = 15
+
+
+def _longest_run(string, char):
+    """Length of the longest consecutive run of `char` in `string`."""
+    best = current = 0
+    for c in string:
+        current = current + 1 if c == char else 0
+        best = max(best, current)
+    return best
+
+
+def _is_uniform(string, char):
+    """True if the string consists only of `char` (vacuously true for
+    the empty string — which makes adjacent pairs clash, as in the
+    original matlab rules)."""
+    return all(c == char for c in string)
 
 
 def detect_secstruct_clash(i, j, secstruct):
     """True if pair (i, j) is geometrically impossible given the
-    predicted secondary structure (helix/strand-mediated exclusion
-    rules, sequence separation < 15)."""
-    def _get_range(start, end):
-        return "".join(
-            secstruct[pos] for pos in range(start, end + 1)
-        )
+    predicted secondary structure.
 
-    def _all_equal(string, char):
-        return string == len(string) * char
-
-    b = max(i, j)
-    s = min(i, j)
-
-    # distant pairs are never considered clashing
-    if b - s >= 15:
+    secstruct maps position (int) -> state ("H", "E", "C").
+    """
+    lo, hi = min(i, j), max(i, j)
+    sep = hi - lo
+    if sep >= _MAX_CLASH_SEPARATION:
         return False
 
-    secstruct_string = _get_range(s, b)
+    span = "".join(secstruct[p] for p in range(lo, hi + 1))
+    interior = span[1:-1]
 
-    # helix-mediated clashes: fully helical span between the pair...
-    if _all_equal(_get_range(s + 1, b - 1), "H"):
+    def exactly_one_end_is(state):
+        return (span[0] == state) != (span[-1] == state)
+
+    # --- helix geometry ---
+    # an all-helical stretch between the endpoints cannot bring them
+    # into contact at short separation
+    if _is_uniform(interior, "H"):
         return True
-    # ... or one endpoint in a helix with a long helical stretch
-    elif xor(secstruct[s] == "H", secstruct[b] == "H"):
-        h2 = "H" * (b - s - 1)
-        h3 = "H" * (b - s - 2)
-        if h2 in secstruct_string:
-            if b - s > 6:
+    if exactly_one_end_is("H"):
+        helix_run = _longest_run(span, "H")
+        # a near-complete helix across the span excludes contact once
+        # the separation outgrows one helical turn (resp. ~three)
+        if helix_run >= sep - 1:
+            if sep > 6:
                 return True
-        elif h3 in secstruct_string:
-            if b - s > 11:
+        elif helix_run >= sep - 2:
+            if sep > 11:
                 return True
 
-    # strand-mediated clashes
-    if _all_equal(_get_range(s + 1, b - 1), "E"):
+    # --- strand geometry ---
+    if _is_uniform(interior, "E"):
         return True
-    elif _all_equal(_get_range(s + 2, b - 2), "E"):
-        if b - s > 8:
+    if _is_uniform(interior[1:-1], "E") and sep > 8:
+        return True
+    if exactly_one_end_is("E"):
+        strand_run = _longest_run(span, "E")
+        if strand_run >= sep - 2:
             return True
-
-    if xor(secstruct[s] == "E", secstruct[b] == "E"):
-        e2 = "E" * (b - s - 1)
-        e3 = "E" * (b - s - 2)
-        e4 = "E" * (b - s - 3)
-
-        if e2 in secstruct_string:
+        if strand_run >= sep - 3 and sep > 8:
             return True
-        elif e3 in secstruct_string:
-            return True
-        elif e4 in secstruct_string:
-            if b - s > 8:
-                return True
 
     return False
 
@@ -72,33 +82,29 @@ def detect_secstruct_clash(i, j, secstruct):
 def secstruct_clashes(ec_pairs, residues, output_column="ss_clash",
                       secstruct_column="sec_struct_3state"):
     """Annotate an EC table (columns i, j) with secondary-structure
-    clash flags."""
-    ec_pairs = deepcopy(ec_pairs)
-    secstruct = dict(zip(residues.i, residues[secstruct_column]))
+    clash flags from a residue table (columns i, secstruct_column)."""
+    states = dict(zip(residues.i, residues[secstruct_column]))
 
-    ec_pairs.loc[:, output_column] = [
-        detect_secstruct_clash(row["i"], row["j"], secstruct)
-        for _, row in ec_pairs.iterrows()
+    out = ec_pairs.copy()
+    out[output_column] = [
+        detect_secstruct_clash(i, j, states)
+        for i, j in zip(out["i"], out["j"])
     ]
-    return ec_pairs
+    return out
 
 
 def disulfide_clashes(ec_pairs, output_column="cys_clash"):
-    """Flag cys-cys EC pairs whose residues already occur in an
-    earlier cys-cys pairing (only one bridge possible per cysteine)."""
-    ec_pairs = deepcopy(ec_pairs)
+    """Flag cys-cys EC pairs whose residues already occur in a
+    higher-ranked cys-cys pairing (a cysteine forms one bridge)."""
+    out = ec_pairs.copy()
 
-    cys_pairs = ec_pairs.query("A_i == 'C' and A_j == 'C'")
+    flags = pd.Series(False, index=out.index)
+    bridged = set()
+    is_cys_pair = (out["A_i"] == "C") & (out["A_j"] == "C")
+    for idx in out.index[is_cys_pair]:
+        i, j = out.at[idx, "i"], out.at[idx, "j"]
+        flags.at[idx] = i in bridged or j in bridged
+        bridged.update((i, j))
 
-    paired = set()
-    clashes = []
-    for idx, row in cys_pairs.iterrows():
-        i, j = row["i"], row["j"]
-        if i in paired or j in paired:
-            clashes.append(idx)
-        paired.add(i)
-        paired.add(j)
-
-    ec_pairs.loc[:, output_column] = False
-    ec_pairs.loc[clashes, output_column] = True
-    return ec_pairs
+    out[output_column] = flags
+    return out

@@ -263,3 +263,55 @@ class TestComplexDockProtocol:
             assert os.path.isfile(f)
         content = open(files[0]).read()
         assert "segid A" in content and "segid B" in content
+
+
+class TestFilterReferenceParity:
+    def test_secstruct_clash_matches_reference(self):
+        """Run-length formulation must agree with the reference's
+        substring-probe port of choose_CNS_constraint_set.m on every
+        pair of every random secondary structure."""
+        from reference_shim import load_reference
+
+        ref_pkg = load_reference()
+        if ref_pkg is None:
+            pytest.skip("reference package not loadable")
+        import evcouplings.fold.filter as ref_filter
+
+        rng = np.random.default_rng(17)
+        for trial in range(20):
+            L = 30
+            states = rng.choice(
+                list("HEC"), size=L,
+                p=(0.35, 0.25, 0.40),
+            )
+            secstruct = {pos: s for pos, s in enumerate(states)}
+            for i in range(L):
+                for j in range(i + 1, L):
+                    ours = detect_secstruct_clash(i, j, secstruct)
+                    theirs = ref_filter.detect_secstruct_clash(
+                        i, j, secstruct
+                    )
+                    assert ours == theirs, (trial, i, j,
+                                            "".join(states))
+
+    def test_disulfide_clash_matches_reference(self):
+        from reference_shim import load_reference
+
+        ref_pkg = load_reference()
+        if ref_pkg is None:
+            pytest.skip("reference package not loadable")
+        import evcouplings.fold.filter as ref_filter
+
+        rng = np.random.default_rng(3)
+        n = 40
+        table = pd.DataFrame({
+            "i": rng.integers(1, 15, size=n),
+            "j": rng.integers(1, 15, size=n),
+            "A_i": rng.choice(["C", "A"], size=n, p=(0.6, 0.4)),
+            "A_j": rng.choice(["C", "A"], size=n, p=(0.6, 0.4)),
+        })
+        ours = disulfide_clashes(table)
+        theirs = ref_filter.disulfide_clashes(table.copy())
+        pd.testing.assert_series_equal(
+            ours["cys_clash"], theirs["cys_clash"]
+        )
