@@ -1,9 +1,12 @@
 """
 Sequence index mapping between aligned sequences.
 
-Parity target: reference evcouplings/compare/mapping.py — map_indices
-(:15), alignment_index_mapping (:79).
+Behavior-compatible with the reference (evcouplings/compare/
+mapping.py:15-166), with the per-column Python loop replaced by a
+vectorized cumulative-position computation.
 """
+
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -16,73 +19,81 @@ def map_indices(seq_i, start_i, end_i, seq_j, start_j, end_j,
     """Position mapping between two aligned sequences.
 
     Returns a DataFrame with columns i, A_i, j, A_j; indices are
-    stored as strings (NaN for unaligned positions).
+    stored as strings, with NaN index/symbol cells where the other
+    sequence has a gap. Columns where both sequences are gapped are
+    dropped.
     """
-    NA = np.nan
-    pos_i = start_i
-    pos_j = start_j
-    mapping = []
+    res_i = np.asarray(list(seq_i))
+    res_j = np.asarray(list(seq_j))
+    gaps = np.asarray(list(gaps))
 
-    for res_i, res_j in zip(seq_i, seq_j):
-        if res_i not in gaps and res_j not in gaps:
-            mapping.append([str(pos_i), res_i, str(pos_j), res_j])
-        elif res_i not in gaps:
-            mapping.append([str(pos_i), res_i, NA, NA])
-        elif res_j not in gaps:
-            mapping.append([NA, NA, str(pos_j), res_j])
+    aligned_i = ~np.isin(res_i, gaps)
+    aligned_j = ~np.isin(res_j, gaps)
 
-        if res_i not in gaps:
-            pos_i += 1
-        if res_j not in gaps:
-            pos_j += 1
+    # running sequence positions (value only meaningful where aligned)
+    pos_i = start_i + np.cumsum(aligned_i) - 1
+    pos_j = start_j + np.cumsum(aligned_j) - 1
 
-    assert pos_i - 1 == end_i and pos_j - 1 == end_j
+    if aligned_i.any() and pos_i[aligned_i][-1] != end_i:
+        raise ValueError(
+            "Sequence i does not span {}-{}".format(start_i, end_i)
+        )
+    if aligned_j.any() and pos_j[aligned_j][-1] != end_j:
+        raise ValueError(
+            "Sequence j does not span {}-{}".format(start_j, end_j)
+        )
 
-    return pd.DataFrame(mapping, columns=["i", "A_i", "j", "A_j"])
+    keep = aligned_i | aligned_j
+
+    def column(values, mask):
+        col = pd.Series(values[keep], dtype=object)
+        col[~mask[keep]] = np.nan
+        return col.reset_index(drop=True)
+
+    return pd.DataFrame({
+        "i": column(pos_i.astype(str), aligned_i),
+        "A_i": column(res_i, aligned_i),
+        "j": column(pos_j.astype(str), aligned_j),
+        "A_j": column(res_j, aligned_j),
+    })
 
 
 def alignment_index_mapping(alignment_file, format="stockholm",
                             target_seq=None):
     """Index mapping table centered on a target sequence of an
-    alignment: columns i, A_i plus i_<id> / A_i_<id> per other row."""
-    with open(alignment_file) as a:
-        ali = Alignment.from_file(a, format)
+    alignment: columns i, A_i plus i_<id> / A_i_<id> for every other
+    row, aligned by merging on the target positions."""
+    ali = Alignment.from_path(alignment_file, format)
 
-    if target_seq is None:
-        target_seq_index = 0
-    else:
-        for i, full_id in enumerate(ali.ids):
+    target_index = 0
+    if target_seq is not None:
+        for idx, full_id in enumerate(ali.ids):
             if full_id.startswith(target_seq):
-                target_seq_index = i
+                target_index = idx
 
-    id_, target_start, target_end = parse_header(
-        ali.ids[target_seq_index]
-    )
-    target_seq = ali.matrix[target_seq_index]
+    _, target_start, target_end = parse_header(ali.ids[target_index])
+    gap_chars = [ali._match_gap, ali._insert_gap]
 
-    full_map = None
-
-    for i, full_id in enumerate(ali.ids):
-        if i == target_seq_index:
-            continue
-
-        id_, region_start, region_end = parse_header(full_id)
-        other_seq = ali.matrix[i]
-
-        map_df = map_indices(
-            target_seq, target_start, target_end,
-            other_seq, region_start, region_end,
-            [ali._match_gap, ali._insert_gap],
+    def row_mapping(row_index):
+        full_id = ali.ids[row_index]
+        _, row_start, row_end = parse_header(full_id)
+        return map_indices(
+            ali.matrix[target_index], target_start, target_end,
+            ali.matrix[row_index], row_start, row_end,
+            gap_chars,
         ).rename(columns={
             "j": "i_" + full_id,
             "A_j": "A_i_" + full_id,
         })
 
-        if full_map is None:
-            full_map = map_df
-        else:
-            full_map = full_map.merge(
-                map_df, on=("i", "A_i"), how="left"
-            )
+    per_row = [
+        row_mapping(idx) for idx in range(ali.N)
+        if idx != target_index
+    ]
+    if not per_row:
+        return None
 
-    return full_map
+    return reduce(
+        lambda acc, t: acc.merge(t, on=("i", "A_i"), how="left"),
+        per_row,
+    )
