@@ -217,3 +217,49 @@ class TestJackhmmerProtocols:
         assert QUERY_SEQ[4:15] in target
         segment = outcfg["segments"][0]
         assert segment[3] == 5 and segment[4] == 15
+
+
+class TestSeqidFilter:
+    def test_modify_alignment_invokes_hhfilter(self, tmp_path):
+        """seqid_filter routes through run_hhfilter; the fake binary
+        drops one sequence so the filter's effect is observable."""
+        from evcouplings_tpu.align.alignment import Alignment
+        from evcouplings_tpu.align.protocol import modify_alignment
+
+        # focus alignment: query + 3 homologs
+        seqs = {
+            "TARGET/1-8": "MKTAYIAK",
+            "h1": "MKSAYIGK",
+            "h2": "MRTAYLAK",
+            "h3": "MKTAYIAK",
+        }
+        ali = Alignment.from_dict(seqs)
+
+        # fake hhfilter: copy input to output, dropping the last record
+        script = tmp_path / "hhfilter"
+        script.write_text(
+            "#!/bin/bash\nset -e\n"
+            "IN=; OUTF=\n"
+            "args=(\"$@\")\n"
+            "for ((k=0; k<$#; k++)); do\n"
+            "  case \"${args[k]}\" in\n"
+            "    -i) IN=\"${args[k+1]}\";;\n"
+            "    -o) OUTF=\"${args[k+1]}\";;\n"
+            "  esac\n"
+            "done\n"
+            "head -n -2 \"$IN\" > \"$OUTF\"\n"
+        )
+        script.chmod(0o755)
+
+        outcfg, filtered = modify_alignment(
+            ali, 0, "TARGET", 1,
+            prefix=str(tmp_path / "job"),
+            seqid_filter=95,
+            hhfilter=str(script),
+            minimum_sequence_coverage=0,
+            minimum_column_coverage=0,
+            compute_num_effective_seqs=False,
+            theta=0.8,
+        )
+        assert filtered.N == 3
+        assert os.path.isfile(outcfg["alignment_file"])

@@ -1,0 +1,178 @@
+"""
+Hermetic end-to-end test of the fold stage: the full standard protocol
+(secondary structure -> clash filtering -> restraint generation ->
+CNS dg/sa orchestration -> model ranking) driven with a fake CNS
+binary and fake .inp templates. The fake templates render
+TOUCH/MAKEPDB/MAKEMODELS directives that the fake binary executes, so
+every real code path (restraint writers, topology/extended/dgsa/
+minimize sequencing, model collection, dihedral ranking) runs without
+CNSsolve.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from evcouplings_tpu.fold import protocol as fold_protocol
+
+SEQ = "MKTAYIAKQRQISFVKSHFSRQ"
+L = len(SEQ)
+
+TEMPLATES = {
+    "generate_seq": "TOUCH {{ mtf_outfile }}\n",
+    "generate_extended": "MAKEPDB {{ pdb_outfile }}\n",
+    "dg_sa": (
+        "MAKEMODELS {{ pdb_outfile_basename }} {{ num_structures }}\n"
+    ),
+    "generate_easy": (
+        "MAKEPDB {{ pdb_outfile }}\nTOUCH {{ mtf_outfile }}\n"
+    ),
+    "model_minimize": "MAKEPDB {{ pdb_outfile }}\n",
+}
+
+FAKE_CNS = """#!/bin/bash
+# fake CNSsolve: execute directives from the rendered .inp on stdin
+# (|| [ -n ... ] handles the final line missing its newline — jinja2
+# strips the trailing newline when rendering the templates)
+set -e
+while read -r op a b || [ -n "$op" ]; do
+  case "$op" in
+    TOUCH) : > "$a";;
+    MAKEPDB) cp "$PDBSRC" "$a";;
+    MAKEMODELS)
+      for ((k=1; k<=b; k++)); do cp "$PDBSRC" "${a}_${k}.pdb"; done;;
+  esac
+done
+"""
+
+
+def helix_pdb(n_residues):
+    """CA-trace PDB of an ideal alpha helix (parseable by ClassicPDB,
+    enough geometry for the dihedral ranking)."""
+    lines = []
+    aa3 = {
+        "M": "MET", "K": "LYS", "T": "THR", "A": "ALA", "Y": "TYR",
+        "I": "ILE", "Q": "GLN", "R": "ARG", "S": "SER", "F": "PHE",
+        "V": "VAL", "H": "HIS",
+    }
+    for k in range(n_residues):
+        theta = np.deg2rad(100.0 * k)
+        x, y, z = (
+            2.3 * np.cos(theta), 2.3 * np.sin(theta), 1.5 * k
+        )
+        lines.append(
+            "ATOM  {:>5}  CA  {} A{:>4}    "
+            "{:8.3f}{:8.3f}{:8.3f}  1.00  0.00           C".format(
+                k + 1, aa3[SEQ[k]], k + 1, x, y, z
+            )
+        )
+    return "\n".join(lines) + "\nEND\n"
+
+
+@pytest.fixture
+def fold_env(tmp_path, monkeypatch):
+    # fake template dir
+    tdir = tmp_path / "templates"
+    tdir.mkdir()
+    for name, content in TEMPLATES.items():
+        (tdir / (name + ".inp")).write_text(content)
+    monkeypatch.setenv("EVCOUPLINGS_CNS_TEMPLATE_DIR", str(tdir))
+
+    # fake cns binary, three levels deep like a real install
+    bin_dir = tmp_path / "cnsroot" / "intel" / "bin"
+    bin_dir.mkdir(parents=True)
+    cns = bin_dir / "cns"
+    cns.write_text(FAKE_CNS)
+    cns.chmod(0o755)
+
+    # the model every MAKEPDB/MAKEMODELS directive copies
+    pdb_src = tmp_path / "model_src.pdb"
+    pdb_src.write_text(helix_pdb(L))
+    monkeypatch.setenv("PDBSRC", str(pdb_src))
+
+    return str(cns)
+
+
+def test_fold_standard_protocol(tmp_path, fold_env):
+    prefix = str(tmp_path / "out" / "fold")
+
+    # inputs normally produced by earlier stages
+    residues = pd.DataFrame({
+        "i": np.arange(1, L + 1),
+        "A_i": list(SEQ),
+        "sec_struct_3state": ["H"] * L,
+    })
+    sec_struct_file = str(tmp_path / "ss.csv")
+    residues.to_csv(sec_struct_file, index=False)
+
+    rng = np.random.default_rng(0)
+    pairs = [(i, j) for i in range(1, L + 1)
+             for j in range(i + 6, L + 1)]
+    ecs = pd.DataFrame([
+        {
+            "i": i, "A_i": SEQ[i - 1], "j": j, "A_j": SEQ[j - 1],
+            "cn": rng.random(), "probability": rng.random(),
+        }
+        for i, j in pairs
+    ]).sort_values("cn", ascending=False)
+    ec_file = str(tmp_path / "ecs.csv")
+    ecs.to_csv(ec_file, index=False)
+
+    target_seq_file = str(tmp_path / "target.fa")
+    with open(target_seq_file, "w") as f:
+        f.write(">TARGET/1-{}\n{}\n".format(L, SEQ))
+
+    outcfg = fold_protocol.run(
+        protocol="standard",
+        prefix=prefix,
+        engine="cns_dgsa",
+        ec_file=ec_file,
+        target_sequence_file=target_seq_file,
+        segments=None,
+        folding_config_file=None,
+        cut_to_alignment_region=False,
+        sec_struct_method="file",
+        reuse_sec_struct=False,
+        sec_struct_file=sec_struct_file,
+        filter_sec_struct_clashes=True,
+        min_sequence_distance=5,
+        fold_probability_cutoffs=None,
+        fold_lowest_count=10,
+        fold_highest_count=10,
+        fold_increase=5,
+        num_models=1,
+        psipred=None,
+        cpu=1,
+        remapped_pdb_files=None,
+        cleanup=False,
+        cns=fold_env,
+        maxcluster=None,
+    )
+
+    # one folding sub-run, one model, minimized and copied out
+    models = outcfg["folded_structure_files"]
+    assert len(models) == 1
+    assert models[0].endswith("_hMIN.pdb")
+    assert os.path.isfile(models[0])
+
+    # clash-annotated EC table written
+    clashes = pd.read_csv(outcfg["folding_ec_file"])
+    assert "ss_clash" in clashes.columns
+    # an all-helix structure makes short-range pairs clash-prone but
+    # |i-j|>5 pairs over a 22-mer helix are mostly fine; just check
+    # both values occur only within the defined vocabulary
+    assert set(clashes.ss_clash.unique()) <= {True, False}
+
+    # dihedral ranking produced
+    ranking = pd.read_csv(outcfg["folding_ranking_file"])
+    assert len(ranking) == 1
+    assert "ranking_score" in ranking.columns
+
+    # secondary structure persisted with in_model flags
+    ss = pd.read_csv(outcfg["sec_struct_file"])
+    assert ss.in_model.all()
+
+    # pymol secondary-structure script
+    assert os.path.isfile(outcfg["secondary_structure_pml_file"])
