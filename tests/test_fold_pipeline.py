@@ -176,3 +176,125 @@ def test_fold_standard_protocol(tmp_path, fold_env):
 
     # pymol secondary-structure script
     assert os.path.isfile(outcfg["secondary_structure_pml_file"])
+
+
+FAKE_PSIPRED = r"""#!/bin/bash
+# fake runpsipred: writes ss2/horiz predictions for the input FASTA
+# into the current working directory (like the real driver script)
+set -e
+FASTA="$1"
+ROOT=$(basename "$FASTA")
+ROOT="${ROOT%.*}"
+python3 - "$FASTA" "$ROOT" <<'PYEOF'
+import sys
+fasta, root = sys.argv[1], sys.argv[2]
+seq = "".join(
+    l.strip() for l in open(fasta) if not l.startswith(">")
+)
+with open(root + ".ss2", "w") as f:
+    f.write("# PSIPRED VFORMAT (fake)\n\n")
+    for k, aa in enumerate(seq, start=1):
+        f.write("{:4d} {} {}   0.100  0.800  0.100\n".format(
+            k, aa, "H"))
+with open(root + ".horiz", "w") as f:
+    f.write("# PSIPRED HFORMAT (fake)\n")
+    f.write("Conf: " + "9" * len(seq) + "\n")
+    f.write("Pred: " + "H" * len(seq) + "\n")
+    f.write("  AA: " + seq + "\n")
+PYEOF
+"""
+
+FAKE_MAXCLUSTER = """#!/bin/bash
+# fake maxcluster: emit a parseable clustering for the -l list file
+set -e
+LIST=
+args=("$@")
+for ((k=0; k<$#; k++)); do
+  [ "${args[k]}" = "-l" ] && LIST="${args[k+1]}"
+done
+n=0
+while read -r f; do
+  n=$((n+1))
+  echo "INFO  : 1 : $n $f"
+done < "$LIST"
+"""
+
+
+def test_fold_standard_with_psipred_and_clustering(tmp_path, fold_env,
+                                                   monkeypatch):
+    """Same protocol, but secondary structure comes from the (fake)
+    PSIPRED binary and two models trigger the (fake) maxcluster
+    clustering path."""
+    prefix = str(tmp_path / "out2" / "fold")
+
+    psipred = tmp_path / "runpsipred"
+    psipred.write_text(FAKE_PSIPRED)
+    psipred.chmod(0o755)
+
+    maxcluster = tmp_path / "maxcluster"
+    maxcluster.write_text(FAKE_MAXCLUSTER)
+    maxcluster.chmod(0o755)
+
+    rng = np.random.default_rng(1)
+    pairs = [(i, j) for i in range(1, L + 1)
+             for j in range(i + 6, L + 1)]
+    ecs = pd.DataFrame([
+        {
+            "i": i, "A_i": SEQ[i - 1], "j": j, "A_j": SEQ[j - 1],
+            "cn": rng.random(), "probability": rng.random(),
+        }
+        for i, j in pairs
+    ]).sort_values("cn", ascending=False)
+    ec_file = str(tmp_path / "ecs2.csv")
+    ecs.to_csv(ec_file, index=False)
+
+    target_seq_file = str(tmp_path / "target2.fa")
+    with open(target_seq_file, "w") as f:
+        f.write(">TARGET/1-{}\n{}\n".format(L, SEQ))
+
+    outcfg = fold_protocol.run(
+        protocol="standard",
+        prefix=prefix,
+        engine="cns_dgsa",
+        ec_file=ec_file,
+        target_sequence_file=target_seq_file,
+        segments=None,
+        folding_config_file=None,
+        cut_to_alignment_region=False,
+        sec_struct_method="psipred",
+        reuse_sec_struct=False,
+        sec_struct_file=None,
+        filter_sec_struct_clashes=False,
+        min_sequence_distance=5,
+        fold_probability_cutoffs=None,
+        fold_lowest_count=8,
+        fold_highest_count=12,
+        fold_increase=4,
+        num_models=1,
+        psipred=str(psipred),
+        cpu=1,
+        remapped_pdb_files=None,
+        cleanup=True,
+        cns=fold_env,
+        maxcluster=str(maxcluster),
+    )
+
+    # two count-ramp sub-runs (8 and 12 ECs) -> two models -> ranking
+    # merged with the clustering table
+    models = outcfg["folded_structure_files"]
+    assert len(models) == 2
+    ranking = pd.read_csv(outcfg["folding_ranking_file"])
+    assert {"cluster_average", "cluster_size_average"} <= set(
+        ranking.columns
+    )
+    assert (ranking.cluster_size_average == 2).all()
+
+    # PSIPRED-predicted secondary structure persisted
+    ss = pd.read_csv(outcfg["sec_struct_file"])
+    assert (ss.sec_struct_3state == "H").all()
+    assert len(ss) == L
+
+    # aux directory removed by cleanup
+    assert not os.path.isdir(
+        os.path.join(os.path.dirname(prefix), "aux")
+    )
