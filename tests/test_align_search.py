@@ -169,7 +169,12 @@ class TestJackhmmerProtocols:
 
         # final focus alignment contains the homologs, uppercased to
         # the query's non-gap columns
-        assert os.path.isfile(outcfg["alignment_file"])
+        # hmmbuild_and_search stops at the raw focus alignment (the
+        # reference does too — downstream stages run the filtering)
+        assert os.path.isfile(outcfg["raw_alignment_file"])
+        assert os.path.isfile(outcfg["hittable_file"])
+        assert outcfg["segments"][0][3] == 1
+        assert outcfg["segments"][0][4] == 8
         from evcouplings_tpu.align.alignment import Alignment
 
         ali = Alignment.from_path(outcfg["alignment_file"])
@@ -201,7 +206,12 @@ class TestJackhmmerProtocols:
             jackhmmer="/nonexistent/jackhmmer",
         )
         outcfg = align_protocol.run(protocol="standard", **kwargs2)
-        assert os.path.isfile(outcfg["alignment_file"])
+        # hmmbuild_and_search stops at the raw focus alignment (the
+        # reference does too — downstream stages run the filtering)
+        assert os.path.isfile(outcfg["raw_alignment_file"])
+        assert os.path.isfile(outcfg["hittable_file"])
+        assert outcfg["segments"][0][3] == 1
+        assert outcfg["segments"][0][4] == 8
 
     def test_region_cut(self, tmp_path, fake_jackhmmer, seq_and_db):
         seq_file, db_file = seq_and_db
@@ -262,4 +272,121 @@ class TestSeqidFilter:
             theta=0.8,
         )
         assert filtered.N == 3
-        assert os.path.isfile(outcfg["alignment_file"])
+        # hmmbuild_and_search stops at the raw focus alignment (the
+        # reference does too — downstream stages run the filtering)
+        assert os.path.isfile(outcfg["raw_alignment_file"])
+        assert os.path.isfile(outcfg["hittable_file"])
+        assert outcfg["segments"][0][3] == 1
+        assert outcfg["segments"][0][4] == 8
+
+
+HMMSEARCH_STO = """# STOCKHOLM 1.0
+#=GC RF xxxxxxxx
+hitA MKSAYIGK
+hitB MRTAYLAK
+hitC -KTAYIAR
+//
+"""
+
+
+class TestHmmbuildAndSearch:
+    @pytest.fixture
+    def fake_hmm_binaries(self, tmp_path):
+        """Fake hmmbuild (writes .hmm) and hmmsearch (writes -A
+        Stockholm with RF annotation plus tblout/domtblout/-o)."""
+        sto = tmp_path / "hmmsearch_result.sto"
+        sto.write_text(HMMSEARCH_STO)
+
+        hmmbuild = tmp_path / "hmmbuild"
+        hmmbuild.write_text(
+            "#!/bin/bash\nset -e\n"
+            "args=(\"$@\")\n"
+            "OUT=\n"
+            "for ((k=0; k<$#; k++)); do\n"
+            "  [ \"${args[k]}\" = \"-o\" ] && OUT=\"${args[k+1]}\"\n"
+            "done\n"
+            "HMM=\"${args[$#-2]}\"; ALI=\"${args[$#-1]}\"\n"
+            "[ -f \"$ALI\" ] || exit 65\n"
+            "echo 'HMMER3/f fake profile' > \"$HMM\"\n"
+            "echo ok > \"$OUT\"\n"
+        )
+        hmmbuild.chmod(0o755)
+
+        hmmsearch = tmp_path / "hmmsearch"
+        hmmsearch.write_text(
+            "#!/bin/bash\nset -e\n"
+            "args=(\"$@\")\n"
+            "ALI=; OUT=; TBL=; DOM=\n"
+            "for ((k=0; k<$#; k++)); do\n"
+            "  case \"${args[k]}\" in\n"
+            "    -A) ALI=\"${args[k+1]}\";;\n"
+            "    -o) OUT=\"${args[k+1]}\";;\n"
+            "    --tblout) TBL=\"${args[k+1]}\";;\n"
+            "    --domtblout) DOM=\"${args[k+1]}\";;\n"
+            "  esac\n"
+            "done\n"
+            "HMM=\"${args[$#-2]}\"; DB=\"${args[$#-1]}\"\n"
+            "[ -f \"$HMM\" ] && [ -f \"$DB\" ] || exit 66\n"
+            "cp @STO@ \"$ALI\"\n"
+            "echo '# tbl' > \"$TBL\"\n"
+            "echo '# dom' > \"$DOM\"\n"
+            "echo ok > \"$OUT\"\n".replace("@STO@", str(sto))
+        )
+        hmmsearch.chmod(0o755)
+        return str(hmmbuild), str(hmmsearch)
+
+    def test_protocol_end_to_end(self, tmp_path, fake_hmm_binaries,
+                                 seq_and_db):
+        _, db_file = seq_and_db
+        hmmbuild, hmmsearch = fake_hmm_binaries
+
+        # input alignment containing the target (8 aligned columns)
+        input_ali = tmp_path / "input.fasta"
+        input_ali.write_text(
+            ">TARGET/1-8\nMKTAYIAK\n>other\nMKSAYIGK\n"
+        )
+
+        outcfg = align_protocol.run(
+            protocol="hmmbuild_and_search",
+            prefix=str(tmp_path / "run" / "hb"),
+            sequence_id="TARGET",
+            alignment_file=str(input_ali),
+            first_index=1,
+            use_bitscores=True,
+            domain_threshold=0.3,
+            sequence_threshold=0.3,
+            database="seqdb",
+            seqdb=db_file,
+            cpu=1,
+            nobias=False,
+            reuse_alignment=False,
+            hmmbuild=hmmbuild,
+            hmmsearch=hmmsearch,
+            extract_annotation=False,
+            # modify_alignment stage
+            seqid_filter=None,
+            hhfilter=None,
+            minimum_sequence_coverage=0,
+            minimum_column_coverage=0,
+            compute_num_effective_seqs=False,
+            theta=0.8,
+        )
+
+        assert outcfg["focus_mode"] is True
+        assert outcfg["focus_sequence"] == "TARGET/1-8"
+
+        from evcouplings_tpu.align.alignment import Alignment
+
+        # query prepended to the search hits, gapped onto RF columns
+        raw = Alignment.from_path(
+            outcfg["raw_focus_alignment_file"], "fasta"
+        )
+        assert raw.N == 4
+        assert "".join(raw[0]) == "MKTAYIAK"
+
+        # hmmbuild_and_search stops at the raw focus alignment (the
+        # reference does too — downstream stages run the filtering)
+        assert os.path.isfile(outcfg["raw_alignment_file"])
+        assert os.path.isfile(outcfg["hittable_file"])
+        assert outcfg["segments"][0][3] == 1
+        assert outcfg["segments"][0][4] == 8
