@@ -169,12 +169,7 @@ class TestJackhmmerProtocols:
 
         # final focus alignment contains the homologs, uppercased to
         # the query's non-gap columns
-        # hmmbuild_and_search stops at the raw focus alignment (the
-        # reference does too — downstream stages run the filtering)
-        assert os.path.isfile(outcfg["raw_alignment_file"])
-        assert os.path.isfile(outcfg["hittable_file"])
-        assert outcfg["segments"][0][3] == 1
-        assert outcfg["segments"][0][4] == 8
+        assert os.path.isfile(outcfg["alignment_file"])
         from evcouplings_tpu.align.alignment import Alignment
 
         ali = Alignment.from_path(outcfg["alignment_file"])
@@ -206,12 +201,7 @@ class TestJackhmmerProtocols:
             jackhmmer="/nonexistent/jackhmmer",
         )
         outcfg = align_protocol.run(protocol="standard", **kwargs2)
-        # hmmbuild_and_search stops at the raw focus alignment (the
-        # reference does too — downstream stages run the filtering)
-        assert os.path.isfile(outcfg["raw_alignment_file"])
-        assert os.path.isfile(outcfg["hittable_file"])
-        assert outcfg["segments"][0][3] == 1
-        assert outcfg["segments"][0][4] == 8
+        assert os.path.isfile(outcfg["alignment_file"])
 
     def test_region_cut(self, tmp_path, fake_jackhmmer, seq_and_db):
         seq_file, db_file = seq_and_db
@@ -272,12 +262,7 @@ class TestSeqidFilter:
             theta=0.8,
         )
         assert filtered.N == 3
-        # hmmbuild_and_search stops at the raw focus alignment (the
-        # reference does too — downstream stages run the filtering)
-        assert os.path.isfile(outcfg["raw_alignment_file"])
-        assert os.path.isfile(outcfg["hittable_file"])
-        assert outcfg["segments"][0][3] == 1
-        assert outcfg["segments"][0][4] == 8
+        assert os.path.isfile(outcfg["alignment_file"])
 
 
 HMMSEARCH_STO = """# STOCKHOLM 1.0
