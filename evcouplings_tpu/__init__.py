@@ -30,6 +30,16 @@ if _cache_dir:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# Explicit backend selection: some environments force-register an
+# accelerator plugin in sitecustomize so the JAX_PLATFORMS env var is
+# not reliably honored; EVCOUPLINGS_JAX_PLATFORM applies the choice
+# through jax.config at package import, which always wins.
+_platform = _os.environ.get("EVCOUPLINGS_JAX_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+
 
 class BailoutException(Exception):
     """Deliberate early-exit from a pipeline (e.g. no significant couplings).

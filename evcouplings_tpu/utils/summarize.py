@@ -43,7 +43,8 @@ def protein_monomer(prefix, configs):
 
         C = read_config_file(cfg_file)
         sub_prefix = C["global"]["prefix"]
-        domain_threshold = C["align"]["domain_threshold"]
+        # sweeps over the `existing` protocol have no search threshold
+        domain_threshold = C["align"].get("domain_threshold")
         sub_index = (domain_threshold, sub_prefix)
 
         final_state_cfg = sub_prefix + FINAL_CONFIG_SUFFIX
@@ -74,7 +75,12 @@ def protein_monomer(prefix, configs):
 
         if valid_file(ec_file):
             ecs = pd.read_csv(ec_file)
-            min_seq_dist = C["compare"]["min_sequence_distance"]
+            min_seq_dist = (C.get("compare") or {}).get(
+                "min_sequence_distance",
+                (C.get("couplings") or {}).get(
+                    "min_sequence_distance", 6
+                ),
+            )
             num_sig = len(ecs.query(
                 "abs(i-j) >= @min_seq_dist and "
                 "probability >= @MIN_PROBABILITY"
@@ -261,7 +267,12 @@ def protein_complex(prefix, configs):
 
         if valid_file(ec_file):
             ecs = pd.read_csv(ec_file)
-            min_seq_dist = C["compare"]["min_sequence_distance"]
+            min_seq_dist = (C.get("compare") or {}).get(
+                "min_sequence_distance",
+                (C.get("couplings") or {}).get(
+                    "min_sequence_distance", 6
+                ),
+            )
             num_sig = len(ecs.query(
                 "abs(i-j) >= @min_seq_dist and "
                 "probability >= @MIN_PROBABILITY"

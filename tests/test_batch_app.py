@@ -304,15 +304,20 @@ class TestAppEndToEnd:
         cfg_file = str(tmp_path / "sweep_config.txt")
         write_config_file(cfg_file, config)
 
-        # sub-jobs are separate processes; share one XLA compile
-        # cache so the second job starts hot
-        os.environ["EVCOUPLINGS_COMPILE_CACHE"] = str(
-            tmp_path / "xla_cache"
+        # sub-jobs are separate processes; share one persistent XLA
+        # compile cache so the second job (and any later run of this
+        # test) starts hot instead of recompiling the pipeline
+        os.environ["EVCOUPLINGS_COMPILE_CACHE"] = os.path.join(
+            os.path.expanduser("~"), ".cache", "evcouplings_tests_xla"
         )
+        # force the CPU backend in the sub-processes: the harness may
+        # force-register a TPU plugin that ignores JAX_PLATFORMS
+        os.environ["EVCOUPLINGS_JAX_PLATFORM"] = "cpu"
         try:
             run(config=cfg_file, yolo=True)
         finally:
             os.environ.pop("EVCOUPLINGS_COMPILE_CACHE", None)
+            os.environ.pop("EVCOUPLINGS_JAX_PLATFORM", None)
 
         for suffix in ("_cc0", "_cc30"):
             sub_prefix = "{}{}".format(prefix, suffix)
@@ -321,3 +326,6 @@ class TestAppEndToEnd:
                 sub_prefix + "_final.outcfg"
             )
             assert os.path.isfile(final["ec_file"])
+
+        # the per-job summarizer command aggregated the sweep
+        assert os.path.isfile(prefix + "_job_statistics_summary.csv")
