@@ -444,3 +444,87 @@ class TestComplexCouplingsEndToEnd:
         cn = model.cn()
         inter_block = cn[: self.L, self.L:]
         assert inter_block[ci, cj] == inter_block.max()
+
+
+class TestGenomeDistanceProtocol:
+    """Protocol-level genome_distance concatenation: two monomer
+    alignments + CDS genome-location tables -> operon-paired
+    concatenated alignment with distance plot."""
+
+    def test_end_to_end(self, tmp_path):
+        L = 6
+        # alignment row ids are the full_ids from the location tables
+        ali1 = tmp_path / "m1.fasta"
+        ali1.write_text(
+            ">T1/1-6\nMKTAYI\n>A1\nMKSAYL\n>A2\nMRTAYI\n>A3\nMKTAYV\n"
+        )
+        ali2 = tmp_path / "m2.fasta"
+        ali2.write_text(
+            ">T2/1-6\nWFQHRE\n>B1\nWFQHKE\n>B2\nWYQHRE\n>B3\nWFEHRD\n"
+        )
+
+        # A1<->B1 adjacent on genome g1 (distance 200); A2<->B2 on g1
+        # further apart; A3/B3 on unshared genomes
+        loc1 = tmp_path / "loc1.csv"
+        pd.DataFrame({
+            "cds": ["c1", "c2", "c3"],
+            "genome_id": ["g1", "g1", "g2"],
+            "uniprot_ac": ["P1", "P2", "P3"],
+            "gene_start": [100, 5000, 100],
+            "gene_end": [400, 5300, 500],
+            "full_id": ["A1", "A2", "A3"],
+        }).to_csv(loc1, index=False)
+        loc2 = tmp_path / "loc2.csv"
+        pd.DataFrame({
+            "cds": ["d1", "d2", "d3"],
+            "genome_id": ["g1", "g1", "g3"],
+            "uniprot_ac": ["Q1", "Q2", "Q3"],
+            "gene_start": [600, 5400, 100],
+            "gene_end": [900, 5600, 200],
+            "full_id": ["B1", "B2", "B3"],
+        }).to_csv(loc2, index=False)
+
+        # annotation files (used for concatenation statistics)
+        for path_, ids in [
+            (tmp_path / "anno1.csv", ["T1/1-6", "A1", "A2", "A3"]),
+            (tmp_path / "anno2.csv", ["T2/1-6", "B1", "B2", "B3"]),
+        ]:
+            pd.DataFrame({
+                "id": ids, "name": ids, "OS": ["spX"] * len(ids),
+            }).to_csv(path_, index=False)
+
+        seg = ["aa", "A_1", "T", 1, L, list(range(1, L + 1))]
+        outcfg = complex_protocol.run(
+            protocol="genome_distance",
+            prefix=str(tmp_path / "run" / "gd"),
+            first_alignment_file=str(ali1),
+            second_alignment_file=str(ali2),
+            first_focus_sequence="T1/1-6",
+            second_focus_sequence="T2/1-6",
+            first_focus_mode=True, second_focus_mode=True,
+            first_region_start=1, second_region_start=1,
+            first_segments=[seg], second_segments=[seg],
+            genome_distance_threshold=1000,
+            first_genome_location_file=str(loc1),
+            second_genome_location_file=str(loc2),
+            first_annotation_file=str(tmp_path / "anno1.csv"),
+            second_annotation_file=str(tmp_path / "anno2.csv"),
+            # alignment post-processing
+            hhfilter=None, seqid_filter=None,
+            minimum_sequence_coverage=0, minimum_column_coverage=0,
+            compute_num_effective_seqs=False, theta=0.8,
+        )
+
+        from evcouplings_tpu.align.alignment import Alignment
+
+        full = Alignment.from_path(outcfg["raw_alignment_file"], "fasta")
+        # target pair + the two same-genome reciprocal pairs within
+        # the distance threshold
+        paired_ids = set(full.ids)
+        assert full.L == 2 * L
+        assert any("A1" in i and "B1" in i for i in full.ids)
+        assert any("A2" in i and "B2" in i for i in full.ids)
+        assert not any("A3" in i or "B3" in i for i in paired_ids)
+
+        assert os.path.isfile(outcfg["distance_plot_file"])
+        assert outcfg["num_sequences"] == 3
