@@ -258,11 +258,20 @@ def _make_complex_contact_maps(ec_table, d_intra_i, d_multimer_i,
                     ecs = ecs.assign(
                         size=(ecs.cn.values / ecs.cn.max()).clip(min=0)
                     )
+                # pandas @-resolution cannot see enclosing-scope
+                # variables from inside this nested function; bind
+                # the segment names explicitly
+                segment_names = {
+                    "first_segment_name": first_segment_name,
+                    "second_segment_name": second_segment_name,
+                }
                 ecs_i = ecs.query(
-                    "segment_i == segment_j == @first_segment_name"
+                    "segment_i == segment_j == @first_segment_name",
+                    local_dict=segment_names,
                 )
                 ecs_j = ecs.query(
-                    "segment_i == segment_j == @second_segment_name"
+                    "segment_i == segment_j == @second_segment_name",
+                    local_dict=segment_names,
                 )
                 ecs_inter = ecs.query("segment_i != segment_j")
 

@@ -767,9 +767,10 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
             return None
         table = table.copy()
         for c in cols:
-            table.loc[:, c] = (
-                pd.to_numeric(table[c], errors="coerce") + offset
-            )
+            # whole-column assignment: the source column may be a
+            # string dtype (DistanceMap residue ids), which .loc
+            # refuses to overwrite with numerics under pandas >= 2
+            table[c] = pd.to_numeric(table[c], errors="coerce") + offset
         return table
 
     # monomer 1 block

@@ -229,3 +229,161 @@ class TestCompareStandard:
         # EC-only contact maps still created
         for f in outcfg["contact_map_files"]:
             assert os.path.isfile(f)
+
+
+def write_complex_bcif(path, n_res=10, inter_contact=(4, 7)):
+    """Two chains A and B; CA atoms on parallel lines 30 A apart,
+    except B's inter_contact[1] placed 3.5 A from A's
+    inter_contact[0] (a true inter-chain contact)."""
+    n_total = 2 * n_res
+    res_ids = np.concatenate([
+        np.arange(1, n_res + 1), np.arange(1, n_res + 1)
+    ])
+    chains = ["A"] * n_res + ["B"] * n_res
+
+    coords = np.zeros((n_total, 3))
+    coords[:n_res, 0] = np.arange(n_res) * 6.0
+    coords[n_res:, 0] = np.arange(n_res) * 6.0
+    coords[n_res:, 1] = 30.0
+    ai, bj = inter_contact
+    coords[n_res + bj - 1] = coords[ai - 1] + np.array([0, 3.5, 0])
+
+    bcif.write_bcif(path, {
+        "_atom_site": {
+            "pdbx_PDB_model_num": np.ones(n_total, dtype=int),
+            "group_PDB": ["ATOM"] * n_total,
+            "id": np.arange(1, n_total + 1),
+            "type_symbol": ["C"] * n_total,
+            "label_atom_id": ["CA"] * n_total,
+            "auth_atom_id": ["CA"] * n_total,
+            "label_alt_id": [""] * n_total,
+            "label_comp_id": ["ALA"] * n_total,
+            "auth_comp_id": ["ALA"] * n_total,
+            "label_asym_id": chains,
+            "auth_asym_id": chains,
+            "label_entity_id": ["1"] * n_res + ["2"] * n_res,
+            "label_seq_id": res_ids,
+            "auth_seq_id": res_ids,
+            "pdbx_PDB_ins_code": [""] * n_total,
+            "Cartn_x": coords[:, 0],
+            "Cartn_y": coords[:, 1],
+            "Cartn_z": coords[:, 2],
+            "occupancy": np.ones(n_total),
+            "B_iso_or_equiv": np.full(n_total, 20.0),
+            "pdbx_formal_charge": np.zeros(n_total, dtype=int),
+        },
+    })
+
+
+class TestCompareComplex:
+    def test_complex_protocol(self, tmp_path):
+        n_res = 10
+        structure_dir = tmp_path / "structures"
+        structure_dir.mkdir()
+        write_complex_bcif(str(structure_dir / "2xyz.bcif"),
+                           n_res=n_res)
+
+        # SIFTS table: chain A = PROT1, chain B = PROT2 (1:1 numbering)
+        sifts_table = tmp_path / "sifts.csv"
+        pd.DataFrame([
+            {
+                "pdb_id": "2xyz", "pdb_chain": "A",
+                "uniprot_ac": "PROT1",
+                "resseq_start": 1, "resseq_end": n_res,
+                "coord_start": "1", "coord_end": str(n_res),
+                "uniprot_start": 1, "uniprot_end": n_res,
+            },
+            {
+                "pdb_id": "2xyz", "pdb_chain": "B",
+                "uniprot_ac": "PROT2",
+                "resseq_start": 1, "resseq_end": n_res,
+                "coord_start": "1", "coord_end": str(n_res),
+                "uniprot_start": 1, "uniprot_end": n_res,
+            },
+        ]).to_csv(sifts_table, index=False)
+
+        # complex EC table: planted inter pair (A:4, B:7) is a true
+        # contact; another inter pair is false
+        ecs = pd.DataFrame({
+            "i": [4, 2, 2],
+            "A_i": ["A"] * 3,
+            "segment_i": ["A_1", "A_1", "A_1"],
+            "j": [7, 9, 5],
+            "A_j": ["A"] * 3,
+            "segment_j": ["B_1", "B_1", "A_1"],
+            "fn": [1.5, 0.5, 0.8],
+            "cn": [1.2, 0.4, 0.6],
+            "probability": [0.99, 0.5, 0.8],
+            "score": [1.2, 0.4, 0.6],
+        })
+        ec_file = tmp_path / "ECs.csv"
+        ecs.to_csv(ec_file, index=False)
+
+        seq1 = tmp_path / "p1.fa"
+        seq1.write_text(">PROT1/1-{}\n{}\n".format(n_res, "A" * n_res))
+        seq2 = tmp_path / "p2.fa"
+        seq2.write_text(">PROT2/1-{}\n{}\n".format(n_res, "A" * n_res))
+
+        # config list format: [segment_id, segment_type, sequence_id,
+        # region_start, region_end, positions]
+        seg1 = ["A_1", "aa", "PROT1", 1, n_res,
+                list(range(1, n_res + 1))]
+        seg2 = ["B_1", "aa", "PROT2", 1, n_res,
+                list(range(1, n_res + 1))]
+
+        common = dict(
+            pdb_ids=None, max_num_hits=25, max_num_structures=10,
+            sifts_mapping_table=str(sifts_table),
+            sifts_sequence_db=None,
+            by_alignment=False, pdb_alignment_method="jackhmmer",
+            alignment_min_overlap=20,
+            sequence_file=None, region=None, use_bitscores=True,
+            domain_threshold=0.5, sequence_threshold=0.5,
+        )
+
+        outcfg = compare_protocol.run(
+            protocol="complex",
+            prefix=str(tmp_path / "out" / "cpx"),
+            ec_file=str(ec_file),
+            min_sequence_distance=2,
+            pdb_mmtf_dir=str(structure_dir),
+            atom_filter=None,
+            first_compare_multimer=False,
+            second_compare_multimer=False,
+            distance_cutoff=5,
+            segments=[seg1, seg2],
+            first_sequence_id="PROT1",
+            second_sequence_id="PROT2",
+            first_sequence_file=None,
+            second_sequence_file=None,
+            first_target_sequence_file=str(seq1),
+            second_target_sequence_file=str(seq2),
+            first_alignment_file=None,
+            second_alignment_file=None,
+            raise_missing=False,
+            first_raw_focus_alignment_file=None,
+            second_raw_focus_alignment_file=None,
+            scale_sizes=True,
+            plot_probability_cutoffs=[0.9],
+            boundaries="union",
+            plot_lowest_count=2,
+            plot_highest_count=3,
+            plot_increase=1,
+            draw_secondary_structure=False,
+            **common,
+        )
+
+        # both chains found
+        hits1 = pd.read_csv(outcfg["first_pdb_structure_hits_file"])
+        hits2 = pd.read_csv(outcfg["second_pdb_structure_hits_file"])
+        assert list(hits1.pdb_chain) == ["A"]
+        assert list(hits2.pdb_chain) == ["B"]
+
+        # inter-chain distance map exists
+        assert os.path.isfile(outcfg["distmap_inter"] + ".csv")
+
+        # inter EC comparison: planted pair is the 3.5 A contact
+        inter = pd.read_csv(outcfg["ec_compared_inter_file"])
+        top = inter.sort_values("cn", ascending=False).iloc[0]
+        assert top.i == 4 and top.j == 7
+        assert top.dist == pytest.approx(3.5)
