@@ -26,7 +26,7 @@ import numpy as np
 PLMC_32T_BASELINE = 5.0e6  # seq*site/s, analytic bound, see module docstring
 
 N, L, Q = 16384, 160, 21
-STEPS_PER_CALL = 10
+STEPS_PER_CALL = 30
 WARMUP_CALLS = 2
 BENCH_CALLS = 4
 
@@ -41,7 +41,7 @@ def main():
     # production throughput mode: bf16 compute with float32 master
     # parameters (the parity path uses dtype float32 + "highest")
     cfg = PlmConfig(
-        block_size=4096, precision="default", dtype="bfloat16",
+        block_size=2048, precision="default", dtype="bfloat16",
         solver="adam",
     )
     loss = make_plm_loss(L, Q, cfg)
