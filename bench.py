@@ -36,7 +36,7 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from evcouplings_tpu.ops.plm import PlmConfig, make_plm_loss
+    from evcouplings_tpu.ops.plm import PlmConfig, make_plm_value_and_grad
 
     # production throughput mode: bf16 compute with float32 master
     # parameters (the parity path uses dtype float32 + "highest")
@@ -44,7 +44,7 @@ def main():
         block_size=2048, precision="default", dtype="bfloat16",
         solver="adam",
     )
-    loss = make_plm_loss(L, Q, cfg)
+    vg = make_plm_value_and_grad(L, Q, cfg)
 
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(0, Q, size=(N, L)), dtype=jnp.int8)
@@ -65,9 +65,7 @@ def main():
     def step_chunk(params, state):
         def body(carry, _):
             params, state = carry
-            value, grad = jax.value_and_grad(loss)(
-                params, codes, weights
-            )
+            value, grad = vg(params, codes, weights)
             updates, state = opt.update(grad, state, params)
             return (optax.apply_updates(params, updates), state), value
         (params, state), values = jax.lax.scan(

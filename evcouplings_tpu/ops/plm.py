@@ -147,6 +147,186 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
     return local_nll
 
 
+def _make_local_value_and_grad(L, q, block_size, prec, dtype,
+                               axis_name=None):
+    """Block-streamed NLL value AND gradient in one fused scan.
+
+    Autodiff through the block scan stores per-block residuals (the
+    one-hot and log-softmax tensors) during the forward pass and
+    replays them in a separate backward scan — ~2x the HBM epilogue
+    traffic of the matmuls themselves. The PLM gradient has a closed
+    form, so this computes it in the same pass instead:
+
+        r    = w * (softmax(logits) * m - onehot)      # m: non-gap mask
+        dJ  += r^T @ onehot        (MXU, f32 accumulation)
+        dh  += sum_s r
+
+    nothing is stored across blocks except the f32 accumulators. The
+    (p * m - oh) form makes gapped / padded positions (code -1, zero
+    one-hot column, m = 0) contribute exactly zero, matching the
+    autodiff gradient of the masked-gather objective.
+    """
+    lq = L * q
+
+    def local_vg(J_eff, h_flat, codes, weights):
+        n_pad = codes.shape[0]
+        num_blocks = n_pad // block_size
+
+        def body(carry, block_idx):
+            nll, dJ, dh = carry
+            start = block_idx * block_size
+            c = jax.lax.dynamic_slice_in_dim(codes, start, block_size, 0)
+            w = jax.lax.dynamic_slice_in_dim(
+                weights, start, block_size, 0
+            ).astype(dtype)
+            oh = jax.nn.one_hot(c, q, dtype=dtype).reshape(
+                block_size, lq
+            )
+
+            logits = jax.lax.dot_general(
+                oh, J_eff,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=prec,
+            ) + h_flat[None, :]
+
+            logp3 = jax.nn.log_softmax(
+                logits.reshape(block_size, L, q), axis=-1
+            )
+            logp = logp3.reshape(block_size, lq)
+            per_seq = jnp.sum(oh * logp, axis=1)
+            nll = nll - jnp.dot(
+                w, per_seq, precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+
+            # residual; m zeroes conditionals of gap/padding positions
+            m = (c >= 0).astype(dtype)
+            p = jnp.exp(logp3) * m[:, :, None]
+            r = w[:, None] * (p.reshape(block_size, lq) - oh)
+
+            # dJ and dh from ONE contraction: a ones column appended
+            # to the one-hot makes column lq of the GEMM the row-sum
+            # of r. A separate jnp.sum/dot for dh is free for XLA to
+            # reduce in a different order between the sharded and
+            # unsharded programs, which would break single- vs
+            # multi-process bitwise parity of the fit.
+            oh_aug = jnp.concatenate(
+                [oh, jnp.ones((block_size, 1), dtype=dtype)], axis=1
+            )
+            dJh = jax.lax.dot_general(
+                r, oh_aug,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            dJ = dJ + dJh[:, :lq]
+            dh = dh + dJh[:, lq]
+            return (nll, dJ, dh), None
+
+        init = (
+            jnp.zeros((), dtype=jnp.float32),
+            jnp.zeros((lq, lq), dtype=jnp.float32),
+            jnp.zeros((lq,), dtype=jnp.float32),
+        )
+        if axis_name is not None:
+            init = jax.tree.map(
+                lambda x: jax.lax.pvary(x, (axis_name,)), init
+            )
+        (nll, dJ, dh), _ = jax.lax.scan(
+            body, init, jnp.arange(num_blocks, dtype=jnp.int32),
+        )
+        return nll, dJ, dh
+
+    return local_vg
+
+
+def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
+    """Build vg(params, codes, weights) -> (loss, grads) with the NLL
+    gradient computed in closed form (see _make_local_value_and_grad)
+    and the (cheap, parameter-only) regularizer terms via autodiff.
+
+    Exactly equivalent to jax.value_and_grad(make_plm_loss(...)) —
+    asserted by tests — but with no autodiff residual storage, which
+    removes most of the HBM epilogue traffic of the fit step.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    prec = _precision(cfg.precision)
+    axis_name = None if mesh is None else "data"
+    local_vg = _make_local_value_and_grad(
+        L, q, cfg.block_size, prec, dtype, axis_name=axis_name
+    )
+    lq = L * q
+
+    def nll_vg(J_eff, h_flat, codes, weights):
+        if mesh is None:
+            return local_vg(J_eff, h_flat, codes, weights)
+
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        def shard_fn(J_eff, h_flat, codes, weights):
+            nll, dJ, dh = local_vg(J_eff, h_flat, codes, weights)
+            return (
+                jax.lax.psum(nll, "data"),
+                jax.lax.psum(dJ, "data"),
+                jax.lax.psum(dh, "data"),
+            )
+
+        return shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data")),
+            out_specs=(P(), P(), P()),
+        )(J_eff, h_flat, codes, weights)
+
+    def reg_fn(params):
+        P_mat = params["J"]
+        J_eff = (
+            0.5 * (P_mat + P_mat.T)
+            * _diag_block_mask(L, q, P_mat.dtype)
+        )
+        reg = (
+            cfg.lambda_h * jnp.sum(params["h"] ** 2)
+            + cfg.lambda_J * 0.5 * jnp.sum(J_eff ** 2)
+        )
+        if cfg.lambda_group > 0:
+            blocks = J_eff.reshape(L, q, L, q)
+            norms = jnp.sqrt(jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12)
+            reg = reg + cfg.lambda_group * 0.5 * jnp.sum(norms)
+        return reg
+
+    reg_vg = jax.value_and_grad(reg_fn)
+
+    def vg(params, codes, weights):
+        params_c = jax.tree.map(lambda x: x.astype(dtype), params)
+        mask = _diag_block_mask(L, q, dtype)
+        P_mat = params_c["J"]
+        J_eff = 0.5 * (P_mat + P_mat.T) * mask
+        h_flat = params_c["h"].reshape(lq)
+
+        nll, dJ_eff, dh = nll_vg(J_eff, h_flat, codes, weights)
+
+        # chain rule through J_eff = 0.5 (P + P^T) * mask
+        dP = 0.5 * (dJ_eff + dJ_eff.T) * mask.astype(jnp.float32)
+
+        reg_value, reg_grad = reg_vg(params_c)
+
+        # value in f32; grads in the master-parameter dtype (matches
+        # jax.value_and_grad of the loss on f32 master params)
+        value = nll + reg_value.astype(jnp.float32)
+        grads = {
+            "J": (dP + reg_grad["J"].astype(jnp.float32)).astype(
+                params["J"].dtype
+            ),
+            "h": (
+                dh.reshape(L, q) + reg_grad["h"].astype(jnp.float32)
+            ).astype(params["h"].dtype),
+        }
+        return value, grads
+
+    return vg
+
+
 def make_plm_loss(L, q, cfg: PlmConfig, mesh=None):
     """Build loss(params, codes, weights) -> scalar.
 
@@ -283,6 +463,12 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         w_d = jnp.asarray(w_p, dtype=dtype)
 
     loss_fn = make_plm_loss(L, q, cfg, mesh=mesh)
+    # closed-form fused value+grad (no autodiff residual traffic) for
+    # the Adam path; LBFGS keeps the loss fn for its zoom linesearch
+    vg_fn = (
+        make_plm_value_and_grad(L, q, cfg, mesh=mesh)
+        if cfg.solver == "adam" else None
+    )
 
     params = {
         "J": jnp.zeros((L * q, L * q), dtype=dtype),
@@ -379,10 +565,8 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 xnorm = optax.tree_utils.tree_l2_norm(params)
                 return params, state, value, gnorm, xnorm
         else:
-            vg = jax.value_and_grad(loss_data)
-
             def one_step(params, state):
-                value, grad = vg(params)
+                value, grad = vg_fn(params, codes, weights)
                 updates, state = opt.update(grad, state, params)
                 params = optax.apply_updates(params, updates)
                 gnorm = optax.tree_utils.tree_l2_norm(grad)

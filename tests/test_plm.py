@@ -8,7 +8,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from evcouplings_tpu.ops.plm import PlmConfig, make_plm_loss, fit_plm
+from evcouplings_tpu.ops.plm import (
+    PlmConfig,
+    fit_plm,
+    make_plm_loss,
+    make_plm_value_and_grad,
+)
 
 RNG = np.random.default_rng(3)
 
@@ -98,6 +103,77 @@ class TestLoss:
         g = jax.grad(loss)(params, jnp.asarray(codes_p), jnp.asarray(w_p))
         gJ = np.asarray(g["J"])
         np.testing.assert_allclose(gJ, gJ.T, rtol=1e-12, atol=1e-12)
+
+
+class TestValueAndGrad:
+    """The closed-form fused value+grad must match autodiff of the
+    loss exactly (it replaces it in the Adam production path)."""
+
+    def _case(self, cfg, L=6, q=5, N=48):
+        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
+        codes[RNG.random((N, L)) < 0.15] = -1   # gaps / ignored sites
+        weights = RNG.uniform(0.2, 1.5, size=N).astype(np.float32)
+        P_mat = (RNG.normal(size=(L * q, L * q)) * 0.1).astype(
+            np.float32
+        )
+        params = {
+            "J": jnp.asarray(0.5 * (P_mat + P_mat.T)),
+            "h": jnp.asarray(
+                (RNG.normal(size=(L, q)) * 0.1).astype(np.float32)
+            ),
+        }
+        va, ga = jax.jit(jax.value_and_grad(make_plm_loss(L, q, cfg)))(
+            params, jnp.asarray(codes), jnp.asarray(weights)
+        )
+        vm, gm = jax.jit(make_plm_value_and_grad(L, q, cfg))(
+            params, jnp.asarray(codes), jnp.asarray(weights)
+        )
+        np.testing.assert_allclose(float(vm), float(va), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gm["J"]), np.asarray(ga["J"]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gm["h"]), np.asarray(ga["h"]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_matches_autodiff(self):
+        self._case(PlmConfig(block_size=16))
+
+    def test_matches_autodiff_group_l1(self):
+        self._case(PlmConfig(block_size=16, lambda_group=0.3))
+
+    def test_mesh_matches_single_device_bitwise(self):
+        # the sharded and unsharded programs must agree bit-for-bit
+        # (single- vs multi-process reproducibility of the fit)
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        L, q, N = 6, 5, 64
+        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
+        weights = np.ones(N, np.float32)
+        P_mat = (RNG.normal(size=(L * q, L * q)) * 0.05).astype(
+            np.float32
+        )
+        params = {
+            "J": jnp.asarray(0.5 * (P_mat + P_mat.T)),
+            "h": jnp.zeros((L, q), jnp.float32),
+        }
+        cfg = PlmConfig(block_size=32)
+        v1, g1 = jax.jit(make_plm_value_and_grad(L, q, cfg))(
+            params, jnp.asarray(codes), jnp.asarray(weights)
+        )
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        v2, g2 = jax.jit(make_plm_value_and_grad(L, q, cfg, mesh=mesh))(
+            jax.device_put(params, NamedSharding(mesh, P())),
+            jax.device_put(jnp.asarray(codes), sh),
+            jax.device_put(jnp.asarray(weights), sh),
+        )
+        assert float(v1) == float(v2)
+        assert (np.asarray(g1["J"]) == np.asarray(g2["J"])).all()
+        assert (np.asarray(g1["h"]) == np.asarray(g2["h"])).all()
 
 
 class TestFit:
