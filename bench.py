@@ -41,7 +41,7 @@ def main():
     # production throughput mode: bf16 compute with float32 master
     # parameters (the parity path uses dtype float32 + "highest")
     cfg = PlmConfig(
-        block_size=2048, precision="default", dtype="bfloat16",
+        block_size=512, precision="default", dtype="bfloat16",
         solver="adam",
     )
     vg = make_plm_value_and_grad(L, Q, cfg)

@@ -158,7 +158,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             alphabet=None, theta=None, scale=None, ignore_gaps=False,
             iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
             cpu=None, binary=None, mesh=None, solver="lbfgs",
-            block_size=2048, steps_per_call=1, callback=None,
+            block_size=512, steps_per_call=1, callback=None,
             checkpoint_file=None, checkpoint_every=50):
     """Fit a Potts model by pseudolikelihood maximization and write the
     plmc-compatible artifacts.

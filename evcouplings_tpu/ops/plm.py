@@ -60,11 +60,14 @@ class PlmConfig:
     memory_size: int = 5
     solver: str = "lbfgs"           # or "adam"
     adam_lr: float = 5e-3
-    block_size: int = 2048
+    # block-size sweep on TPU v5e (N=16384, L=160, fused closed-form
+    # grad): 512 (361M seq*site/s) > 1024 (355M) > 2048 (325M) >
+    # 4096 > 8192 > 16384 — small blocks keep the f32 dJ accumulator
+    # and activations VMEM-resident between GEMMs
+    block_size: int = 512
     # compute dtype: "float32" (+ precision "highest") is the parity
     # mode; "bfloat16" is the production throughput mode (bf16 compute
-    # with float32 master parameters and gradients — measured 246M
-    # seq*site/s vs 199M for float32 on TPU v5e at N=16384, L=160)
+    # with float32 master parameters and gradients)
     dtype: str = "float32"
     precision: str = "highest"      # matmul precision: highest|high|default
     # optimizer steps chained on-device per host round-trip. The device
@@ -157,39 +160,54 @@ def _make_local_value_and_grad(L, q, block_size, prec, dtype,
     traffic of the matmuls themselves. The PLM gradient has a closed
     form, so this computes it in the same pass instead:
 
-        r    = w * (softmax(logits) * m - onehot)      # m: non-gap mask
-        dJ  += r^T @ onehot        (MXU, f32 accumulation)
-        dh  += sum_s r
+        r     = w * (softmax(logits) * m - onehot)     # m: non-gap mask
+        dJh  += r^T @ [onehot | 1 | 0]  (MXU, f32 accumulation)
 
     nothing is stored across blocks except the f32 accumulators. The
     (p * m - oh) form makes gapped / padded positions (code -1, zero
     one-hot column, m = 0) contribute exactly zero, matching the
     autodiff gradient of the masked-gather objective.
+
+    Takes the augmented parameter matrix J_aug (Lq_aug, Lq) with h in
+    row Lq — the logits GEMM then includes the fields via the ones
+    column of the augmented one-hot, and the gradient GEMM lands dh in
+    column Lq of dJh. Fusing dh into the contraction (rather than a
+    separate jnp.sum) also pins its reduction order, which keeps
+    single- vs multi-process fits bitwise identical.
     """
     lq = L * q
+    lq_aug = _augmented_width(lq)
 
-    def local_vg(J_eff, h_flat, codes, weights):
+    def local_vg(J_aug, codes, weights):
         n_pad = codes.shape[0]
         num_blocks = n_pad // block_size
 
         def body(carry, block_idx):
-            nll, dJ, dh = carry
+            nll, dJh = carry
             start = block_idx * block_size
             c = jax.lax.dynamic_slice_in_dim(codes, start, block_size, 0)
             w = jax.lax.dynamic_slice_in_dim(
                 weights, start, block_size, 0
             ).astype(dtype)
-            oh = jax.nn.one_hot(c, q, dtype=dtype).reshape(
-                block_size, lq
+            oh_aug = _augment_ones(
+                jax.nn.one_hot(c, q, dtype=dtype).reshape(
+                    block_size, lq
+                ),
+                lq_aug, dtype,
             )
+            oh = oh_aug[:, :lq]
 
             logits = jax.lax.dot_general(
-                oh, J_eff,
-                dimension_numbers=(((1,), (1,)), ((), ())),
+                oh_aug, J_aug,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=dtype,
                 precision=prec,
-            ) + h_flat[None, :]
+            )
 
+            # NOTE: measured on TPU v5e — XLA's fused log_softmax +
+            # exp beats a hand-decomposed softmax (max/exp/div) by ~6%
+            # here; the observed-symbol gather rides the one-hot (TPU
+            # gathers serialize; the VPU mul+reduce does not)
             logp3 = jax.nn.log_softmax(
                 logits.reshape(block_size, L, q), axis=-1
             )
@@ -205,121 +223,145 @@ def _make_local_value_and_grad(L, q, block_size, prec, dtype,
             p = jnp.exp(logp3) * m[:, :, None]
             r = w[:, None] * (p.reshape(block_size, lq) - oh)
 
-            # dJ and dh from ONE contraction: a ones column appended
-            # to the one-hot makes column lq of the GEMM the row-sum
-            # of r. A separate jnp.sum/dot for dh is free for XLA to
-            # reduce in a different order between the sharded and
-            # unsharded programs, which would break single- vs
-            # multi-process bitwise parity of the fit.
-            oh_aug = jnp.concatenate(
-                [oh, jnp.ones((block_size, 1), dtype=dtype)], axis=1
-            )
-            dJh = jax.lax.dot_general(
+            dJh = dJh + jax.lax.dot_general(
                 r, oh_aug,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
-            dJ = dJ + dJh[:, :lq]
-            dh = dh + dJh[:, lq]
-            return (nll, dJ, dh), None
+            return (nll, dJh), None
 
         init = (
             jnp.zeros((), dtype=jnp.float32),
-            jnp.zeros((lq, lq), dtype=jnp.float32),
-            jnp.zeros((lq,), dtype=jnp.float32),
+            jnp.zeros((lq, lq_aug), dtype=jnp.float32),
         )
         if axis_name is not None:
             init = jax.tree.map(
                 lambda x: jax.lax.pvary(x, (axis_name,)), init
             )
-        (nll, dJ, dh), _ = jax.lax.scan(
+        (nll, dJh), _ = jax.lax.scan(
             body, init, jnp.arange(num_blocks, dtype=jnp.int32),
         )
-        return nll, dJ, dh
+        return nll, dJh
 
     return local_vg
+
+
+def _augmented_width(lq):
+    """Width of the ones-augmented one-hot: Lq + 1 rounded up to a
+    multiple of 128. A width of exactly Lq+1 (odd) makes the augmented
+    axis the CONTRACTION dimension of the logits GEMM, which destroys
+    MXU tiling (measured 5x slower at L=160, q=21); the zero padding
+    costs (Lq_aug/Lq)^2 - 1 ~ 3% extra flops instead."""
+    return max(lq + 1, ((lq + 1 + 127) // 128) * 128)
+
+
+def _augment_ones(oh, lq_aug, dtype):
+    """[oh | 1 | 0...] — one-hot block, a ones column at index Lq, and
+    zero padding up to lq_aug (see _augmented_width)."""
+    b, lq = oh.shape
+    parts = [oh, jnp.ones((b, 1), dtype=dtype)]
+    if lq_aug > lq + 1:
+        parts.append(jnp.zeros((b, lq_aug - lq - 1), dtype=dtype))
+    return jnp.concatenate(parts, axis=1)
 
 
 def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
     """Build vg(params, codes, weights) -> (loss, grads) with the NLL
     gradient computed in closed form (see _make_local_value_and_grad)
-    and the (cheap, parameter-only) regularizer terms via autodiff.
+    and the regularizer terms in closed form as well (the lambda_J l2
+    gradient through the symmetric gauge is exactly
+    0.5*((dJ + lambda_J P) + (dJ + lambda_J P)^T) * mask — one fused
+    elementwise pass, no autodiff recompute of J_eff).
 
-    Exactly equivalent to jax.value_and_grad(make_plm_loss(...)) —
-    asserted by tests — but with no autodiff residual storage, which
-    removes most of the HBM epilogue traffic of the fit step.
+    Equivalent to jax.value_and_grad(make_plm_loss(...)) up to
+    float reduction order — asserted by tests — but with no autodiff
+    residual storage, which removes most of the HBM epilogue traffic
+    of the fit step. The fields h ride as an extra row of the
+    augmented coupling matrix, so the whole NLL gradient is two GEMMs
+    per block.
     """
     dtype = jnp.dtype(cfg.dtype)
     prec = _precision(cfg.precision)
     axis_name = None if mesh is None else "data"
+    lq = L * q
+    lq_aug = _augmented_width(lq)
     local_vg = _make_local_value_and_grad(
         L, q, cfg.block_size, prec, dtype, axis_name=axis_name
     )
-    lq = L * q
 
-    def nll_vg(J_eff, h_flat, codes, weights):
+    def nll_vg(J_aug, codes, weights):
         if mesh is None:
-            return local_vg(J_eff, h_flat, codes, weights)
+            return local_vg(J_aug, codes, weights)
 
         from jax.sharding import PartitionSpec as P
         from jax.experimental.shard_map import shard_map
 
-        def shard_fn(J_eff, h_flat, codes, weights):
-            nll, dJ, dh = local_vg(J_eff, h_flat, codes, weights)
+        def shard_fn(J_aug, codes, weights):
+            nll, dJh = local_vg(J_aug, codes, weights)
             return (
                 jax.lax.psum(nll, "data"),
-                jax.lax.psum(dJ, "data"),
-                jax.lax.psum(dh, "data"),
+                jax.lax.psum(dJh, "data"),
             )
 
         return shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), P(), P("data"), P("data")),
-            out_specs=(P(), P(), P()),
-        )(J_eff, h_flat, codes, weights)
-
-    def reg_fn(params):
-        P_mat = params["J"]
-        J_eff = (
-            0.5 * (P_mat + P_mat.T)
-            * _diag_block_mask(L, q, P_mat.dtype)
-        )
-        reg = (
-            cfg.lambda_h * jnp.sum(params["h"] ** 2)
-            + cfg.lambda_J * 0.5 * jnp.sum(J_eff ** 2)
-        )
-        if cfg.lambda_group > 0:
-            blocks = J_eff.reshape(L, q, L, q)
-            norms = jnp.sqrt(jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12)
-            reg = reg + cfg.lambda_group * 0.5 * jnp.sum(norms)
-        return reg
-
-    reg_vg = jax.value_and_grad(reg_fn)
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P(), P()),
+        )(J_aug, codes, weights)
 
     def vg(params, codes, weights):
-        params_c = jax.tree.map(lambda x: x.astype(dtype), params)
         mask = _diag_block_mask(L, q, dtype)
-        P_mat = params_c["J"]
-        J_eff = 0.5 * (P_mat + P_mat.T) * mask
-        h_flat = params_c["h"].reshape(lq)
+        P_c = params["J"].astype(dtype)
+        J_eff = 0.5 * (P_c + P_c.T) * mask
+        h_c = params["h"].astype(dtype)
+        parts = [J_eff, h_c.reshape(1, lq)]
+        if lq_aug > lq + 1:
+            parts.append(
+                jnp.zeros((lq_aug - lq - 1, lq), dtype=dtype)
+            )
+        J_aug = jnp.concatenate(parts, axis=0)
 
-        nll, dJ_eff, dh = nll_vg(J_eff, h_flat, codes, weights)
+        nll, dJh = nll_vg(J_aug, codes, weights)
+        dJ_eff = dJh[:, :lq]
+        dh = dJh[:, lq]
 
-        # chain rule through J_eff = 0.5 (P + P^T) * mask
-        dP = 0.5 * (dJ_eff + dJ_eff.T) * mask.astype(jnp.float32)
+        # l2 value on the (already materialized) compute-dtype J_eff —
+        # same rounding as the autodiff path, which also regularizes
+        # the cast parameters; gradients in f32 closed form
+        reg_value = (
+            cfg.lambda_h * jnp.sum(h_c.astype(jnp.float32) ** 2)
+            + cfg.lambda_J * 0.5
+            * jnp.sum(J_eff.astype(jnp.float32) ** 2)
+        )
 
-        reg_value, reg_grad = reg_vg(params_c)
+        # the final 0.5*(S + S^T)*mask symmetrizes + masks, so the
+        # l2 term can ride on raw P: 0.5*(lambda_J P + (lambda_J P)^T)
+        # * mask == lambda_J * J_eff
+        P_f = params["J"].astype(jnp.float32)
+        S = dJ_eff + cfg.lambda_J * P_f
+        if cfg.lambda_group > 0:
+            J_eff_f = 0.5 * (P_f + P_f.T) * mask.astype(jnp.float32)
+            blocks = J_eff_f.reshape(L, q, L, q)
+            norms = jnp.sqrt(jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12)
+            reg_value = (
+                reg_value + cfg.lambda_group * 0.5 * jnp.sum(norms)
+            )
+            # d/dJ_eff of 0.5*lambda_g*sum(norms); symmetric + masked,
+            # so it passes through the gauge chain rule unchanged
+            S = S + (
+                cfg.lambda_group * 0.5
+                * blocks / norms[:, None, :, None]
+            ).reshape(lq, lq)
+        mask_f = _diag_block_mask(L, q, jnp.float32)
+        dP = 0.5 * (S + S.T) * mask_f
 
-        # value in f32; grads in the master-parameter dtype (matches
-        # jax.value_and_grad of the loss on f32 master params)
         value = nll + reg_value.astype(jnp.float32)
         grads = {
-            "J": (dP + reg_grad["J"].astype(jnp.float32)).astype(
-                params["J"].dtype
-            ),
+            "J": dP.astype(params["J"].dtype),
             "h": (
-                dh.reshape(L, q) + reg_grad["h"].astype(jnp.float32)
+                dh.reshape(L, q)
+                + 2.0 * cfg.lambda_h * params["h"].astype(jnp.float32)
             ).astype(params["h"].dtype),
         }
         return value, grads
@@ -438,7 +480,11 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     weights = np.asarray(weights, dtype=np.float64)
     N, L = codes.shape
     q = int(num_symbols)
-    dtype = jnp.dtype(cfg.dtype)
+    # master parameters, optimizer moments, and input weights stay
+    # float32 even in bfloat16 production mode — the kernels cast to
+    # the compute dtype internally (bf16 masters lose Adam's small
+    # late-stage updates to rounding)
+    dtype = jnp.promote_types(jnp.dtype(cfg.dtype), jnp.float32)
 
     # pad rows so the block scan (and even device sharding) has static shape
     n_devices = 1 if mesh is None else mesh.devices.size
