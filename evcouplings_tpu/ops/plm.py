@@ -151,7 +151,7 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
 
 
 def _make_local_value_and_grad(L, q, block_size, prec, dtype,
-                               axis_name=None):
+                               axis_name=None, acc_dtype=jnp.float32):
     """Block-streamed NLL value AND gradient in one fused scan.
 
     Autodiff through the block scan stores per-block residuals (the
@@ -215,7 +215,7 @@ def _make_local_value_and_grad(L, q, block_size, prec, dtype,
             per_seq = jnp.sum(oh * logp, axis=1)
             nll = nll - jnp.dot(
                 w, per_seq, precision=prec,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_dtype,
             )
 
             # residual; m zeroes conditionals of gap/padding positions
@@ -226,14 +226,14 @@ def _make_local_value_and_grad(L, q, block_size, prec, dtype,
             dJh = dJh + jax.lax.dot_general(
                 r, oh_aug,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_dtype,
                 precision=prec,
             )
             return (nll, dJh), None
 
         init = (
-            jnp.zeros((), dtype=jnp.float32),
-            jnp.zeros((lq, lq_aug), dtype=jnp.float32),
+            jnp.zeros((), dtype=acc_dtype),
+            jnp.zeros((lq, lq_aug), dtype=acc_dtype),
         )
         if axis_name is not None:
             init = jax.tree.map(
@@ -282,12 +282,15 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
     per block.
     """
     dtype = jnp.dtype(cfg.dtype)
+    # accumulator / master dtype: f32, or f64 for float64 parity runs
+    acc = jnp.promote_types(dtype, jnp.float32)
     prec = _precision(cfg.precision)
     axis_name = None if mesh is None else "data"
     lq = L * q
     lq_aug = _augmented_width(lq)
     local_vg = _make_local_value_and_grad(
-        L, q, cfg.block_size, prec, dtype, axis_name=axis_name
+        L, q, cfg.block_size, prec, dtype, axis_name=axis_name,
+        acc_dtype=acc,
     )
 
     def nll_vg(J_aug, codes, weights):
@@ -330,18 +333,18 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
         # same rounding as the autodiff path, which also regularizes
         # the cast parameters; gradients in f32 closed form
         reg_value = (
-            cfg.lambda_h * jnp.sum(h_c.astype(jnp.float32) ** 2)
+            cfg.lambda_h * jnp.sum(h_c.astype(acc) ** 2)
             + cfg.lambda_J * 0.5
-            * jnp.sum(J_eff.astype(jnp.float32) ** 2)
+            * jnp.sum(J_eff.astype(acc) ** 2)
         )
 
         # the final 0.5*(S + S^T)*mask symmetrizes + masks, so the
         # l2 term can ride on raw P: 0.5*(lambda_J P + (lambda_J P)^T)
         # * mask == lambda_J * J_eff
-        P_f = params["J"].astype(jnp.float32)
+        P_f = params["J"].astype(acc)
         S = dJ_eff + cfg.lambda_J * P_f
         if cfg.lambda_group > 0:
-            J_eff_f = 0.5 * (P_f + P_f.T) * mask.astype(jnp.float32)
+            J_eff_f = 0.5 * (P_f + P_f.T) * mask.astype(acc)
             blocks = J_eff_f.reshape(L, q, L, q)
             norms = jnp.sqrt(jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12)
             reg_value = (
@@ -353,15 +356,15 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
                 cfg.lambda_group * 0.5
                 * blocks / norms[:, None, :, None]
             ).reshape(lq, lq)
-        mask_f = _diag_block_mask(L, q, jnp.float32)
+        mask_f = _diag_block_mask(L, q, acc)
         dP = 0.5 * (S + S.T) * mask_f
 
-        value = nll + reg_value.astype(jnp.float32)
+        value = nll + reg_value.astype(acc)
         grads = {
             "J": dP.astype(params["J"].dtype),
             "h": (
                 dh.reshape(L, q)
-                + 2.0 * cfg.lambda_h * params["h"].astype(jnp.float32)
+                + 2.0 * cfg.lambda_h * params["h"].astype(acc)
             ).astype(params["h"].dtype),
         }
         return value, grads
@@ -509,12 +512,10 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         w_d = jnp.asarray(w_p, dtype=dtype)
 
     loss_fn = make_plm_loss(L, q, cfg, mesh=mesh)
-    # closed-form fused value+grad (no autodiff residual traffic) for
-    # the Adam path; LBFGS keeps the loss fn for its zoom linesearch
-    vg_fn = (
-        make_plm_value_and_grad(L, q, cfg, mesh=mesh)
-        if cfg.solver == "adam" else None
-    )
+    # closed-form fused value+grad (no autodiff residual traffic);
+    # used directly by the Adam path and routed into LBFGS (gradient
+    # evals AND zoom linesearch) via a custom_vjp wrapper below
+    vg_fn = make_plm_value_and_grad(L, q, cfg, mesh=mesh)
 
     params = {
         "J": jnp.zeros((L * q, L * q), dtype=dtype),
@@ -593,9 +594,23 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
 
     @jax.jit
     def step_chunk(params, state, codes, weights):
-        loss_data = functools.partial(
-            loss_fn, codes=codes, weights=weights
-        )
+        # loss with the closed-form kernel as its VJP: optax's LBFGS
+        # and zoom linesearch call jax.value_and_grad(value_fn)
+        # internally, and this wrapper makes that hit the fused
+        # single-pass gradient instead of storing/replaying per-block
+        # autodiff residuals through the scan
+        @jax.custom_vjp
+        def loss_data(params):
+            return loss_fn(params, codes, weights)
+
+        def loss_data_fwd(params):
+            value, grads = vg_fn(params, codes, weights)
+            return value, grads
+
+        def loss_data_bwd(grads, ct):
+            return (jax.tree.map(lambda g: g * ct, grads),)
+
+        loss_data.defvjp(loss_data_fwd, loss_data_bwd)
 
         if cfg.solver == "lbfgs":
             value_and_grad = optax.value_and_grad_from_state(loss_data)
