@@ -19,6 +19,45 @@ import numpy as np
 from evcouplings_tpu.utils.calculations import entropy_rows
 from evcouplings_tpu.utils.helpers import DefaultOrderedDict, wrap
 
+
+# ---------------------------------------------------------------------
+# Module-level kernel entry points at the reference's import paths
+# (numba kernels at reference align/alignment.py:1078-1233). The
+# implementations are the TPU kernels in evcouplings_tpu.ops; imports
+# are deferred so loading an alignment never pays JAX startup.
+# ---------------------------------------------------------------------
+
+def frequencies(matrix, seq_weights, num_symbols):
+    """Weighted single-site frequencies f_i (L x q) — reference
+    align/alignment.py:1078-1106."""
+    from evcouplings_tpu.ops.frequencies import frequencies as _kernel
+    return _kernel(matrix, seq_weights, num_symbols)
+
+
+def pair_frequencies(matrix, seq_weights, num_symbols, fi):
+    """Weighted pair frequencies f_ij (L x L x q x q) — reference
+    align/alignment.py:1109-1153."""
+    from evcouplings_tpu.ops.frequencies import (
+        pair_frequencies as _kernel,
+    )
+    return _kernel(matrix, seq_weights, num_symbols, fi)
+
+
+def num_cluster_members(matrix, identity_threshold):
+    """Neighbor counts at >= identity_threshold (the O(N^2 L)
+    reweighting pass) — reference align/alignment.py:1192-1233."""
+    from evcouplings_tpu.ops.weights import (
+        num_cluster_members as _kernel,
+    )
+    return _kernel(matrix, identity_threshold)
+
+
+def identities_to_seq(seq, matrix):
+    """Absolute identity counts of every row to a target sequence —
+    reference align/alignment.py:1156-1189."""
+    from evcouplings_tpu.ops.weights import identities_to_seq as _kernel
+    return _kernel(seq, matrix)
+
 # constants (reference alignment.py:21-37)
 GAP = "-"
 MATCH_GAP = GAP

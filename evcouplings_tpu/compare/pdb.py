@@ -31,6 +31,20 @@ from evcouplings_tpu.utils.system import (
 
 PDB_BCIF_DOWNLOAD_URL = "https://models.rcsb.org/{pdb_id}.bcif.gz"
 
+# DSSP secondary-structure codes as emitted by MMTF/BinaryCIF-style
+# integer encodings (reference compare/pdb.py:32-42)
+MMTF_DSSP_CODE_MAP = {
+    0: "I",   # pi helix
+    1: "S",   # bend
+    2: "H",   # alpha helix
+    3: "E",   # extended
+    4: "G",   # 3-10 helix
+    5: "B",   # bridge
+    6: "T",   # turn
+    7: "C",   # coil
+    -1: "",   # undefined
+}
+
 # Reduction of DSSP 8-state secondary structure to 3 states
 DSSP_3_STATE_MAP = {
     "H": "H", "G": "H", "I": "H",
@@ -497,6 +511,26 @@ class ClassicPDB:
         self.model_to_chains = {
             m: list(chains.keys()) for m, chains in models.items()
         }
+
+    @classmethod
+    def from_id(cls, pdb_id):
+        """Fetch a classic PDB text file from RCSB by ID and parse it
+        (reference pdb.py:1148-1175, which goes through Bio.PDB's
+        PDBList; here a direct HTTPS fetch of the .pdb entry file).
+        """
+        from evcouplings_tpu.utils.system import get, tempdir
+
+        url = "https://files.rcsb.org/download/{}.pdb".format(
+            pdb_id.lower()
+        )
+        out = path.join(tempdir(), "{}.pdb".format(pdb_id.lower()))
+        try:
+            get(url, output_path=out, allow_redirects=True)
+        except ResourceError as e:
+            raise ResourceError(
+                "Could not fetch PDB data for {}".format(pdb_id)
+            ) from e
+        return cls.from_file(out, file_format="pdb")
 
     @classmethod
     def from_file(cls, filename, file_format="pdb"):

@@ -20,6 +20,15 @@ from evcouplings_tpu.align.alignment import parse_header
 from evcouplings_tpu.couplings.model import CouplingsModel
 from evcouplings_tpu.ops import mean_field as _mf
 
+# kernel entry points at the reference's import paths (reference
+# mean_field.py:791-1014); implementations are the JAX/numpy kernels
+# in evcouplings_tpu.ops.mean_field
+compute_covariance_matrix = _mf.compute_covariance_matrix
+reshape_invC_to_4d = _mf.reshape_invC_to_4d
+fields = _mf.fields_from_couplings
+tilde_fields = _mf.tilde_fields
+direct_information = _mf.direct_information
+
 # arbitrary value written to file for plmc-specific parameters
 _PLACEHOLDER = -1
 

@@ -36,6 +36,19 @@ class EStatus:
     DONE = "done"
 
 
+class EJob:
+    """Internal job-control message types (reference utils/batch.py:
+    47-53). The local engine here is thread-pool based rather than a
+    broker/worker message loop, so these are provided for API
+    compatibility with code written against the reference."""
+    SUBMIT = 0
+    MONITOR = 1
+    CANCEL = 2
+    STOP = 3
+    UPDATE = 4
+    PID = 5
+
+
 class EResource:
     """Resource keys understood by cluster submitters."""
     time = "time"

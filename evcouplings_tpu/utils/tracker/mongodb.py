@@ -17,6 +17,22 @@ from evcouplings_tpu.utils.tracker.base import (
     ResultTracker,
 )
 
+# reference-compatible names (reference utils/tracker/mongodb.py:30-38)
+JOB_COLLECTION_NAME = DEFAULT_RESULT_COLLECTION
+FILE_COLLECTION_NAME = DEFAULT_FILE_COLLECTION
+
+try:
+    from pymongo import errors as _mongo_errors
+
+    CATCH_MONGODB_EXCEPTIONS = (
+        _mongo_errors.ConnectionFailure,
+        _mongo_errors.ServerSelectionTimeoutError,
+        _mongo_errors.ExecutionTimeout,
+        _mongo_errors.OperationFailure,
+    )
+except ImportError:       # pymongo optional; tracker errors at init
+    CATCH_MONGODB_EXCEPTIONS = ()
+
 
 def _now():
     return datetime.now(timezone.utc)
@@ -78,6 +94,20 @@ class MongoDBTracker(ResultTracker):
                 )
             synced[key] = file_id
         return synced
+
+    def get(self):
+        """Return the current job document (or None); raises if the
+        job_id matches more than one document (reference
+        utils/tracker/mongodb.py:89-107). No retry on connection
+        failure, matching the reference."""
+        docs = list(self.jobs.find({"job_id": self.job_id}))
+        if len(docs) == 0:
+            return None
+        if len(docs) > 1:
+            raise ValueError(
+                "Job ID not unique, found more than one job."
+            )
+        return docs[0]
 
     def update(self, status=None, message=None, stage=None, results=None):
         def _update():

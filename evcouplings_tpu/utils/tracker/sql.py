@@ -17,6 +17,7 @@ import json
 import os
 import socket
 import sqlite3
+from contextlib import contextmanager
 from datetime import datetime, timezone
 
 from evcouplings_tpu.utils.config import InvalidParameterError
@@ -104,6 +105,23 @@ class SQLTracker(ResultTracker):
             exceptions=(sqlite3.OperationalError,),
         )
 
+    @contextmanager
+    def session_scope(self):
+        """Transactional scope around a series of operations
+        (reference utils/tracker/sql.py:98-110, which wraps a
+        SQLAlchemy session; here a sqlite3 connection with the same
+        commit/rollback contract)."""
+        conn = sqlite3.connect(self.db_path)
+        conn.row_factory = sqlite3.Row
+        try:
+            yield conn
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
     def get(self):
         """Return the current job row as a dict (or None)."""
         def _get(conn):
@@ -179,3 +197,33 @@ class SQLTracker(ResultTracker):
             )
 
         self._execute(_update)
+
+
+class ComputeJob:
+    """Row-object view of one tracked job (reference
+    utils/tracker/sql.py:285, a SQLAlchemy declarative model; here a
+    plain record over the same column set, constructible from the
+    dict rows SQLTracker returns)."""
+
+    COLUMNS = (
+        "key", "job_id", "prefix", "pipeline", "location", "status",
+        "message", "runner_id", "stage", "time_created",
+        "time_started", "time_updated", "config", "fingerprint",
+        "results",
+    )
+
+    def __init__(self, **fields):
+        for col in self.COLUMNS:
+            setattr(self, col, fields.get(col))
+        for k, v in fields.items():
+            if k not in self.COLUMNS:
+                setattr(self, k, v)
+
+    @classmethod
+    def from_row(cls, row):
+        return None if row is None else cls(**dict(row))
+
+    def __repr__(self):
+        return "ComputeJob(job_id={!r}, status={!r}, stage={!r})".format(
+            self.job_id, self.status, self.stage
+        )

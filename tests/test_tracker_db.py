@@ -38,6 +38,10 @@ class _FakeCollection:
     def find_one(self, filt):
         return self.docs.get(filt["job_id"])
 
+    def find(self, filt):
+        doc = self.docs.get(filt["job_id"])
+        return [] if doc is None else [doc]
+
 
 class _FakeDB:
     def __init__(self):
@@ -135,6 +139,14 @@ class TestMongoDBTracker:
         assert doc["stage"] == "align"
         assert doc["message"] == "go"
         assert "time_started" in doc
+
+    def test_get_returns_current_document(self, fake_mongo, tmp_path):
+        t = _make_tracker(tmp_path)
+        assert t.get() is None
+        t.update(status="running", stage="align")
+        doc = t.get()
+        assert doc["status"] == "running"
+        assert doc["stage"] == "align"
 
     def test_results_merge_and_file_sync(self, fake_mongo, tmp_path):
         f1 = tmp_path / "a.csv"
