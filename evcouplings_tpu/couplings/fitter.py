@@ -158,8 +158,9 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             alphabet=None, theta=None, scale=None, ignore_gaps=False,
             iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
             cpu=None, binary=None, mesh=None, solver="lbfgs",
-            block_size=512, steps_per_call=1, callback=None,
-            checkpoint_file=None, checkpoint_every=50):
+            block_size=512, steps_per_call=1,
+            compute_dtype="float32", matmul_precision="highest",
+            callback=None, checkpoint_file=None, checkpoint_every=50):
     """Fit a Potts model by pseudolikelihood maximization and write the
     plmc-compatible artifacts.
 
@@ -220,6 +221,8 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         solver=solver,
         block_size=int(block_size),
         steps_per_call=int(steps_per_call),
+        dtype=compute_dtype,
+        precision=matmul_precision,
     )
     fit = fit_plm(
         fit_codes, weights, q, cfg, mesh=mesh, callback=callback,

@@ -142,6 +142,28 @@ def infer_plmc(**kwargs):
             *required_files,
         )
     else:
+        # optional TPU-fitter knobs beyond the reference config schema
+        # (absent / None keeps plmc-parity behavior: LBFGS, float32 +
+        # highest matmul precision, one optimizer step per dispatch).
+        # solver: "lbfgs" | "adam"; precision: "parity" | "production"
+        # (production = bfloat16 compute with f32 master parameters);
+        # steps_per_call: optimizer steps chained per device dispatch.
+        solver = kwargs.get("solver") or "lbfgs"
+        precision_mode = kwargs.get("precision") or "parity"
+        if precision_mode not in ("parity", "production"):
+            raise InvalidParameterError(
+                "Invalid precision, valid options are: "
+                "parity, production"
+            )
+        fitter_kwargs = {
+            "solver": solver,
+            "steps_per_call": int(kwargs.get("steps_per_call") or 1),
+        }
+        if precision_mode == "production":
+            fitter_kwargs.update(
+                compute_dtype="bfloat16", matmul_precision="default",
+            )
+
         plmc_result = ct.run_plm(
             kwargs["alignment_file"],
             outcfg["raw_ec_file"],
@@ -157,6 +179,7 @@ def infer_plmc(**kwargs):
             lambda_J=lambda_J,
             lambda_g=kwargs["lambda_group"],
             cpu=kwargs["cpu"],
+            **fitter_kwargs,
         )
 
         iter_table_file = prefix + "_iteration_table.csv"

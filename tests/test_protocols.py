@@ -162,6 +162,47 @@ class TestAlignExisting:
 
 
 class TestCouplingsStandard:
+    def test_production_mode_recovers_same_top_ec(self, pipeline_dir):
+        """The beyond-reference fitter knobs (solver / precision /
+        steps_per_call) must be accepted from stage config and the
+        production numerics must find the same planted pair."""
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix = str(d / "run_production" / "test")
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(
+            solver="adam", precision="production", steps_per_call=25,
+            iterations=500,
+        )
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+        raw = read_raw_ec_file(outcfg["raw_ec_file"])
+        top = raw.iloc[0]
+        assert (top.i, top.j) == (13, 20)
+
+    def test_invalid_precision_rejected(self, pipeline_dir):
+        from evcouplings_tpu.utils.config import InvalidParameterError
+
+        d, _, align_outcfg, _ = pipeline_dir
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs["precision"] = "half"
+        with pytest.raises(InvalidParameterError, match="precision"):
+            couplings_protocol.run(
+                protocol="standard",
+                prefix=str(d / "run_bad" / "test"),
+                alignment_file=align_outcfg["alignment_file"],
+                focus_sequence=align_outcfg["focus_sequence"],
+                segments=align_outcfg["segments"],
+                frequencies_file=align_outcfg["frequencies_file"],
+                **kwargs,
+            )
+
     def test_artifacts(self, pipeline_dir):
         _, prefix, _, outcfg = pipeline_dir
         for key in ("raw_ec_file", "model_file", "ec_file",
