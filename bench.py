@@ -38,10 +38,15 @@ def main():
 
     from evcouplings_tpu.ops.plm import PlmConfig, make_plm_value_and_grad
 
+    from evcouplings_tpu.ops.plm import build_augmented_onehot
+
     # production throughput mode: bf16 compute with float32 master
-    # parameters (the parity path uses dtype float32 + "highest")
+    # parameters (the parity path uses dtype float32 + "highest");
+    # block 8192 engages the two-phase gradient layout (residual
+    # materialization + one K=N GEMM for dJh instead of a carried f32
+    # accumulator — PlmConfig.grad_layout)
     cfg = PlmConfig(
-        block_size=512, precision="default", dtype="bfloat16",
+        block_size=8192, precision="default", dtype="bfloat16",
         solver="adam",
     )
     vg = make_plm_value_and_grad(L, Q, cfg)
@@ -49,6 +54,10 @@ def main():
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(0, Q, size=(N, L)), dtype=jnp.int8)
     weights = jnp.ones((N,), dtype=jnp.float32)
+    # static per-fit input of the two-phase layout, built once
+    oh_aug = jax.jit(
+        lambda c: build_augmented_onehot(c, Q, jnp.bfloat16)
+    )(codes)
 
     params = {
         "J": jnp.zeros((L * Q, L * Q), dtype=jnp.float32),
@@ -65,7 +74,7 @@ def main():
     def step_chunk(params, state):
         def body(carry, _):
             params, state = carry
-            value, grad = vg(params, codes, weights)
+            value, grad = vg(params, codes, weights, oh_aug)
             updates, state = opt.update(grad, state, params)
             return (optax.apply_updates(params, updates), state), value
         (params, state), values = jax.lax.scan(

@@ -158,7 +158,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             alphabet=None, theta=None, scale=None, ignore_gaps=False,
             iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
             cpu=None, binary=None, mesh=None, solver="lbfgs",
-            block_size=512, steps_per_call=1,
+            block_size=None, steps_per_call=1,
             compute_dtype="float32", matmul_precision="highest",
             callback=None, checkpoint_file=None, checkpoint_every=50):
     """Fit a Potts model by pseudolikelihood maximization and write the
@@ -212,6 +212,21 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     if ignore_gaps:
         gap_code = 0      # gap is by convention first character
         fit_codes = np.where(codes == gap_code, -1, codes).astype(np.int8)
+
+    if block_size is None:
+        # parity (float32) mode: small blocks keep the carried f32
+        # accumulator VMEM-friendly (block sweep in ops/plm.py).
+        # production (bfloat16) mode: the two-phase grad layout wants
+        # LARGE blocks — pick the largest multiple of 512 up to 8192
+        # that divides the per-device 512-padded row count, so the
+        # bigger block adds no extra padding waste.
+        if compute_dtype == "bfloat16":
+            n_dev = 1 if mesh is None else mesh.devices.size
+            k = max(1, -(-N // (512 * n_dev)))   # local 512-blocks
+            d = max(d for d in range(1, 17) if k % d == 0)
+            block_size = 512 * d
+        else:
+            block_size = 512
 
     cfg = PlmConfig(
         lambda_h=float(lambda_h),

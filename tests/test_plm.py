@@ -144,6 +144,116 @@ class TestValueAndGrad:
     def test_matches_autodiff_group_l1(self):
         self._case(PlmConfig(block_size=16, lambda_group=0.3))
 
+    def test_matches_autodiff_two_phase(self):
+        # forced two-phase layout in float32 (same math as carried,
+        # different dJh reduction order); exercises the build-inside
+        # fallback when no precomputed one-hot is passed
+        self._case(PlmConfig(block_size=16, grad_layout="two_phase"))
+
+    def test_two_phase_precomputed_onehot_matches(self):
+        from evcouplings_tpu.ops.plm import build_augmented_onehot
+
+        L, q, N = 6, 5, 48
+        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
+        codes[RNG.random((N, L)) < 0.15] = -1
+        weights = RNG.uniform(0.2, 1.5, size=N).astype(np.float32)
+        P_mat = (RNG.normal(size=(L * q, L * q)) * 0.1).astype(
+            np.float32
+        )
+        params = {
+            "J": jnp.asarray(0.5 * (P_mat + P_mat.T)),
+            "h": jnp.asarray(
+                (RNG.normal(size=(L, q)) * 0.1).astype(np.float32)
+            ),
+        }
+        cfg = PlmConfig(block_size=16, grad_layout="two_phase")
+        vg = jax.jit(make_plm_value_and_grad(L, q, cfg))
+        oh = build_augmented_onehot(
+            jnp.asarray(codes), q, jnp.float32
+        )
+        v1, g1 = vg(params, jnp.asarray(codes), jnp.asarray(weights))
+        v2, g2 = vg(
+            params, jnp.asarray(codes), jnp.asarray(weights), oh
+        )
+        assert float(v1) == float(v2)
+        assert (np.asarray(g1["J"]) == np.asarray(g2["J"])).all()
+        assert (np.asarray(g1["h"]) == np.asarray(g2["h"])).all()
+
+    def test_grad_layout_resolution(self):
+        from evcouplings_tpu.ops.plm import _resolve_grad_layout
+
+        # auto: two-phase only for bf16 + large blocks + fits budget
+        assert _resolve_grad_layout(
+            PlmConfig(block_size=8192), jnp.bfloat16, 16384, 3456
+        ) == "two_phase"
+        assert _resolve_grad_layout(
+            PlmConfig(block_size=512), jnp.bfloat16, 16384, 3456
+        ) == "carried"
+        assert _resolve_grad_layout(
+            PlmConfig(block_size=8192), jnp.float32, 16384, 3456
+        ) == "carried"
+        # one-hot over budget -> carried
+        assert _resolve_grad_layout(
+            PlmConfig(block_size=8192), jnp.bfloat16, 10 ** 9, 3456
+        ) == "carried"
+        # explicit override wins
+        assert _resolve_grad_layout(
+            PlmConfig(block_size=16, grad_layout="two_phase"),
+            jnp.float32, 64, 3456,
+        ) == "two_phase"
+        with pytest.raises(ValueError):
+            _resolve_grad_layout(
+                PlmConfig(grad_layout="bogus"), jnp.float32, 64, 3456
+            )
+
+    def test_mesh_matches_single_device_two_phase(self):
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        L, q, N = 6, 5, 64
+        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
+        weights = np.ones(N, np.float32)
+        P_mat = (RNG.normal(size=(L * q, L * q)) * 0.05).astype(
+            np.float32
+        )
+        params = {
+            "J": jnp.asarray(0.5 * (P_mat + P_mat.T)),
+            "h": jnp.zeros((L, q), jnp.float32),
+        }
+        cfg = PlmConfig(block_size=16, grad_layout="two_phase")
+        v1, g1 = jax.jit(make_plm_value_and_grad(L, q, cfg))(
+            params, jnp.asarray(codes), jnp.asarray(weights)
+        )
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        v2, g2 = jax.jit(make_plm_value_and_grad(L, q, cfg, mesh=mesh))(
+            jax.device_put(params, NamedSharding(mesh, P())),
+            jax.device_put(jnp.asarray(codes), sh),
+            jax.device_put(jnp.asarray(weights), sh),
+        )
+        # the K = N_local GEMM splits across shards, so equality is
+        # up to f32 reduction order here (unlike the carried layout)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g1["J"]), np.asarray(g2["J"]),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g1["h"]), np.asarray(g2["h"]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+    def test_fit_two_phase_layout_smoke(self):
+        # end-to-end fit with the two-phase layout forced
+        codes = RNG.integers(0, 4, size=(96, 6)).astype(np.int8)
+        res = fit_plm(
+            codes, np.ones(96), 4,
+            PlmConfig(block_size=32, grad_layout="two_phase",
+                      solver="adam", max_iter=5, steps_per_call=5),
+        )
+        assert res.num_iter == 5
+        assert np.isfinite(res.final_loss)
+
     def test_mesh_matches_single_device_bitwise(self):
         # the sharded and unsharded programs must agree bit-for-bit
         # (single- vs multi-process reproducibility of the fit)
