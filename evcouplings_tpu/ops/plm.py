@@ -96,6 +96,19 @@ class PlmConfig:
     #   "auto"      — two_phase iff dtype is bfloat16 and the one-hot
     #                 fits _ONEHOT_HBM_BUDGET, else carried.
     grad_layout: str = "auto"
+    # Adam-path epilogue: "on" runs the fused Pallas kernel
+    # (ops/plm_update.py: symmetrize + l2 + Adam moments + bf16 J
+    # emit in one HBM pass; on CPU it runs in interpret mode — slow,
+    # for tests). MEASURED NO-WIN on v5e: the chip's streaming HBM
+    # bandwidth is ~330 GB/s for Pallas and XLA alike, XLA already
+    # fuses the epilogue to near-minimal traffic AND overlaps it with
+    # the MXU-bound GEMM phases, while a pallas_call serializes
+    # (kernel alone 1.05 ms vs 0.92 ms for the whole XLA epilogue;
+    # full step 6.75 vs 6.21 ms at N=16k, L=160, block 8192). "auto"
+    # therefore resolves to off; the kernel is kept for hardware with
+    # a higher HBM:dispatch ratio. The fused path matches the unfused
+    # optax path up to float rounding, not bitwise.
+    fused_update: str = "auto"
 
 
 def _precision(name):
@@ -442,6 +455,56 @@ def _augmented_width(lq):
     return max(lq + 1, ((lq + 1 + 127) // 128) * 128)
 
 
+def _build_j_aug(params, L, q, dtype, lq_aug):
+    """Augmented coupling matrix (Lq_aug, Lq): symmetrized + masked
+    J_eff rows, the fields h as row Lq, zero MXU-padding rows."""
+    lq = L * q
+    mask = _diag_block_mask(L, q, dtype)
+    P_c = params["J"].astype(dtype)
+    J_eff = 0.5 * (P_c + P_c.T) * mask
+    h_c = params["h"].astype(dtype)
+    parts = [J_eff, h_c.reshape(1, lq)]
+    if lq_aug > lq + 1:
+        parts.append(jnp.zeros((lq_aug - lq - 1, lq), dtype=dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _resolve_fused_update(cfg, mesh, master_dtype):
+    """Decide whether the fit uses the fused Pallas Adam epilogue.
+
+    Returns (enabled, interpret). "auto" engages only in the
+    production configuration (adam solver, bfloat16 compute, f32
+    masters, smooth regularizer, single device, real TPU); forcing
+    "on" outside TPU runs the kernel in interpret mode (tests).
+    """
+    if cfg.fused_update == "off":
+        return False, False
+    eligible = (
+        cfg.solver == "adam"
+        and cfg.lambda_group == 0
+        and master_dtype == jnp.float32
+    )
+    if cfg.fused_update == "on":
+        if not eligible:
+            raise ValueError(
+                "fused_update='on' requires the adam solver, "
+                "lambda_group=0, and float32 master parameters"
+            )
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            platform = "cpu"
+        return True, platform not in ("tpu", "axon")
+    if cfg.fused_update != "auto":
+        raise ValueError(
+            "Unknown fused_update: {}".format(cfg.fused_update)
+        )
+    # auto: off. Measured on v5e (see PlmConfig.fused_update): the
+    # XLA epilogue is already traffic-minimal and overlaps with the
+    # GEMM phases; the serialized Pallas pass loses ~8% end to end.
+    return False, False
+
+
 def _augment_ones(oh, lq_aug, dtype):
     """[oh | 1 | 0...] — one-hot block, a ones column at index Lq, and
     zero padding up to lq_aug (see _augmented_width)."""
@@ -452,21 +515,13 @@ def _augment_ones(oh, lq_aug, dtype):
     return jnp.concatenate(parts, axis=1)
 
 
-def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
-    """Build vg(params, codes, weights) -> (loss, grads) with the NLL
-    gradient computed in closed form (see _make_local_value_and_grad)
-    and the regularizer terms in closed form as well (the lambda_J l2
-    gradient through the symmetric gauge is exactly
-    0.5*((dJ + lambda_J P) + (dJ + lambda_J P)^T) * mask — one fused
-    elementwise pass, no autodiff recompute of J_eff).
-
-    Equivalent to jax.value_and_grad(make_plm_loss(...)) up to
-    float reduction order — asserted by tests — but with no autodiff
-    residual storage, which removes most of the HBM epilogue traffic
-    of the fit step. The fields h ride as an extra row of the
-    augmented coupling matrix, so the whole NLL gradient is two GEMMs
-    per block.
-    """
+def make_plm_nll_vg(L, q, cfg: PlmConfig, mesh=None):
+    """Build nll_vg(J_aug, codes, weights, oh_aug) -> (nll, dJh): the
+    data term of the PLM objective and its raw closed-form gradient
+    GEMM output (dJ_eff in columns :Lq, dh in column Lq), psum-merged
+    across the mesh "data" axis if one is given. The epilogue
+    (regularizers, symmetrization, optimizer) is layered on top by
+    make_plm_value_and_grad or by the fused fit path."""
     dtype = jnp.dtype(cfg.dtype)
     # accumulator / master dtype: f32, or f64 for float64 parity runs
     acc = jnp.promote_types(dtype, jnp.float32)
@@ -528,17 +583,35 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
             out_specs=(P(), P()),
         )(J_aug, codes, weights)
 
+    return nll_vg
+
+
+def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
+    """Build vg(params, codes, weights) -> (loss, grads) with the NLL
+    gradient computed in closed form (see _make_local_value_and_grad)
+    and the regularizer terms in closed form as well (the lambda_J l2
+    gradient through the symmetric gauge is exactly
+    0.5*((dJ + lambda_J P) + (dJ + lambda_J P)^T) * mask — one fused
+    elementwise pass, no autodiff recompute of J_eff).
+
+    Equivalent to jax.value_and_grad(make_plm_loss(...)) up to
+    float reduction order — asserted by tests — but with no autodiff
+    residual storage, which removes most of the HBM epilogue traffic
+    of the fit step. The fields h ride as an extra row of the
+    augmented coupling matrix, so the whole NLL gradient is two GEMMs
+    per block.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    acc = jnp.promote_types(dtype, jnp.float32)
+    lq = L * q
+    lq_aug = _augmented_width(lq)
+    nll_vg = make_plm_nll_vg(L, q, cfg, mesh=mesh)
+
     def vg(params, codes, weights, oh_aug=None):
         mask = _diag_block_mask(L, q, dtype)
-        P_c = params["J"].astype(dtype)
-        J_eff = 0.5 * (P_c + P_c.T) * mask
-        h_c = params["h"].astype(dtype)
-        parts = [J_eff, h_c.reshape(1, lq)]
-        if lq_aug > lq + 1:
-            parts.append(
-                jnp.zeros((lq_aug - lq - 1, lq), dtype=dtype)
-            )
-        J_aug = jnp.concatenate(parts, axis=0)
+        J_aug = _build_j_aug(params, L, q, dtype, lq_aug)
+        J_eff = J_aug[:lq]
+        h_c = J_aug[lq]
 
         nll, dJh = nll_vg(J_aug, codes, weights, oh_aug)
         dJ_eff = dJh[:, :lq]
@@ -651,6 +724,95 @@ def make_plm_loss(L, q, cfg: PlmConfig, mesh=None):
         return value + reg
 
     return loss
+
+
+def _make_fused_step_chunk(L, q, cfg, mesh, steps_per_call,
+                           interpret):
+    """Adam step chunk using the fused Pallas epilogue
+    (ops/plm_update.py): the GEMM phases produce (nll, dJh), then one
+    kernel pass does symmetrize + l2 + Adam + next-step bf16 J emit,
+    carrying the augmented coupling matrix across scan iterations so
+    it is never rebuilt from the f32 masters. Matches the unfused
+    optax path up to float rounding. The optimizer state keeps the
+    optax.adam structure (ScaleByAdamState first) so checkpointing
+    and resume are layout-compatible with the unfused path."""
+    from evcouplings_tpu.ops.plm_update import (
+        ADAM_B1, ADAM_B2, ADAM_EPS, fused_adam_update,
+    )
+
+    dtype = jnp.dtype(cfg.dtype)
+    f32 = jnp.float32
+    lq = L * q
+    lq_aug = _augmented_width(lq)
+    nll_vg = make_plm_nll_vg(L, q, cfg, mesh=mesh)
+
+    @jax.jit
+    def step_chunk(params, state, codes, weights, oh_aug):
+        j_aug0 = _build_j_aug(params, L, q, dtype, lq_aug)
+
+        def body(carry, _):
+            params, state, J_aug = carry
+            nll, dJh = nll_vg(J_aug, codes, weights, oh_aug)
+            # loss at the pre-step parameters, same rounding as the
+            # unfused path (regularizers on the compute-dtype matrix)
+            value = (
+                nll
+                + cfg.lambda_h * jnp.sum(J_aug[lq].astype(f32) ** 2)
+                + cfg.lambda_J * 0.5
+                * jnp.sum(J_aug[:lq].astype(f32) ** 2)
+            )
+
+            adam = state[0]
+            cnt = adam.count + 1
+            cf = cnt.astype(f32)
+            bc1i = 1.0 / (1.0 - ADAM_B1 ** cf)
+            bc2i = 1.0 / (1.0 - ADAM_B2 ** cf)
+            P2, mu2, nu2, J_eff2, gsq = fused_adam_update(
+                dJh, params["J"], adam.mu["J"], adam.nu["J"],
+                bc1i, bc2i, q=q, lambda_j=cfg.lambda_J,
+                lr=cfg.adam_lr, out_dtype=dtype,
+                interpret=interpret,
+            )
+
+            # fields: a plain (L, q)-sized Adam update, negligible
+            g_h = (
+                dJh[:, lq].reshape(L, q)
+                + 2.0 * cfg.lambda_h * params["h"]
+            )
+            mu_h = ADAM_B1 * adam.mu["h"] + (1.0 - ADAM_B1) * g_h
+            nu_h = ADAM_B2 * adam.nu["h"] + (1.0 - ADAM_B2) * g_h ** 2
+            h2 = params["h"] - cfg.adam_lr * (mu_h * bc1i) / (
+                jnp.sqrt(nu_h * bc2i) + ADAM_EPS
+            )
+
+            params2 = {"J": P2, "h": h2}
+            state2 = (
+                adam._replace(
+                    count=cnt,
+                    mu={"J": mu2, "h": mu_h},
+                    nu={"J": nu2, "h": nu_h},
+                ),
+            ) + tuple(state[1:])
+            gnorm = jnp.sqrt(gsq[0, 0] + jnp.sum(g_h ** 2))
+            xnorm = optax.tree_utils.tree_l2_norm(params2)
+
+            parts = [J_eff2, h2.astype(dtype).reshape(1, lq)]
+            if lq_aug > lq + 1:
+                parts.append(
+                    jnp.zeros((lq_aug - lq - 1, lq), dtype=dtype)
+                )
+            J_aug2 = jnp.concatenate(parts, axis=0)
+            return (params2, state2, J_aug2), jnp.stack(
+                [value.astype(f32), gnorm.astype(f32),
+                 xnorm.astype(f32)]
+            )
+
+        (params, state, _), metrics = jax.lax.scan(
+            body, (params, state, j_aug0), None, length=steps_per_call
+        )
+        return params, state, metrics
+
+    return step_chunk
 
 
 @dataclass
@@ -825,8 +987,14 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     # cannot be closed over).
     steps_per_call = max(1, int(cfg.steps_per_call))
 
+    fused, fused_interpret = _resolve_fused_update(cfg, mesh, dtype)
+    if fused:
+        step_chunk = _make_fused_step_chunk(
+            L, q, cfg, mesh, steps_per_call, fused_interpret
+        )
+
     @jax.jit
-    def step_chunk(params, state, codes, weights, oh_aug):
+    def step_chunk_unfused(params, state, codes, weights, oh_aug):
         # loss with the closed-form kernel as its VJP: optax's LBFGS
         # and zoom linesearch call jax.value_and_grad(value_fn)
         # internally, and this wrapper makes that hit the fused
@@ -879,6 +1047,9 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             body, (params, state), None, length=steps_per_call
         )
         return params, state, metrics
+
+    if not fused:
+        step_chunk = step_chunk_unfused
 
     import time
 

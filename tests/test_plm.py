@@ -440,3 +440,136 @@ class TestCheckpointResume:
                     PlmConfig(max_iter=2, block_size=16,
                               solver="adam"),
                     checkpoint_file=ckpt)
+
+
+class TestFusedUpdate:
+    """Fused Pallas Adam epilogue (ops/plm_update.py) vs the jnp
+    oracle and vs the unfused optax fit path."""
+
+    def _rand_state(self, L, q, rng):
+        lq = L * q
+        site = np.repeat(np.arange(L), q)
+        mask = (site[:, None] != site[None, :]).astype(np.float32)
+        A = rng.normal(size=(lq, lq)).astype(np.float32)
+        P = (0.5 * (A + A.T) * mask).astype(np.float32)
+        dJh = rng.normal(size=(lq, lq + 32)).astype(np.float32)
+        B = rng.normal(size=(lq, lq)).astype(np.float32)
+        mu = (0.5 * (B + B.T) * mask).astype(np.float32)
+        nu = (np.abs(0.5 * (B + B.T)) * mask).astype(np.float32)
+        return dJh, P, mu, nu
+
+    def test_kernel_matches_reference(self):
+        from evcouplings_tpu.ops.plm_update import (
+            adam_update_reference, fused_adam_update,
+        )
+
+        L, q = 6, 5
+        dJh, P, mu, nu = self._rand_state(L, q, np.random.default_rng(0))
+        kw = dict(q=q, lambda_j=0.7, lr=3e-3)
+        got = fused_adam_update(
+            jnp.asarray(dJh), jnp.asarray(P), jnp.asarray(mu),
+            jnp.asarray(nu), 1.25, 1.05, bi=8, bj=128,
+            interpret=True, **kw,
+        )
+        want = adam_update_reference(
+            jnp.asarray(dJh), jnp.asarray(P), jnp.asarray(mu),
+            jnp.asarray(nu), 1.25, 1.05, **kw,
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g, dtype=np.float64),
+                np.asarray(w, dtype=np.float64),
+                rtol=2e-6, atol=2e-6,
+            )
+
+    def test_kernel_edge_tiles(self):
+        # lq = 30 not divisible by either block dim: ceil-grid edge
+        # tiles must not leak garbage into outputs or the g^2 sum
+        from evcouplings_tpu.ops.plm_update import (
+            adam_update_reference, fused_adam_update,
+        )
+
+        L, q = 10, 3
+        dJh, P, mu, nu = self._rand_state(L, q, np.random.default_rng(1))
+        kw = dict(q=q, lambda_j=0.3, lr=1e-2)
+        got = fused_adam_update(
+            jnp.asarray(dJh), jnp.asarray(P), jnp.asarray(mu),
+            jnp.asarray(nu), 2.0, 1.5, bi=8, bj=128,
+            interpret=True, **kw,
+        )
+        want = adam_update_reference(
+            jnp.asarray(dJh), jnp.asarray(P), jnp.asarray(mu),
+            jnp.asarray(nu), 2.0, 1.5, **kw,
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g, dtype=np.float64),
+                np.asarray(w, dtype=np.float64),
+                rtol=2e-6, atol=2e-6,
+            )
+
+    def test_fit_fused_matches_unfused(self):
+        from evcouplings_tpu.ops.plm import fit_plm
+
+        rng = np.random.default_rng(7)
+        N, L, q = 64, 7, 4
+        codes = rng.integers(0, q, size=(N, L)).astype(np.int8)
+        weights = np.ones(N)
+        base = dict(
+            solver="adam", adam_lr=1e-2, max_iter=25, block_size=32,
+            dtype="float32", precision="highest", steps_per_call=5,
+            lambda_h=0.01, lambda_J=0.5,
+        )
+        r_off = fit_plm(codes, weights, q,
+                        PlmConfig(fused_update="off", **base))
+        r_on = fit_plm(codes, weights, q,
+                       PlmConfig(fused_update="on", **base))
+        np.testing.assert_allclose(r_on.J_ij, r_off.J_ij,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(r_on.h_i, r_off.h_i,
+                                   rtol=1e-4, atol=1e-5)
+        fx_on = [r["fx"] for r in r_on.iteration_table]
+        fx_off = [r["fx"] for r in r_off.iteration_table]
+        np.testing.assert_allclose(fx_on, fx_off, rtol=1e-4)
+        g_on = [r["gnorm"] for r in r_on.iteration_table]
+        g_off = [r["gnorm"] for r in r_off.iteration_table]
+        np.testing.assert_allclose(g_on, g_off, rtol=1e-3, atol=1e-6)
+
+    def test_fused_on_requires_adam(self):
+        from evcouplings_tpu.ops.plm import _resolve_fused_update
+
+        with pytest.raises(ValueError):
+            _resolve_fused_update(
+                PlmConfig(solver="lbfgs", fused_update="on"),
+                None, jnp.float32,
+            )
+        assert _resolve_fused_update(
+            PlmConfig(solver="lbfgs", fused_update="auto"),
+            None, jnp.float32,
+        ) == (False, False)
+
+    def test_presym_kernel_matches_reference(self):
+        from evcouplings_tpu.ops.plm_update import (
+            adam_update_reference, fused_adam_update_presym,
+        )
+
+        L, q = 6, 5
+        lq = L * q
+        dJh, P, mu, nu = self._rand_state(L, q, np.random.default_rng(2))
+        kw = dict(q=q, lambda_j=0.7, lr=3e-3)
+        a = dJh[:, :lq]
+        got = fused_adam_update_presym(
+            jnp.asarray(a + a.T), jnp.asarray(P), jnp.asarray(mu),
+            jnp.asarray(nu), 1.25, 1.05, bi=8, bj=128,
+            interpret=True, **kw,
+        )
+        want = adam_update_reference(
+            jnp.asarray(dJh), jnp.asarray(P), jnp.asarray(mu),
+            jnp.asarray(nu), 1.25, 1.05, **kw,
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g, dtype=np.float64),
+                np.asarray(w, dtype=np.float64),
+                rtol=2e-6, atol=2e-6,
+            )
