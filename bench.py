@@ -25,8 +25,13 @@ import numpy as np
 
 PLMC_32T_BASELINE = 5.0e6  # seq*site/s, analytic bound, see module docstring
 
-N, L, Q = 16384, 160, 21
-STEPS_PER_CALL = 30
+# N = 32768 amortizes the N-independent per-step epilogue (optimizer +
+# regularizer traffic over the (Lq, Lq) arrays) across twice the rows:
+# measured 459M vs 420M seq*site/s at N=16384. N = 65536 exceeds the
+# axon remote-compile tunnel's request-size limit (HTTP 413) because
+# the augmented one-hot constant ships in the program payload.
+N, L, Q = 32768, 160, 21
+STEPS_PER_CALL = 60
 WARMUP_CALLS = 2
 BENCH_CALLS = 4
 
