@@ -455,13 +455,22 @@ def _augmented_width(lq):
     return max(lq + 1, ((lq + 1 + 127) // 128) * 128)
 
 
-def _build_j_aug(params, L, q, dtype, lq_aug):
+def _build_j_aug(params, L, q, dtype, lq_aug, symmetric=False):
     """Augmented coupling matrix (Lq_aug, Lq): symmetrized + masked
-    J_eff rows, the fields h as row Lq, zero MXU-padding rows."""
+    J_eff rows, the fields h as row Lq, zero MXU-padding rows.
+
+    symmetric=True asserts that P is exactly symmetric (true inside
+    fits: symmetric init, exactly-symmetrized gradients, elementwise
+    optimizer updates — both Adam and the LBFGS two-loop/linesearch
+    preserve it) and skips the strided transposed read:
+    P * mask == 0.5 * (P + P^T) * mask bitwise on symmetric P."""
     lq = L * q
     mask = _diag_block_mask(L, q, dtype)
     P_c = params["J"].astype(dtype)
-    J_eff = 0.5 * (P_c + P_c.T) * mask
+    if symmetric:
+        J_eff = P_c * mask
+    else:
+        J_eff = 0.5 * (P_c + P_c.T) * mask
     h_c = params["h"].astype(dtype)
     parts = [J_eff, h_c.reshape(1, lq)]
     if lq_aug > lq + 1:
@@ -586,7 +595,8 @@ def make_plm_nll_vg(L, q, cfg: PlmConfig, mesh=None):
     return nll_vg
 
 
-def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
+def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None,
+                            symmetric_params=False):
     """Build vg(params, codes, weights) -> (loss, grads) with the NLL
     gradient computed in closed form (see _make_local_value_and_grad)
     and the regularizer terms in closed form as well (the lambda_J l2
@@ -609,7 +619,9 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
 
     def vg(params, codes, weights, oh_aug=None):
         mask = _diag_block_mask(L, q, dtype)
-        J_aug = _build_j_aug(params, L, q, dtype, lq_aug)
+        J_aug = _build_j_aug(
+            params, L, q, dtype, lq_aug, symmetric=symmetric_params
+        )
         J_eff = J_aug[:lq]
         h_c = J_aug[lq]
 
@@ -660,7 +672,8 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None):
     return vg
 
 
-def make_plm_loss(L, q, cfg: PlmConfig, mesh=None):
+def make_plm_loss(L, q, cfg: PlmConfig, mesh=None,
+                  symmetric_params=False):
     """Build loss(params, codes, weights) -> scalar.
 
     params: {"J": (Lq, Lq), "h": (L, q)}. If a mesh (with axis "data") is
@@ -702,7 +715,11 @@ def make_plm_loss(L, q, cfg: PlmConfig, mesh=None):
 
         # symmetric shared-pair parametrization with zero diagonal blocks
         P_mat = params["J"]
-        J_eff = 0.5 * (P_mat + P_mat.T) * _diag_block_mask(L, q, dtype)
+        if symmetric_params:
+            # P exactly symmetric by construction inside fits
+            J_eff = P_mat * _diag_block_mask(L, q, dtype)
+        else:
+            J_eff = 0.5 * (P_mat + P_mat.T) * _diag_block_mask(L, q, dtype)
         h_flat = params["h"].reshape(L * q)
 
         value = nll(J_eff, h_flat, codes, weights)
@@ -748,7 +765,9 @@ def _make_fused_step_chunk(L, q, cfg, mesh, steps_per_call,
 
     @jax.jit
     def step_chunk(params, state, codes, weights, oh_aug):
-        j_aug0 = _build_j_aug(params, L, q, dtype, lq_aug)
+        j_aug0 = _build_j_aug(
+            params, L, q, dtype, lq_aug, symmetric=True
+        )
 
         def body(carry, _):
             params, state, J_aug = carry
@@ -906,11 +925,13 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     else:
         oh_d = None
 
-    loss_fn = make_plm_loss(L, q, cfg, mesh=mesh)
+    loss_fn = make_plm_loss(L, q, cfg, mesh=mesh, symmetric_params=True)
     # closed-form fused value+grad (no autodiff residual traffic);
     # used directly by the Adam path and routed into LBFGS (gradient
     # evals AND zoom linesearch) via a custom_vjp wrapper below
-    vg_fn = make_plm_value_and_grad(L, q, cfg, mesh=mesh)
+    vg_fn = make_plm_value_and_grad(
+        L, q, cfg, mesh=mesh, symmetric_params=True
+    )
 
     params = {
         "J": jnp.zeros((L * q, L * q), dtype=dtype),

@@ -441,6 +441,33 @@ class TestCheckpointResume:
                               solver="adam"),
                     checkpoint_file=ckpt)
 
+    @pytest.mark.parametrize("solver,dtype,steps_per_call", [
+        ("adam", "float32", 1),
+        ("adam", "bfloat16", 4),
+        ("lbfgs", "float32", 1),
+    ])
+    def test_raw_params_stay_bitwise_symmetric(
+            self, tmp_path, solver, dtype, steps_per_call):
+        """fit_plm builds J_eff as P * mask (skipping the strided
+        transposed read) on the assumption that the raw P stays
+        EXACTLY symmetric through the whole fit: symmetric zero init,
+        exactly-symmetrized gradients, and elementwise optimizer
+        updates (Adam moments / LBFGS two-loop + linesearch are all
+        elementwise or axpy on symmetric operands). Pin that invariant
+        bitwise on the checkpointed raw parameters."""
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        ckpt = str(tmp_path / "fit.ckpt.npz")
+        fit_plm(codes, w, 5,
+                PlmConfig(max_iter=12, block_size=16, solver=solver,
+                          dtype=dtype, steps_per_call=steps_per_call,
+                          conv_tol=0.0),
+                checkpoint_file=ckpt, checkpoint_every=10**9)
+        P = np.load(ckpt)["J"]
+        assert np.abs(P).max() > 0  # fit actually moved
+        assert np.array_equal(P, P.T)
+
 
 class TestFusedUpdate:
     """Fused Pallas Adam epilogue (ops/plm_update.py) vs the jnp
