@@ -27,9 +27,11 @@ TPU-first design
 - Across a device mesh, rows are sharded on the "data" axis via shard_map;
   the block-local negative log-likelihood and gradient contributions are
   merged with psum. Parameters and LBFGS state are replicated.
-- Optimizer: L-BFGS with zoom line search (optax), entirely jit-compiled;
-  one host sync per iteration to record the plmc-style iteration table.
-  Adam fallback for very large L where LBFGS history would not fit HBM.
+- Optimizer: native scan-chained L-BFGS on one flat master vector
+  (ops/lbfgs.py: rho-masked two-loop recursion, libLBFGS-style
+  backtracking strong-Wolfe linesearch), entirely jit-compiled with
+  steps_per_call iterations chained per host round trip. Adam fallback
+  for very large L where LBFGS history would not fit HBM.
 """
 
 import functools
@@ -43,6 +45,7 @@ import numpy as np
 import optax
 
 from evcouplings_tpu.ops.encode import pad_rows
+from evcouplings_tpu.ops.lbfgs import init_lbfgs_state, make_lbfgs_chunk
 
 
 @dataclass(frozen=True)
@@ -925,10 +928,11 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     else:
         oh_d = None
 
-    loss_fn = make_plm_loss(L, q, cfg, mesh=mesh, symmetric_params=True)
     # closed-form fused value+grad (no autodiff residual traffic);
-    # used directly by the Adam path and routed into LBFGS (gradient
-    # evals AND zoom linesearch) via a custom_vjp wrapper below
+    # the single objective evaluator for both solvers: the Adam path
+    # calls it directly, the LBFGS linesearch evaluates it once per
+    # trial step and reuses the accepted evaluation as the next
+    # iteration's gradient
     vg_fn = make_plm_value_and_grad(
         L, q, cfg, mesh=mesh, symmetric_params=True
     )
@@ -941,16 +945,20 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         params = jax.device_put(params, replicated)
 
     if cfg.solver == "lbfgs":
-        opt = optax.lbfgs(memory_size=cfg.memory_size)
+        # state is (flat master vector, lbfgs history); built right
+        # before the fit loop — its init needs one gradient eval on
+        # the device-resident data arrays
+        opt = None
+        state = None
     elif cfg.solver == "adam":
         opt = optax.adam(cfg.adam_lr)
+        state = opt.init(params)
     else:
         raise ValueError("Unknown solver: {}".format(cfg.solver))
 
-    state = opt.init(params)
-
     # resume from a fit checkpoint if one exists
     start_iter = 0
+    lbfgs_resume = None     # raw checkpoint arrays, consumed below
     if checkpoint_file is not None and os.path.exists(checkpoint_file):
         ckpt = np.load(checkpoint_file)
         if (ckpt["J"].shape != (L * q, L * q)
@@ -977,10 +985,24 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                     },
                 ),
             ) + state[1:]
+        if cfg.solver == "lbfgs" and "lbfgs_x" in ckpt:
+            # full solver state (flat master vector + rolling history
+            # + carried evaluation): resume is bitwise-identical to an
+            # uninterrupted fit. Checkpoints written before this state
+            # existed (or with a different memory_size) fall back to a
+            # history restart from the saved parameters.
+            if (ckpt["lbfgs_s_hist"].shape[0] == cfg.memory_size
+                    and ckpt["lbfgs_x"].shape[0]
+                    == (L * q) * (L * q) + L * q):
+                lbfgs_resume = {
+                    k[len("lbfgs_"):]: ckpt[k] for k in ckpt.files
+                    if k.startswith("lbfgs_")
+                }
         start_iter = int(ckpt["iteration"])
         if mesh is not None:
             params = jax.device_put(params, replicated)
-            state = jax.device_put(state, replicated)
+            if state is not None:
+                state = jax.device_put(state, replicated)
 
     def save_checkpoint(params, state, iteration):
         arrays = {
@@ -996,6 +1018,15 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 adam_mu_h=np.asarray(adam.mu["h"]),
                 adam_nu_J=np.asarray(adam.nu["J"]),
                 adam_nu_h=np.asarray(adam.nu["h"]),
+            )
+        elif cfg.solver == "lbfgs" and state is not None:
+            # flat master vector + history (~(2m+2) * D floats; the
+            # dominant cost of preemption-safe long fits, and still
+            # smaller than plmc restarting from iteration 0)
+            x, ls = state
+            arrays.update(
+                lbfgs_x=np.asarray(x),
+                **{"lbfgs_" + k: np.asarray(v) for k, v in ls.items()},
             )
         tmp = checkpoint_file + ".tmp.npz"
         np.savez(tmp, **arrays)
@@ -1016,45 +1047,13 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
 
     @jax.jit
     def step_chunk_unfused(params, state, codes, weights, oh_aug):
-        # loss with the closed-form kernel as its VJP: optax's LBFGS
-        # and zoom linesearch call jax.value_and_grad(value_fn)
-        # internally, and this wrapper makes that hit the fused
-        # single-pass gradient instead of storing/replaying per-block
-        # autodiff residuals through the scan
-        @jax.custom_vjp
-        def loss_data(params):
-            return loss_fn(params, codes, weights)
-
-        def loss_data_fwd(params):
-            value, grads = vg_fn(params, codes, weights, oh_aug)
-            return value, grads
-
-        def loss_data_bwd(grads, ct):
-            return (jax.tree.map(lambda g: g * ct, grads),)
-
-        loss_data.defvjp(loss_data_fwd, loss_data_bwd)
-
-        if cfg.solver == "lbfgs":
-            value_and_grad = optax.value_and_grad_from_state(loss_data)
-
-            def one_step(params, state):
-                value, grad = value_and_grad(params, state=state)
-                updates, state = opt.update(
-                    grad, state, params,
-                    value=value, grad=grad, value_fn=loss_data,
-                )
-                params = optax.apply_updates(params, updates)
-                gnorm = optax.tree_utils.tree_l2_norm(grad)
-                xnorm = optax.tree_utils.tree_l2_norm(params)
-                return params, state, value, gnorm, xnorm
-        else:
-            def one_step(params, state):
-                value, grad = vg_fn(params, codes, weights, oh_aug)
-                updates, state = opt.update(grad, state, params)
-                params = optax.apply_updates(params, updates)
-                gnorm = optax.tree_utils.tree_l2_norm(grad)
-                xnorm = optax.tree_utils.tree_l2_norm(params)
-                return params, state, value, gnorm, xnorm
+        def one_step(params, state):
+            value, grad = vg_fn(params, codes, weights, oh_aug)
+            updates, state = opt.update(grad, state, params)
+            params = optax.apply_updates(params, updates)
+            gnorm = optax.tree_utils.tree_l2_norm(grad)
+            xnorm = optax.tree_utils.tree_l2_norm(params)
+            return params, state, value, gnorm, xnorm
 
         def body(carry, _):
             params, state = carry
@@ -1069,7 +1068,65 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         )
         return params, state, metrics
 
-    if not fused:
+    if cfg.solver == "lbfgs":
+        # native scan-chained LBFGS (ops/lbfgs.py) on ONE flat master
+        # vector [J.ravel(); h.ravel()] — replaces optax.lbfgs + zoom
+        # linesearch, whose pytree traversals and linesearch state
+        # machine measured ~30 ms/iteration of overhead on TPU v5e on
+        # top of the 1-2 actual gradient evaluations per iteration.
+        x_dtype = jnp.promote_types(dtype, jnp.float32)
+        dsize = (L * q) * (L * q)
+
+        def _flatten_tree(tree):
+            return jnp.concatenate([
+                tree["J"].reshape(-1), tree["h"].reshape(-1)
+            ]).astype(x_dtype)
+
+        def _unflatten_x(x):
+            return {
+                "J": x[:dsize].reshape(L * q, L * q).astype(dtype),
+                "h": x[dsize:].reshape(L, q).astype(dtype),
+            }
+
+        def vg_flat(x, codes, weights, oh_aug):
+            value, grads = vg_fn(
+                _unflatten_x(x), codes, weights, oh_aug
+            )
+            return value.astype(x_dtype), _flatten_tree(grads)
+
+        lb_chunk = make_lbfgs_chunk(
+            vg_flat, m=cfg.memory_size,
+            steps_per_call=steps_per_call, conv_tol=cfg.conv_tol,
+        )
+
+        @jax.jit
+        def lbfgs_init_fn(params, codes, weights, oh_aug):
+            x = _flatten_tree(params)
+            value, grad = vg_flat(x, codes, weights, oh_aug)
+            return x, init_lbfgs_state(
+                x, value, grad, m=cfg.memory_size
+            )
+
+        @jax.jit
+        def step_chunk_lbfgs(params, state, codes, weights, oh_aug):
+            del params  # master copy lives in the flat vector
+            x, lstate = state
+            x, lstate, metrics = lb_chunk(
+                x, lstate, codes, weights, oh_aug
+            )
+            return _unflatten_x(x), (x, lstate), metrics
+
+        step_chunk = step_chunk_lbfgs
+        if lbfgs_resume is not None:
+            x_r = jnp.asarray(lbfgs_resume.pop("x"), dtype=x_dtype)
+            state = (x_r, {
+                k: jnp.asarray(v) for k, v in lbfgs_resume.items()
+            })
+            if mesh is not None:
+                state = jax.device_put(state, replicated)
+        else:
+            state = tuple(lbfgs_init_fn(params, codes_d, w_d, oh_d))
+    elif not fused:
         step_chunk = step_chunk_unfused
 
     import time
@@ -1118,6 +1175,14 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             if gnorm <= cfg.conv_tol * max(1.0, xnorm):
                 converged = True
                 break
+
+        # the native LBFGS engine also stops itself when the
+        # linesearch cannot make progress at float resolution
+        # (libLBFGS rounding-error semantics); honor that flag so the
+        # host loop does not keep dispatching frozen chunks
+        if (cfg.solver == "lbfgs" and not converged
+                and bool(state[1]["converged"])):
+            converged = True
 
         if (checkpoint_file is not None
                 and it - last_ckpt >= checkpoint_every):

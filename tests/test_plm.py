@@ -394,25 +394,61 @@ class TestCheckpointResume:
         codes = rng.integers(0, 5, size=(48, 6)).astype(np.int8)
         return codes, np.ones(48)
 
-    def test_adam_resume_is_bitwise_identical(self, tmp_path):
+    @pytest.mark.parametrize("solver", ["adam", "lbfgs"])
+    def test_resume_is_bitwise_identical(self, tmp_path, solver):
+        """Adam checkpoints moments; LBFGS checkpoints the flat master
+        vector + rolling (s, y) history + carried evaluation — both
+        resume bitwise-identically to an uninterrupted fit. (plmc has
+        no mid-fit checkpointing; libLBFGS state dies with the
+        process.)"""
         from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
 
         codes, w = self._data()
-        cfg20 = PlmConfig(max_iter=20, block_size=16, solver="adam")
+        cfg20 = PlmConfig(max_iter=20, block_size=16, solver=solver,
+                          conv_tol=0.0)
 
         ref = fit_plm(codes, w, 5, cfg20)
 
         # interrupted run: stop at 10, resume from checkpoint to 20
         ckpt = str(tmp_path / "fit.ckpt.npz")
-        cfg10 = PlmConfig(max_iter=10, block_size=16, solver="adam")
+        cfg10 = PlmConfig(max_iter=10, block_size=16, solver=solver,
+                          conv_tol=0.0)
         fit_plm(codes, w, 5, cfg10, checkpoint_file=ckpt,
                 checkpoint_every=5)
+        assert "lbfgs_s_hist" in np.load(ckpt) or solver == "adam"
         resumed = fit_plm(codes, w, 5, cfg20, checkpoint_file=ckpt,
                           checkpoint_every=5)
 
         assert resumed.iteration_table[0]["iter"] == 11
         np.testing.assert_array_equal(resumed.J_ij, ref.J_ij)
         np.testing.assert_array_equal(resumed.h_i, ref.h_i)
+
+    def test_lbfgs_legacy_checkpoint_resumes_without_history(
+            self, tmp_path):
+        """A checkpoint holding only parameters (pre-history format,
+        or written with a different memory_size) still resumes — the
+        history restarts from the saved point."""
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        ckpt = str(tmp_path / "fit.ckpt.npz")
+        fit_plm(codes, w, 5,
+                PlmConfig(max_iter=3, block_size=16, solver="lbfgs",
+                          conv_tol=0.0),
+                checkpoint_file=ckpt)
+        # strip the solver state, keep params only
+        full = dict(np.load(ckpt))
+        np.savez(ckpt, **{k: v for k, v in full.items()
+                          if not k.startswith("lbfgs_")})
+        resumed = fit_plm(
+            codes, w, 5,
+            PlmConfig(max_iter=10, block_size=16, solver="lbfgs",
+                      conv_tol=0.0),
+            checkpoint_file=ckpt)
+        assert resumed.iteration_table[0]["iter"] == 4
+        assert resumed.num_iter >= 2
+        assert (resumed.iteration_table[-1]["fx"]
+                < resumed.iteration_table[0]["fx"])
 
     def test_checkpoint_written_at_interval_and_end(self, tmp_path):
         from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
