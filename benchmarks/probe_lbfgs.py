@@ -78,7 +78,6 @@ def main():
         st["s_hist"] = st["s_hist"].at[i].set(s)
         st["y_hist"] = st["y_hist"].at[i].set(y)
         st["rho"] = st["rho"].at[i].set(1.0 / float(jnp.dot(s, y)))
-    st["slot"] = jnp.asarray(0, jnp.int32)
     st["count"] = jnp.asarray(5, jnp.int32)
 
     two_loop = jax.jit(lambda s: _two_loop_direction(s, 5))

@@ -145,15 +145,24 @@ def infer_plmc(**kwargs):
         # optional TPU-fitter knobs beyond the reference config schema
         # (absent / None keeps plmc-parity behavior: LBFGS, float32 +
         # highest matmul precision, one optimizer step per dispatch).
-        # solver: "lbfgs" | "adam"; precision: "parity" | "production"
-        # (production = bfloat16 compute with f32 master parameters);
-        # steps_per_call: optimizer steps chained per device dispatch.
+        # solver: "lbfgs" | "adam"; steps_per_call: optimizer steps
+        # chained per device dispatch; precision:
+        #   "parity"     — float32 with 6-pass matmul emulation;
+        #                  maximum reproducibility. Measured ~75x the
+        #                  per-eval cost of the other modes on TPU
+        #                  v5e (2.5 s vs 34 ms at N=16k, L=160) —
+        #                  use for validation runs, not production.
+        #   "balanced"   — float32 state, 3-pass (bf16x3) matmuls:
+        #                  near-f32 matmul accuracy at production
+        #                  speed (42 vs 34 ms/iter measured).
+        #   "production" — bfloat16 compute with f32 master
+        #                  parameters; fastest.
         solver = kwargs.get("solver") or "lbfgs"
         precision_mode = kwargs.get("precision") or "parity"
-        if precision_mode not in ("parity", "production"):
+        if precision_mode not in ("parity", "balanced", "production"):
             raise InvalidParameterError(
                 "Invalid precision, valid options are: "
-                "parity, production"
+                "parity, balanced, production"
             )
         fitter_kwargs = {
             "solver": solver,
@@ -162,6 +171,10 @@ def infer_plmc(**kwargs):
         if precision_mode == "production":
             fitter_kwargs.update(
                 compute_dtype="bfloat16", matmul_precision="default",
+            )
+        elif precision_mode == "balanced":
+            fitter_kwargs.update(
+                compute_dtype="float32", matmul_precision="high",
             )
 
         plmc_result = ct.run_plm(

@@ -51,7 +51,6 @@ def init_lbfgs_state(x, value, grad, m=5):
         "y_hist": jnp.zeros((m, d), dtype=f),
         "rho": jnp.zeros((m,), dtype=f),       # 0 marks an empty slot
         "gamma": jnp.ones((), dtype=f),        # H0 scaling dot(s,y)/dot(y,y)
-        "slot": jnp.zeros((), dtype=jnp.int32),  # next history write slot
         "count": jnp.zeros((), dtype=jnp.int32),  # accepted iterations
         "nevals": jnp.zeros((), dtype=jnp.int32),  # total linesearch evals
         "value": jnp.asarray(value, dtype=f),
@@ -63,31 +62,29 @@ def init_lbfgs_state(x, value, grad, m=5):
 def _two_loop_direction(state, m):
     """d = -H g via the standard two-loop recursion.
 
-    Slots are visited newest-to-oldest then oldest-to-newest relative
-    to the rolling write pointer; empty slots carry rho == 0 so their
-    axpy contributions vanish without any branch.
+    History rows are kept in CHRONOLOGICAL order (oldest first, newest
+    at m-1; updates roll the arrays by one row) so every slice below
+    is a static index: the loops unroll into 4m fusable dot/axpy
+    streams. The first cut kept a rolling write pointer instead and
+    indexed rows with a traced index from inside lax.fori_loop — the
+    dynamic-slice gathers + loop sequencing measured 135 ms on TPU v5e
+    at D = 11.3M, m = 5, vs low-single-digit ms for the static form.
+    Empty slots carry rho == 0 so their axpy contributions vanish
+    without any branch.
     """
     g = state["grad"]
     s_hist, y_hist, rho = state["s_hist"], state["y_hist"], state["rho"]
-    slot = state["slot"]
 
-    def backward(i, carry):
-        qv, alpha = carry
-        k = (slot - 1 - i) % m
-        a = rho[k] * jnp.dot(s_hist[k], qv)
-        return qv - a * y_hist[k], alpha.at[k].set(a)
-
-    qv, alpha = lax.fori_loop(
-        0, m, backward, (g, jnp.zeros((m,), dtype=g.dtype))
-    )
+    qv = g
+    alpha = [None] * m
+    for i in range(m - 1, -1, -1):             # newest -> oldest
+        alpha[i] = rho[i] * jnp.dot(s_hist[i], qv)
+        qv = qv - alpha[i] * y_hist[i]
     qv = qv * state["gamma"]
-
-    def forward(i, qv):
-        k = (slot - m + i) % m
-        b = rho[k] * jnp.dot(y_hist[k], qv)
-        return qv + (alpha[k] - b) * s_hist[k]
-
-    return -lax.fori_loop(0, m, forward, qv)
+    for i in range(m):                         # oldest -> newest
+        b = rho[i] * jnp.dot(y_hist[i], qv)
+        qv = qv + (alpha[i] - b) * s_hist[i]
+    return -qv
 
 
 def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
@@ -188,21 +185,28 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
         y = grad_t - grad0
         sy = jnp.dot(s, y)
         accept = ok & (sy > _MIN_CURVATURE)
-        slot = state["slot"]
         f = x.dtype
-        s_hist = lax.dynamic_update_index_in_dim(
+        # chronological roll: drop the oldest row, append the new pair
+        # (one extra (m, D) rewrite, ~1 ms at D = 11.3M — the price of
+        # static indices in the two-loop above). On a skipped update
+        # the roll writes back the unchanged history.
+        s_hist = jnp.where(
+            accept,
+            jnp.concatenate([state["s_hist"][1:], s[None]], axis=0),
             state["s_hist"],
-            jnp.where(accept, s, state["s_hist"][slot]), slot, axis=0,
         )
-        y_hist = lax.dynamic_update_index_in_dim(
+        y_hist = jnp.where(
+            accept,
+            jnp.concatenate([state["y_hist"][1:], y[None]], axis=0),
             state["y_hist"],
-            jnp.where(accept, y, state["y_hist"][slot]), slot, axis=0,
         )
-        rho = state["rho"].at[slot].set(
-            jnp.where(
-                accept, 1.0 / jnp.maximum(sy, _MIN_CURVATURE),
-                state["rho"][slot],
-            ).astype(f)
+        rho_new = jnp.where(
+            accept, 1.0 / jnp.maximum(sy, _MIN_CURVATURE), 0.0
+        ).astype(f)
+        rho = jnp.where(
+            accept,
+            jnp.concatenate([state["rho"][1:], rho_new[None]]),
+            state["rho"],
         )
         gamma = jnp.where(
             accept, sy / jnp.maximum(jnp.dot(y, y), 1e-30),
@@ -213,7 +217,6 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
             "y_hist": y_hist,
             "rho": rho,
             "gamma": gamma,
-            "slot": jnp.where(accept, (slot + 1) % m, slot),
             "count": state["count"] + 1,
             "nevals": state["nevals"] + n_ls,
             "value": value_t.astype(f),

@@ -991,13 +991,19 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             # uninterrupted fit. Checkpoints written before this state
             # existed (or with a different memory_size) fall back to a
             # history restart from the saved parameters.
-            if (ckpt["lbfgs_s_hist"].shape[0] == cfg.memory_size
-                    and ckpt["lbfgs_x"].shape[0]
+            saved = {
+                k[len("lbfgs_"):]: ckpt[k] for k in ckpt.files
+                if k.startswith("lbfgs_")
+            }
+            expected = {
+                "x", "s_hist", "y_hist", "rho", "gamma", "count",
+                "nevals", "value", "grad", "converged",
+            }
+            if (set(saved) == expected
+                    and saved["s_hist"].shape[0] == cfg.memory_size
+                    and saved["x"].shape[0]
                     == (L * q) * (L * q) + L * q):
-                lbfgs_resume = {
-                    k[len("lbfgs_"):]: ckpt[k] for k in ckpt.files
-                    if k.startswith("lbfgs_")
-                }
+                lbfgs_resume = saved
         start_iter = int(ckpt["iteration"])
         if mesh is not None:
             params = jax.device_put(params, replicated)

@@ -186,6 +186,26 @@ class TestCouplingsStandard:
         top = raw.iloc[0]
         assert (top.i, top.j) == (13, 20)
 
+    def test_balanced_mode_recovers_same_top_ec(self, pipeline_dir):
+        """balanced = float32 state with 3-pass matmuls; same planted
+        pair as parity/production."""
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix = str(d / "run_balanced" / "test")
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(precision="balanced")
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+        raw = read_raw_ec_file(outcfg["raw_ec_file"])
+        top = raw.iloc[0]
+        assert (top.i, top.j) == (13, 20)
+
     def test_invalid_precision_rejected(self, pipeline_dir):
         from evcouplings_tpu.utils.config import InvalidParameterError
 
