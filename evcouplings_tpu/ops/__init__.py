@@ -13,6 +13,8 @@ and the external `plmc` C binary with in-process accelerator kernels:
 - gauge:        zero-sum gauge transform
 - scores:       FN/CN/MI coupling scores + average product correction
 - plm:          pseudolikelihood Potts-model fit (the plmc replacement)
+- plm_sites:    site-sharded asymmetric PLM fit (large-L model parallel)
+- lbfgs:        scan-chained flat-vector LBFGS engine
 - mean_field:   mean-field DCA (covariance inversion + DI)
 - distances:    residue-residue min-atom distance maps
 """

@@ -1,0 +1,315 @@
+"""Site-sharded asymmetric pseudolikelihood fit — the large-L scaling
+path.
+
+The symmetric fit (ops/plm.py, plmc semantics — reference wrapper
+couplings/tools.py:126-307) replicates the (Lq, Lq) coupling matrix on
+every device: J + gradient + Adam moments is ~16 bytes/entry f32,
+which caps single-chip L around ~900 (16 GB HBM) and makes the
+symmetrization a global operation.
+
+Pseudolikelihood decomposes into L INDEPENDENT per-site multinomial
+regressions coupled only through the shared-parameter symmetrization.
+Dropping the in-fit tie — each directed coupling J[r -> j] optimized
+independently, symmetrized ONCE after convergence as
+0.5 (J + J^T) — is the standard asymmetric pseudolikelihood
+(Ekeberg et al., J Comput Phys 2014); the reference pipeline has no
+equivalent (plmc is symmetric-only).
+
+On TPU this buys perfect model parallelism: sites shard along a
+"model" mesh axis (each device owns the (L_loc*q, Lq) row block of J
+plus its optimizer state), MSA rows shard along "data". A step is:
+one-hot @ J_loc^T logits, per-site softmax residuals, residual^T @
+one-hot gradient — all local — followed by a single psum of the local
+gradient over "data" only. NO collective ever crosses the "model"
+axis during the fit; ICI traffic is the data-parallel gradient
+reduction, identical to the symmetric path's. Scaling in L is
+therefore linear in devices for both memory and FLOPs.
+
+Solver: Adam (elementwise, shard-local). LBFGS would need every
+linesearch dot product psum-merged across "model"; Adam is the
+production path at these scales and keeps the step communication-free.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:                      # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from evcouplings_tpu.ops.plm import PlmConfig, PlmFitResult, _precision
+from evcouplings_tpu.ops.plm_update import ADAM_B1, ADAM_B2, ADAM_EPS
+
+
+def _pad_to(n, multiple):
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def _site_mask(l_loc, L_pad, q, m_idx, dtype):
+    """(l_loc*q, L_pad*q) mask zeroing each local site's own q-block
+    (no self-couplings) — the asymmetric analogue of the symmetric
+    path's diagonal-block mask."""
+    row_site = m_idx * l_loc + jnp.arange(l_loc * q) // q
+    col_site = jnp.arange(L_pad * q) // q
+    return (row_site[:, None] != col_site[None, :]).astype(dtype)
+
+
+def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=()):
+    """Per-device chunk: steps_per_call Adam steps on the local site
+    shard. Runs identically single-device (manual_axes == ()); under
+    shard_map the freshly-created scan carries must be marked varying
+    over the mesh axes (lax.pvary) for the vma type system."""
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    f32 = jnp.float32
+    prec = _precision(cfg.precision)
+    lq_pad = L_pad * q
+    block = cfg.block_size
+    steps = max(1, int(cfg.steps_per_call))
+
+    def local_vg(J_loc, h_loc, codes, w, m_idx):
+        """Closed-form loss + gradient for the local site block.
+
+        codes: (N_loc, L_pad) int8 local row shard; w: (N_loc,).
+        Returns (nll, dJ (l_loc*q, lq_pad) f32, dh (l_loc, q) f32) —
+        the caller psums over "data"."""
+        mask = _site_mask(l_loc, L_pad, q, m_idx, dtype)
+        J_eff = (J_loc.astype(dtype) * mask)
+        h_c = h_loc.astype(dtype)
+
+        n_loc = codes.shape[0]
+        n_blocks = max(1, n_loc // block)
+
+        def body(carry, blk):
+            nll_acc, dJ_acc, dh_acc = carry
+            rows = lax.dynamic_slice_in_dim(codes, blk * block, block)
+            wb = lax.dynamic_slice_in_dim(w, blk * block, block)
+            oh = jax.nn.one_hot(rows, q, dtype=dtype).reshape(
+                block, lq_pad)                      # code -1 -> zero row
+            logits = (
+                jnp.dot(oh, J_eff.T, precision=prec)
+                + h_c.reshape(l_loc * q)
+            ).reshape(block, l_loc, q)
+            logz = jax.nn.logsumexp(
+                logits.astype(f32), axis=-1, keepdims=True)
+            # local slice of this row's one-hot = the target labels
+            tgt = lax.dynamic_slice_in_dim(
+                rows, m_idx * l_loc, l_loc, axis=1)  # (block, l_loc)
+            valid = (tgt >= 0).astype(f32)
+            oh_t = jax.nn.one_hot(tgt, q, dtype=f32)
+            logp = logits.astype(f32) - logz
+            nll_b = -jnp.sum(
+                wb[:, None] * valid * jnp.sum(oh_t * logp, axis=-1))
+            # softmax residual, weighted; invalid sites contribute 0
+            r = (jnp.exp(logp) - oh_t) * (
+                wb[:, None] * valid)[..., None]
+            r2 = r.reshape(block, l_loc * q).astype(dtype)
+            dJ_b = jnp.dot(r2.T, oh, precision=prec).astype(f32)
+            dh_b = jnp.sum(r, axis=0)
+            return (nll_acc + nll_b, dJ_acc + dJ_b, dh_acc + dh_b), None
+
+        init = (jnp.zeros((), f32),
+                jnp.zeros((l_loc * q, lq_pad), f32),
+                jnp.zeros((l_loc, q), f32))
+        if manual_axes:
+            init = jax.tree.map(
+                lambda a: lax.pvary(a, manual_axes), init)
+        (nll, dJ, dh), _ = lax.scan(body, init, jnp.arange(n_blocks))
+        # self-block gradient is excluded from the model by the mask
+        dJ = dJ * _site_mask(l_loc, L_pad, q, m_idx, f32)
+        return nll, dJ, dh
+
+    def step_chunk_local(J_loc, h_loc, state, codes, w, m_idx,
+                         has_data_axis):
+        """steps_per_call Adam iterations; carries loss/gnorm metrics
+        per step (same record the symmetric fit emits)."""
+
+        def one(carry, _):
+            J_loc, h_loc, mu_J, nu_J, mu_h, nu_h, cnt = carry
+            nll, dJ, dh = local_vg(J_loc, h_loc, codes, w, m_idx)
+            if has_data_axis:
+                nll = lax.psum(nll, "data")
+                dJ = lax.psum(dJ, "data")
+                dh = lax.psum(dh, "data")
+            # l2 regularization per DIRECTED coupling (asymmetric
+            # convention: each direction carries the full lambda_J;
+            # the post-fit average then matches the symmetric
+            # regularizer's scale)
+            dJ = dJ + 2.0 * cfg.lambda_J * J_loc
+            dh = dh + 2.0 * cfg.lambda_h * h_loc
+            reg = (cfg.lambda_J * jnp.sum(J_loc ** 2)
+                   + cfg.lambda_h * jnp.sum(h_loc ** 2))
+            value = nll + reg
+            gsq = jnp.sum(dJ ** 2) + jnp.sum(dh ** 2)
+            xsq = jnp.sum(J_loc ** 2) + jnp.sum(h_loc ** 2)
+            if has_data_axis:
+                # nll/reg cover the LOCAL sites only (rows were
+                # already psum-merged over "data"): sum shards
+                gsq = lax.psum(gsq, "model")
+                xsq = lax.psum(xsq, "model")
+                value = lax.psum(value, "model")
+
+            cnt = cnt + 1
+            cf = cnt.astype(f32)
+            bc1i = 1.0 / (1.0 - ADAM_B1 ** cf)
+            bc2i = 1.0 / (1.0 - ADAM_B2 ** cf)
+
+            def adam(p, g, mu, nu):
+                mu = ADAM_B1 * mu + (1.0 - ADAM_B1) * g
+                nu = ADAM_B2 * nu + (1.0 - ADAM_B2) * g * g
+                p = p - cfg.adam_lr * (mu * bc1i) / (
+                    jnp.sqrt(nu * bc2i) + ADAM_EPS)
+                return p, mu, nu
+
+            J_loc, mu_J, nu_J = adam(J_loc, dJ, mu_J, nu_J)
+            h_loc, mu_h, nu_h = adam(h_loc, dh, mu_h, nu_h)
+            rec = jnp.stack([value, jnp.sqrt(gsq), jnp.sqrt(xsq)])
+            return (J_loc, h_loc, mu_J, nu_J, mu_h, nu_h, cnt), rec
+
+        carry = (J_loc, h_loc) + state
+        carry, metrics = lax.scan(one, carry, None, length=steps)
+        return carry[0], carry[1], carry[2:], metrics
+
+    return step_chunk_local
+
+
+def fit_plm_asym(codes, weights, num_symbols,
+                 cfg: PlmConfig = PlmConfig(solver="adam"),
+                 mesh=None, callback=None):
+    """Fit a Potts model by ASYMMETRIC pseudolikelihood maximization,
+    site-sharded over the mesh "model" axis and row-sharded over
+    "data"; symmetrize once at the end.
+
+    Same inputs/outputs as ops.plm.fit_plm. mesh, if given, must have
+    axes ("data", "model"); sites are padded to a multiple of the
+    model-axis size, rows to a multiple of the data-axis size
+    (padding rows carry zero weight, padding sites never receive
+    gradient). Only the Adam solver is supported (see module
+    docstring).
+    """
+    if cfg.solver != "adam":
+        raise ValueError(
+            "fit_plm_asym supports solver='adam' only "
+            "(got {!r})".format(cfg.solver))
+    codes = np.asarray(codes)
+    weights = np.asarray(weights, dtype=np.float64)
+    N, L = codes.shape
+    q = int(num_symbols)
+
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        n_model = mesh.shape["model"]
+    else:
+        n_data = n_model = 1
+
+    L_pad = _pad_to(L, n_model)
+    l_loc = L_pad // n_model
+    block = min(cfg.block_size, max(8, N))
+    cfg = PlmConfig(**{**cfg.__dict__, "block_size": block})
+    n_pad = _pad_to(max(N, block * n_data), block * n_data)
+
+    codes_p = np.full((n_pad, L_pad), -1, dtype=np.int8)
+    codes_p[:N, :L] = codes
+    w_p = np.zeros(n_pad, dtype=np.float32)
+    w_p[:N] = weights
+
+    f32 = jnp.float32
+    lq_pad = L_pad * q
+    J = jnp.zeros((lq_pad, lq_pad), dtype=f32)
+    h = jnp.zeros((L_pad, q), dtype=f32)
+    zeros_like = lambda a: jnp.zeros_like(a)
+    state = (zeros_like(J), zeros_like(J), zeros_like(h),
+             zeros_like(h), jnp.zeros((), jnp.int32))
+
+    local = _make_local_step(
+        L, L_pad, l_loc, q, cfg,
+        manual_axes=("data", "model") if mesh is not None else (),
+    )
+
+    if mesh is None:
+        @jax.jit
+        def chunk(J, h, state, codes_d, w_d):
+            m_idx = jnp.zeros((), jnp.int32)
+            return local(J, h, state, codes_d, w_d, m_idx, False)
+        codes_d = jnp.asarray(codes_p)
+        w_d = jnp.asarray(w_p)
+    else:
+        def shard_fn(J, h, state, codes_d, w_d):
+            m_idx = lax.axis_index("model")
+            J2, h2, state2, metrics = local(
+                J, h, state, codes_d, w_d, m_idx, True)
+            return J2, h2, state2, metrics
+
+        chunk = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(
+                P("model", None),           # J row-sharded by site
+                P("model", None),           # h sharded by site
+                (P("model", None), P("model", None),
+                 P("model", None), P("model", None), P()),
+                P("data", None),            # rows sharded
+                P("data"),
+            ),
+            out_specs=(
+                P("model", None), P("model", None),
+                (P("model", None), P("model", None),
+                 P("model", None), P("model", None), P()),
+                P(),                        # metrics replicated
+            ),
+        ))
+        codes_d = jax.device_put(
+            jnp.asarray(codes_p),
+            NamedSharding(mesh, P("data", None)))
+        w_d = jax.device_put(
+            jnp.asarray(w_p), NamedSharding(mesh, P("data")))
+        J = jax.device_put(J, NamedSharding(mesh, P("model", None)))
+        h = jax.device_put(h, NamedSharding(mesh, P("model", None)))
+        state = jax.device_put(
+            state,
+            (NamedSharding(mesh, P("model", None)),
+             NamedSharding(mesh, P("model", None)),
+             NamedSharding(mesh, P("model", None)),
+             NamedSharding(mesh, P("model", None)),
+             NamedSharding(mesh, P())),
+        )
+
+    import time
+    t0 = time.time()
+    table = []
+    converged = False
+    value = float("nan")
+    it = 0
+    steps = max(1, int(cfg.steps_per_call))
+    while it < cfg.max_iter and not converged:
+        n_steps = min(steps, cfg.max_iter - it)
+        J, h, state, metrics = chunk(J, h, state, codes_d, w_d)
+        metrics = np.asarray(metrics, dtype=np.float64)
+        now = time.time() - t0
+        for k in range(n_steps):
+            it += 1
+            value, gnorm, xnorm = metrics[k]
+            rec = {"iter": it, "fx": value, "gnorm": gnorm,
+                   "xnorm": xnorm, "time": now}
+            table.append(rec)
+            if callback is not None:
+                callback(rec)
+            if gnorm <= cfg.conv_tol * max(1.0, xnorm):
+                converged = True
+                break
+
+    # directed couplings -> shared-parameter form, once
+    J_dir = np.asarray(J, dtype=np.float64)
+    lq = L * q
+    J_dir = J_dir.reshape(L_pad, q, L_pad, q)[:L, :, :L, :] \
+        .reshape(lq, lq)
+    J_sym = 0.5 * (J_dir + J_dir.T)
+    J_ij = J_sym.reshape(L, q, L, q).transpose(0, 2, 1, 3)
+    J_ij[np.arange(L), np.arange(L)] = 0.0
+    h_i = np.asarray(h, dtype=np.float64)[:L]
+
+    return PlmFitResult(
+        J_ij=J_ij, h_i=h_i, iteration_table=table,
+        num_iter=len(table), converged=converged, final_loss=value,
+    )

@@ -1,0 +1,118 @@
+"""Site-sharded asymmetric pseudolikelihood fit (ops/plm_sites.py):
+correctness vs the symmetric fit, and 2D (data x model) mesh parity
+vs single-device."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+from evcouplings_tpu.ops.plm_sites import fit_plm_asym
+
+RNG = np.random.default_rng(7)
+
+
+def make_coupled_msa(N=600, L=8, q=4):
+    codes = RNG.integers(0, q, size=(N, L))
+    codes[:, 5] = (codes[:, 2] + 1) % q
+    return codes.astype(np.int8)
+
+
+def mesh2d(n_data, n_model):
+    devs = np.asarray(jax.devices()[:n_data * n_model]).reshape(
+        n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+class TestSingleDevice:
+    def test_recovers_planted_coupling(self):
+        codes = make_coupled_msa()
+        cfg = PlmConfig(solver="adam", max_iter=300, block_size=64,
+                        lambda_J=0.05, lambda_h=0.01, adam_lr=5e-3)
+        res = fit_plm_asym(codes, np.ones(len(codes)), 4, cfg)
+        from evcouplings_tpu.ops.scores import cn_scores
+
+        cn = cn_scores(res.J_ij)
+        ii, jj = np.triu_indices(8, k=1)
+        assert (ii[np.argmax(cn[ii, jj])],
+                jj[np.argmax(cn[ii, jj])]) == (2, 5)
+
+    def test_close_to_symmetric_fit(self):
+        """Asymmetric + post-hoc symmetrization approximates the
+        symmetric optimum: same EC ranking on a planted-structure
+        alignment, couplings strongly correlated."""
+        codes = make_coupled_msa(N=800)
+        w = np.ones(len(codes))
+        cfg_a = PlmConfig(solver="adam", max_iter=400, block_size=64,
+                          lambda_J=0.05, adam_lr=5e-3)
+        cfg_s = PlmConfig(solver="lbfgs", max_iter=200, block_size=64,
+                          lambda_J=0.05)
+        res_a = fit_plm_asym(codes, w, 4, cfg_a)
+        res_s = fit_plm(codes, w, 4, cfg_s)
+        from evcouplings_tpu.ops.scores import cn_scores
+
+        cn_a = cn_scores(res_a.J_ij)
+        cn_s = cn_scores(res_s.J_ij)
+        ii, jj = np.triu_indices(8, k=1)
+        # identical top pair, high rank correlation overall
+        assert np.argmax(cn_a[ii, jj]) == np.argmax(cn_s[ii, jj])
+        r = np.corrcoef(cn_a[ii, jj], cn_s[ii, jj])[0, 1]
+        assert r > 0.9
+
+    def test_invalid_solver_rejected(self):
+        with pytest.raises(ValueError, match="adam"):
+            fit_plm_asym(make_coupled_msa(N=16), np.ones(16), 4,
+                         PlmConfig(solver="lbfgs"))
+
+    def test_iteration_table_and_convergence(self):
+        codes = make_coupled_msa(N=200)
+        recs = []
+        cfg = PlmConfig(solver="adam", max_iter=50, block_size=64,
+                        steps_per_call=10, conv_tol=0.0,
+                        lambda_J=0.1)
+        res = fit_plm_asym(codes, np.ones(200), 4, cfg,
+                           callback=recs.append)
+        assert len(recs) == 50
+        assert recs[-1]["fx"] < recs[0]["fx"]
+        # plmc invariants on the output
+        np.testing.assert_allclose(
+            res.J_ij, res.J_ij.transpose(1, 0, 3, 2), atol=1e-12)
+        assert np.all(res.J_ij[np.arange(8), np.arange(8)] == 0)
+
+
+class TestMesh:
+    @pytest.mark.parametrize("n_data,n_model", [(2, 4), (4, 2), (1, 8)])
+    def test_matches_single_device(self, n_data, n_model):
+        """2D-sharded fit must match the single-device asymmetric fit
+        (site padding exercised: L=6 over 4 model shards)."""
+        L = 6
+        codes = RNG.integers(0, 3, size=(128, L)).astype(np.int8)
+        w = RNG.uniform(0.5, 1.0, size=128)
+        cfg = PlmConfig(solver="adam", max_iter=25, block_size=16,
+                        steps_per_call=5, conv_tol=0.0, lambda_J=0.1)
+        res1 = fit_plm_asym(codes, w, 3, cfg)
+        resM = fit_plm_asym(codes, w, 3, cfg,
+                            mesh=mesh2d(n_data, n_model))
+        np.testing.assert_allclose(
+            resM.J_ij, res1.J_ij, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            resM.h_i, res1.h_i, rtol=1e-5, atol=1e-6)
+        f1 = [r["fx"] for r in res1.iteration_table]
+        fM = [r["fx"] for r in resM.iteration_table]
+        np.testing.assert_allclose(fM, f1, rtol=1e-5)
+
+    def test_row_padding_exercised(self):
+        """N not divisible by block x n_data: padded rows carry zero
+        weight and must not change the result."""
+        L = 8
+        codes = RNG.integers(0, 3, size=(100, L)).astype(np.int8)
+        w = np.ones(100)
+        cfg = PlmConfig(solver="adam", max_iter=10, block_size=16,
+                        conv_tol=0.0, lambda_J=0.1)
+        res1 = fit_plm_asym(codes, w, 3, cfg)
+        resM = fit_plm_asym(codes, w, 3, cfg, mesh=mesh2d(2, 4))
+        # padding differs (112 vs 128 rows) so f32 summation order
+        # differs; agreement is to accumulation noise only
+        np.testing.assert_allclose(
+            resM.J_ij, res1.J_ij, rtol=1e-3, atol=1e-4)
