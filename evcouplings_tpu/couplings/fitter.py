@@ -160,6 +160,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             cpu=None, binary=None, mesh=None, solver="lbfgs",
             block_size=None, steps_per_call=1,
             compute_dtype="float32", matmul_precision="highest",
+            parametrization="symmetric",
             callback=None, checkpoint_file=None, checkpoint_every=50):
     """Fit a Potts model by pseudolikelihood maximization and write the
     plmc-compatible artifacts.
@@ -168,6 +169,12 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     126-307); `cpu` and `binary` are accepted for config compatibility
     and ignored (compute runs on the JAX default device / the given
     mesh).
+
+    parametrization: "symmetric" (plmc semantics, ops/plm.py) or
+    "asymmetric" (site-sharded independent per-site regressions,
+    symmetrized post-fit — ops/plm_sites.py; requires solver "adam",
+    supports a 2D ("data", "model") mesh for L beyond single-chip
+    HBM).
 
     Returns PlmResult (same fields as the reference PlmcResult).
     """
@@ -239,11 +246,30 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         dtype=compute_dtype,
         precision=matmul_precision,
     )
-    fit = fit_plm(
-        fit_codes, weights, q, cfg, mesh=mesh, callback=callback,
-        checkpoint_file=checkpoint_file,
-        checkpoint_every=checkpoint_every,
-    )
+    if parametrization == "asymmetric":
+        if solver != "adam":
+            raise ValueError(
+                "parametrization='asymmetric' requires solver='adam' "
+                "(got {!r})".format(solver))
+        if checkpoint_file is not None:
+            raise ValueError(
+                "mid-fit checkpointing is not supported for the "
+                "asymmetric parametrization yet")
+        from evcouplings_tpu.ops.plm_sites import fit_plm_asym
+
+        fit = fit_plm_asym(
+            fit_codes, weights, q, cfg, mesh=mesh, callback=callback,
+        )
+    elif parametrization == "symmetric":
+        fit = fit_plm(
+            fit_codes, weights, q, cfg, mesh=mesh, callback=callback,
+            checkpoint_file=checkpoint_file,
+            checkpoint_every=checkpoint_every,
+        )
+    else:
+        raise ValueError(
+            "Invalid parametrization: {!r} (valid: symmetric, "
+            "asymmetric)".format(parametrization))
 
     # weighted frequencies (no pseudocount) for the .model file
     f_i = frequencies(codes, weights, q)

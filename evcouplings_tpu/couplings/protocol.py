@@ -157,7 +157,22 @@ def infer_plmc(**kwargs):
         #                  speed (42 vs 34 ms/iter measured).
         #   "production" — bfloat16 compute with f32 master
         #                  parameters; fastest.
-        solver = kwargs.get("solver") or "lbfgs"
+        # parametrization: "symmetric" (plmc semantics, default) or
+        # "asymmetric" (site-sharded per-site regressions for large L;
+        # Adam-only — picking it defaults the solver to adam)
+        parametrization = kwargs.get("parametrization") or "symmetric"
+        if parametrization not in ("symmetric", "asymmetric"):
+            raise InvalidParameterError(
+                "Invalid parametrization, valid options are: "
+                "symmetric, asymmetric"
+            )
+        default_solver = (
+            "adam" if parametrization == "asymmetric" else "lbfgs")
+        solver = kwargs.get("solver") or default_solver
+        if parametrization == "asymmetric" and solver != "adam":
+            raise InvalidParameterError(
+                "parametrization: asymmetric requires solver: adam"
+            )
         precision_mode = kwargs.get("precision") or "parity"
         if precision_mode not in ("parity", "balanced", "production"):
             raise InvalidParameterError(
@@ -166,6 +181,7 @@ def infer_plmc(**kwargs):
             )
         fitter_kwargs = {
             "solver": solver,
+            "parametrization": parametrization,
             "steps_per_call": int(kwargs.get("steps_per_call") or 1),
         }
         if precision_mode == "production":

@@ -206,6 +206,48 @@ class TestCouplingsStandard:
         top = raw.iloc[0]
         assert (top.i, top.j) == (13, 20)
 
+    def test_asymmetric_parametrization_recovers_same_top_ec(
+            self, pipeline_dir):
+        """parametrization: asymmetric (site-sharded per-site
+        regressions, Adam defaulted automatically) finds the same
+        planted pair through the full couplings stage."""
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix = str(d / "run_asym" / "test")
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(
+            parametrization="asymmetric", precision="production",
+            steps_per_call=25, iterations=500,
+        )
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+        raw = read_raw_ec_file(outcfg["raw_ec_file"])
+        top = raw.iloc[0]
+        assert (top.i, top.j) == (13, 20)
+
+    def test_asymmetric_with_lbfgs_rejected(self, pipeline_dir):
+        from evcouplings_tpu.utils.config import InvalidParameterError
+
+        d, _, align_outcfg, _ = pipeline_dir
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(parametrization="asymmetric", solver="lbfgs")
+        with pytest.raises(InvalidParameterError, match="adam"):
+            couplings_protocol.run(
+                protocol="standard",
+                prefix=str(d / "run_bad_asym" / "test"),
+                alignment_file=align_outcfg["alignment_file"],
+                focus_sequence=align_outcfg["focus_sequence"],
+                segments=align_outcfg["segments"],
+                frequencies_file=align_outcfg["frequencies_file"],
+                **kwargs,
+            )
+
     def test_invalid_precision_rejected(self, pipeline_dir):
         from evcouplings_tpu.utils.config import InvalidParameterError
 
