@@ -251,14 +251,12 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             raise ValueError(
                 "parametrization='asymmetric' requires solver='adam' "
                 "(got {!r})".format(solver))
-        if checkpoint_file is not None:
-            raise ValueError(
-                "mid-fit checkpointing is not supported for the "
-                "asymmetric parametrization yet")
         from evcouplings_tpu.ops.plm_sites import fit_plm_asym
 
         fit = fit_plm_asym(
             fit_codes, weights, q, cfg, mesh=mesh, callback=callback,
+            checkpoint_file=checkpoint_file,
+            checkpoint_every=checkpoint_every,
         )
     elif parametrization == "symmetric":
         fit = fit_plm(

@@ -177,7 +177,8 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=()):
 
 def fit_plm_asym(codes, weights, num_symbols,
                  cfg: PlmConfig = PlmConfig(solver="adam"),
-                 mesh=None, callback=None):
+                 mesh=None, callback=None, checkpoint_file=None,
+                 checkpoint_every=50):
     """Fit a Potts model by ASYMMETRIC pseudolikelihood maximization,
     site-sharded over the mesh "model" axis and row-sharded over
     "data"; symmetrize once at the end.
@@ -188,6 +189,12 @@ def fit_plm_asym(codes, weights, num_symbols,
     (padding rows carry zero weight, padding sites never receive
     gradient). Only the Adam solver is supported (see module
     docstring).
+
+    checkpoint_file: every checkpoint_every iterations, the directed
+    couplings, fields, Adam moments, and iteration count are gathered
+    to the host and written atomically; an existing file resumes the
+    fit bitwise (the checkpoint stores the site-PADDED arrays, so
+    resuming requires the same mesh model-axis size).
     """
     if cfg.solver != "adam":
         raise ValueError(
@@ -275,12 +282,54 @@ def fit_plm_asym(codes, weights, num_symbols,
              NamedSharding(mesh, P())),
         )
 
+    import os
+
+    def _put_model(arr):
+        if mesh is None:
+            return jnp.asarray(arr)
+        return jax.device_put(
+            jnp.asarray(arr), NamedSharding(mesh, P("model", None)))
+
+    start_iter = 0
+    if checkpoint_file is not None and os.path.exists(checkpoint_file):
+        ckpt = np.load(checkpoint_file)
+        if ckpt["J"].shape != (lq_pad, lq_pad):
+            raise ValueError(
+                "Checkpoint {} does not match padded problem shape "
+                "(L_pad={}, q={}) — asymmetric resume requires the "
+                "same mesh model-axis size".format(
+                    checkpoint_file, L_pad, q))
+        J = _put_model(ckpt["J"])
+        h = _put_model(ckpt["h"])
+        state = (
+            _put_model(ckpt["mu_J"]), _put_model(ckpt["nu_J"]),
+            _put_model(ckpt["mu_h"]), _put_model(ckpt["nu_h"]),
+            jnp.asarray(ckpt["count"]),
+        )
+        if mesh is not None:
+            state = state[:4] + (jax.device_put(
+                state[4], NamedSharding(mesh, P())),)
+        start_iter = int(ckpt["iteration"])
+
+    def save_checkpoint(J, h, state, iteration):
+        tmp = checkpoint_file + ".tmp.npz"
+        np.savez(
+            tmp,
+            J=np.asarray(J), h=np.asarray(h),
+            mu_J=np.asarray(state[0]), nu_J=np.asarray(state[1]),
+            mu_h=np.asarray(state[2]), nu_h=np.asarray(state[3]),
+            count=np.asarray(state[4]),
+            iteration=np.asarray(iteration),
+        )
+        os.replace(tmp, checkpoint_file)
+
     import time
     t0 = time.time()
     table = []
     converged = False
     value = float("nan")
-    it = 0
+    it = start_iter
+    last_ckpt = start_iter
     steps = max(1, int(cfg.steps_per_call))
     while it < cfg.max_iter and not converged:
         n_steps = min(steps, cfg.max_iter - it)
@@ -298,6 +347,14 @@ def fit_plm_asym(codes, weights, num_symbols,
             if gnorm <= cfg.conv_tol * max(1.0, xnorm):
                 converged = True
                 break
+
+        if (checkpoint_file is not None
+                and it - last_ckpt >= checkpoint_every):
+            save_checkpoint(J, h, state, it)
+            last_ckpt = it
+
+    if checkpoint_file is not None and it > last_ckpt:
+        save_checkpoint(J, h, state, it)
 
     # directed couplings -> shared-parameter form, once
     J_dir = np.asarray(J, dtype=np.float64)

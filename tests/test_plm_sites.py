@@ -81,6 +81,41 @@ class TestSingleDevice:
         assert np.all(res.J_ij[np.arange(8), np.arange(8)] == 0)
 
 
+class TestCheckpointResume:
+    @pytest.mark.parametrize("use_mesh", [False, True])
+    def test_resume_is_bitwise_identical(self, tmp_path, use_mesh):
+        codes = make_coupled_msa(N=96)
+        w = np.ones(96)
+        mesh = mesh2d(2, 4) if use_mesh else None
+        cfg20 = PlmConfig(solver="adam", max_iter=20, block_size=16,
+                          conv_tol=0.0, lambda_J=0.1)
+        cfg10 = PlmConfig(solver="adam", max_iter=10, block_size=16,
+                          conv_tol=0.0, lambda_J=0.1)
+        ref = fit_plm_asym(codes, w, 4, cfg20, mesh=mesh)
+        ckpt = str(tmp_path / "asym.ckpt.npz")
+        fit_plm_asym(codes, w, 4, cfg10, mesh=mesh,
+                     checkpoint_file=ckpt, checkpoint_every=5)
+        resumed = fit_plm_asym(codes, w, 4, cfg20, mesh=mesh,
+                               checkpoint_file=ckpt,
+                               checkpoint_every=5)
+        assert resumed.iteration_table[0]["iter"] == 11
+        np.testing.assert_array_equal(resumed.J_ij, ref.J_ij)
+        np.testing.assert_array_equal(resumed.h_i, ref.h_i)
+
+    def test_mismatched_padding_rejected(self, tmp_path):
+        """A checkpoint written at one model-axis size cannot resume
+        at another (site padding differs)."""
+        codes = make_coupled_msa(N=96)[:, :6].copy()  # L=6
+        w = np.ones(96)
+        ckpt = str(tmp_path / "asym.ckpt.npz")
+        cfg = PlmConfig(solver="adam", max_iter=5, block_size=16,
+                        conv_tol=0.0)
+        fit_plm_asym(codes, w, 4, cfg, checkpoint_file=ckpt)  # L_pad=6
+        with pytest.raises(ValueError, match="model-axis"):
+            fit_plm_asym(codes, w, 4, cfg, mesh=mesh2d(2, 4),
+                         checkpoint_file=ckpt)  # L_pad=8
+
+
 class TestMesh:
     @pytest.mark.parametrize("n_data,n_model", [(2, 4), (4, 2), (1, 8)])
     def test_matches_single_device(self, n_data, n_model):
