@@ -57,11 +57,19 @@ def _site_mask(l_loc, L_pad, q, m_idx, dtype):
     return (row_site[:, None] != col_site[None, :]).astype(dtype)
 
 
-def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=()):
+def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
+                     two_phase=False):
     """Per-device chunk: steps_per_call Adam steps on the local site
     shard. Runs identically single-device (manual_axes == ()); under
     shard_map the freshly-created scan carries must be marked varying
-    over the mesh axes (lax.pvary) for the vma type system."""
+    over the mesh axes (lax.pvary) for the vma type system.
+
+    two_phase mirrors the symmetric path's grad layout
+    (ops/plm.py PlmConfig.grad_layout): phase 1 streams blocks through
+    the logits GEMM writing bf16 residuals as scan outputs, phase 2
+    computes dJ as ONE K = N_local GEMM residual^T @ one-hot against a
+    precomputed one-hot — removing the per-block f32 accumulator round
+    trips that cost the carried layout ~40% on v5e."""
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     f32 = jnp.float32
     prec = _precision(cfg.precision)
@@ -69,10 +77,33 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=()):
     block = cfg.block_size
     steps = max(1, int(cfg.steps_per_call))
 
-    def local_vg(J_loc, h_loc, codes, w, m_idx):
+    def _block_residual(J_eff, h_c, rows, wb, oh, m_idx):
+        """Shared per-block math: (nll_b, weighted softmax residual
+        (block, l_loc, q) f32)."""
+        logits = (
+            jnp.dot(oh, J_eff.T, precision=prec)
+            + h_c.reshape(l_loc * q)
+        ).reshape(block, l_loc, q)
+        logz = jax.nn.logsumexp(
+            logits.astype(f32), axis=-1, keepdims=True)
+        # local slice of this row's one-hot = the target labels
+        tgt = lax.dynamic_slice_in_dim(
+            rows, m_idx * l_loc, l_loc, axis=1)      # (block, l_loc)
+        valid = (tgt >= 0).astype(f32)
+        oh_t = jax.nn.one_hot(tgt, q, dtype=f32)
+        logp = logits.astype(f32) - logz
+        nll_b = -jnp.sum(
+            wb[:, None] * valid * jnp.sum(oh_t * logp, axis=-1))
+        r = (jnp.exp(logp) - oh_t) * (
+            wb[:, None] * valid)[..., None]
+        return nll_b, r
+
+    def local_vg(J_loc, h_loc, codes, w, m_idx, oh_all):
         """Closed-form loss + gradient for the local site block.
 
-        codes: (N_loc, L_pad) int8 local row shard; w: (N_loc,).
+        codes: (N_loc, L_pad) int8 local row shard; w: (N_loc,);
+        oh_all: precomputed (N_loc, lq_pad) one-hot (two_phase) or
+        None (carried — one-hot built per block on the fly).
         Returns (nll, dJ (l_loc*q, lq_pad) f32, dh (l_loc, q) f32) —
         the caller psums over "data"."""
         mask = _site_mask(l_loc, L_pad, q, m_idx, dtype)
@@ -82,53 +113,67 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=()):
         n_loc = codes.shape[0]
         n_blocks = max(1, n_loc // block)
 
-        def body(carry, blk):
-            nll_acc, dJ_acc, dh_acc = carry
-            rows = lax.dynamic_slice_in_dim(codes, blk * block, block)
-            wb = lax.dynamic_slice_in_dim(w, blk * block, block)
-            oh = jax.nn.one_hot(rows, q, dtype=dtype).reshape(
-                block, lq_pad)                      # code -1 -> zero row
-            logits = (
-                jnp.dot(oh, J_eff.T, precision=prec)
-                + h_c.reshape(l_loc * q)
-            ).reshape(block, l_loc, q)
-            logz = jax.nn.logsumexp(
-                logits.astype(f32), axis=-1, keepdims=True)
-            # local slice of this row's one-hot = the target labels
-            tgt = lax.dynamic_slice_in_dim(
-                rows, m_idx * l_loc, l_loc, axis=1)  # (block, l_loc)
-            valid = (tgt >= 0).astype(f32)
-            oh_t = jax.nn.one_hot(tgt, q, dtype=f32)
-            logp = logits.astype(f32) - logz
-            nll_b = -jnp.sum(
-                wb[:, None] * valid * jnp.sum(oh_t * logp, axis=-1))
-            # softmax residual, weighted; invalid sites contribute 0
-            r = (jnp.exp(logp) - oh_t) * (
-                wb[:, None] * valid)[..., None]
-            r2 = r.reshape(block, l_loc * q).astype(dtype)
-            dJ_b = jnp.dot(r2.T, oh, precision=prec).astype(f32)
-            dh_b = jnp.sum(r, axis=0)
-            return (nll_acc + nll_b, dJ_acc + dJ_b, dh_acc + dh_b), None
+        if two_phase:
+            def body(nll_acc, blk):
+                rows = lax.dynamic_slice_in_dim(
+                    codes, blk * block, block)
+                wb = lax.dynamic_slice_in_dim(w, blk * block, block)
+                oh = lax.dynamic_slice_in_dim(
+                    oh_all, blk * block, block)
+                nll_b, r = _block_residual(
+                    J_eff, h_c, rows, wb, oh, m_idx)
+                return nll_acc + nll_b, \
+                    r.reshape(block, l_loc * q).astype(dtype)
 
-        init = (jnp.zeros((), f32),
-                jnp.zeros((l_loc * q, lq_pad), f32),
-                jnp.zeros((l_loc, q), f32))
-        if manual_axes:
-            init = jax.tree.map(
-                lambda a: lax.pvary(a, manual_axes), init)
-        (nll, dJ, dh), _ = lax.scan(body, init, jnp.arange(n_blocks))
+            init = jnp.zeros((), f32)
+            if manual_axes:
+                init = lax.pvary(init, manual_axes)
+            nll, r_blocks = lax.scan(
+                body, init, jnp.arange(n_blocks))
+            r_all = r_blocks.reshape(n_loc, l_loc * q)
+            dJ = lax.dot_general(
+                r_all, oh_all, (((0,), (0,)), ((), ())),
+                precision=prec, preferred_element_type=f32,
+            )
+            dh = jnp.sum(
+                r_all.astype(f32), axis=0).reshape(l_loc, q)
+        else:
+            def body(carry, blk):
+                nll_acc, dJ_acc, dh_acc = carry
+                rows = lax.dynamic_slice_in_dim(
+                    codes, blk * block, block)
+                wb = lax.dynamic_slice_in_dim(w, blk * block, block)
+                oh = jax.nn.one_hot(rows, q, dtype=dtype).reshape(
+                    block, lq_pad)                  # code -1 -> zero row
+                nll_b, r = _block_residual(
+                    J_eff, h_c, rows, wb, oh, m_idx)
+                r2 = r.reshape(block, l_loc * q).astype(dtype)
+                dJ_b = jnp.dot(r2.T, oh, precision=prec).astype(f32)
+                dh_b = jnp.sum(r, axis=0)
+                return (nll_acc + nll_b, dJ_acc + dJ_b,
+                        dh_acc + dh_b), None
+
+            init = (jnp.zeros((), f32),
+                    jnp.zeros((l_loc * q, lq_pad), f32),
+                    jnp.zeros((l_loc, q), f32))
+            if manual_axes:
+                init = jax.tree.map(
+                    lambda a: lax.pvary(a, manual_axes), init)
+            (nll, dJ, dh), _ = lax.scan(
+                body, init, jnp.arange(n_blocks))
         # self-block gradient is excluded from the model by the mask
         dJ = dJ * _site_mask(l_loc, L_pad, q, m_idx, f32)
         return nll, dJ, dh
 
     def step_chunk_local(J_loc, h_loc, state, codes, w, m_idx,
-                         has_data_axis):
+                         has_data_axis, oh_all=None):
         """steps_per_call Adam iterations; carries loss/gnorm metrics
         per step (same record the symmetric fit emits)."""
 
         def one(carry, _):
             J_loc, h_loc, mu_J, nu_J, mu_h, nu_h, cnt = carry
-            nll, dJ, dh = local_vg(J_loc, h_loc, codes, w, m_idx)
+            nll, dJ, dh = local_vg(
+                J_loc, h_loc, codes, w, m_idx, oh_all)
             if has_data_axis:
                 nll = lax.psum(nll, "data")
                 dJ = lax.psum(dJ, "data")
@@ -230,23 +275,50 @@ def fit_plm_asym(codes, weights, num_symbols,
     state = (zeros_like(J), zeros_like(J), zeros_like(h),
              zeros_like(h), jnp.zeros((), jnp.int32))
 
+    # grad layout: the one-GEMM residual layout exists here too
+    # (grad_layout="two_phase") but MEASURED NO-WIN for the asymmetric
+    # fit on v5e (9.95 vs 9.55 ms/iter at N=16k, L=160, bf16, block
+    # 2048; 12.5 at block 8192) — the carried accumulator is already
+    # only (l_loc*q, lq_pad) per shard and its round trips overlap
+    # with the MXU phases. "auto" therefore resolves to carried, the
+    # opposite of the symmetric path's resolution (ops/plm.py).
+    compute_dtype = (
+        jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    if cfg.grad_layout not in ("auto", "carried", "two_phase"):
+        raise ValueError(
+            "Unknown grad_layout: {}".format(cfg.grad_layout))
+    two_phase = cfg.grad_layout == "two_phase"
+
     local = _make_local_step(
         L, L_pad, l_loc, q, cfg,
         manual_axes=("data", "model") if mesh is not None else (),
+        two_phase=two_phase,
     )
 
     if mesh is None:
         @jax.jit
-        def chunk(J, h, state, codes_d, w_d):
+        def chunk(J, h, state, codes_d, w_d, oh_d):
             m_idx = jnp.zeros((), jnp.int32)
-            return local(J, h, state, codes_d, w_d, m_idx, False)
+            return local(J, h, state, codes_d, w_d, m_idx, False,
+                         oh_all=oh_d)
         codes_d = jnp.asarray(codes_p)
         w_d = jnp.asarray(w_p)
+        if two_phase:
+            oh_d = jax.jit(
+                lambda c: jax.nn.one_hot(
+                    c, q, dtype=compute_dtype
+                ).reshape(c.shape[0], lq_pad)
+            )(codes_d)
+        else:
+            oh_d = None
     else:
-        def shard_fn(J, h, state, codes_d, w_d):
+        oh_spec = P("data", None) if two_phase else P()
+
+        def shard_fn(J, h, state, codes_d, w_d, oh_d):
             m_idx = lax.axis_index("model")
             J2, h2, state2, metrics = local(
-                J, h, state, codes_d, w_d, m_idx, True)
+                J, h, state, codes_d, w_d, m_idx, True,
+                oh_all=oh_d if two_phase else None)
             return J2, h2, state2, metrics
 
         chunk = jax.jit(shard_map(
@@ -258,6 +330,7 @@ def fit_plm_asym(codes, weights, num_symbols,
                  P("model", None), P("model", None), P()),
                 P("data", None),            # rows sharded
                 P("data"),
+                oh_spec,
             ),
             out_specs=(
                 P("model", None), P("model", None),
@@ -271,6 +344,18 @@ def fit_plm_asym(codes, weights, num_symbols,
             NamedSharding(mesh, P("data", None)))
         w_d = jax.device_put(
             jnp.asarray(w_p), NamedSharding(mesh, P("data")))
+        if two_phase:
+            oh_d = jax.jit(
+                lambda c: jax.nn.one_hot(
+                    c, q, dtype=compute_dtype
+                ).reshape(c.shape[0], lq_pad),
+                out_shardings=NamedSharding(mesh, P("data", None)),
+            )(codes_d)
+        else:
+            # zero-size placeholder keeps the shard_map arity fixed
+            oh_d = jax.device_put(
+                jnp.zeros((0, 0), compute_dtype),
+                NamedSharding(mesh, P()))
         J = jax.device_put(J, NamedSharding(mesh, P("model", None)))
         h = jax.device_put(h, NamedSharding(mesh, P("model", None)))
         state = jax.device_put(
@@ -333,7 +418,7 @@ def fit_plm_asym(codes, weights, num_symbols,
     steps = max(1, int(cfg.steps_per_call))
     while it < cfg.max_iter and not converged:
         n_steps = min(steps, cfg.max_iter - it)
-        J, h, state, metrics = chunk(J, h, state, codes_d, w_d)
+        J, h, state, metrics = chunk(J, h, state, codes_d, w_d, oh_d)
         metrics = np.asarray(metrics, dtype=np.float64)
         now = time.time() - t0
         for k in range(n_steps):

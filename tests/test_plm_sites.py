@@ -81,6 +81,30 @@ class TestSingleDevice:
         assert np.all(res.J_ij[np.arange(8), np.arange(8)] == 0)
 
 
+class TestGradLayouts:
+    @pytest.mark.parametrize("use_mesh", [False, True])
+    def test_two_phase_matches_carried(self, use_mesh):
+        """The one-GEMM residual layout must agree with the carried
+        accumulator layout (f32: identical summation results up to
+        GEMM accumulation order)."""
+        codes = make_coupled_msa(N=128)
+        w = RNG.uniform(0.5, 1.0, size=128)
+        mesh = mesh2d(2, 4) if use_mesh else None
+        base = dict(solver="adam", max_iter=15, block_size=16,
+                    conv_tol=0.0, lambda_J=0.1)
+        res_c = fit_plm_asym(
+            codes, w, 4, PlmConfig(grad_layout="carried", **base),
+            mesh=mesh)
+        res_t = fit_plm_asym(
+            codes, w, 4, PlmConfig(grad_layout="two_phase", **base),
+            mesh=mesh)
+        np.testing.assert_allclose(
+            res_t.J_ij, res_c.J_ij, rtol=1e-4, atol=1e-5)
+        f_c = [r["fx"] for r in res_c.iteration_table]
+        f_t = [r["fx"] for r in res_t.iteration_table]
+        np.testing.assert_allclose(f_t, f_c, rtol=1e-5)
+
+
 class TestCheckpointResume:
     @pytest.mark.parametrize("use_mesh", [False, True])
     def test_resume_is_bitwise_identical(self, tmp_path, use_mesh):
