@@ -130,9 +130,75 @@ def bench_reweighting():
     }))
 
 
+def bench_lbfgs():
+    """Secondary metric (--all): per-iteration wall time of the native
+    scan-chained LBFGS (ops/lbfgs.py) through fit_plm at the parity
+    solver's production numerics (f32/default)."""
+    from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, Q, size=(16384, L)).astype(np.int8)
+    w = rng.uniform(0.5, 1.0, size=16384)
+    cfg = PlmConfig(solver="lbfgs", max_iter=40, steps_per_call=10,
+                    block_size=512, dtype="float32",
+                    precision="default", conv_tol=0.0)
+    stamps = []
+    fit_plm(codes, w, Q, cfg,
+            callback=lambda r: stamps.append((time.perf_counter(),
+                                              r["iter"])))
+    bursts = [[stamps[0]]]
+    for s in stamps[1:]:
+        if s[0] - bursts[-1][-1][0] > 2e-3:
+            bursts.append([])
+        bursts[-1].append(s)
+    iters = bursts[-1][-1][1] - bursts[0][-1][1]
+    per_iter = (bursts[-1][-1][0] - bursts[0][-1][0]) / max(1, iters)
+    print(json.dumps({
+        "metric": "lbfgs_iteration_ms",
+        "value": round(per_iter * 1e3, 2),
+        "unit": "ms/iteration (N=16384, L=160, f32)",
+        "vs_baseline": None,
+    }))
+
+
+def bench_asym():
+    """Secondary metric (--all): single-chip throughput of the
+    site-sharded asymmetric fitter (ops/plm_sites.py, the large-L
+    model-parallel path) at the headline shape."""
+    from evcouplings_tpu.ops.plm import PlmConfig
+    from evcouplings_tpu.ops.plm_sites import fit_plm_asym
+
+    rng = np.random.default_rng(0)
+    n = 16384
+    codes = rng.integers(0, Q, size=(n, L)).astype(np.int8)
+    w = rng.uniform(0.5, 1.0, size=n)
+    cfg = PlmConfig(solver="adam", max_iter=60, steps_per_call=10,
+                    block_size=2048, dtype="bfloat16",
+                    precision="default", conv_tol=0.0)
+    stamps = []
+    fit_plm_asym(codes, w, Q, cfg,
+                 callback=lambda r: stamps.append(
+                     (time.perf_counter(), r["iter"])))
+    bursts = [[stamps[0]]]
+    for s in stamps[1:]:
+        if s[0] - bursts[-1][-1][0] > 2e-3:
+            bursts.append([])
+        bursts[-1].append(s)
+    iters = bursts[-1][-1][1] - bursts[0][-1][1]
+    warm = bursts[-1][-1][0] - bursts[0][-1][0]
+    print(json.dumps({
+        "metric": "asym_plm_fit_seq_sites_per_s",
+        "value": round(n * L * iters / warm, 1),
+        "unit": "seq*site/s per chip",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
     main()
     if "--all" in sys.argv:
         bench_reweighting()
+        bench_lbfgs()
+        bench_asym()
