@@ -130,6 +130,23 @@ def bench_reweighting():
     }))
 
 
+def _warm_window(stamps):
+    """(seconds, iterations) between the end of the first callback
+    burst (compile) and the last, from (perf_counter, iter) stamps.
+    Returns (None, 0) when everything landed in one burst (converged
+    within the first chunk) — callers must skip the rate in that
+    case."""
+    bursts = [[stamps[0]]]
+    for s in stamps[1:]:
+        if s[0] - bursts[-1][-1][0] > 2e-3:
+            bursts.append([])
+        bursts[-1].append(s)
+    if len(bursts) < 2:
+        return None, 0
+    iters = bursts[-1][-1][1] - bursts[0][-1][1]
+    return bursts[-1][-1][0] - bursts[0][-1][0], iters
+
+
 def bench_lbfgs():
     """Secondary metric (--all): per-iteration wall time of the native
     scan-chained LBFGS (ops/lbfgs.py) through fit_plm at the parity
@@ -146,16 +163,12 @@ def bench_lbfgs():
     fit_plm(codes, w, Q, cfg,
             callback=lambda r: stamps.append((time.perf_counter(),
                                               r["iter"])))
-    bursts = [[stamps[0]]]
-    for s in stamps[1:]:
-        if s[0] - bursts[-1][-1][0] > 2e-3:
-            bursts.append([])
-        bursts[-1].append(s)
-    iters = bursts[-1][-1][1] - bursts[0][-1][1]
-    per_iter = (bursts[-1][-1][0] - bursts[0][-1][0]) / max(1, iters)
+    warm, iters = _warm_window(stamps)
+    if warm is None or iters == 0:
+        return
     print(json.dumps({
         "metric": "lbfgs_iteration_ms",
-        "value": round(per_iter * 1e3, 2),
+        "value": round(warm / iters * 1e3, 2),
         "unit": "ms/iteration (N=16384, L=160, f32)",
         "vs_baseline": None,
     }))
@@ -179,13 +192,9 @@ def bench_asym():
     fit_plm_asym(codes, w, Q, cfg,
                  callback=lambda r: stamps.append(
                      (time.perf_counter(), r["iter"])))
-    bursts = [[stamps[0]]]
-    for s in stamps[1:]:
-        if s[0] - bursts[-1][-1][0] > 2e-3:
-            bursts.append([])
-        bursts[-1].append(s)
-    iters = bursts[-1][-1][1] - bursts[0][-1][1]
-    warm = bursts[-1][-1][0] - bursts[0][-1][0]
+    warm, iters = _warm_window(stamps)
+    if warm is None or warm <= 0 or iters == 0:
+        return
     print(json.dumps({
         "metric": "asym_plm_fit_seq_sites_per_s",
         "value": round(n * L * iters / warm, 1),

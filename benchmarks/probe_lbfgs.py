@@ -72,7 +72,9 @@ def main():
     # populate history with fake but well-scaled pairs
     key = jax.random.PRNGKey(0)
     for i in range(5):
-        s = jax.random.normal(key, (dsize + lq,), jnp.float32) * 1e-3
+        s = jax.random.normal(
+            jax.random.fold_in(key, 100 + i), (dsize + lq,),
+            jnp.float32) * 1e-3
         y = jax.random.normal(
             jax.random.fold_in(key, i), (dsize + lq,), jnp.float32)
         st["s_hist"] = st["s_hist"].at[i].set(s)

@@ -868,10 +868,12 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         plmc has no mid-fit checkpointing at all — long fits restart
         from scratch on preemption; this covers that gap (the
         reference's resume machinery is stage-level only,
-        utils/pipeline.py:202-224). LBFGS state (linesearch
-        internals) is not serialized; resuming an LBFGS fit restarts
-        the history from the checkpointed parameters, which changes
-        the step sequence but not the optimum.
+        utils/pipeline.py:202-224). Full solver state is serialized
+        for both solvers — Adam moments, or the LBFGS flat master
+        vector + (s, y) history + carried evaluation — so resume is
+        bitwise-identical to an uninterrupted fit. Parameter-only
+        (legacy/external) checkpoints still resume; an LBFGS fit then
+        restarts its history from the saved parameters.
     checkpoint_every : checkpoint interval in iterations
 
     Returns
@@ -967,20 +969,32 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 "Checkpoint {} does not match problem shape "
                 "(L={}, q={})".format(checkpoint_file, L, q)
             )
+        # re-establish the exact-symmetry invariant the fit relies on
+        # (J_eff is built as P * mask): bitwise no-op for checkpoints
+        # this fitter wrote (their P is exactly symmetric), and makes
+        # externally-produced or asymmetric-fit checkpoints consistent
+        ckpt_J = np.asarray(ckpt["J"], dtype=np.float64)
+        ckpt_J = 0.5 * (ckpt_J + ckpt_J.T)
         params = {
-            "J": jnp.asarray(ckpt["J"], dtype=dtype),
+            "J": jnp.asarray(ckpt_J, dtype=dtype),
             "h": jnp.asarray(ckpt["h"], dtype=dtype),
         }
         if cfg.solver == "adam" and "adam_mu_J" in ckpt:
+            # J-moments symmetrized for the same invariant (bitwise
+            # no-op for checkpoints this fitter wrote)
+            def _sym(a):
+                a = np.asarray(a, dtype=np.float64)
+                return jnp.asarray(0.5 * (a + a.T), dtype=dtype)
+
             state = (
                 optax.ScaleByAdamState(
                     count=jnp.asarray(ckpt["adam_count"]),
                     mu={
-                        "J": jnp.asarray(ckpt["adam_mu_J"], dtype=dtype),
+                        "J": _sym(ckpt["adam_mu_J"]),
                         "h": jnp.asarray(ckpt["adam_mu_h"], dtype=dtype),
                     },
                     nu={
-                        "J": jnp.asarray(ckpt["adam_nu_J"], dtype=dtype),
+                        "J": _sym(ckpt["adam_nu_J"]),
                         "h": jnp.asarray(ckpt["adam_nu_h"], dtype=dtype),
                     },
                 ),

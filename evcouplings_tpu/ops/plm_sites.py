@@ -186,6 +186,19 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
             dh = dh + 2.0 * cfg.lambda_h * h_loc
             reg = (cfg.lambda_J * jnp.sum(J_loc ** 2)
                    + cfg.lambda_h * jnp.sum(h_loc ** 2))
+            if cfg.lambda_group > 0:
+                # smoothed group-L1 over the local directed (r, j)
+                # q x q blocks — same 0.5 factor and epsilon as the
+                # symmetric path (ops/plm.py), which counts each
+                # unordered pair once via the double-counted full sum
+                blocks = J_loc.reshape(l_loc, q, L_pad, q)
+                norms = jnp.sqrt(
+                    jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12)
+                reg = reg + cfg.lambda_group * 0.5 * jnp.sum(norms)
+                dJ = dJ + (
+                    cfg.lambda_group * 0.5
+                    * blocks / norms[:, None, :, None]
+                ).reshape(l_loc * q, lq_pad)
             value = nll + reg
             gsq = jnp.sum(dJ ** 2) + jnp.sum(dh ** 2)
             xsq = jnp.sum(J_loc ** 2) + jnp.sum(h_loc ** 2)
@@ -378,6 +391,12 @@ def fit_plm_asym(codes, weights, num_symbols,
     start_iter = 0
     if checkpoint_file is not None and os.path.exists(checkpoint_file):
         ckpt = np.load(checkpoint_file)
+        if "mu_J" not in ckpt.files:
+            raise ValueError(
+                "Checkpoint {} was not written by the asymmetric "
+                "fitter (missing its Adam state) — it cannot resume "
+                "a parametrization='asymmetric' fit".format(
+                    checkpoint_file))
         if ckpt["J"].shape != (lq_pad, lq_pad):
             raise ValueError(
                 "Checkpoint {} does not match padded problem shape "

@@ -20,8 +20,13 @@ on a real TPU slice the same code scales across chips.
 import os
 
 # virtualize 8 CPU devices BEFORE jax import if no multi-chip platform
-os.environ.setdefault(
-    "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# (append so a preexisting XLA_FLAGS value is preserved)
+if "--xla_force_host_platform_device_count" not in \
+        os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import numpy as np
 

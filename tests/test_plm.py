@@ -66,6 +66,28 @@ class TestLoss:
         want = o_plm_loss(P_mat, h, codes, weights, 0.02, 0.5, q)
         np.testing.assert_allclose(got, want, rtol=1e-9)
 
+    def test_loss_symmetric_params_branch_matches(self):
+        """make_plm_loss(symmetric_params=True) (the in-fit fast path
+        that skips the transposed read) must equal the default loss on
+        an exactly symmetric P."""
+        L, q, N = 5, 4, 8
+        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
+        weights = RNG.uniform(0.3, 1.0, size=N)
+        cfg = PlmConfig(lambda_h=0.02, lambda_J=0.5, block_size=8,
+                        dtype="float64")
+        loss = make_plm_loss(L, q, cfg)
+        loss_sym = make_plm_loss(L, q, cfg, symmetric_params=True)
+
+        A = RNG.normal(size=(L * q, L * q)) * 0.3
+        P_sym = 0.5 * (A + A.T)
+        h = RNG.normal(size=(L, q)) * 0.2
+        params = {"J": jnp.asarray(P_sym), "h": jnp.asarray(h)}
+        a = float(loss(params, jnp.asarray(codes),
+                       jnp.asarray(weights)))
+        b = float(loss_sym(params, jnp.asarray(codes),
+                           jnp.asarray(weights)))
+        assert a == b
+
     def test_loss_ignores_masked_positions(self):
         # gap positions coded -1 must contribute neither as target nor
         # as context
@@ -422,6 +444,35 @@ class TestCheckpointResume:
         assert resumed.iteration_table[0]["iter"] == 11
         np.testing.assert_array_equal(resumed.J_ij, ref.J_ij)
         np.testing.assert_array_equal(resumed.h_i, ref.h_i)
+
+    def test_asymmetric_checkpoint_resumes_consistently(
+            self, tmp_path):
+        """A parameter checkpoint whose J is NOT exactly symmetric
+        (e.g. written externally) is symmetrized on load, so the
+        matrix the fit optimizes is the same one materialized in the
+        result — resuming from P and from pre-symmetrized 0.5(P+P^T)
+        must agree exactly."""
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        lq = 6 * 5
+        rng = np.random.default_rng(3)
+        P = rng.normal(scale=0.05, size=(lq, lq)).astype(np.float32)
+        h = rng.normal(scale=0.05, size=(6, 5)).astype(np.float32)
+
+        cfg = PlmConfig(max_iter=8, block_size=16, solver="lbfgs",
+                        conv_tol=0.0)
+        ck_a = str(tmp_path / "asym.npz")
+        ck_s = str(tmp_path / "sym.npz")
+        np.savez(ck_a, J=P, h=h, iteration=np.asarray(3))
+        np.savez(ck_s, J=0.5 * (P + P.T), h=h,
+                 iteration=np.asarray(3))
+        res_a = fit_plm(codes, w, 5, cfg, checkpoint_file=ck_a,
+                        checkpoint_every=10**9)
+        res_s = fit_plm(codes, w, 5, cfg, checkpoint_file=ck_s,
+                        checkpoint_every=10**9)
+        np.testing.assert_array_equal(res_a.J_ij, res_s.J_ij)
+        np.testing.assert_array_equal(res_a.h_i, res_s.h_i)
 
     def test_lbfgs_legacy_checkpoint_resumes_without_history(
             self, tmp_path):

@@ -81,6 +81,80 @@ class TestSingleDevice:
         assert np.all(res.J_ij[np.arange(8), np.arange(8)] == 0)
 
 
+class TestGroupPenalty:
+    def test_matches_autodiff_oracle(self):
+        """lambda_group in the asymmetric fit must equal the autodiff
+        value+gradient of the explicit objective (nll + l2 + smoothed
+        group-L1 over directed q x q blocks), checked on the first
+        recorded iteration (fx and gnorm at the zero start)."""
+        import jax
+        import jax.numpy as jnp
+
+        L, q, N = 5, 3, 64
+        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
+        w = RNG.uniform(0.5, 1.0, size=N).astype(np.float64)
+        lam_h, lam_J, lam_g = 0.01, 0.1, 0.3
+
+        def oracle_value_grad(J, h):
+            Jj, hj = jnp.asarray(J, jnp.float32), jnp.asarray(
+                h, jnp.float32)
+            mask = (
+                (jnp.arange(L * q)[:, None] // q)
+                != (jnp.arange(L * q)[None, :] // q)
+            ).astype(jnp.float32)
+
+            def loss(J, h):
+                oh = jax.nn.one_hot(jnp.asarray(codes), q).reshape(
+                    N, L * q)
+                logits = (oh @ (J * mask).T
+                          + h.reshape(L * q)).reshape(N, L, q)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                oh_t = jax.nn.one_hot(jnp.asarray(codes), q)
+                nll = -jnp.sum(
+                    jnp.asarray(w, jnp.float32)[:, None]
+                    * jnp.sum(oh_t * logp, axis=-1))
+                blocks = J.reshape(L, q, L, q)
+                norms = jnp.sqrt(
+                    jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12)
+                return (nll + lam_J * jnp.sum(J ** 2)
+                        + lam_h * jnp.sum(h ** 2)
+                        + lam_g * 0.5 * jnp.sum(norms))
+
+            v, g = jax.value_and_grad(loss, argnums=(0, 1))(Jj, hj)
+            return float(v), g
+
+        cfg = PlmConfig(
+            solver="adam", max_iter=2, block_size=32, conv_tol=0.0,
+            lambda_h=lam_h, lambda_J=lam_J, lambda_group=lam_g,
+        )
+        recs = []
+        fit_plm_asym(codes, w, q, cfg, callback=recs.append)
+
+        # iteration 1: params are zeros
+        v0, (gJ0, gh0) = oracle_value_grad(
+            np.zeros((L * q, L * q)), np.zeros((L, q)))
+        # the oracle's group gradient lives on masked entries only
+        # (the fit's diag blocks are structurally zero and masked)
+        mask = ((np.arange(L * q)[:, None] // q)
+                != (np.arange(L * q)[None, :] // q))
+        gnorm0 = float(np.sqrt(
+            np.sum((np.asarray(gJ0) * mask) ** 2)
+            + np.sum(np.asarray(gh0) ** 2)))
+        assert recs[0]["fx"] == pytest.approx(v0, rel=1e-4)
+        assert recs[0]["gnorm"] == pytest.approx(gnorm0, rel=1e-3)
+
+    def test_group_penalty_shrinks_couplings(self):
+        codes = make_coupled_msa(N=300)
+        base = dict(solver="adam", max_iter=150, block_size=64,
+                    conv_tol=0.0, lambda_J=0.01)
+        res0 = fit_plm_asym(codes, np.ones(300), 4,
+                            PlmConfig(lambda_group=0.0, **base))
+        res1 = fit_plm_asym(codes, np.ones(300), 4,
+                            PlmConfig(lambda_group=20.0, **base))
+        assert (np.abs(res1.J_ij).sum()
+                < 0.5 * np.abs(res0.J_ij).sum())
+
+
 class TestGradLayouts:
     @pytest.mark.parametrize("use_mesh", [False, True])
     def test_two_phase_matches_carried(self, use_mesh):
@@ -125,6 +199,23 @@ class TestCheckpointResume:
         assert resumed.iteration_table[0]["iter"] == 11
         np.testing.assert_array_equal(resumed.J_ij, ref.J_ij)
         np.testing.assert_array_equal(resumed.h_i, ref.h_i)
+
+    def test_symmetric_checkpoint_rejected_clearly(self, tmp_path):
+        """A checkpoint written by the symmetric fitter must be
+        rejected with a clear message, not a KeyError."""
+        codes = make_coupled_msa(N=48)
+        w = np.ones(48)
+        ckpt = str(tmp_path / "sym.ckpt.npz")
+        from evcouplings_tpu.ops.plm import fit_plm
+
+        fit_plm(codes, w, 4,
+                PlmConfig(solver="adam", max_iter=3, block_size=16),
+                checkpoint_file=ckpt)
+        with pytest.raises(ValueError, match="asymmetric"):
+            fit_plm_asym(codes, w, 4,
+                         PlmConfig(solver="adam", max_iter=5,
+                                   block_size=16),
+                         checkpoint_file=ckpt)
 
     def test_mismatched_padding_rejected(self, tmp_path):
         """A checkpoint written at one model-axis size cannot resume
