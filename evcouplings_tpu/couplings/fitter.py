@@ -102,8 +102,18 @@ def prepare_alignment(alignment_file, focus_seq=None,
             region_start = 1
 
         matrix = ali.matrix[:, focus_cols]
-        index_list = np.arange(
-            region_start, region_start + ali.L
+        # plmc numbering: indices advance along the FOCUS SEQUENCE —
+        # every column where the focus row has a residue (upper- or
+        # lowercase) consumes one number starting at region_start,
+        # while target-gap columns do not. For the well-formed focus
+        # alignments modify_alignment produces (target row gap-free)
+        # this equals a plain arange over columns.
+        is_residue = np.array([
+            c not in (ali._match_gap, ali._insert_gap)
+            for c in target_row
+        ])
+        index_list = (
+            region_start + np.cumsum(is_residue) - 1
         )[focus_cols]
         target_seq = target_row[focus_cols]
         num_total_sites = ali.L

@@ -77,7 +77,7 @@ def infer_plmc(**kwargs):
             "focus_mode", "focus_sequence", "theta",
             "alphabet", "segments", "ignore_gaps", "iterations",
             "lambda_h", "lambda_J", "lambda_group",
-            "scale_clusters",
+            "lambda_J_times_Lq", "scale_clusters",
             "cpu", "reuse_ecs",
         ],
     )
@@ -184,6 +184,47 @@ def infer_plmc(**kwargs):
             "parametrization": parametrization,
             "steps_per_call": int(kwargs.get("steps_per_call") or 1),
         }
+
+        # device-mesh knobs (beyond the reference schema, which is
+        # single-node OpenMP): fit_devices ("all" or an int) row-shards
+        # the MSA across devices on a "data" mesh axis; model_shards
+        # additionally site-shards the asymmetric parametrization on a
+        # "model" axis (for L beyond single-chip HBM). Absent/None
+        # keeps today's single-device behavior.
+        fit_devices = kwargs.get("fit_devices")
+        model_shards = int(kwargs.get("model_shards") or 1)
+        if fit_devices is not None or model_shards > 1:
+            import jax as _jax
+
+            from evcouplings_tpu import parallel
+
+            n_avail = len(_jax.devices())
+            if model_shards > 1 and parametrization != "asymmetric":
+                raise InvalidParameterError(
+                    "model_shards > 1 requires "
+                    "parametrization: asymmetric"
+                )
+            n_total = (
+                n_avail if fit_devices in (None, "all")
+                else int(fit_devices)
+            )
+            if not 0 < n_total <= n_avail:
+                raise InvalidParameterError(
+                    "fit_devices must be in [1, {}] (got {})".format(
+                        n_avail, fit_devices)
+                )
+            if n_total % model_shards:
+                raise InvalidParameterError(
+                    "fit_devices ({}) must be divisible by "
+                    "model_shards ({})".format(n_total, model_shards)
+                )
+            if parametrization == "asymmetric":
+                fitter_kwargs["mesh"] = parallel.make_mesh_2d(
+                    n_total // model_shards, model_shards
+                )
+            else:
+                fitter_kwargs["mesh"] = parallel.make_mesh(n_total)
+
         if precision_mode == "production":
             fitter_kwargs.update(
                 compute_dtype="bfloat16", matmul_precision="default",
@@ -257,7 +298,10 @@ def rescore_cn_score_ecs(ecs, segments, outcfg, kwargs, score="cn"):
         freqs = pd.read_csv(kwargs["frequencies_file"])
 
         num_sites = outcfg["num_sites"]
-        min_seq_dist = kwargs["min_sequence_distance"]
+        # None is a legal config value (no distance constraint,
+        # handled the same way by _postprocess_inference); the
+        # reference crashes on it here with a raw TypeError
+        min_seq_dist = kwargs["min_sequence_distance"] or 0
 
         ecs = scorer.score(
             ecs, freqs, kwargs["theta"],

@@ -108,8 +108,13 @@ def run_plmc(alignment, couplings_file, param_file=None,
 
     `binary` and `cpu` are accepted for config compatibility and
     ignored (compute runs on the JAX default device or the mesh passed
-    via **kwargs). All plmc CLI conventions (theta inversion, focus
-    name splitting at "/", gap handling) are applied inside run_plm.
+    via **kwargs). plmc CLI conventions (focus name splitting at "/",
+    gap handling) are applied inside run_plm — EXCEPT the 1-theta
+    inversion: the reference wrapper inverts theta only because the
+    plmc *binary's* -t flag expects the complement (reference
+    couplings/tools.py:236-239); here `theta` is the clustering
+    identity threshold directly, same meaning as the reference
+    wrapper's own theta argument.
 
     Returns PlmcResult (identical field set to the reference).
     """

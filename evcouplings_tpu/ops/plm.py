@@ -183,6 +183,97 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
     return local_nll
 
 
+# lower clamp on (logits - rowmax) before exp. The shift uses the
+# whole-ROW max (cheap full VPU reduction), so a site whose logits all
+# sit far below the row max could underflow its entire q-segment of
+# e to zero -> Z = 0 -> inf/NaN residuals poisoning the whole fit.
+# exp(-80) = 1.8e-35 is a normal number in both f32 and bf16 (their
+# exponent ranges match), so Z >= q * exp(-80) can never hit zero.
+# For any site within ~80 nats of the row max the clamp only touches
+# lanes whose contribution is below f32 resolution anyway — bitwise
+# neutral for healthy fits, finite gradients for diverging ones.
+_SOFTMAX_SHIFT_FLOOR = -80.0
+
+
+def _make_block_math(L, q, prec, dtype, acc_dtype):
+    """Shared per-block math of the closed-form PLM gradient: the
+    logits GEMM, segment-GEMM softmax, block NLL, and the weighted
+    softmax residual r = w * (softmax * m - onehot). Used by both the
+    carried and the two-phase grad layouts (which differ only in how
+    dJh is accumulated from r)."""
+    lq = L * q
+
+    def seg_matrix():
+        # segment matrix mapping lane (l, a) -> site l: per-site
+        # softmax sums and their broadcast back to Lq lanes become two
+        # small MXU GEMMs (K = Lq and K = L) instead of reductions
+        # over 21-wide lane segments, which the VPU handles poorly
+        # (measured +13% step throughput vs jax.nn.log_softmax on
+        # v5e). Built from iota so it folds to a device constant.
+        return (
+            jax.lax.broadcasted_iota(jnp.int32, (lq, L), 0) // q
+            == jax.lax.broadcasted_iota(jnp.int32, (lq, L), 1)
+        ).astype(dtype)
+
+    def block_nll_residual(J_aug, oh_aug, c, w, seg):
+        """(block NLL contribution, residual r) for one row block.
+
+        oh_aug: (B, Lq_aug) ones-augmented one-hot of codes c; w
+        already cast to the compute dtype."""
+        oh = oh_aug[:, :lq]
+
+        logits = jax.lax.dot_general(
+            oh_aug, J_aug,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=prec,
+        )
+
+        # softmax via the segment GEMMs; the whole-row max (a
+        # lane-friendly full reduction, unlike per-site maxima)
+        # keeps exp in range, with the shift floored so no site's
+        # q-segment can underflow Z to zero (see
+        # _SOFTMAX_SHIFT_FLOOR)
+        rowmax = jnp.max(logits, axis=1, keepdims=True)
+        e = jnp.exp(jnp.maximum(logits - rowmax, _SOFTMAX_SHIFT_FLOOR))
+        Z = jax.lax.dot_general(
+            e, seg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+            precision=prec,
+        )
+
+        # sum_r log P(x_sr|..) = sum_r [logit_obs - rowmax -
+        # log Z_r]; the observed-logit gather rides the one-hot
+        # (TPU gathers serialize; the VPU mul+reduce does not),
+        # and m zeroes gap / padding positions
+        m_acc = (c >= 0).astype(acc_dtype)
+        obs = jnp.sum(oh * logits, axis=1).astype(acc_dtype)
+        logZ = jnp.sum(
+            (jnp.log(Z) + rowmax.astype(acc_dtype)) * m_acc,
+            axis=1,
+        )
+        nll_b = -jnp.dot(
+            w.astype(acc_dtype), obs - logZ,
+            precision=prec,
+            preferred_element_type=acc_dtype,
+        )
+
+        # residual r = w * (softmax * m - oh); the masked
+        # reciprocal broadcasts back to lanes through seg^T
+        rz = (m_acc / Z).astype(dtype)
+        bcast = jax.lax.dot_general(
+            rz, seg,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=prec,
+        )
+        r = w[:, None] * (e * bcast - oh)
+        return nll_b, r
+
+    return seg_matrix, block_nll_residual
+
+
 def _make_local_value_and_grad(L, q, block_size, prec, dtype,
                                axis_name=None, acc_dtype=jnp.float32):
     """Block-streamed NLL value AND gradient in one fused scan.
@@ -216,21 +307,14 @@ def _make_local_value_and_grad(L, q, block_size, prec, dtype,
     """
     lq = L * q
     lq_aug = _augmented_width(lq)
+    seg_matrix, block_nll_residual = _make_block_math(
+        L, q, prec, dtype, acc_dtype
+    )
 
     def local_vg(J_aug, codes, weights):
         n_pad = codes.shape[0]
         num_blocks = n_pad // block_size
-
-        # segment matrix mapping lane (l, a) -> site l: per-site
-        # softmax sums and their broadcast back to Lq lanes become two
-        # small MXU GEMMs (K = Lq and K = L) instead of reductions
-        # over 21-wide lane segments, which the VPU handles poorly
-        # (measured +13% step throughput vs jax.nn.log_softmax on
-        # v5e). Built from iota so it folds to a device constant.
-        seg = (
-            jax.lax.broadcasted_iota(jnp.int32, (lq, L), 0) // q
-            == jax.lax.broadcasted_iota(jnp.int32, (lq, L), 1)
-        ).astype(dtype)
+        seg = seg_matrix()
 
         def body(carry, block_idx):
             nll, dJh = carry
@@ -245,54 +329,9 @@ def _make_local_value_and_grad(L, q, block_size, prec, dtype,
                 ),
                 lq_aug, dtype,
             )
-            oh = oh_aug[:, :lq]
 
-            logits = jax.lax.dot_general(
-                oh_aug, J_aug,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=prec,
-            )
-
-            # softmax via the segment GEMMs; the whole-row max (a
-            # lane-friendly full reduction, unlike per-site maxima)
-            # keeps exp in range and is free on the VPU
-            rowmax = jnp.max(logits, axis=1, keepdims=True)
-            e = jnp.exp(logits - rowmax)
-            Z = jax.lax.dot_general(
-                e, seg,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype,
-                precision=prec,
-            )
-
-            # sum_r log P(x_sr|..) = sum_r [logit_obs - rowmax -
-            # log Z_r]; the observed-logit gather rides the one-hot
-            # (TPU gathers serialize; the VPU mul+reduce does not),
-            # and m zeroes gap / padding positions
-            m_acc = (c >= 0).astype(acc_dtype)
-            obs = jnp.sum(oh * logits, axis=1).astype(acc_dtype)
-            logZ = jnp.sum(
-                (jnp.log(Z) + rowmax.astype(acc_dtype)) * m_acc,
-                axis=1,
-            )
-            nll = nll - jnp.dot(
-                w.astype(acc_dtype), obs - logZ,
-                precision=prec,
-                preferred_element_type=acc_dtype,
-            )
-
-            # residual r = w * (softmax * m - oh); the masked
-            # reciprocal broadcasts back to lanes through seg^T
-            rz = (m_acc / Z).astype(dtype)
-            bcast = jax.lax.dot_general(
-                rz, seg,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=prec,
-            )
-            r = w[:, None] * (e * bcast - oh)
-
+            nll_b, r = block_nll_residual(J_aug, oh_aug, c, w, seg)
+            nll = nll + nll_b
             dJh = dJh + jax.lax.dot_general(
                 r, oh_aug,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -372,64 +411,27 @@ def _make_local_value_and_grad_two_phase(L, q, block_size, prec, dtype,
     one-hot precomputed per fit (build_augmented_onehot).
     """
     lq = L * q
+    seg_matrix, block_nll_residual = _make_block_math(
+        L, q, prec, dtype, acc_dtype
+    )
 
     def local_vg(J_aug, codes, weights, oh_all):
         n_pad = codes.shape[0]
         num_blocks = n_pad // block_size
-
-        seg = (
-            jax.lax.broadcasted_iota(jnp.int32, (lq, L), 0) // q
-            == jax.lax.broadcasted_iota(jnp.int32, (lq, L), 1)
-        ).astype(dtype)
+        seg = seg_matrix()
 
         def body(nll, block_idx):
             start = block_idx * block_size
             oh_aug = jax.lax.dynamic_slice_in_dim(
                 oh_all, start, block_size, 0
             )
-            oh = oh_aug[:, :lq]
             c = jax.lax.dynamic_slice_in_dim(codes, start, block_size, 0)
             w = jax.lax.dynamic_slice_in_dim(
                 weights, start, block_size, 0
             ).astype(dtype)
 
-            logits = jax.lax.dot_general(
-                oh_aug, J_aug,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=prec,
-            )
-
-            rowmax = jnp.max(logits, axis=1, keepdims=True)
-            e = jnp.exp(logits - rowmax)
-            Z = jax.lax.dot_general(
-                e, seg,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype,
-                precision=prec,
-            )
-
-            m_acc = (c >= 0).astype(acc_dtype)
-            obs = jnp.sum(oh * logits, axis=1).astype(acc_dtype)
-            logZ = jnp.sum(
-                (jnp.log(Z) + rowmax.astype(acc_dtype)) * m_acc,
-                axis=1,
-            )
-            nll = nll - jnp.dot(
-                w.astype(acc_dtype), obs - logZ,
-                precision=prec,
-                preferred_element_type=acc_dtype,
-            )
-
-            rz = (m_acc / Z).astype(dtype)
-            bcast = jax.lax.dot_general(
-                rz, seg,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=prec,
-            )
-            r = w[:, None] * (e * bcast - oh)
-            return nll, r.astype(dtype)
+            nll_b, r = block_nll_residual(J_aug, oh_aug, c, w, seg)
+            return nll + nll_b, r.astype(dtype)
 
         init = jnp.zeros((), dtype=acc_dtype)
         if axis_name is not None:

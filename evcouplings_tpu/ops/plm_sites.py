@@ -70,7 +70,7 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
     computes dJ as ONE K = N_local GEMM residual^T @ one-hot against a
     precomputed one-hot — removing the per-block f32 accumulator round
     trips that cost the carried layout ~40% on v5e."""
-    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    dtype = jnp.dtype(cfg.dtype)
     f32 = jnp.float32
     prec = _precision(cfg.precision)
     lq_pad = L_pad * q
@@ -148,7 +148,11 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
                 nll_b, r = _block_residual(
                     J_eff, h_c, rows, wb, oh, m_idx)
                 r2 = r.reshape(block, l_loc * q).astype(dtype)
-                dJ_b = jnp.dot(r2.T, oh, precision=prec).astype(f32)
+                # f32 GEMM output: without preferred_element_type the
+                # bf16 block contribution would be rounded to bf16
+                # BEFORE entering the f32 accumulator
+                dJ_b = jnp.dot(r2.T, oh, precision=prec,
+                               preferred_element_type=f32)
                 dh_b = jnp.sum(r, axis=0)
                 return (nll_acc + nll_b, dJ_acc + dJ_b,
                         dh_acc + dh_b), None
@@ -258,6 +262,14 @@ def fit_plm_asym(codes, weights, num_symbols,
         raise ValueError(
             "fit_plm_asym supports solver='adam' only "
             "(got {!r})".format(cfg.solver))
+    if cfg.dtype not in ("float32", "bfloat16"):
+        # masters / Adam state / accumulators are f32 throughout this
+        # path; honoring float64 would silently demote — refuse
+        # instead (x64 parity runs use the symmetric fitter)
+        raise ValueError(
+            "fit_plm_asym supports dtype 'float32' or 'bfloat16' "
+            "(got {!r}); use the symmetric fit for float64 parity "
+            "runs".format(cfg.dtype))
     codes = np.asarray(codes)
     weights = np.asarray(weights, dtype=np.float64)
     N, L = codes.shape
@@ -295,8 +307,7 @@ def fit_plm_asym(codes, weights, num_symbols,
     # only (l_loc*q, lq_pad) per shard and its round trips overlap
     # with the MXU phases. "auto" therefore resolves to carried, the
     # opposite of the symmetric path's resolution (ops/plm.py).
-    compute_dtype = (
-        jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    compute_dtype = jnp.dtype(cfg.dtype)
     if cfg.grad_layout not in ("auto", "carried", "two_phase"):
         raise ValueError(
             "Unknown grad_layout: {}".format(cfg.grad_layout))

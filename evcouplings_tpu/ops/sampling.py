@@ -80,6 +80,11 @@ def _gibbs_chain(J_flat, h_flat, key, init_codes, n_samples, n_sweeps,
     state, kept = jax.lax.scan(
         thinned_block, state, None, length=n_keep
     )
+    # remainder sweeps beyond the last thinned block still run, so the
+    # final states always reflect exactly n_sweeps sweeps
+    rem = n_sweeps % thin
+    if rem:
+        state, _ = jax.lax.scan(sweep, state, None, length=rem)
     return state[0], kept
 
 
@@ -122,7 +127,12 @@ def gibbs_sample(J_ij, h_i, n_samples, n_sweeps, key=None, seed=0,
         init_codes = jnp.asarray(init_codes, dtype=jnp.int8)
 
     return_traj = thin is not None
-    thin = thin or n_sweeps
+    if return_traj and not 0 < thin <= n_sweeps:
+        raise ValueError(
+            "thin must be in [1, n_sweeps] (got thin={}, "
+            "n_sweeps={})".format(thin, n_sweeps)
+        )
+    thin = thin or max(1, n_sweeps)
 
     J_flat = _flatten_J(J_ij).astype(dtype)
     h_flat = jnp.asarray(h_i, dtype=dtype).reshape(L * q)

@@ -50,6 +50,28 @@ def make_mesh(n_devices=None, axis=DATA_AXIS):
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(n_data=None, n_model=1):
+    """2D ("data", "model") mesh: MSA rows shard along "data", sites
+    (rows of the directed coupling matrix) along "model" — the mesh
+    regime of the site-sharded asymmetric PLM fit
+    (ops.plm_sites.fit_plm_asym). n_data defaults to all remaining
+    devices after the model axis is carved out."""
+    devices = jax.devices()
+    n_model = int(n_model or 1)
+    if n_data is None:
+        n_data = max(1, len(devices) // n_model)
+    total = n_data * n_model
+    if total > len(devices):
+        raise ValueError(
+            "Mesh {}x{} needs {} devices, only {} available".format(
+                n_data, n_model, total, len(devices))
+        )
+    return Mesh(
+        np.asarray(devices[:total]).reshape(n_data, n_model),
+        (DATA_AXIS, "model"),
+    )
+
+
 def data_sharding(mesh, axis=DATA_AXIS):
     """Rows sharded along the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -105,6 +105,26 @@ class TestRunPlmcCompat:
         assert len(ecs) == L * (L - 1) // 2
 
 
+class TestPrepareAlignmentNumbering:
+    def test_gapped_focus_row_does_not_consume_numbering(self, tmp_path):
+        """plmc focus numbering advances along the focus SEQUENCE:
+        columns where the focus row has a gap (or insert columns,
+        lowercase) must not shift downstream residue indices."""
+        from evcouplings_tpu.couplings.fitter import prepare_alignment
+
+        msa = tmp_path / "gapped.fasta"
+        # focus row: A C - D e F  -> focus cols 0,1,3,5 (uppercase,
+        # non-gap); residues consume numbers 7,8 / (gap skips) 9 /
+        # (lowercase insert consumes) 10 / 11
+        with open(msa, "w") as f:
+            f.write(">T/7-11\nAC-DeF\n")
+            f.write(">s1/1-6\nACWDEF\n")
+        prep = prepare_alignment(str(msa), focus_seq="T/7-11")
+        assert prep["num_valid_sites"] == 4
+        assert list(prep["index_list"]) == [7, 8, 9, 11]
+        assert "".join(prep["target_seq"]) == "ACDF"
+
+
 class TestLogregSerialization:
     def test_round_trip(self):
         model = LinearLogisticModel(

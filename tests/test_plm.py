@@ -163,6 +163,31 @@ class TestValueAndGrad:
     def test_matches_autodiff(self):
         self._case(PlmConfig(block_size=16))
 
+    def test_extreme_logits_stay_finite(self):
+        """The whole-row softmax shift could underflow a site whose
+        logits sit far below the row max (Z -> 0 -> inf residuals);
+        the shift floor must keep value and gradients finite even for
+        wildly diverged parameters."""
+        L, q, N = 4, 3, 16
+        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
+        weights = np.ones(N, dtype=np.float32)
+        h = np.zeros((L, q), dtype=np.float32)
+        # site 0 dominates the row max by ~300 nats; site 1 sits at
+        # -300 relative — far past the f32 exp underflow point
+        h[0] = 300.0
+        h[1] = -300.0
+        params = {
+            "J": jnp.zeros((L * q, L * q), dtype=jnp.float32),
+            "h": jnp.asarray(h),
+        }
+        cfg = PlmConfig(block_size=16)
+        v, g = jax.jit(make_plm_value_and_grad(L, q, cfg))(
+            params, jnp.asarray(codes), jnp.asarray(weights)
+        )
+        assert np.isfinite(float(v))
+        assert np.isfinite(np.asarray(g["J"])).all()
+        assert np.isfinite(np.asarray(g["h"])).all()
+
     def test_matches_autodiff_group_l1(self):
         self._case(PlmConfig(block_size=16, lambda_group=0.3))
 

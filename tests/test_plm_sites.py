@@ -65,6 +65,13 @@ class TestSingleDevice:
             fit_plm_asym(make_coupled_msa(N=16), np.ones(16), 4,
                          PlmConfig(solver="lbfgs"))
 
+    def test_unsupported_dtype_rejected(self):
+        """float64 must be refused loudly, not silently demoted to
+        f32 (this path's masters/accumulators are f32 throughout)."""
+        with pytest.raises(ValueError, match="float64"):
+            fit_plm_asym(make_coupled_msa(N=16), np.ones(16), 4,
+                         PlmConfig(solver="adam", dtype="float64"))
+
     def test_iteration_table_and_convergence(self):
         codes = make_coupled_msa(N=200)
         recs = []

@@ -248,6 +248,86 @@ class TestCouplingsStandard:
                 **kwargs,
             )
 
+    def test_fit_devices_mesh_recovers_same_top_ec(self, pipeline_dir):
+        """fit_devices row-shards the fit over a device mesh (the
+        test session exposes 8 virtual CPU devices); results must
+        match the single-device planted pair."""
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix = str(d / "run_mesh" / "test")
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(fit_devices=2)
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+        raw = read_raw_ec_file(outcfg["raw_ec_file"])
+        top = raw.iloc[0]
+        assert (top.i, top.j) == (13, 20)
+
+    def test_model_shards_2d_mesh_asymmetric(self, pipeline_dir):
+        """model_shards > 1 builds the 2D (data, model) mesh for the
+        asymmetric parametrization."""
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix = str(d / "run_mesh2d" / "test")
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(
+            parametrization="asymmetric", fit_devices=4,
+            model_shards=2, steps_per_call=25, iterations=500,
+        )
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+        raw = read_raw_ec_file(outcfg["raw_ec_file"])
+        top = raw.iloc[0]
+        assert (top.i, top.j) == (13, 20)
+
+    def test_model_shards_requires_asymmetric(self, pipeline_dir):
+        from evcouplings_tpu.utils.config import InvalidParameterError
+
+        d, _, align_outcfg, _ = pipeline_dir
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(model_shards=2)
+        with pytest.raises(InvalidParameterError, match="asymmetric"):
+            couplings_protocol.run(
+                protocol="standard",
+                prefix=str(d / "run_bad_shards" / "test"),
+                alignment_file=align_outcfg["alignment_file"],
+                focus_sequence=align_outcfg["focus_sequence"],
+                segments=align_outcfg["segments"],
+                frequencies_file=align_outcfg["frequencies_file"],
+                **kwargs,
+            )
+
+    def test_logistic_regression_none_min_seqdist(self, pipeline_dir):
+        """min_sequence_distance: null is legal elsewhere in the stage
+        and must not crash the logistic-regression rescorer (the
+        reference raises a raw TypeError here)."""
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix = str(d / "run_lr_none" / "test")
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **{**COUPLINGS_KWARGS,
+               "scoring_model": "logistic_regression",
+               "min_sequence_distance": None},
+        )
+        assert "expected_true_ecs_all" in outcfg
+
     def test_invalid_precision_rejected(self, pipeline_dir):
         from evcouplings_tpu.utils.config import InvalidParameterError
 

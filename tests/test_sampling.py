@@ -83,6 +83,32 @@ class TestExactness:
         np.testing.assert_array_equal(traj[-1], codes)
 
 
+class TestThinning:
+    def _tiny_model(self):
+        rng = np.random.default_rng(11)
+        L, q = 5, 3
+        h = rng.normal(scale=0.3, size=(L, q))
+        J = np.zeros((L, L, q, q))
+        return J, h
+
+    def test_remainder_sweeps_still_run(self):
+        """n_sweeps not divisible by thin: the trajectory keeps
+        n_sweeps // thin states but the FINAL codes must reflect all
+        n_sweeps sweeps (same chain as an unthinned run)."""
+        J, h = self._tiny_model()
+        codes_ref, _ = gibbs_sample(J, h, n_samples=4, n_sweeps=5, seed=2)
+        codes_thin, traj = gibbs_sample(
+            J, h, n_samples=4, n_sweeps=5, seed=2, thin=2
+        )
+        assert traj.shape == (2, 4, 5)
+        np.testing.assert_array_equal(codes_thin, codes_ref)
+
+    def test_thin_larger_than_sweeps_rejected(self):
+        J, h = self._tiny_model()
+        with pytest.raises(ValueError, match="thin"):
+            gibbs_sample(J, h, n_samples=4, n_sweeps=3, seed=0, thin=8)
+
+
 class TestRoundTrip:
     @pytest.mark.slow
     def test_sample_then_refit_recovers_planted_couplings(self):
