@@ -57,6 +57,11 @@ def extract_embl_annotation(uniprot_and_cds, ena_genome_location_table,
     cds, genome_id, uniprot_ac, gene_start, gene_end (one row per CDS).
     The uniprot_ac column comes from the input pairing, not the table
     (the table's AC mapping can be ambiguous).
+
+    genome_location_filename is accepted but unused — signature parity
+    with the reference (align/ena.py:111-180, equally unused there);
+    the caller writes the CSV itself, index column included, so the
+    artifact matches reference-produced files byte for byte.
     """
     cds_target_set = {cds for _, cds in uniprot_and_cds}
     cds_to_uniprot = {cds: ac for ac, cds in uniprot_and_cds}

@@ -52,6 +52,21 @@ DSSP_3_STATE_MAP = {
     "C": "C", "T": "C", "S": "C",
 }
 
+def _seqres_id_str(value):
+    """Canonical string form of a label_seq_id value: masked (NaN) or
+    0 / "." / "?" entries become NA, numeric entries become their
+    plain integer string regardless of whether the decoded column came
+    back int or (mask-promoted) float."""
+    if pd.isna(value):
+        return pd.NA
+    try:
+        as_int = int(value)
+    except (TypeError, ValueError):
+        s = str(value)
+        return pd.NA if s in ("", ".", "?") else s
+    return pd.NA if as_int == 0 else str(as_int)
+
+
 # format string for PDB ATOM records
 PDB_FORMAT = (
     "{atom:<6s}{atom_id:>5} "
@@ -429,8 +444,11 @@ class PDB:
                 df.auth_seq_id.astype(int).astype(str)
                 + df.insertion_code.astype(str)
             ),
-            seqres_id=lambda df: df.label_seq_id.astype(str)
-            .replace("0", pd.NA).replace("", pd.NA),
+            # label_seq_id decodes as float64 with NaN when the bcif
+            # column carries a mask (any HETATM/water does), so a
+            # plain astype(str) would yield "1.0"-style ids that never
+            # match SIFTS mapping keys — normalize through int first
+            seqres_id=lambda df: df.label_seq_id.map(_seqres_id_str),
             one_letter_code=lambda df: df.label_comp_id.map(
                 AA3_to_AA1, na_action="ignore"
             ),

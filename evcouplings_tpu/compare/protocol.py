@@ -483,9 +483,14 @@ def standard(**kwargs):
     )
 
     if len(sifts_map.hits) > 0:
+        # structures were loaded tolerantly (raise_missing=False
+        # above), so the distance computations must skip missing
+        # entries too instead of KeyError-ing on them (latent crash
+        # in the reference, which leaves the default True here)
         d_intra = intra_dists(
             sifts_map, structures, atom_filter=kwargs["atom_filter"],
             output_prefix=aux_prefix + "_distmap_intra",
+            raise_missing=False,
         )
         residue_table_filename, dist_mat_filename = d_intra.to_file(
             outcfg["distmap_monomer"]
@@ -517,6 +522,7 @@ def standard(**kwargs):
                 sifts_map, structures,
                 atom_filter=kwargs["atom_filter"],
                 output_prefix=aux_prefix + "_distmap_multimer",
+                raise_missing=False,
             )
         else:
             d_multimer = None
@@ -568,6 +574,7 @@ def standard(**kwargs):
                     sequence=sequence_map,
                     structures=structures,
                     atom_filter=atom_filter,
+                    raise_missing=False,
                 ).items()
             }
     else:
@@ -773,6 +780,7 @@ def complex(**kwargs):
                 output_prefix=(
                     aux_prefix + "_" + name_prefix + "_distmap_intra"
                 ),
+                raise_missing=kwargs["raise_missing"],
             )
             d_intra.to_file(outcfg[name_prefix + "_distmap_monomer"])
 
@@ -792,6 +800,7 @@ def complex(**kwargs):
                         aux_prefix + "_" + name_prefix
                         + "_distmap_multimer"
                     ),
+                    raise_missing=kwargs["raise_missing"],
                 )
             else:
                 d_multimer = None
@@ -800,6 +809,9 @@ def complex(**kwargs):
                 d_multimer.to_file(
                     outcfg[name_prefix + "_distmap_multimer"]
                 )
+                # filename join without separator ("<prefix>first_...")
+                # kept deliberately: exact artifact-name parity with
+                # the reference (compare/protocol.py:1027)
                 outcfg[name_prefix + "_multimer_contacts_file"] = (
                     prefix + name_prefix + "_contacts_multimer.csv"
                 )
@@ -824,7 +836,11 @@ def complex(**kwargs):
             d_multimer = None
             outcfg[name_prefix + "_distmap_monomer"] = None
             outcfg[name_prefix + "_distmap_multimer"] = None
-            outcfg[name_prefix + "remapped_pdb_files"] = None
+            # "_remapped_pdb_files" with the separator — the
+            # reference's no-hits branch misspells the key
+            # ("firstremapped_pdb_files", compare/protocol.py:1056),
+            # so the documented key would be absent entirely
+            outcfg[name_prefix + "_remapped_pdb_files"] = None
 
         return d_intra, d_multimer, seqmap
 

@@ -132,7 +132,13 @@ def fetch_uniprot_mapping(ids, from_db="UniProtKB_AC-ID",
         "{}/idmapping/details/{}".format(UNIPROT_MAPPING_URL, job_id)
     )
     url = details["redirectURL"]
-    url += "?format={}&size=500".format(format)
+    # use the stream endpoint: the paged /results/ endpoint caps each
+    # response (size<=500) and would silently truncate large chunks
+    # unless Link-header pagination were followed (reference
+    # sifts.py:164-171 streams for the same reason)
+    if "/stream/" not in url:
+        url = url.replace("/results/", "/results/stream/")
+    url += "?format={}".format(format)
     if isoforms:
         url += "&includeIsoform=true"
     return _get_text(url)

@@ -11,7 +11,7 @@ concurrent.futures (no extra dependency).
 """
 
 import shutil
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor
 from functools import partial
 from math import ceil
 from os import path
@@ -357,11 +357,15 @@ def standard(**kwargs):
             + "Valid selections are: cns_dgsa"
         )
 
-    # parallelize sub-runs (each run shells out to CNS)
-    with ThreadPoolExecutor(max_workers=num_procs) as pool:
-        results = list(pool.map(
-            lambda args: folder(*args), folding_runs
-        ))
+    # parallelize sub-runs over PROCESSES (the reference uses
+    # multiprocessing.Pool, fold/protocol.py:495-502): cns_dgsa_fold
+    # chdirs into the aux directory and os.chdir is process-global,
+    # so threads would race on the working directory
+    with ProcessPoolExecutor(max_workers=num_procs) as pool:
+        futures = [
+            pool.submit(folder, *args) for args in folding_runs
+        ]
+        results = [f.result() for f in futures]
 
     folded_files = {
         k: v for subres in results for k, v in subres.items()

@@ -127,6 +127,10 @@ def secstruct_angle_restraints(residues, output_file,
     i_max = residues.i.max()
 
     with open(output_file, "w") as f:
+        # upper bound i_max - 1 (exclusive) skips the final adjacent
+        # pair (i_max-1, i_max); kept deliberately — exact restraint-
+        # file parity with the reference, whose loop has the same
+        # bound (reference fold/restraints.py:222)
         for i in range(i_min, i_max - 1):
             if secstruct[i] == "H" and secstruct[i + 1] == "H":
                 f.write(_phi(i, "helix") + "\n")

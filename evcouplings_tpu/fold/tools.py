@@ -224,15 +224,27 @@ def run_maxcluster_compare(predictions, experiment,
 
 def parse_maxcluster_clustering(clustering_output):
     """Parse maxcluster clustering stdout into a DataFrame (filename,
-    cluster, cluster_size)."""
+    cluster, cluster_size).
+
+    Assignment lines are "INFO : <item> : <cluster>  <file>" and only
+    appear between the "Clusters @ Threshold" header and the
+    "Centroids" section (which repeats INFO lines in a different
+    layout and must not be ingested) — reference fold/tools.py:422-464.
+    """
     m = re.compile(r"INFO\s*:\s*(\d+)\s*:\s*(\d+)\s+(.+)")
 
     res = []
     cluster_sizes = defaultdict(int)
+    read = False
     for line in clustering_output.splitlines():
+        if "Clusters @ Threshold" in line:
+            read = True
+        if "Centroids" in line:
+            read = False
+
         match = m.search(line)
-        if match:
-            cluster, _, filename = match.groups()
+        if read and match:
+            _, cluster, filename = match.groups()
             res.append((filename.strip(), int(cluster)))
             cluster_sizes[int(cluster)] += 1
 

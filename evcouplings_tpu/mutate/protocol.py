@@ -203,6 +203,10 @@ def complex(**kwargs):
         data_pred = predict_mutation_table(
             c0, data_pred, "prediction_independent"
         )
+        # column deliberately named "inter_segment" (not
+        # "prediction_inter_segment" like the matrix file): exact
+        # artifact parity with the reference, which uses this name in
+        # the dataset output (reference mutate/protocol.py:278-281)
         data_pred = predict_mutation_table(
             ci, data_pred, "inter_segment"
         )

@@ -200,6 +200,53 @@ class TestBcifCodec:
             "a", "bb", "a", "", "ccc"
         ] * 2
 
+    def test_integer_packing_matches_scalar_oracle(self):
+        def oracle(data, is_unsigned):
+            info = np.iinfo(data.dtype)
+            out, value = [], 0
+            for v in data:
+                value += int(v)
+                if not (v == info.max
+                        or (not is_unsigned and v == info.min)):
+                    out.append(value)
+                    value = 0
+            return out
+
+        # unsigned int8: boundary = 255
+        data = np.array(
+            [3, 255, 255, 10, 0, 255, 1, 200], dtype=np.uint8
+        )
+        enc = {"isUnsigned": True, "srcSize": 8}
+        got = bcif._decode_integer_packing(data, enc)
+        assert list(got) == oracle(data, True)
+
+        # signed int8: boundaries = +-127/-128
+        data = np.array(
+            [127, 127, 5, -128, -4, 0, 127, 1], dtype=np.int8
+        )
+        enc = {"isUnsigned": False, "srcSize": 8}
+        got = bcif._decode_integer_packing(data, enc)
+        assert list(got) == oracle(data, False)
+
+        # trailing boundary without terminator carries no value
+        data = np.array([4, 255, 255], dtype=np.uint8)
+        got = bcif._decode_integer_packing(
+            data, {"isUnsigned": True, "srcSize": 3}
+        )
+        assert list(got) == [4]
+
+        # random large arrays, both signednesses
+        rng = np.random.default_rng(5)
+        for dtype, unsigned in ((np.uint8, True), (np.int16, False)):
+            data = rng.integers(
+                np.iinfo(dtype).min if not unsigned else 0,
+                np.iinfo(dtype).max, size=5000, endpoint=True
+            ).astype(dtype)
+            got = bcif._decode_integer_packing(
+                data, {"isUnsigned": unsigned, "srcSize": 5000}
+            )
+            assert list(got) == oracle(data, unsigned)
+
     def test_delta_runlength_decoders(self):
         # delta: [100, 1, 1, 1] with origin 0 -> [100, 101, 102, 103]
         data = np.array([100, 1, 1, 1], dtype="<i4")
@@ -294,6 +341,30 @@ class TestPDBParsing:
 
         dm = DistanceMap.from_coords(ca)
         assert dm.dist(101, 102) == pytest.approx(4.0)
+
+    def test_masked_float_label_seq_id_yields_clean_seqres(
+            self, tmp_path):
+        """When the bcif label_seq_id column carries a mask (any
+        HETATM/water does in real RCSB files), decode promotes it to
+        float64 with NaN; seqres_id must still be plain integer
+        strings ("5", not "5.0") or NA — SIFTS mapping keys never
+        contain the float form."""
+        path = str(tmp_path / "zzzz.bcif")
+        write_synthetic_bcif(path)
+        structure = PDB.from_file(path)
+
+        # simulate the mask-promoted column: float64 with one NaN
+        structure.atom_table["label_seq_id"] = (
+            structure.atom_table.label_seq_id.astype(np.float64)
+        )
+        structure.atom_table.loc[
+            structure.atom_table.index[-2:], "label_seq_id"
+        ] = np.nan
+
+        chain = structure.get_chain("A")
+        ids = list(chain.residues.seqres_id)
+        assert ids[:4] == ["1", "2", "3", "4"]
+        assert pd.isna(ids[4])
 
     def test_chain_to_file_and_classic_parse(self, tmp_path):
         path = str(tmp_path / "yyyy.bcif")

@@ -116,6 +116,50 @@ class TestSIFTS:
         res = s.by_uniprot_id("NOPE")
         assert len(res.hits) == 0
 
+    def test_fetch_uniprot_mapping_streams_results(self, monkeypatch):
+        """The paged /results/ endpoint caps responses at 500 records;
+        the fetch must rewrite the redirect URL to /results/stream/ so
+        large chunks are never silently truncated."""
+        import urllib.request
+
+        from evcouplings_tpu.compare import sifts as sifts_mod
+
+        fetched = []
+
+        class FakeResponse:
+            def __init__(self, payload):
+                self.payload = payload
+                self.headers = {}
+
+            def read(self):
+                return self.payload.encode()
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        def fake_urlopen(url, data=None):
+            fetched.append(url)
+            if url.endswith("/idmapping/run"):
+                return FakeResponse('{"jobId": "J1"}')
+            if "/idmapping/status/" in url:
+                return FakeResponse('{"jobStatus": "FINISHED"}')
+            if "/idmapping/details/" in url:
+                return FakeResponse(
+                    '{"redirectURL": "https://rest.uniprot.org/'
+                    'idmapping/uniprotkb/results/J1"}'
+                )
+            return FakeResponse(">sp|P1|X\nACDEF\n")
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        text = sifts_mod.fetch_uniprot_mapping(["P1"])
+        assert text.startswith(">sp|P1|X")
+        result_url = fetched[-1]
+        assert "/results/stream/" in result_url
+        assert "size=" not in result_url
+
 
 class TestCompareStandard:
     def test_standard_protocol(self, compare_setup):

@@ -29,6 +29,7 @@ from evcouplings_tpu.fold.restraints import (
     secstruct_dist_restraints,
 )
 from evcouplings_tpu.fold.tools import (
+    parse_maxcluster_clustering,
     parse_maxcluster_comparison,
     read_psipred_prediction,
 )
@@ -229,6 +230,32 @@ class TestMaxclusterParsing:
         assert len(df) == 2
         assert df.tm.iloc[0] == pytest.approx(0.567)
         assert df.num_pairs.iloc[1] == 90
+
+    def test_clustering_parse_real_layout(self):
+        """Assignment lines are 'INFO : <item> : <cluster>  <file>';
+        the cluster id is the SECOND number, and the Centroids
+        section must not be ingested."""
+        output = (
+            "INFO  : Reading PDB list file\n"
+            "INFO  : Clusters @ Threshold  5.000 (size)\n"
+            "INFO  :   1 : 2  /tmp/model_1.pdb\n"
+            "INFO  :   2 : 1  /tmp/model_2.pdb\n"
+            "INFO  :   3 : 2  /tmp/model_3.pdb\n"
+            "INFO  :   4 : 2  /tmp/model_4.pdb\n"
+            "INFO  : Centroids\n"
+            "INFO  :   1 : 7  /tmp/should_be_ignored.pdb\n"
+        )
+        df = parse_maxcluster_clustering(output)
+        assert len(df) == 4
+        assert list(df.columns) == [
+            "filename", "cluster", "cluster_size"
+        ]
+        by_file = df.set_index("filename")
+        assert by_file.loc["/tmp/model_1.pdb", "cluster"] == 2
+        assert by_file.loc["/tmp/model_2.pdb", "cluster"] == 1
+        assert by_file.loc["/tmp/model_1.pdb", "cluster_size"] == 3
+        assert by_file.loc["/tmp/model_2.pdb", "cluster_size"] == 1
+        assert "/tmp/should_be_ignored.pdb" not in set(df.filename)
 
 
 class TestComplexDockProtocol:

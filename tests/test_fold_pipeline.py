@@ -205,18 +205,24 @@ PYEOF
 """
 
 FAKE_MAXCLUSTER = """#!/bin/bash
-# fake maxcluster: emit a parseable clustering for the -l list file
+# fake maxcluster: emit clustering output in the REAL maxcluster
+# layout — assignment lines "INFO : <item> : <cluster>  <file>"
+# inside the "Clusters @ Threshold" section, followed by a Centroids
+# section that a correct parser must NOT ingest
 set -e
 LIST=
 args=("$@")
 for ((k=0; k<$#; k++)); do
   [ "${args[k]}" = "-l" ] && LIST="${args[k+1]}"
 done
+echo "INFO  : Clusters @ Threshold  5.000 (size)"
 n=0
 while read -r f; do
   n=$((n+1))
-  echo "INFO  : 1 : $n $f"
+  echo "INFO  :   $n : 1  $f"
 done < "$LIST"
+echo "INFO  : Centroids"
+echo "INFO  :   1 : 99  ignored_centroid.pdb"
 """
 
 
