@@ -30,4 +30,4 @@ class SubmitterFactory(metaclass=ASubmitterFactory):
     @staticmethod
     def available_methods():
         """Names of all registered submitters."""
-        return [ASubmitter.registry.keys()]
+        return list(ASubmitter.registry.keys())

@@ -56,6 +56,10 @@ class _ConfigLoader(yaml.SafeLoader):
     plain PyYAML rejects them as unhashable)."""
 
     def construct_mapping(self, node, deep=False):
+        # resolve merge keys (<<: *anchor) like the stock
+        # SafeConstructor does — overriding construct_mapping loses
+        # that step otherwise and anchored configs fail to parse
+        self.flatten_mapping(node)
         mapping = {}
         for key_node, value_node in node.value:
             key = self.construct_object(key_node, deep=True)

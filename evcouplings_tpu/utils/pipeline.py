@@ -127,11 +127,13 @@ def execute(**config):
         tracker.update(stage=stage)
 
         if stage in stages:
-            # global state comes last: it overrides stage settings
+            # global state comes last: it overrides stage settings.
+            # Empty YAML sections parse as None — treat them as {}
+            # instead of crashing the unpack with a TypeError
             incfg = {
-                **config["tools"],
-                **config["databases"],
-                **config[stage],
+                **(config["tools"] or {}),
+                **(config["databases"] or {}),
+                **(config[stage] or {}),
                 **global_state,
                 "prefix": stage_prefix,
             }

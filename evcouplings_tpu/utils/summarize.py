@@ -170,9 +170,11 @@ def _protein_monomer_plot(ali_table, data):
                 label=str(domain_threshold),
             )
             mincov = subdata["minimum_column_coverage"]
-            if mincov > 1:
-                mincov /= 100
-            ax_gaps.axhline(mincov, ls="--", color="k")
+            if mincov is not None:
+                # None = column-coverage filtering disabled
+                if mincov > 1:
+                    mincov /= 100
+                ax_gaps.axhline(mincov, ls="--", color="k")
 
     ax_distr.set_xlabel("% sequence identity to query")
     ax_distr.set_title(

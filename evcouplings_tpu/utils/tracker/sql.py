@@ -102,7 +102,9 @@ class SQLTracker(ResultTracker):
             attempt,
             self.retry_max_number,
             self.retry_wait,
-            exceptions=(sqlite3.OperationalError,),
+            exceptions=(
+                sqlite3.OperationalError, sqlite3.IntegrityError,
+            ),
         )
 
     @contextmanager
@@ -145,8 +147,13 @@ class SQLTracker(ResultTracker):
             now = _now()
 
             if row is None:
+                # INSERT OR IGNORE: two processes sharing a job_id
+                # (batch sub-jobs inherit it from one config) can race
+                # this SELECT-then-INSERT; the loser must not crash on
+                # the UNIQUE(job_id) constraint
                 conn.execute(
-                    "INSERT INTO {} (job_id, prefix, pipeline, location, "
+                    "INSERT OR IGNORE INTO {} (job_id, prefix, "
+                    "pipeline, location, "
                     "runner_id, config, time_created, results) "
                     "VALUES (?, ?, ?, ?, ?, ?, ?, ?)".format(
                         JOB_TABLE_NAME
@@ -159,8 +166,16 @@ class SQLTracker(ResultTracker):
                         now, json.dumps({}),
                     ),
                 )
-                merged = {}
-                time_started = None
+                # re-read: if the insert was ignored, another process
+                # created the row (possibly with results already)
+                cur = conn.execute(
+                    "SELECT key, results, time_started FROM {} "
+                    "WHERE job_id = ?".format(JOB_TABLE_NAME),
+                    (self.job_id,),
+                )
+                row = cur.fetchone()
+                merged = json.loads(row["results"] or "{}")
+                time_started = row["time_started"]
             else:
                 merged = json.loads(row["results"] or "{}")
                 time_started = row["time_started"]

@@ -289,8 +289,11 @@ def mutation_pymol_script(mutation_table, output_file,
         t = t.assign(segment=None)
 
     with open(output_file, "w") as f:
-        # NaN segments -> sentinel string so groupby keeps them
-        t = t.fillna("none")
+        # NaN segments -> sentinel string so groupby keeps them; only
+        # the segment column (a whole-frame fillna would inject
+        # strings into the numeric effect column and crash the
+        # groupby mean below)
+        t = t.assign(segment=t.segment.fillna("none"))
         for segment_name, seg_t in t.groupby("segment"):
             if segment_to_chain_mapping is None:
                 chain = None

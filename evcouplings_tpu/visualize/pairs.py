@@ -639,13 +639,56 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
     """Contact map: structure contacts as background discs, ECs as
     points (green/red split by distance_cutoff when distances known).
 
-    Parity: reference pairs.py:195-391 (same parameters; simplified
-    rendering of coverage bars and cartoons).
+    Parity: reference pairs.py:195-391 (same parameters; boundary
+    resolution through find_boundaries, size scaling through scale(),
+    coverage bars / background through plot_ec_coverage /
+    plot_structure_coverage, cartoons through
+    plot_secondary_structure).
     """
     if ax is None:
         ax = plt.gca()
 
-    # background: intra + multimer structure contacts
+    # resolve and fix axis boundaries FIRST: size scaling and cartoon
+    # placement read the axis extents
+    ids_i = _axis_ids(ecs, [monomer, multimer], "i")
+    ids_j = _axis_ids(ecs, [monomer, multimer], "j")
+    # YAML configs deliver [min, max] as a list; find_boundaries
+    # expects the scalar-pair form as a tuple
+    if (isinstance(boundaries, list) and len(boundaries) == 2
+            and not isinstance(boundaries[0], (tuple, list))):
+        boundaries = tuple(boundaries)
+    if len(ids_i) == 0 and len(ids_j) == 0 \
+            and isinstance(boundaries, str):
+        if boundaries not in (
+                "union", "intersection", "ecs", "structure"):
+            raise ValueError(
+                "Not a valid value for boundaries: {}".format(
+                    boundaries)
+            )
+        (min_i, max_i), (min_j, max_j) = (0, 1), (0, 1)
+    else:
+        (min_i, max_i), (min_j, max_j) = find_boundaries(
+            boundaries, ecs, monomer, multimer, symmetric
+        )
+
+    ax.set_xlim(min_i - margin, max_i + margin)
+    if invert_y:
+        ax.set_ylim(max_j + margin, min_j - margin)
+    else:
+        ax.set_ylim(min_j - margin, max_j + margin)
+
+    if scale_sizes:
+        ec_style = scale(ec_style, ax=ax)
+        monomer_style = scale(monomer_style, ax=ax)
+        multimer_style = scale(multimer_style, ax=ax)
+        secstruct_style = scale(secstruct_style, ax=ax)
+
+    # background: structural coverage shading, then contacts
+    if show_structure_coverage and monomer is not None:
+        plot_structure_coverage(
+            monomer.structure_coverage(),
+            style=structure_coverage_style, ax=ax,
+        )
     if monomer is not None:
         contacts = monomer.contacts(max_dist=distance_cutoff)
         plot_pairs(
@@ -657,6 +700,12 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
         plot_pairs(
             contacts, symmetric=multimer.symmetric, ax=ax,
             style=multimer_style,
+        )
+
+    # coverage bars of the full EC table alongside the axes
+    if ec_coverage is not None and len(ec_coverage) > 0:
+        plot_ec_coverage(
+            ec_coverage, symmetric, style=ec_coverage_style, ax=ax
         )
 
     # foreground: ECs (color split by structural distance if available)
@@ -678,53 +727,20 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
             ecs.loc[:, "color"] = color
         plot_pairs(ecs, symmetric=symmetric, ax=ax, style=ec_style)
 
-    # determine axis boundaries
-    ids_i = _axis_ids(ecs, [monomer, multimer], "i")
-    ids_j = _axis_ids(ecs, [monomer, multimer], "j")
-    if isinstance(boundaries, (tuple, list)) and len(boundaries) == 2 \
-            and not isinstance(boundaries, str):
-        if isinstance(boundaries[0], (tuple, list)):
-            (min_i, max_i), (min_j, max_j) = boundaries
-        else:
-            min_i, max_i = boundaries
-            min_j, max_j = boundaries
-    else:
-        if len(ids_i) == 0 or len(ids_j) == 0:
-            min_i, max_i = 0, 1
-            min_j, max_j = 0, 1
-        else:
-            min_i, max_i = min(ids_i), max(ids_i)
-            min_j, max_j = min(ids_j), max(ids_j)
-
-    ax.set_xlim(min_i - margin, max_i + margin)
-    if invert_y:
-        ax.set_ylim(max_j + margin, min_j - margin)
-    else:
-        ax.set_ylim(min_j - margin, max_j + margin)
-
-    # secondary structure cartoons along both axes
+    # secondary structure cartoons along both axes (gap-aware, from
+    # the explicit table if given, else the distance-map residues)
     if show_secstruct:
-        for dm, horizontal in [(monomer, True), (monomer, False)]:
-            if dm is None or "sec_struct_3state" not in dm.residues_i:
-                continue
-            res = dm.residues_i.dropna(subset=["sec_struct_3state"])
-            if len(res) == 0:
-                continue
-            sse_str = "".join(res.sec_struct_3state)
-            offset = int(pd.to_numeric(res.id).min())
-            _, _, segments = find_secondary_structure_segments(
-                sse_str, offset=offset
+        if secondary_structure is not None:
+            # accept a Chain (use its residue table), a residue
+            # DataFrame, or a position -> state dict
+            ss = getattr(
+                secondary_structure, "residues", secondary_structure
             )
-            center = (min_j - margin + 1) if horizontal else \
-                (min_i - margin + 1)
-            secondary_structure_cartoon(
-                segments, ax=ax, horizontal=horizontal, center=center,
-                **{k: v for k, v in secstruct_style.items()
-                   if k in (
-                       "helix_turn_length", "strand_width_factor",
-                       "min_sse_length", "width", "line_width",
-                       "helix_color", "strand_color", "coil_color",
-                   )},
+            plot_secondary_structure(ss, ax=ax, style=secstruct_style)
+        elif monomer is not None:
+            plot_secondary_structure(
+                monomer.residues_i, monomer.residues_j,
+                ax=ax, style=secstruct_style,
             )
 
     ax.set_xlabel("Position i")
@@ -762,6 +778,23 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
     # second monomer drawn offset after the first
     offset_2 = max_1 + 2 * margin - min_2
 
+    # fix the full extents first so size scaling and cartoons can
+    # read them
+    lo = min_1 - margin
+    hi = max_2 + offset_2 + margin
+    ax.set_xlim(lo, hi)
+    ax.set_ylim(hi, lo)
+
+    ec_style = STYLE_EC
+    contact_style = STYLE_CONTACT
+    multimer_style = STYLE_CONTACT_MULTIMER
+    secstruct_style = STYLE_SECSTRUCT
+    if scale_sizes:
+        ec_style = scale(ec_style, ax=ax)
+        contact_style = scale(contact_style, ax=ax)
+        multimer_style = scale(multimer_style, ax=ax)
+        secstruct_style = scale(secstruct_style, ax=ax)
+
     def _shift(table, cols, offset):
         if table is None or len(table) == 0:
             return None
@@ -773,21 +806,34 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
             table[c] = pd.to_numeric(table[c], errors="coerce") + offset
         return table
 
-    # monomer 1 block
+    # monomer 1 block (no scaling inside: styles already scaled to
+    # the full complex extents here)
     plot_contact_map(
         intra1_ecs, d_intra_i, d_multimer_i,
-        show_secstruct=False, margin=margin,
+        show_secstruct=False, scale_sizes=False, margin=margin,
         boundaries=(min_1, max_1), invert_y=False, ax=ax,
+        ec_style=ec_style, monomer_style=contact_style,
+        multimer_style=multimer_style,
     )
+    # plot_contact_map narrows the limits to the monomer-1 block;
+    # restore the full complex extents
+    ax.set_xlim(lo, hi)
+    ax.set_ylim(hi, lo)
 
-    # monomer 2 block (shifted)
+    # monomer 2 block (shifted): intra + multimer contacts, then ECs
     if d_intra_j is not None:
         contacts = d_intra_j.contacts()
         contacts = _shift(contacts, ["i", "j"], offset_2)
-        plot_pairs(contacts, symmetric=True, ax=ax, style=STYLE_CONTACT)
+        plot_pairs(contacts, symmetric=True, ax=ax, style=contact_style)
+    if d_multimer_j is not None:
+        contacts = d_multimer_j.contacts()
+        contacts = _shift(contacts, ["i", "j"], offset_2)
+        plot_pairs(
+            contacts, symmetric=True, ax=ax, style=multimer_style
+        )
     plot_pairs(
         _shift(intra2_ecs, ["i", "j"], offset_2),
-        symmetric=True, ax=ax, style=STYLE_EC,
+        symmetric=True, ax=ax, style=ec_style,
     )
 
     # inter quadrant: i from monomer 1, j from monomer 2 (shifted)
@@ -795,23 +841,45 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
         contacts = d_inter.contacts()
         contacts = _shift(contacts, ["j"], offset_2)
         plot_pairs(
-            contacts, symmetric=False, ax=ax, style=STYLE_CONTACT
+            contacts, symmetric=False, ax=ax, style=contact_style
         )
         if contacts is not None:
             flipped = contacts.rename(columns={"i": "j", "j": "i"})
             plot_pairs(
-                flipped, symmetric=False, ax=ax, style=STYLE_CONTACT
+                flipped, symmetric=False, ax=ax, style=contact_style
             )
     inter_shifted = _shift(inter_ecs, ["j"], offset_2)
     if inter_shifted is not None:
         plot_pairs(
-            inter_shifted, symmetric=False, ax=ax, style=STYLE_EC
+            inter_shifted, symmetric=False, ax=ax, style=ec_style
         )
         flipped = inter_shifted.rename(columns={"i": "j", "j": "i"})
-        plot_pairs(flipped, symmetric=False, ax=ax, style=STYLE_EC)
+        plot_pairs(flipped, symmetric=False, ax=ax, style=ec_style)
 
-    lo = min_1 - margin
-    hi = max_2 + offset_2 + margin
+    # secondary-structure cartoons: monomer 1 in place, monomer 2
+    # shifted into its block
+    if show_secstruct:
+        def _ss_dict(dm, offset):
+            res = dm.residues_i
+            if "sec_struct_3state" not in res.columns:
+                return None
+            res = res.dropna(subset=["sec_struct_3state"])
+            if len(res) == 0:
+                return None
+            return {
+                int(pos) + offset: state for pos, state in zip(
+                    pd.to_numeric(res.id), res.sec_struct_3state
+                )
+            }
+
+        ss = {}
+        if d_intra_i is not None:
+            ss.update(_ss_dict(d_intra_i, 0) or {})
+        if d_intra_j is not None:
+            ss.update(_ss_dict(d_intra_j, offset_2) or {})
+        if ss:
+            plot_secondary_structure(ss, ax=ax, style=secstruct_style)
+
     ax.set_xlim(lo, hi)
     ax.set_ylim(hi, lo)
     ax.set_aspect("equal", adjustable="box")

@@ -29,6 +29,11 @@ class TestRegistry:
             ASubmitter.registry
         )
 
+    def test_available_methods_lists_names(self):
+        methods = SubmitterFactory.available_methods()
+        assert "local" in methods
+        assert {"lsf", "slurm", "sge"} <= set(methods)
+
     def test_factory(self, tmp_path):
         s = SubmitterFactory(
             "local", blocking=True,

@@ -139,6 +139,37 @@ class TestExecute:
             pipeline.execute(**config)
 
 
+class TestConfigRobustness:
+    def test_empty_yaml_sections_parse_as_none_are_tolerated(
+            self, tmp_path):
+        """A bare `databases:` section parses as None; the stage
+        unpack must treat it as {} instead of raising TypeError."""
+        config = make_config(tmp_path)
+        config["databases"] = None     # as parsed from "databases:\n"
+        outcfg = pipeline.execute(**config)
+        assert "ec_file" in outcfg
+
+    def test_yaml_merge_keys_supported(self):
+        from evcouplings_tpu.utils.config import parse_config
+
+        cfg = parse_config(
+            "defaults: &defaults\n"
+            "  theta: 0.8\n"
+            "  iterations: 100\n"
+            "stage_a:\n"
+            "  <<: *defaults\n"
+            "  iterations: 50\n"
+        )
+        assert cfg["stage_a"]["theta"] == 0.8
+        assert cfg["stage_a"]["iterations"] == 50
+
+    def test_sequence_mapping_keys_still_supported(self):
+        from evcouplings_tpu.utils.config import parse_config
+
+        cfg = parse_config("pairs:\n  [O, O]:\n    dist: 3.0\n")
+        assert cfg["pairs"][("O", "O")]["dist"] == 3.0
+
+
 class TestSQLTracker:
     def test_tracks_job_lifecycle(self, tmp_path):
         db = str(tmp_path / "jobs.db")

@@ -262,6 +262,83 @@ class TestContactMapEntryPoints:
         )
         assert len(ax.collections) > 0
 
+    def test_boundaries_mode_is_honored(self, ax):
+        """boundaries='intersection' must produce intersection
+        extents, not silently fall back to union."""
+        dm = make_distance_map(range(5, 26))          # structure 5..25
+        ecs = make_ecs([(1, 10), (2, 15)])            # ecs 1..15
+        plot_contact_map(
+            ecs=ecs, monomer=dm, boundaries="intersection",
+            margin=0, ax=ax,
+        )
+        x_lo, x_hi = sorted(ax.get_xlim())
+        assert x_lo == pytest.approx(5)               # max(1, 5)
+        assert x_hi == pytest.approx(15)              # min(15, 25)
+
+    def test_invalid_boundaries_rejected(self, ax):
+        with pytest.raises(ValueError, match="boundaries"):
+            plot_contact_map(
+                ecs=make_ecs([(1, 5)]), boundaries="bogus", ax=ax
+            )
+
+    def test_scale_sizes_shrinks_dots(self):
+        """With scale_sizes, marker areas scale with 1/extent."""
+        def dot_sizes(n_pos, scale_sizes):
+            fig, ax = plt.subplots()
+            try:
+                ecs = make_ecs([(1, n_pos)])
+                plot_contact_map(
+                    ecs=ecs, scale_sizes=scale_sizes,
+                    boundaries="ecs", ax=ax,
+                )
+                return ax.collections[0].get_sizes()[0]
+            finally:
+                plt.close(fig)
+
+        assert dot_sizes(500, True) < dot_sizes(50, True)
+        assert dot_sizes(500, False) == dot_sizes(50, False)
+
+    def test_multimer_j_contacts_drawn(self):
+        """d_multimer_j contacts must appear in the complex map, not
+        just stretch its axes."""
+        def n_collections(with_multimer_j):
+            fig, ax = plt.subplots()
+            try:
+                dm2 = make_distance_map(range(1, 11), [(0, 5)])
+                complex_contact_map(
+                    make_ecs([(1, 5)]), make_ecs([(3, 9)]),
+                    make_ecs([(1, 3)]),
+                    None, None, None,
+                    dm2 if with_multimer_j else None,
+                    None, ax=ax,
+                )
+                return len(ax.collections)
+            finally:
+                plt.close(fig)
+
+        assert n_collections(True) > n_collections(False)
+
+    def test_secstruct_cartoon_respects_numbering_gaps(self, ax):
+        """Residues 1-5 helix, then a gap, then 20-24 strand: the
+        strand cartoon must be drawn at positions 20+, not appended
+        directly after the helix."""
+        ids = list(range(1, 6)) + list(range(20, 25))
+        dm = make_distance_map(ids)
+        dm.residues_i["sec_struct_3state"] = ["H"] * 5 + ["E"] * 5
+        dm.residues_j = dm.residues_i
+        plot_contact_map(
+            ecs=make_ecs([(1, 24)]), monomer=dm, show_secstruct=True,
+            ax=ax,
+        )
+        # cartoon patches must extend to x >= 20 (data coordinates)
+        xs = [
+            p.get_patch_transform().transform(
+                p.get_path().vertices
+            )[:, 0].max()
+            for p in ax.patches
+        ]
+        assert xs and max(xs) >= 20
+
 
 class TestPymolScripts:
     def test_ec_lines_script(self, tmp_path):
@@ -355,3 +432,18 @@ class TestMutationMatrix:
         text = out.read_text()
         assert "as cartoon" in text
         assert "show spheres" in text
+
+    def test_pymol_script_tolerates_nan_effects(self, tmp_path):
+        """predict_mutation_table emits NaN for out-of-model
+        mutations; the script writer must not crash on them (a
+        whole-frame fillna would poison the numeric effect column
+        with strings)."""
+        from evcouplings_tpu.visualize.mutations import (
+            mutation_pymol_script,
+        )
+
+        t = self._table()
+        t.loc[t.index[:3], "prediction_epistatic"] = np.nan
+        out = tmp_path / "mut_nan.pml"
+        mutation_pymol_script(t, str(out))
+        assert "as cartoon" in out.read_text()
