@@ -83,8 +83,13 @@ def main():
         weights = np.ones((N,), dtype=np.float32)
 
         loss = make_plm_loss(L, Q, cfg, mesh=mesh)
-        codes_d, _ = shard_rows(codes, mesh)
-        w_d, _ = shard_rows(weights, mesh)
+        # pad each shard to a block multiple: the loss scans
+        # n_local // block_size blocks, so unpadded remainder rows
+        # would silently drop out of the objective while the
+        # throughput below still counted them (padding rows enter
+        # with weight 0 and contribute nothing)
+        codes_d, _ = shard_rows(codes, mesh, pad_multiple=cfg.block_size)
+        w_d, _ = shard_rows(weights, mesh, pad_multiple=cfg.block_size)
 
         params = replicate({
             "J": jnp.zeros((L * Q, L * Q), dtype=jnp.float32),
@@ -99,14 +104,17 @@ def main():
             updates, state = opt.update(grad, state, params)
             return optax.apply_updates(params, updates), state, value
 
+        # force a host FETCH (not just block_until_ready) to sync:
+        # through the axon remote-compile tunnel, block_until_ready on
+        # a small output can return before the work completes
         for _ in range(args.warmup):
             params, state, value = step(params, state)
-        jax.block_until_ready(value)
+        float(value)
 
         t0 = time.perf_counter()
         for _ in range(args.steps):
             params, state, value = step(params, state)
-        jax.block_until_ready(value)
+        float(value)
         dt = (time.perf_counter() - t0) / args.steps
 
         throughput = N * L / dt

@@ -430,7 +430,30 @@ class Alignment:
                 if ids is not None:
                     if split_header:
                         ids = [i.split()[0] for i in ids]
-                    return cls(matrix, ids, **kwargs)
+                    # duplicate headers: the Python path builds an
+                    # OrderedDict — first occurrence keeps its
+                    # position, last occurrence supplies the sequence
+                    # — replicate that so results do not depend on
+                    # whether the C extension is built
+                    if len(set(ids)) != len(ids):
+                        last = {id_: k for k, id_ in enumerate(ids)}
+                        seen = set()
+                        order = [
+                            id_ for id_ in ids
+                            if not (id_ in seen or seen.add(id_))
+                        ]
+                        matrix = matrix[[last[i] for i in order]]
+                        ids = order
+                    # drop from_file-only kwargs the constructor does
+                    # not take (same filtering the stockholm branch
+                    # does), so behavior matches the fallback path
+                    ctor_kwargs = {
+                        k: v for k, v in kwargs.items()
+                        if k not in (
+                            "raise_hmmer_prefixes", "a3m_inserts",
+                        )
+                    }
+                    return cls(matrix, ids, **ctor_kwargs)
 
         if format == "stockholm":
             from evcouplings_tpu.native import (
@@ -452,7 +475,9 @@ class Alignment:
                         ids = [i.split()[0] for i in ids]
                     ctor_kwargs = {
                         k: v for k, v in kwargs.items()
-                        if k != "raise_hmmer_prefixes"
+                        if k not in (
+                            "raise_hmmer_prefixes", "a3m_inserts",
+                        )
                     }
                     return cls(
                         matrix, ids, annotation=annotation,

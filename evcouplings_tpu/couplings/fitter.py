@@ -321,10 +321,15 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         couplings_file, prep["index_list"], prep["target_seq"], fn, cn
     )
 
-    status = (
-        "converged" if fit.converged
-        else "maximum number of iterations reached"
-    )
+    if fit.converged:
+        status = "converged"
+    elif getattr(fit, "ls_failed", False):
+        # libLBFGS rounding-error / max-linesearch outcome: the fit
+        # stopped at floating-point resolution before the gradient
+        # criterion — distinct from convergence, like plmc's status
+        status = "line search failed at floating-point resolution"
+    else:
+        status = "maximum number of iterations reached"
 
     return PlmResult(
         couplings_file, param_file,

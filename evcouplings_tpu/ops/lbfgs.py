@@ -56,6 +56,11 @@ def init_lbfgs_state(x, value, grad, m=5):
         "value": jnp.asarray(value, dtype=f),
         "grad": grad.astype(f),
         "converged": jnp.zeros((), dtype=bool),
+        # linesearch failure (rounding error / max_ls exhaustion) is
+        # NOT convergence — libLBFGS reports LBFGSERR_ROUNDING_ERROR /
+        # _MAXIMUMLINESEARCH there; tracked separately so callers are
+        # not told a frozen fit succeeded
+        "ls_failed": jnp.zeros((), dtype=bool),
     }
 
 
@@ -97,9 +102,10 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
         than closed over, so multi-process global arrays stay legal
         jit inputs.
     metrics : (steps_per_call, 3) float32 rows of
-        [value-at-step-start, ||grad||, ||x||], the same per-iteration
-        record plmc prints to stderr (reference couplings/tools.py:
-        20-108 parses these columns from the plmc log).
+        [value, ||grad||, ||x||] at the ACCEPTED iterate of each step,
+        the same per-iteration record plmc prints to stderr (reference
+        couplings/tools.py:20-108 parses these columns from the plmc
+        log, where row k holds fx after iteration k's update).
 
     Convergence uses the libLBFGS rule ||g|| <= tol * max(1, ||x||);
     once it trips, remaining steps in the chunk pass through unchanged
@@ -221,33 +227,47 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
             "nevals": state["nevals"] + n_ls,
             "value": value_t.astype(f),
             "grad": grad_t.astype(f),
-            "converged": state["converged"] | ~ok,
+            "converged": state["converged"],
+            "ls_failed": state["ls_failed"] | ~ok,
         }
         return x_new, new_state
 
     def chunk(x, state, *extra):
+        def _norms(x, state):
+            return (
+                jnp.sqrt(jnp.dot(state["grad"], state["grad"])),
+                jnp.sqrt(jnp.dot(x, x)),
+            )
+
         def scan_body(carry, _):
-            x, state = carry
-            gnorm = jnp.sqrt(jnp.dot(state["grad"], state["grad"]))
-            xnorm = jnp.sqrt(jnp.dot(x, x))
+            x, state, gnorm, xnorm = carry
             conv = gnorm <= conv_tol * jnp.maximum(1.0, xnorm)
             state_in = dict(state, converged=state["converged"] | conv)
 
             x2, state2 = lax.cond(
-                state_in["converged"],
+                state_in["converged"] | state_in["ls_failed"],
                 lambda op: op,
                 lambda op: step(*op, extra),
                 (x, state_in),
             )
+            # the record reports the ACCEPTED new iterate (plmc's
+            # iteration log prints fx at the post-step point); on a
+            # frozen pass-through it repeats the current point. The
+            # 4th column flags a linesearch failure so the host can
+            # truncate the table at the failing step.
+            gnorm2, xnorm2 = _norms(x2, state2)
             rec = jnp.stack([
-                state["value"].astype(jnp.float32),
-                gnorm.astype(jnp.float32),
-                xnorm.astype(jnp.float32),
+                state2["value"].astype(jnp.float32),
+                gnorm2.astype(jnp.float32),
+                xnorm2.astype(jnp.float32),
+                state2["ls_failed"].astype(jnp.float32),
             ])
-            return (x2, state2), rec
+            return (x2, state2, gnorm2, xnorm2), rec
 
-        (x, state), metrics = lax.scan(
-            scan_body, (x, state), None, length=steps_per_call
+        gnorm0, xnorm0 = _norms(x, state)
+        (x, state, _, _), metrics = lax.scan(
+            scan_body, (x, state, gnorm0, xnorm0), None,
+            length=steps_per_call,
         )
         return x, state, metrics
 

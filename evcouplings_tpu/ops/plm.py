@@ -847,6 +847,10 @@ class PlmFitResult:
     num_iter: int
     converged: bool
     final_loss: float
+    # linesearch stopped at floating-point resolution before the
+    # gradient criterion was met (libLBFGS rounding-error semantics);
+    # mutually exclusive with converged
+    ls_failed: bool = False
 
 
 def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
@@ -1011,9 +1015,11 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 k[len("lbfgs_"):]: ckpt[k] for k in ckpt.files
                 if k.startswith("lbfgs_")
             }
+            # checkpoints written before the ls_failed flag existed
+            # miss that key and fall back to a history restart below
             expected = {
                 "x", "s_hist", "y_hist", "rho", "gamma", "count",
-                "nevals", "value", "grad", "converged",
+                "nevals", "value", "grad", "converged", "ls_failed",
             }
             if (set(saved) == expected
                     and saved["s_hist"].shape[0] == cfg.memory_size
@@ -1157,6 +1163,7 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
 
     table = []
     converged = False
+    ls_failed = False
     value = float("nan")
     t0 = time.time()
     it = start_iter
@@ -1178,8 +1185,15 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         # first converged iteration (plmc semantics), the parameters
         # keep the extra descent steps
         for k in range(n_steps):
+            # LBFGS metrics carry a 4th column flagging a linesearch
+            # failure: the failing step did not move, so its repeated
+            # row is dropped and the table ends at the last real
+            # iterate (plmc's log simply stops there)
+            if len(metrics[k]) > 3 and metrics[k][3] > 0:
+                ls_failed = True
+                break
             it += 1
-            value, gnorm, xnorm = metrics[k]
+            value, gnorm, xnorm = metrics[k][:3]
             record = {
                 "iter": it,
                 "fx": value,
@@ -1198,10 +1212,12 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 converged = True
                 break
 
-        # the native LBFGS engine also stops itself when the
-        # linesearch cannot make progress at float resolution
-        # (libLBFGS rounding-error semantics); honor that flag so the
-        # host loop does not keep dispatching frozen chunks
+        # stop dispatching chunks once the engine froze the iterate
+        # (linesearch failed at float resolution — libLBFGS rounding-
+        # error / max-linesearch semantics); NOT reported as
+        # convergence, plmc distinguishes these outcomes
+        if ls_failed:
+            break
         if (cfg.solver == "lbfgs" and not converged
                 and bool(state[1]["converged"])):
             converged = True
@@ -1227,4 +1243,5 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         num_iter=len(table),
         converged=converged,
         final_loss=value,
+        ls_failed=ls_failed,
     )

@@ -90,15 +90,33 @@ def _pick_block_size(n, L, num_symbols):
     return max(8, (b // 8) * 8)
 
 
-def _use_pallas_path(n):
+def _use_pallas_path(n, L, num_symbols):
     """Use the Pallas streaming kernel on real TPU hardware for large
     alignments (avoids the N x L*q one-hot in HBM and is faster there);
-    the XLA path remains the default elsewhere (CPU tests, small N)."""
+    the XLA path remains the default elsewhere (CPU tests, small N).
+
+    The kernel's VMEM footprint grows with L (two full (block, L) code
+    tiles plus the one-hot chunk tiles and the (block, block) int32
+    ids tile), so long alignments (e.g. concatenated complexes) must
+    stay on the XLA path rather than fail Mosaic compilation against
+    the ~16 MB VMEM limit."""
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
         return False
-    return platform in ("tpu", "axon") and n >= 4096
+    if platform not in ("tpu", "axon") or n < 4096:
+        return False
+
+    from evcouplings_tpu.ops.weights_pallas import _BLOCK, _L_CHUNK
+
+    l_padded = ((L + _L_CHUNK - 1) // _L_CHUNK) * _L_CHUNK
+    vmem_bytes = (
+        2 * _BLOCK * l_padded                       # code tiles (int8)
+        + 2 * _BLOCK * _L_CHUNK * num_symbols       # one-hot (int8)
+        + _BLOCK * _BLOCK * 4                       # ids tile (int32)
+        + _BLOCK * 4                                # counts
+    )
+    return vmem_bytes <= 14 * 1024 * 1024
 
 
 def num_cluster_members(matrix_mapped, identity_threshold):
@@ -119,8 +137,9 @@ def num_cluster_members(matrix_mapped, identity_threshold):
     """
     matrix_mapped = np.asarray(matrix_mapped)
     n, L = matrix_mapped.shape
+    num_symbols = int(matrix_mapped.max()) + 1
 
-    if _use_pallas_path(n):
+    if _use_pallas_path(n, L, num_symbols):
         from evcouplings_tpu.ops.weights_pallas import (
             num_cluster_members_pallas,
         )
@@ -128,8 +147,6 @@ def num_cluster_members(matrix_mapped, identity_threshold):
         return num_cluster_members_pallas(
             matrix_mapped, identity_threshold
         )
-
-    num_symbols = int(matrix_mapped.max()) + 1
     min_count = _identity_count_threshold(L, identity_threshold)
 
     block = _pick_block_size(n, L, num_symbols)

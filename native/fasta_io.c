@@ -68,6 +68,19 @@ parse_fasta(PyObject *self, PyObject *args)
     fclose(fp);
     buf[fsize] = '\0';
 
+    /* CR-only (classic Mac) line endings: without any '\n' the whole
+     * buffer would parse as one header line and yield an empty
+     * alignment silently; raise so the caller falls back to the
+     * Python reader (universal-newline open() handles it) */
+    if (memchr(buf, '\n', (size_t)fsize) == NULL
+            && memchr(buf, '\r', (size_t)fsize) != NULL) {
+        free(buf);
+        PyErr_SetString(
+            PyExc_ValueError,
+            "CR-only line endings (no '\\n' in file)");
+        return NULL;
+    }
+
     /* sequence bytes can never exceed the file size */
     char *seqbuf = (char *)malloc((size_t)fsize + 1);
     if (seqbuf == NULL) {

@@ -221,8 +221,14 @@ parse_stockholm(PyObject *self, PyObject *args)
             }
             Py_DECREF(s);
         } else if (linelen > 0) {
-            /* "id  residues" — split on first whitespace run */
-            char *sp = p;
+            /* "id  residues" — split like Python's str.split(),
+             * which also skips LEADING whitespace */
+            char *id_start = p;
+            while (id_start < line_end
+                   && (*id_start == ' ' || *id_start == '\t')) {
+                id_start++;
+            }
+            char *sp = id_start;
             while (sp < line_end && *sp != ' ' && *sp != '\t') {
                 sp++;
             }
@@ -230,7 +236,7 @@ parse_stockholm(PyObject *self, PyObject *args)
             while (res < line_end && (*res == ' ' || *res == '\t')) {
                 res++;
             }
-            if (sp == p || res == line_end) {
+            if (sp == id_start || res == line_end) {
                 /* no id/residues split: ignore like the Python
                  * reader (len(splitted) != 2) */
                 goto next_line;
@@ -245,7 +251,7 @@ parse_stockholm(PyObject *self, PyObject *args)
 
             int is_new = 0;
             Py_ssize_t slot = map_get_or_add(
-                &map, p, sp - p, n_slots, &is_new
+                &map, id_start, sp - id_start, n_slots, &is_new
             );
             if (slot < 0) {
                 PyErr_NoMemory();
@@ -264,8 +270,8 @@ parse_stockholm(PyObject *self, PyObject *args)
                     slots = ns;
                     cap_slots = nc;
                 }
-                slots[n_slots].id = p;
-                slots[n_slots].idlen = sp - p;
+                slots[n_slots].id = id_start;
+                slots[n_slots].idlen = sp - id_start;
                 slots[n_slots].seq = NULL;
                 slots[n_slots].len = 0;
                 slots[n_slots].cap = 0;

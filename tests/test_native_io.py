@@ -124,6 +124,43 @@ class TestFromPath:
         ali = Alignment.from_path(str(p), "a3m")
         assert ali.N == 2
 
+    def test_duplicate_headers_match_python_semantics(self, tmp_path):
+        """OrderedDict semantics: first occurrence keeps its position,
+        last occurrence supplies the sequence — identical whether or
+        not the C extension is built."""
+        p = tmp_path / "dup.fasta"
+        p.write_text(
+            ">s1\nACDE\n>s2\nWYKL\n>s1\nGGGG\n"
+        )
+        ali = Alignment.from_path(str(p))
+        with open(p) as f:
+            ref = Alignment.from_file(f, "fasta")
+        assert list(ali.ids) == list(ref.ids) == ["s1", "s2"]
+        assert (ali.matrix == ref.matrix).all()
+        assert "".join(ali.matrix[0]) == "GGGG"
+
+    def test_from_file_only_kwargs_accepted(self, tmp_path):
+        """from_file kwargs valid for any format must not crash the
+        native fast path (they did TypeError only when the C
+        extension was built)."""
+        p = tmp_path / "a.fasta"
+        p.write_text(">s1\nACDE\n>s2\nWYKL\n")
+        ali = Alignment.from_path(
+            str(p), "fasta", raise_hmmer_prefixes=False,
+            a3m_inserts="first",
+        )
+        assert ali.N == 2
+
+    def test_cr_only_line_endings_fall_back(self, tmp_path):
+        """Classic-Mac CR-only files: the native parser must refuse
+        (not silently return a 1x0 alignment) so the Python reader's
+        universal-newline handling takes over."""
+        p = tmp_path / "cr.fasta"
+        p.write_bytes(b">s1\rACDE\r>s2\rWYKL\r")
+        ali = Alignment.from_path(str(p), "fasta")
+        assert ali.N == 2 and ali.L == 4
+        assert "".join(ali.matrix[0]) == "ACDE"
+
     def test_from_path_stockholm(self, tmp_path):
         p = tmp_path / "a.sto"
         p.write_text(
@@ -196,6 +233,24 @@ class TestNativeStockholm:
             "# STOCKHOLM 1.0\r\nseq1 ACDE  \r\nseq2 -GH.\r\n//\r\n"
         )
         check_stockholm_equal(p)
+
+    def test_indented_sequence_lines(self, tmp_path):
+        """Python's str.split() skips leading whitespace, so indented
+        sequence rows are valid — the native parser must not drop
+        them."""
+        p = tmp_path / "a.sto"
+        p.write_text(
+            "# STOCKHOLM 1.0\n"
+            "  seq1  ACDE\n"
+            "seq2  FGHI\n"
+            "  seq1  KLMN\n"
+            "seq2  PQRS\n"
+            "//\n"
+        )
+        check_stockholm_equal(p)
+        ids, mat, _ = parse_stockholm_native(str(p))
+        assert ids == ["seq1", "seq2"]
+        assert "".join(mat[0]) == "ACDEKLMN"
 
     def test_missing_header_raises(self, tmp_path):
         p = tmp_path / "a.sto"
