@@ -37,7 +37,15 @@ DATA = os.path.join(HERE, "data")
 def main():
     import jax
 
-    if len(jax.devices()) < 8:
+    if os.environ.get("EVCOUPLINGS_JAX_PLATFORM"):
+        # explicit platform choice: honor it WITHOUT probing
+        # jax.devices() first (probing initializes the default
+        # accelerator backend, which the env var exists to avoid)
+        jax.config.update(
+            "jax_platforms", os.environ["EVCOUPLINGS_JAX_PLATFORM"]
+        )
+        devices = jax.devices()[:8]
+    elif len(jax.devices()) < 8:
         # single-chip (or CPU-only) host: fall back to the 8 virtual
         # CPU devices created via XLA_FLAGS above
         jax.config.update("jax_platforms", "cpu")
