@@ -7,6 +7,17 @@ Parity target: reference evcouplings/utils/__init__.py
 
 import abc
 
+# the reference star-exports its submodules from evcouplings.utils
+# (reference utils/__init__.py:1-7), so reference-style imports like
+# `from evcouplings.utils import read_config_file` must resolve here
+from evcouplings_tpu.utils.calculations import *  # noqa: F401,F403
+from evcouplings_tpu.utils.config import *  # noqa: F401,F403
+from evcouplings_tpu.utils.helpers import *  # noqa: F401,F403
+from evcouplings_tpu.utils.system import *  # noqa: F401,F403
+from evcouplings_tpu.utils.batch import *  # noqa: F401,F403
+from evcouplings_tpu.utils.constants import *  # noqa: F401,F403
+from evcouplings_tpu.utils.tracker import *  # noqa: F401,F403
+
 from evcouplings_tpu import BailoutException  # noqa: F401
 from evcouplings_tpu.utils.batch import ASubmitter  # noqa: F401
 from evcouplings_tpu.utils.helpers import PersistentDict  # noqa: F401

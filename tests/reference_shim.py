@@ -219,6 +219,15 @@ def load_reference():
     _install_bio_stub()
     _install_bokeh_stub()
 
+    # if the evcouplings_tpu.compat import alias is active in this
+    # process, remove it so the REAL reference package loads here
+    try:
+        from evcouplings_tpu import compat as _compat
+
+        _compat.uninstall_alias()
+    except ImportError:
+        pass
+
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
 
