@@ -182,9 +182,9 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
 
     parametrization: "symmetric" (plmc semantics, ops/plm.py) or
     "asymmetric" (site-sharded independent per-site regressions,
-    symmetrized post-fit — ops/plm_sites.py; requires solver "adam",
-    supports a 2D ("data", "model") mesh for L beyond single-chip
-    HBM).
+    symmetrized post-fit — ops/plm_sites.py; solver "adam" or
+    per-site "lbfgs", supports a 2D ("data", "model") mesh for L
+    beyond single-chip HBM).
 
     Returns PlmResult (same fields as the reference PlmcResult).
     """
@@ -257,10 +257,6 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         precision=matmul_precision,
     )
     if parametrization == "asymmetric":
-        if solver != "adam":
-            raise ValueError(
-                "parametrization='asymmetric' requires solver='adam' "
-                "(got {!r})".format(solver))
         from evcouplings_tpu.ops.plm_sites import fit_plm_asym
 
         fit = fit_plm_asym(

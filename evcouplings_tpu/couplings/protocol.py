@@ -159,7 +159,8 @@ def infer_plmc(**kwargs):
         #                  parameters; fastest.
         # parametrization: "symmetric" (plmc semantics, default) or
         # "asymmetric" (site-sharded per-site regressions for large L;
-        # Adam-only — picking it defaults the solver to adam)
+        # defaults the solver to adam, or solver: lbfgs runs batched
+        # PER-SITE LBFGS — far fewer iterations, larger memory)
         parametrization = kwargs.get("parametrization") or "symmetric"
         if parametrization not in ("symmetric", "asymmetric"):
             raise InvalidParameterError(
@@ -169,10 +170,6 @@ def infer_plmc(**kwargs):
         default_solver = (
             "adam" if parametrization == "asymmetric" else "lbfgs")
         solver = kwargs.get("solver") or default_solver
-        if parametrization == "asymmetric" and solver != "adam":
-            raise InvalidParameterError(
-                "parametrization: asymmetric requires solver: adam"
-            )
         precision_mode = kwargs.get("precision") or "parity"
         if precision_mode not in ("parity", "balanced", "production"):
             raise InvalidParameterError(

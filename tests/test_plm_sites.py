@@ -61,9 +61,9 @@ class TestSingleDevice:
         assert r > 0.9
 
     def test_invalid_solver_rejected(self):
-        with pytest.raises(ValueError, match="adam"):
+        with pytest.raises(ValueError, match="solver"):
             fit_plm_asym(make_coupled_msa(N=16), np.ones(16), 4,
-                         PlmConfig(solver="lbfgs"))
+                         PlmConfig(solver="sgd"))
 
     def test_unsupported_dtype_rejected(self):
         """float64 must be refused loudly, not silently demoted to
@@ -86,6 +86,124 @@ class TestSingleDevice:
         np.testing.assert_allclose(
             res.J_ij, res.J_ij.transpose(1, 0, 3, 2), atol=1e-12)
         assert np.all(res.J_ij[np.arange(8), np.arange(8)] == 0)
+
+
+class TestPerSiteLBFGS:
+    """solver='lbfgs': batched per-site LBFGS — each site its own
+    history/linesearch/convergence, no cross-model collectives."""
+
+    def test_recovers_planted_coupling_in_few_iterations(self):
+        from evcouplings_tpu.ops.scores import cn_scores
+
+        codes = make_coupled_msa(N=300)
+        cfg = PlmConfig(solver="lbfgs", max_iter=100, block_size=64,
+                        steps_per_call=5, lambda_J=0.5)
+        res = fit_plm_asym(codes, np.ones(300), 4, cfg)
+        # second-order convergence: stops (per-site criteria or
+        # rounding guard) well before the iteration cap
+        assert res.num_iter < 100
+        assert res.converged or res.ls_failed
+        cn = cn_scores(res.J_ij)
+        iu = np.triu_indices(8, k=1)
+        k = np.argmax(cn[iu])
+        assert (iu[0][k], iu[1][k]) == (2, 5)
+
+    def test_matches_adam_solution(self):
+        from evcouplings_tpu.ops.scores import cn_scores
+
+        codes = make_coupled_msa(N=300)
+        res_l = fit_plm_asym(
+            codes, np.ones(300), 4,
+            PlmConfig(solver="lbfgs", max_iter=100, block_size=64,
+                      steps_per_call=5, lambda_J=0.5))
+        res_a = fit_plm_asym(
+            codes, np.ones(300), 4,
+            PlmConfig(solver="adam", max_iter=500, block_size=64,
+                      steps_per_call=25, lambda_J=0.5))
+        iu = np.triu_indices(8, k=1)
+        cn_l = cn_scores(res_l.J_ij)[iu]
+        cn_a = cn_scores(res_a.J_ij)[iu]
+        # same contact ranking (raw J is NOT compared: 500 Adam
+        # iterations are still far from the optimum in the strongly
+        # coupled directions that LBFGS resolves — that gap is the
+        # point of the second-order solver)
+        assert np.corrcoef(cn_l, cn_a)[0, 1] > 0.95
+        assert np.argmax(cn_l) == np.argmax(cn_a)
+
+    @pytest.mark.parametrize("n_data,n_model", [(2, 4), (1, 4), (4, 2)])
+    def test_mesh_matches_single_device(self, n_data, n_model):
+        """Fixed iteration count: the sharded trajectory matches the
+        single-device one to float rounding (site padding exercised:
+        L=8 over 4 shards needs none, L=6 over 4 does)."""
+        L = 6
+        codes = RNG.integers(0, 3, size=(128, L)).astype(np.int8)
+        w = RNG.uniform(0.5, 1.0, size=128)
+        cfg = PlmConfig(solver="lbfgs", max_iter=12, block_size=16,
+                        steps_per_call=4, conv_tol=0.0, lambda_J=0.1)
+        res1 = fit_plm_asym(codes, w, 3, cfg)
+        resM = fit_plm_asym(codes, w, 3, cfg,
+                            mesh=mesh2d(n_data, n_model))
+        np.testing.assert_allclose(
+            resM.J_ij, res1.J_ij, rtol=1e-4, atol=1e-5)
+        f1 = [r["fx"] for r in res1.iteration_table]
+        fM = [r["fx"] for r in resM.iteration_table]
+        np.testing.assert_allclose(fM, f1, rtol=1e-5)
+
+    def test_resume_is_bitwise_identical(self, tmp_path):
+        """Interrupt at iteration 8 of 16, resume from the checkpoint:
+        the final couplings and history must equal the uninterrupted
+        fit exactly (full carried evaluation is serialized)."""
+        codes = make_coupled_msa(N=128)
+        w = np.ones(128)
+        cfg = PlmConfig(solver="lbfgs", max_iter=16, block_size=32,
+                        steps_per_call=4, conv_tol=0.0, lambda_J=0.5)
+
+        res_full = fit_plm_asym(codes, w, 4, cfg)
+
+        ck = str(tmp_path / "asym_lbfgs.npz")
+        fit_plm_asym(codes, w, 4,
+                     PlmConfig(**{**cfg.__dict__, "max_iter": 8}),
+                     checkpoint_file=ck, checkpoint_every=4)
+        res_resumed = fit_plm_asym(codes, w, 4, cfg,
+                                   checkpoint_file=ck,
+                                   checkpoint_every=100)
+        np.testing.assert_array_equal(res_resumed.J_ij, res_full.J_ij)
+        np.testing.assert_array_equal(res_resumed.h_i, res_full.h_i)
+
+    def test_adam_checkpoint_rejected_for_lbfgs(self, tmp_path):
+        codes = make_coupled_msa(N=64)
+        ck = str(tmp_path / "adam.npz")
+        fit_plm_asym(codes, np.ones(64), 4,
+                     PlmConfig(solver="adam", max_iter=4,
+                               block_size=32),
+                     checkpoint_file=ck, checkpoint_every=2)
+        with pytest.raises(ValueError, match="LBFGS"):
+            fit_plm_asym(codes, np.ones(64), 4,
+                         PlmConfig(solver="lbfgs", max_iter=4,
+                                   block_size=32),
+                         checkpoint_file=ck)
+
+    def test_two_phase_layout_rejected(self):
+        with pytest.raises(ValueError, match="two_phase"):
+            fit_plm_asym(make_coupled_msa(N=16), np.ones(16), 4,
+                         PlmConfig(solver="lbfgs",
+                                   grad_layout="two_phase"))
+
+    def test_group_penalty_supported(self):
+        """The separable group-l1 term rides per site; heavier
+        penalty shrinks off-target couplings."""
+        codes = make_coupled_msa(N=200)
+        res0 = fit_plm_asym(
+            codes, np.ones(200), 4,
+            PlmConfig(solver="lbfgs", max_iter=40, block_size=64,
+                      steps_per_call=5, lambda_J=0.1))
+        res1 = fit_plm_asym(
+            codes, np.ones(200), 4,
+            PlmConfig(solver="lbfgs", max_iter=40, block_size=64,
+                      steps_per_call=5, lambda_J=0.1,
+                      lambda_group=8.0))
+        assert (np.linalg.norm(res1.J_ij)
+                < 0.9 * np.linalg.norm(res0.J_ij))
 
 
 class TestGroupPenalty:

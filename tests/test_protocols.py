@@ -231,22 +231,29 @@ class TestCouplingsStandard:
         top = raw.iloc[0]
         assert (top.i, top.j) == (13, 20)
 
-    def test_asymmetric_with_lbfgs_rejected(self, pipeline_dir):
-        from evcouplings_tpu.utils.config import InvalidParameterError
-
+    def test_asymmetric_with_lbfgs_recovers_same_top_ec(
+            self, pipeline_dir):
+        """parametrization: asymmetric with the per-site LBFGS solver
+        converges to the same planted pair in far fewer iterations
+        than the Adam default."""
         d, _, align_outcfg, _ = pipeline_dir
         kwargs = dict(COUPLINGS_KWARGS)
-        kwargs.update(parametrization="asymmetric", solver="lbfgs")
-        with pytest.raises(InvalidParameterError, match="adam"):
-            couplings_protocol.run(
-                protocol="standard",
-                prefix=str(d / "run_bad_asym" / "test"),
-                alignment_file=align_outcfg["alignment_file"],
-                focus_sequence=align_outcfg["focus_sequence"],
-                segments=align_outcfg["segments"],
-                frequencies_file=align_outcfg["frequencies_file"],
-                **kwargs,
-            )
+        kwargs.update(
+            parametrization="asymmetric", solver="lbfgs",
+            steps_per_call=5, iterations=120,
+        )
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=str(d / "run_asym_lbfgs" / "test"),
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+        raw = read_raw_ec_file(outcfg["raw_ec_file"])
+        top = raw.iloc[0]
+        assert (top.i, top.j) == (13, 20)
 
     def test_fit_devices_mesh_recovers_same_top_ec(self, pipeline_dir):
         """fit_devices row-shards the fit over a device mesh (the
