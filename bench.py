@@ -209,6 +209,36 @@ def bench_asym():
     }))
 
 
+def bench_asym_lbfgs():
+    """Secondary metric (--all): per-iteration wall time of the
+    batched per-site LBFGS on the asymmetric fit (~1-2 batched
+    gradient evaluations per iteration plus the per-site two-loop
+    streams)."""
+    from evcouplings_tpu.ops.plm import PlmConfig
+    from evcouplings_tpu.ops.plm_sites import fit_plm_asym
+
+    rng = np.random.default_rng(0)
+    n = 16384
+    codes = rng.integers(0, Q, size=(n, L)).astype(np.int8)
+    w = rng.uniform(0.5, 1.0, size=n)
+    cfg = PlmConfig(solver="lbfgs", max_iter=40, steps_per_call=5,
+                    block_size=2048, dtype="bfloat16",
+                    precision="default", conv_tol=0.0)
+    stamps = []
+    fit_plm_asym(codes, w, Q, cfg,
+                 callback=lambda r: stamps.append(
+                     (time.perf_counter(), r["iter"])))
+    warm, iters = _warm_window(stamps)
+    if warm is None or warm <= 0 or iters == 0:
+        return
+    print(json.dumps({
+        "metric": "asym_lbfgs_iteration_ms",
+        "value": round(warm / iters * 1e3, 2),
+        "unit": "ms/iteration per chip",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
@@ -217,3 +247,4 @@ if __name__ == "__main__":
         bench_reweighting()
         bench_lbfgs()
         bench_asym()
+        bench_asym_lbfgs()
