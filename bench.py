@@ -221,8 +221,14 @@ def bench_asym_lbfgs():
     n = 16384
     codes = rng.integers(0, Q, size=(n, L)).astype(np.int8)
     w = rng.uniform(0.5, 1.0, size=n)
+    # f32/default: same matmul speed as bf16 on v5e (inputs round
+    # through bf16 either way) but a less noisy objective, so sites
+    # stay live through the measurement window instead of freezing on
+    # the ulp guard (frozen sites would make late iterations cheaper
+    # and skew ms/iteration; the GEMM passes themselves stay
+    # full-size as long as any site is live)
     cfg = PlmConfig(solver="lbfgs", max_iter=40, steps_per_call=5,
-                    block_size=2048, dtype="bfloat16",
+                    block_size=2048, dtype="float32",
                     precision="default", conv_tol=0.0)
     stamps = []
     fit_plm_asym(codes, w, Q, cfg,

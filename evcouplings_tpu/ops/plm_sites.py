@@ -453,11 +453,16 @@ def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
             return t_next, t, f_t, g_t, ok, done, n + 1
 
         ok0 = jnp.zeros((l_loc,), bool)
+        n0 = jnp.zeros((), jnp.int32)
         if has_model:
-            # fresh constant becomes model-varying in the body
+            # fresh constants become model-varying in the body: ok
+            # through the per-site tests, and n through the while trip
+            # count (each model shard's linesearch resolves in its own
+            # number of passes — the vma system cannot infer that, so
+            # declare it, which also makes the nevals psum below sound)
             ok0 = lax.pvary(ok0, ("model",))
-        carry0 = (t0, t0, f0, g, ok0, frozen,
-                  jnp.zeros((), jnp.int32))
+            n0 = lax.pvary(n0, ("model",))
+        carry0 = (t0, t0, f0, g, ok0, frozen, n0)
         _, t, f_t, g_t, ok, _, n_ls = lax.while_loop(
             cond, body, carry0
         )
@@ -493,6 +498,11 @@ def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
             st["gamma"],
         ).astype(f32)
 
+        # each model shard's linesearch runs its own number of
+        # passes; sum them so nevals is a true total, identical on
+        # every shard (the state spec declares it replicated)
+        if has_model:
+            n_ls = lax.psum(n_ls, "model")
         st_new = dict(
             s_hist=s_hist, y_hist=y_hist, rho=rho, gamma=gamma,
             value=f_t, grad=g_t,
@@ -506,15 +516,23 @@ def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
     def chunk(J_loc, h_loc, st, codes, w, m_idx):
         x0 = to_x(J_loc, h_loc)
 
-        def scan_body(carry, _):
-            x, st = carry
+        def _fold_convergence(x, st):
+            """Mark sites meeting the gradient criterion at (x, st)."""
             gnorm_site = jnp.sqrt(jnp.sum(st["grad"] ** 2, axis=1))
             xnorm_site = jnp.sqrt(jnp.sum(x ** 2, axis=1))
             conv = gnorm_site <= cfg.conv_tol * jnp.maximum(
                 1.0, xnorm_site)
-            st = dict(st, converged=st["converged"] | conv)
+            return dict(st, converged=st["converged"] | conv)
 
+        def scan_body(carry, _):
+            x, st = carry
             x2, st2 = step(x, st, codes, w, m_idx)
+            # fold convergence at the POST-step iterate, so the
+            # metrics row of the step that converges already reports
+            # n_unfrozen == 0 (no extra pass-through iteration, and a
+            # fit converging exactly at max_iter is still reported
+            # converged)
+            st2 = _fold_convergence(x2, st2)
 
             val = jnp.sum(st2["value"])
             gsq = jnp.sum(st2["grad"] ** 2)
@@ -534,12 +552,22 @@ def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
             ])
             return (x2, st2), rec
 
+        # convergence already achieved at the incoming iterate (e.g.
+        # padding sites, or resume from a converged checkpoint) must
+        # freeze those sites before the first step
+        st = _fold_convergence(x0, st)
         (x, st), metrics = lax.scan(
             scan_body, (x0, st), None, length=steps)
         J2, h2 = from_x(x)
         return J2, h2, st, metrics
 
-    return chunk
+    def init_vg(J_loc, h_loc, codes, w, m_idx):
+        """Objective (value, grad) at (J, h) — fills the carried
+        evaluation of a fresh state. Shares vg_x with the step loop,
+        which the carried-evaluation invariant depends on."""
+        return vg_x(to_x(J_loc, h_loc), codes, w, m_idx)
+
+    return chunk, init_vg
 
 
 def init_lbfgs_site_state(l_loc, d_site, m):
@@ -747,17 +775,8 @@ def fit_plm_asym(codes, weights, num_symbols,
             )
     else:                                   # per-site LBFGS
         state = init_lbfgs_site_state(L_pad, d_site, cfg.memory_size)
-        lb_chunk = _make_lbfgs_site_chunk(
+        lb_chunk, lb_init_vg = _make_lbfgs_site_chunk(
             L, L_pad, l_loc, q, cfg, manual_axes=axes)
-        lvg = _make_local_vg_site(
-            L, L_pad, l_loc, q, cfg, manual_axes=axes)
-
-        def _vg_flat(J, h, codes_d, w_d, m_idx):
-            f, dJ, dh = lvg(J, h, codes_d, w_d, m_idx)
-            g = jnp.concatenate([
-                dJ.reshape(l_loc, d_j), dh.reshape(l_loc, q)
-            ], axis=1)
-            return f, g
 
         oh_d = None
         if mesh is None:
@@ -768,8 +787,8 @@ def fit_plm_asym(codes, weights, num_symbols,
 
             @jax.jit
             def init_vg(J, h, codes_d, w_d):
-                return _vg_flat(J, h, codes_d, w_d,
-                                jnp.zeros((), jnp.int32))
+                return lb_init_vg(J, h, codes_d, w_d,
+                                  jnp.zeros((), jnp.int32))
         else:
             def _lb_shard(J, h, state, codes_d, w_d):
                 m_idx = lax.axis_index("model")
@@ -785,7 +804,7 @@ def fit_plm_asym(codes, weights, num_symbols,
 
             def _init_shard(J, h, codes_d, w_d):
                 m_idx = lax.axis_index("model")
-                return _vg_flat(J, h, codes_d, w_d, m_idx)
+                return lb_init_vg(J, h, codes_d, w_d, m_idx)
 
             init_vg = jax.jit(shard_map(
                 _init_shard, mesh=mesh,
