@@ -93,7 +93,25 @@ def main():
     write_a2m(os.path.join(DATA, "demo_chain_b.a2m"), mat2,
               "DEMO_B", species=species)
 
-    print("wrote demo alignments to", DATA)
+    # annotation tables for the best_hit pairing protocol (in a real
+    # search pipeline the align stage extracts these from database
+    # headers; the hermetic demo parses them from 'seqN_spM' ids)
+    for name, mat in (("a", mat1), ("b", mat2)):
+        target = "DEMO_{}".format(name.upper())
+        length = mat.shape[1]
+        ids = ["{}/1-{}".format(target, length)] + [
+            "seq{}_{}".format(i, species[i])
+            for i in range(1, mat.shape[0])
+        ]
+        os_col = ["Query"] + species[1:]
+        with open(os.path.join(
+                DATA, "demo_chain_{}_annotation.csv".format(name)),
+                "w") as f:
+            f.write("id,name,OS\n")
+            for id_, sp in zip(ids, os_col):
+                f.write("{},{},{}\n".format(id_, id_, sp))
+
+    print("wrote demo alignments and annotations to", DATA)
 
 
 if __name__ == "__main__":
