@@ -27,7 +27,8 @@ class PersistentDict(dict):
         self.format = format       # 'csv', 'json', or 'pickle'
         self.filename = filename
         if flag != "n" and os.access(filename, os.R_OK):
-            with open(filename, "rb" if format != "csv" else "r") as fileobj:
+            with open(filename,
+                      "rb" if format == "pickle" else "r") as fileobj:
                 self.load(fileobj)
         dict.__init__(self, *args, **kwds)
 
@@ -35,9 +36,15 @@ class PersistentDict(dict):
         """Write dict to disk"""
         if self.flag == "r":
             return
+        # don't sync if empty (reference helpers.py:52-54 — callers
+        # test emptiness by the file's absence/zero size)
+        if not len(self):
+            return
         tempname = self.filename + ".tmp"
         try:
-            with open(tempname, "wb" if self.format != "csv" else "w") as fileobj:
+            with open(tempname,
+                      "wb" if self.format == "pickle" else "w",
+                      ) as fileobj:
                 self.dump(fileobj)
         except Exception:
             os.remove(tempname)
@@ -56,10 +63,16 @@ class PersistentDict(dict):
         self.close()
 
     def dump(self, fileobj):
+        # empty dicts write nothing (reference helpers.py:80-82)
+        if not self:
+            return
+
         if self.format == "csv":
             csv.writer(fileobj).writerows(self.items())
         elif self.format == "json":
-            fileobj.write(json.dumps(self, separators=(",", ":")).encode())
+            # TEXT write — callers pass text-mode file objects
+            # (reference helpers.py:87)
+            json.dump(self, fileobj, separators=(",", ":"))
         elif self.format == "pickle":
             pickle.dump(dict(self), fileobj, 2)
         else:
@@ -101,6 +114,14 @@ class DefaultOrderedDict(OrderedDict):
         result = self[key] = self.default_factory()
         return result
 
+    def __repr__(self):
+        # classic OrderedDict list-of-pairs form: Python 3.12 changed
+        # OrderedDict.__repr__ to the dict-literal style, but callers
+        # of the reference (and its tests) rely on this rendering
+        return "{}({!r})".format(
+            type(self).__name__, list(self.items())
+        )
+
 
 def wrap(text, width=80):
     """Wrap a (whitespace-free) string into fixed-width lines.
@@ -117,8 +138,18 @@ def range_overlap(a, b):
     """Source: http://stackoverflow.com/questions/2953967/
     built-in-function-for-computing-overlap-in-python
 
-    Length of the overlap of two closed-open ranges (start, end).
+    Length of the overlap of two closed-open ranges (start, end);
+    degenerate ranges (start >= end) are rejected like the reference
+    (helpers.py:168-172).
     """
+    from evcouplings_tpu.utils.config import InvalidParameterError
+
+    if a[0] >= a[1]:
+        raise InvalidParameterError(
+            "Start has to be smaller than end a[0] < a[1]")
+    if b[0] >= b[1]:
+        raise InvalidParameterError(
+            "Start has to be smaller than end b[0] < b[1]")
     return max(0, min(a[1], b[1]) - max(a[0], b[0]))
 
 
