@@ -833,6 +833,18 @@ def fit_plm_asym(codes, weights, num_symbols,
         return jax.device_put(
             jnp.asarray(arr), NamedSharding(mesh, P("model", None)))
 
+    def _to_host(arr):
+        """Materialize an array that may be sharded across processes
+        (multi-host model sharding: the local process cannot address
+        the other hosts' site shards directly)."""
+        if hasattr(arr, "is_fully_addressable") \
+                and not arr.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(arr, tiled=True))
+        return np.asarray(arr)
+
     start_iter = 0
     needs_init_eval = cfg.solver == "lbfgs"
     if checkpoint_file is not None and os.path.exists(checkpoint_file):
@@ -900,18 +912,18 @@ def fit_plm_asym(codes, weights, num_symbols,
 
     def save_checkpoint(J, h, state, iteration):
         arrays = {
-            "J": np.asarray(J), "h": np.asarray(h),
+            "J": _to_host(J), "h": _to_host(h),
             "iteration": np.asarray(iteration),
         }
         if cfg.solver == "adam":
             arrays.update(
-                mu_J=np.asarray(state[0]), nu_J=np.asarray(state[1]),
-                mu_h=np.asarray(state[2]), nu_h=np.asarray(state[3]),
+                mu_J=_to_host(state[0]), nu_J=_to_host(state[1]),
+                mu_h=_to_host(state[2]), nu_h=_to_host(state[3]),
                 count=np.asarray(state[4]),
             )
         else:
             arrays.update({
-                "lbfgs_" + k: np.asarray(v) for k, v in state.items()
+                "lbfgs_" + k: _to_host(v) for k, v in state.items()
             })
         tmp = checkpoint_file + ".tmp.npz"
         np.savez(tmp, **arrays)
@@ -964,14 +976,14 @@ def fit_plm_asym(codes, weights, num_symbols,
         save_checkpoint(J, h, state, it)
 
     # directed couplings -> shared-parameter form, once
-    J_dir = np.asarray(J, dtype=np.float64)
+    J_dir = _to_host(J).astype(np.float64)
     lq = L * q
     J_dir = J_dir.reshape(L_pad, q, L_pad, q)[:L, :, :L, :] \
         .reshape(lq, lq)
     J_sym = 0.5 * (J_dir + J_dir.T)
     J_ij = J_sym.reshape(L, q, L, q).transpose(0, 2, 1, 3)
     J_ij[np.arange(L), np.arange(L)] = 0.0
-    h_i = np.asarray(h, dtype=np.float64)[:L]
+    h_i = _to_host(h).astype(np.float64)[:L]
 
     return PlmFitResult(
         J_ij=J_ij, h_i=h_i, iteration_table=table,

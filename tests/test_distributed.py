@@ -47,8 +47,18 @@ mesh = Mesh(np.array(jax.devices()), ("data",))
 cfg = PlmConfig(max_iter=15, block_size=32, solver="adam")
 res = fit_plm(codes, weights, 5, cfg, mesh=mesh)
 
+# the asymmetric fit with sites sharded ACROSS the two processes:
+# each host owns half the coupling rows (cross-host model parallelism)
+from evcouplings_tpu.ops.plm_sites import fit_plm_asym
+
+mesh2 = Mesh(np.array(jax.devices()).reshape(1, 2), ("data", "model"))
+cfg2 = PlmConfig(max_iter=12, block_size=32, solver="lbfgs",
+                 conv_tol=0.0)
+res2 = fit_plm_asym(codes, weights, 5, cfg2, mesh=mesh2)
+
 if proc_id == 0:
-    np.savez(out_file, J=res.J_ij, h=res.h_i)
+    np.savez(out_file, J=res.J_ij, h=res.h_i,
+             J_asym=res2.J_ij, h_asym=res2.h_i)
 jax.distributed.shutdown()
 """
 
@@ -91,6 +101,7 @@ def test_two_process_fit_matches_single_process(tmp_path):
 
     # single-process oracle on the same data/config
     from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+    from evcouplings_tpu.ops.plm_sites import fit_plm_asym
 
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 5, size=(64, 6)).astype(np.int8)
@@ -104,3 +115,18 @@ def test_two_process_fit_matches_single_process(tmp_path):
                                atol=1e-12)
     np.testing.assert_allclose(dist["h"], ref.h_i, rtol=1e-10,
                                atol=1e-12)
+
+    # asymmetric per-site LBFGS with coupling rows sharded across the
+    # two processes — fixed iteration count, float-rounding agreement
+    ref2 = fit_plm_asym(
+        codes, weights, 5,
+        PlmConfig(max_iter=12, block_size=32, solver="lbfgs",
+                  conv_tol=0.0),
+    )
+    # f32 fit; the worker runs under jax_enable_x64 (for the
+    # symmetric bit-exact check above), which perturbs scalar
+    # handling at float-rounding level
+    np.testing.assert_allclose(dist["J_asym"], ref2.J_ij,
+                               rtol=1e-3, atol=2e-5)
+    np.testing.assert_allclose(dist["h_asym"], ref2.h_i,
+                               rtol=1e-3, atol=2e-5)
