@@ -1056,7 +1056,14 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 lbfgs_x=np.asarray(x),
                 **{"lbfgs_" + k: np.asarray(v) for k, v in ls.items()},
             )
-        tmp = checkpoint_file + ".tmp.npz"
+        # single writer in multi-process runs (params/state are
+        # replicated, so every process holds identical bytes — but
+        # concurrent truncating writes to one path on a shared
+        # filesystem would interleave)
+        if jax.process_index() != 0:
+            return
+        tmp = "{}.tmp.p{}.npz".format(
+            checkpoint_file, jax.process_index())
         np.savez(tmp, **arrays)
         os.replace(tmp, checkpoint_file)
 

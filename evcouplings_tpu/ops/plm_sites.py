@@ -925,7 +925,15 @@ def fit_plm_asym(codes, weights, num_symbols,
             arrays.update({
                 "lbfgs_" + k: _to_host(v) for k, v in state.items()
             })
-        tmp = checkpoint_file + ".tmp.npz"
+        # every process participates in the gathers above (they are
+        # collectives), but only ONE writes: concurrent truncating
+        # writes to the same path on a shared filesystem interleave
+        # and corrupt the checkpoint. A per-process tmp name guards
+        # against non-shared working directories too.
+        if jax.process_index() != 0:
+            return
+        tmp = "{}.tmp.p{}.npz".format(
+            checkpoint_file, jax.process_index())
         np.savez(tmp, **arrays)
         os.replace(tmp, checkpoint_file)
 

@@ -9,6 +9,7 @@ import csv
 import json
 import os
 import pickle
+import reprlib as _reprlib
 import time
 from collections import OrderedDict
 
@@ -41,14 +42,19 @@ class PersistentDict(dict):
         if not len(self):
             return
         tempname = self.filename + ".tmp"
+        # open OUTSIDE the try (reference semantics): if open itself
+        # fails there is no tmp file to remove, and the caller must
+        # see the original OSError, not a FileNotFoundError from the
+        # cleanup
+        fileobj = open(
+            tempname, "wb" if self.format == "pickle" else "w")
         try:
-            with open(tempname,
-                      "wb" if self.format == "pickle" else "w",
-                      ) as fileobj:
-                self.dump(fileobj)
+            self.dump(fileobj)
         except Exception:
+            fileobj.close()
             os.remove(tempname)
             raise
+        fileobj.close()
         os.replace(tempname, self.filename)
         if self.mode is not None:
             os.chmod(self.filename, self.mode)
@@ -114,10 +120,13 @@ class DefaultOrderedDict(OrderedDict):
         result = self[key] = self.default_factory()
         return result
 
+    @_reprlib.recursive_repr()
     def __repr__(self):
         # classic OrderedDict list-of-pairs form: Python 3.12 changed
         # OrderedDict.__repr__ to the dict-literal style, but callers
         # of the reference (and its tests) rely on this rendering
+        if not self:
+            return "{}()".format(type(self).__name__)
         return "{}({!r})".format(
             type(self).__name__, list(self.items())
         )

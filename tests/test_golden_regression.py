@@ -56,9 +56,19 @@ def test_ec_table_matches_golden(refit):
         got.cn.values, want.cn.values, rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(
         got.fn.values, want.fn.values, rtol=RTOL, atol=ATOL)
-    # the contact RANKING itself must be stable exactly
-    np.testing.assert_array_equal(
-        np.argsort(-got.cn.values), np.argsort(-want.cn.values))
+    # the contact RANKING must be stable wherever the golden scores
+    # are separated by more than the tolerated numeric drift (exact
+    # ranking over near-ties would flake on any toolchain update)
+    want_sorted = np.sort(want.cn.values)[::-1]
+    gaps = -np.diff(want_sorted)
+    drift = 2 * (RTOL * np.abs(want_sorted[:-1]) + ATOL)
+    well_separated = np.flatnonzero(gaps > drift)
+    got_rank = np.argsort(-got.cn.values)
+    want_rank = np.argsort(-want.cn.values)
+    for k in well_separated:
+        # the set of the top-(k+1) ECs is unambiguous at this gap
+        np.testing.assert_array_equal(
+            np.sort(got_rank[:k + 1]), np.sort(want_rank[:k + 1]))
 
 
 def test_model_file_matches_golden(refit):
