@@ -1,10 +1,10 @@
-from evcouplings_tpu.align.alignment import (  # noqa: F401
-    Alignment, read_fasta, write_fasta, read_stockholm, read_a3m,
-    write_a3m, write_aln, detect_format, parse_header,
-    sequences_to_matrix, map_from_alphabet, map_matrix,
-    GAP, MATCH_GAP, INSERT_GAP,
-    ALPHABET_PROTEIN, ALPHABET_PROTEIN_NOGAP,
-    ALPHABET_PROTEIN_ORDERED, ALPHABET_PROTEIN_NOGAP_ORDERED,
-    ALPHABET_DNA, ALPHABET_DNA_NOGAP,
-    ALPHABET_RNA, ALPHABET_RNA_NOGAP,
-)
+"""align package: star-exports its submodules, mirroring the
+reference package __init__ (reference evcouplings/align/__init__.py)
+so reference-style imports like `from evcouplings.align import ...`
+resolve through the compat alias."""
+
+from evcouplings_tpu.align.alignment import *  # noqa: F401,F403
+from evcouplings_tpu.align.pfam import *  # noqa: F401,F403
+from evcouplings_tpu.align.protocol import *  # noqa: F401,F403
+from evcouplings_tpu.align.tools import *  # noqa: F401,F403
+from evcouplings_tpu.align.ena import *  # noqa: F401,F403
