@@ -34,26 +34,40 @@ from evcouplings_tpu.utils.tracker import EStatus, get_result_tracker
 CONFIG_NAME = "{}_config.txt"
 
 
+# one-to-one CLI flag -> (config section, option) substitutions
+_FLAG_TO_CONFIG = (
+    ("prefix", "global", "prefix"),
+    ("protein", "global", "sequence_id"),
+    ("seqfile", "global", "sequence_file"),
+    ("theta", "global", "theta"),
+    ("alignment", "align", "input_alignment"),
+    ("iterations", "align", "iterations"),
+    ("id", "align", "seqid_filter"),
+    ("seqcov", "align", "minimum_sequence_coverage"),
+    ("colcov", "align", "minimum_column_coverage"),
+    ("plmiter", "couplings", "iterations"),
+    ("queue", "environment", "queue"),
+    ("time", "environment", "time"),
+    ("cores", "environment", "cores"),
+    ("memory", "environment", "memory"),
+)
+
+
+def _numeric_list(raw, what):
+    """Comma-separated number list; entries without a '.' stay int."""
+    out = []
+    for token in raw.replace(" ", "").split(","):
+        try:
+            out.append(float(token) if "." in token else int(token))
+        except ValueError:
+            raise InvalidParameterError(
+                "{} threshold(s) must be numeric: {}".format(what, raw)
+            )
+    return out
+
+
 def substitute_config(**kwargs):
     """Substitute command-line flags into the run configuration."""
-    # flag -> (config section, key)
-    CONFIG_MAP = {
-        "prefix": ("global", "prefix"),
-        "protein": ("global", "sequence_id"),
-        "seqfile": ("global", "sequence_file"),
-        "alignment": ("align", "input_alignment"),
-        "iterations": ("align", "iterations"),
-        "id": ("align", "seqid_filter"),
-        "seqcov": ("align", "minimum_sequence_coverage"),
-        "colcov": ("align", "minimum_column_coverage"),
-        "theta": ("global", "theta"),
-        "plmiter": ("couplings", "iterations"),
-        "queue": ("environment", "queue"),
-        "time": ("environment", "time"),
-        "cores": ("environment", "cores"),
-        "memory": ("environment", "memory"),
-    }
-
     config_file = kwargs["config"]
     if not valid_file(config_file):
         raise ResourceError(
@@ -64,89 +78,75 @@ def substitute_config(**kwargs):
 
     config = read_config_file(config_file, preserve_order=True)
 
-    # plain flag -> config substitutions
-    for param, value in kwargs.items():
-        if param in CONFIG_MAP and value is not None:
-            outer, inner = CONFIG_MAP[param]
-            config[outer][inner] = value
+    for flag, section, option in _FLAG_TO_CONFIG:
+        if kwargs.get(flag) is not None:
+            config[section][option] = kwargs[flag]
 
     # per-job CPU budget tracks the environment core request
     if config["environment"]["cores"] is not None:
         config["global"]["cpu"] = config["environment"]["cores"]
 
-    # existing alignment implies "existing" align protocol
-    if kwargs.get("alignment", None) is not None:
+    # a user-supplied alignment implies the "existing" align protocol
+    if kwargs.get("alignment") is not None:
         config["align"]["protocol"] = "existing"
 
-    # subregion of the protein
-    if kwargs.get("region", None) is not None:
-        region = kwargs["region"]
-        m = re.search(r"(\d+)-(\d+)", region)
-        if m:
-            start, end = map(int, m.groups())
-            config["global"]["region"] = [start, end]
-        else:
+    # subregion of the protein, as a "start-end" string
+    region = kwargs.get("region")
+    if region is not None:
+        bounds = re.search(r"(\d+)-(\d+)", region)
+        if bounds is None:
             raise InvalidParameterError(
                 "Region string does not have format "
                 "start-end (e.g. 5-123): {}".format(region)
             )
+        config["global"]["region"] = [
+            int(bounds.group(1)), int(bounds.group(2))
+        ]
 
     # pipeline stages to run
-    if kwargs.get("stages", None) is not None:
+    if kwargs.get("stages") is not None:
         config["stages"] = kwargs["stages"].replace(" ", "").split(",")
 
-    # sequence search database: predefined name or custom path
-    if kwargs.get("database", None) is not None:
-        db = kwargs["database"]
+    # sequence search database: a predefined name, or a path that
+    # registers as the "custom" database
+    db = kwargs.get("database")
+    if db is not None:
         if db in config["databases"]:
             config["align"]["database"] = db
         else:
-            config["align"]["database"] = "custom"
             config["databases"]["custom"] = db
+            config["align"]["database"] = "custom"
 
-    # bitscore / E-value thresholds (mutually exclusive; a list makes
-    # a batch sweep)
-    if (kwargs.get("bitscores", None) is not None
-            and kwargs.get("evalues", None) is not None):
+    # alignment search depth: bitscore XOR E-value threshold(s); more
+    # than one value expands into a batch sweep over the thresholds
+    if (kwargs.get("bitscores") is not None
+            and kwargs.get("evalues") is not None):
         raise InvalidParameterError(
             "Can not specify bitscore and E-value threshold at the "
             "same time."
         )
 
-    if kwargs.get("bitscores", None) is not None:
-        thresholds = kwargs["bitscores"]
-        bitscore = True
-    elif kwargs.get("evalues", None) is not None:
-        thresholds = kwargs["evalues"]
-        bitscore = False
-    else:
-        thresholds = None
+    for flag, is_bitscore in (("bitscores", True), ("evalues", False)):
+        raw = kwargs.get(flag)
+        if raw is None:
+            continue
+        values = _numeric_list(raw, "Bitscore/E-value")
+        config["align"]["use_bitscores"] = is_bitscore
 
-    if thresholds is not None:
-        T = thresholds.replace(" ", "").split(",")
-        try:
-            x_cast = [(float(t) if "." in t else int(t)) for t in T]
-        except ValueError:
-            raise InvalidParameterError(
-                "Bitscore/E-value threshold(s) must be numeric: "
-                "{}".format(thresholds)
-            )
-
-        config["align"]["use_bitscores"] = bitscore
-
-        if len(x_cast) == 1:
-            config["align"]["domain_threshold"] = x_cast[0]
-            config["align"]["sequence_threshold"] = x_cast[0]
+        if len(values) == 1:
+            config["align"]["domain_threshold"] = values[0]
+            config["align"]["sequence_threshold"] = values[0]
         else:
-            config["batch"] = {}
-            for t in x_cast:
-                sub_prefix = ("_b" if bitscore else "_e") + str(t)
-                config["batch"][sub_prefix] = {
+            tag = "_b" if is_bitscore else "_e"
+            config["batch"] = {
+                tag + str(v): {
                     "align": {
-                        "domain_threshold": t,
-                        "sequence_threshold": t,
-                    }
+                        "domain_threshold": v,
+                        "sequence_threshold": v,
+                    },
                 }
+                for v in values
+            }
 
     return config
 

@@ -115,49 +115,54 @@ def protein_monomer(prefix, configs):
     return ali_table
 
 
+def _style_panel(ax, title, xlabel, ylabel, ylim=None):
+    """Apply the shared panel styling of the summary figure."""
+    ax.set_title(title, fontsize=16)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    if ylim is not None:
+        ax.set_ylim(*ylim)
+
+
 def _protein_monomer_plot(ali_table, data):
     """Five-panel monomer summary plot (coverage, identity
     distribution, gap statistics, significant ECs, precision)."""
-    FONTSIZE = 16
     fig = plt.figure(figsize=(15, 15))
-    gridsize = (3, 2)
-    ax_cov = plt.subplot2grid(gridsize, (0, 0), colspan=1)
-    ax_distr = plt.subplot2grid(gridsize, (0, 1), colspan=1)
-    ax_gaps = plt.subplot2grid(gridsize, (1, 0), colspan=2)
-    ax_sig = plt.subplot2grid(gridsize, (2, 0), colspan=1)
-    ax_comp = plt.subplot2grid(gridsize, (2, 1), colspan=1)
+    grid = fig.add_gridspec(3, 2)
+    ax_cov = fig.add_subplot(grid[0, 0])
+    ax_distr = fig.add_subplot(grid[0, 1])
+    ax_gaps = fig.add_subplot(grid[1, :])       # full-width middle row
+    ax_sig = fig.add_subplot(grid[2, 0])
+    ax_comp = fig.add_subplot(grid[2, 1])
 
-    # 1) number of sequences + coverage vs threshold
-    ax_cov.plot(
-        ali_table.domain_threshold,
-        ali_table.N_eff / ali_table.num_cov,
-        "ok-", label="# Sequences",
-    )
-    ax_cov.set_xlabel("Domain inclusion threshold")
-    ax_cov.set_ylabel("# effective sequences / L")
-    ax_cov.set_title("Sequences and coverage", fontsize=FONTSIZE)
+    thresholds = ali_table.domain_threshold
+
+    # panel 1: effective sequences + coverage vs search threshold,
+    # two y-axes
+    _style_panel(ax_cov, "Sequences and coverage",
+                 "Domain inclusion threshold",
+                 "# effective sequences / L")
+    ax_cov.plot(thresholds, ali_table.N_eff / ali_table.num_cov,
+                "ok-", label="# Sequences")
     ax_cov.legend(loc="lower left")
+    twin = ax_cov.twinx()
+    twin.plot(thresholds, ali_table.num_cov / ali_table.seqlen,
+              "o-", color="#2079b4", label="Coverage")
+    twin.set_ylabel("Coverage (% of region)")
+    twin.set_ylim(0, 1)
+    twin.legend(loc="lower right")
 
-    ax_cov2 = ax_cov.twinx()
-    ax_cov2.plot(
-        ali_table.domain_threshold,
-        ali_table.num_cov / ali_table.seqlen,
-        "o-", label="Coverage", color="#2079b4",
-    )
-    ax_cov2.set_ylabel("Coverage (% of region)")
-    ax_cov2.legend(loc="lower right")
-    ax_cov2.set_ylim(0, 1)
-
-    # 2) identity + column coverage distributions per sub-job
-    for (domain_threshold, subjob), subdata in sorted(data.items()):
+    # panels 2+3: per-sub-job identity distribution and per-column
+    # gap statistics
+    for (threshold, subjob), subdata in sorted(data.items()):
         if valid_file(subdata["identities"]):
             ids = pd.read_csv(
                 subdata["identities"]
             ).identity_to_query.dropna()
             ax_distr.hist(
-                ids, histtype="step", range=(0, 1.0),
-                bins=100, density=True, cumulative=True, linewidth=3,
-                label=str(domain_threshold),
+                ids, histtype="step", range=(0, 1.0), bins=100,
+                density=True, cumulative=True, linewidth=3,
+                label=str(threshold),
             )
             ali_table.loc[
                 ali_table.prefix == subjob, "average_identity"
@@ -165,51 +170,40 @@ def _protein_monomer_plot(ali_table, data):
 
         if valid_file(subdata["frequencies"]):
             freqs = pd.read_csv(subdata["frequencies"])
-            ax_gaps.plot(
-                freqs.i, 1 - freqs.loc[:, "-"], "o", linewidth=3,
-                label=str(domain_threshold),
-            )
+            ax_gaps.plot(freqs.i, 1 - freqs.loc[:, "-"], "o",
+                         linewidth=3, label=str(threshold))
             mincov = subdata["minimum_column_coverage"]
             if mincov is not None:
                 # None = column-coverage filtering disabled
-                if mincov > 1:
-                    mincov /= 100
-                ax_gaps.axhline(mincov, ls="--", color="k")
+                ax_gaps.axhline(
+                    mincov / 100 if mincov > 1 else mincov,
+                    ls="--", color="k",
+                )
 
-    ax_distr.set_xlabel("% sequence identity to query")
-    ax_distr.set_title(
-        "Sequence identity distribution", fontsize=FONTSIZE
-    )
+    _style_panel(ax_distr, "Sequence identity distribution",
+                 "% sequence identity to query", "", ylim=(0, 1))
     ax_distr.set_xlim(0, 1)
-    ax_distr.set_ylim(0, 1)
     ax_distr.legend()
 
-    ax_gaps.set_title("Gap statistics", fontsize=FONTSIZE)
-    ax_gaps.set_xlabel("Sequence index")
-    ax_gaps.set_ylabel("Column coverage (1 - % gaps)")
+    _style_panel(ax_gaps, "Gap statistics", "Sequence index",
+                 "Column coverage (1 - % gaps)", ylim=(0, 1))
     ax_gaps.autoscale(enable=True, axis="x", tight=True)
-    ax_gaps.set_ylim(0, 1)
     ax_gaps.legend(loc="best")
 
-    # 3) significant ECs + precision vs threshold
+    # panels 4+5: EC significance and 3D agreement vs threshold
+    _style_panel(ax_sig, "Significant ECs",
+                 "Domain inclusion threshold",
+                 "Fraction of significant ECs (% of L)")
     if "num_significant" in ali_table.columns:
-        ax_sig.plot(
-            ali_table.domain_threshold,
-            ali_table.num_significant / ali_table.num_cov,
-            "ok-",
-        )
-    ax_sig.set_title("Significant ECs", fontsize=FONTSIZE)
-    ax_sig.set_xlabel("Domain inclusion threshold")
-    ax_sig.set_ylabel("Fraction of significant ECs (% of L)")
+        ax_sig.plot(thresholds,
+                    ali_table.num_significant / ali_table.num_cov,
+                    "ok-")
 
+    _style_panel(ax_comp, "Comparison to 3D (top L ECs)",
+                 "Domain inclusion threshold", "EC precision",
+                 ylim=(0, 1))
     if "precision" in ali_table.columns:
-        ax_comp.plot(
-            ali_table.domain_threshold, ali_table.precision, "ok-"
-        )
-    ax_comp.set_title("Comparison to 3D (top L ECs)", fontsize=FONTSIZE)
-    ax_comp.set_xlabel("Domain inclusion threshold")
-    ax_comp.set_ylabel("EC precision")
-    ax_comp.set_ylim(0, 1)
+        ax_comp.plot(thresholds, ali_table.precision, "ok-")
 
     return fig
 
