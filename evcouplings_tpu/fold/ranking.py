@@ -87,33 +87,26 @@ def _beta_dihedrals(coords, segments, max_strand_distance=7,
         return par / total * 2 - 1
 
     def _compute_dihedral(pairs, strands_parallel):
+        # offset of the second anchor on strand j: +2 along a parallel
+        # partner, -2 along an antiparallel one
+        j_step = 2 if strands_parallel else -2
+
         res = []
         for _, r in pairs.iterrows():
             i, j = r["pos_i"], r["pos_j"]
+            # both anchor residues two positions along each strand
+            # must be resolved; the "original" scoring variant anchors
+            # the required-coordinate checks differently
             if original:
-                if not has(j + 2):
-                    continue
-                if strands_parallel and not has(i + 2):
-                    continue
-                if not strands_parallel and not has(i - 2):
-                    continue
+                needed = (j + 2, i + 2 if strands_parallel else i - 2)
             else:
-                if not has(i + 2):
-                    continue
-                if strands_parallel and not has(j + 2):
-                    continue
-                if not strands_parallel and not has(j - 2):
-                    continue
+                needed = (i + 2, j + j_step)
+            if not all(has(p) for p in needed):
+                continue
 
-            if strands_parallel:
-                angle = dihedral_angle(
-                    xyz(i), xyz(i + 2), xyz(j + 2), xyz(j)
-                )
-            else:
-                angle = dihedral_angle(
-                    xyz(i), xyz(i + 2), xyz(j - 2), xyz(j)
-                )
-
+            angle = dihedral_angle(
+                xyz(i), xyz(i + 2), xyz(j + j_step), xyz(j)
+            )
             res.append(
                 (i, j, int(r["strand_i"]), int(r["strand_j"]), angle)
             )

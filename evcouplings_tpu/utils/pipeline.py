@@ -337,26 +337,26 @@ def execute_wrapped(**config):
         return outcfg
 
     except Exception as e:
-        formatted_exception = traceback.format_exc()
+        trace_text = traceback.format_exc()
 
-        # distinguish regular crash from a deliberate pipeline bailout
-        if isinstance(e, BailoutException):
-            extension = EXTENSION_BAILOUT
-            status = EStatus.BAILOUT
-            message = "Pipeline bailed out of execution: {}".format(
-                formatted_exception
-            )
-        else:
-            extension = EXTENSION_FAILED
-            status = EStatus.FAIL
-            message = "Crashed during job execution: {}".format(
-                formatted_exception
-            )
+        # a deliberate pipeline bailout gets its own flag file and
+        # tracker status; everything else is a crash
+        bailed = isinstance(e, BailoutException)
+        extension, status, what = (
+            (EXTENSION_BAILOUT, EStatus.BAILOUT,
+             "Pipeline bailed out of execution")
+            if bailed else
+            (EXTENSION_FAILED, EStatus.FAIL,
+             "Crashed during job execution")
+        )
 
         with open(prefix + extension, "w") as f:
-            f.write(formatted_exception)
+            f.write(trace_text)
 
-        tracker.update(status=status, message=message)
+        tracker.update(
+            status=status,
+            message="{}: {}".format(what, trace_text),
+        )
         raise
 
 
