@@ -16,7 +16,6 @@ directories).
 """
 
 import re
-from collections import namedtuple
 
 import pandas as pd
 

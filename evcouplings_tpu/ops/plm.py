@@ -34,10 +34,8 @@ TPU-first design
   for very large L where LBFGS history would not fit HBM.
 """
 
-import functools
 import os
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
