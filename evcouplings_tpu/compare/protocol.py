@@ -492,30 +492,37 @@ def standard(**kwargs):
             output_prefix=aux_prefix + "_distmap_intra",
             raise_missing=False,
         )
-        residue_table_filename, dist_mat_filename = d_intra.to_file(
-            outcfg["distmap_monomer"]
-        )
-        d_intra.aggregated_residue_maps.to_csv(
-            outcfg["distmap_monomer_residues_file"], index=False
-        )
-        outcfg["distmap_monomer_files"] = {
-            residue_table_filename: {"file_type": "residue_table"},
-            dist_mat_filename: {"file_type": "distance_matrix"},
-        }
-
-        if d_intra.individual_distance_map_table is not None:
-            outcfg["distmap_monomer_individual_files"] = (
-                _individual_distance_map_config_result(
-                    d_intra.individual_distance_map_table
-                )
+        # None when EVERY hit's structure failed to load (all skipped
+        # by the tolerant path): degrade like the no-hits branch
+        if d_intra is None:
+            outcfg["distmap_monomer"] = None
+            outcfg["distmap_monomer_residues_file"] = None
+        else:
+            residue_table_filename, dist_mat_filename = (
+                d_intra.to_file(outcfg["distmap_monomer"])
             )
+            d_intra.aggregated_residue_maps.to_csv(
+                outcfg["distmap_monomer_residues_file"], index=False
+            )
+            outcfg["distmap_monomer_files"] = {
+                residue_table_filename: {
+                    "file_type": "residue_table"},
+                dist_mat_filename: {"file_type": "distance_matrix"},
+            }
 
-        outcfg["monomer_contacts_file"] = (
-            prefix + "_contacts_monomer.csv"
-        )
-        d_intra.contacts(kwargs["distance_cutoff"]).to_csv(
-            outcfg["monomer_contacts_file"], index=False
-        )
+            if d_intra.individual_distance_map_table is not None:
+                outcfg["distmap_monomer_individual_files"] = (
+                    _individual_distance_map_config_result(
+                        d_intra.individual_distance_map_table
+                    )
+                )
+
+            outcfg["monomer_contacts_file"] = (
+                prefix + "_contacts_monomer.csv"
+            )
+            d_intra.contacts(kwargs["distance_cutoff"]).to_csv(
+                outcfg["monomer_contacts_file"], index=False
+            )
 
         if kwargs["compare_multimer"]:
             d_multimer = multimer_dists(

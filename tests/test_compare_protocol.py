@@ -162,6 +162,54 @@ class TestSIFTS:
 
 
 class TestCompareStandard:
+    def test_missing_structure_is_skipped_not_fatal(self, compare_setup,
+                                                    monkeypatch):
+        """Structures are loaded tolerantly (raise_missing=False); a
+        hit whose structure could not be fetched must be skipped by
+        the distance computations instead of crashing the stage."""
+        from evcouplings_tpu.compare import protocol as cp
+
+        real_load = cp.load_structures
+
+        def load_dropping_everything(pdb_ids, output_dir=None,
+                                     raise_missing=True):
+            # simulate every fetch failing (e.g. network error)
+            return {}
+
+        monkeypatch.setattr(
+            cp, "load_structures", load_dropping_everything)
+        prefix = str(
+            compare_setup["tmp_path"] / "out_missing" / "cmp")
+        outcfg = cp.run(
+            protocol="standard",
+            prefix=prefix,
+            ec_file=compare_setup["ec_file"],
+            min_sequence_distance=5,
+            pdb_mmtf_dir=compare_setup["structure_dir"],
+            atom_filter=None,
+            compare_multimer=False,
+            distance_cutoff=5,
+            target_sequence_file=compare_setup["target_seq_file"],
+            scale_sizes=True,
+            pdb_ids=None, max_num_hits=25, max_num_structures=10,
+            sifts_mapping_table=compare_setup["sifts_table"],
+            sifts_sequence_db=None,
+            by_alignment=False,
+            pdb_alignment_method="jackhmmer",
+            alignment_min_overlap=20,
+            sequence_id="TESTPROT",
+            sequence_file=None, region=None,
+            use_bitscores=True,
+            domain_threshold=0.5, sequence_threshold=0.5,
+            plot_probability_cutoffs=[0.9],
+            boundaries="union",
+            plot_lowest_count=2, plot_highest_count=3,
+            plot_increase=1,
+            draw_secondary_structure=False,
+        )
+        # stage completes; distance maps exist but aggregate nothing
+        assert "ec_compared_all_file" in outcfg
+
     def test_standard_protocol(self, compare_setup):
         prefix = str(compare_setup["tmp_path"] / "out" / "cmp")
 
