@@ -191,6 +191,26 @@ class TestValueAndGrad:
     def test_matches_autodiff_group_l1(self):
         self._case(PlmConfig(block_size=16, lambda_group=0.3))
 
+    def test_matches_autodiff_random_config_sweep(self):
+        """Randomized sweep over fitter-config combinations: the
+        closed-form gradient must track autodiff under every mix of
+        regularizers, block sizes, layouts, and problem shapes."""
+        sweep_rng = np.random.default_rng(123)
+        for trial in range(6):
+            cfg = PlmConfig(
+                block_size=int(sweep_rng.choice([8, 16, 48])),
+                lambda_h=float(sweep_rng.uniform(0.0, 0.1)),
+                lambda_J=float(sweep_rng.uniform(0.01, 20.0)),
+                lambda_group=float(sweep_rng.choice(
+                    [0.0, sweep_rng.uniform(0.05, 1.0)])),
+                grad_layout=str(sweep_rng.choice(
+                    ["carried", "two_phase"])),
+            )
+            L = int(sweep_rng.integers(3, 9))
+            q = int(sweep_rng.integers(3, 7))
+            N = int(cfg.block_size * sweep_rng.integers(1, 4))
+            self._case(cfg, L=L, q=q, N=N)
+
     def test_matches_autodiff_two_phase(self):
         # forced two-phase layout in float32 (same math as carried,
         # different dJh reduction order); exercises the build-inside
