@@ -131,17 +131,18 @@ class TestValueAndGrad:
     """The closed-form fused value+grad must match autodiff of the
     loss exactly (it replaces it in the Adam production path)."""
 
-    def _case(self, cfg, L=6, q=5, N=48):
-        codes = RNG.integers(0, q, size=(N, L)).astype(np.int8)
-        codes[RNG.random((N, L)) < 0.15] = -1   # gaps / ignored sites
-        weights = RNG.uniform(0.2, 1.5, size=N).astype(np.float32)
-        P_mat = (RNG.normal(size=(L * q, L * q)) * 0.1).astype(
+    def _case(self, cfg, L=6, q=5, N=48, rng=None):
+        rng = RNG if rng is None else rng
+        codes = rng.integers(0, q, size=(N, L)).astype(np.int8)
+        codes[rng.random((N, L)) < 0.15] = -1   # gaps / ignored sites
+        weights = rng.uniform(0.2, 1.5, size=N).astype(np.float32)
+        P_mat = (rng.normal(size=(L * q, L * q)) * 0.1).astype(
             np.float32
         )
         params = {
             "J": jnp.asarray(0.5 * (P_mat + P_mat.T)),
             "h": jnp.asarray(
-                (RNG.normal(size=(L, q)) * 0.1).astype(np.float32)
+                (rng.normal(size=(L, q)) * 0.1).astype(np.float32)
             ),
         }
         va, ga = jax.jit(jax.value_and_grad(make_plm_loss(L, q, cfg)))(
@@ -195,21 +196,26 @@ class TestValueAndGrad:
         """Randomized sweep over fitter-config combinations: the
         closed-form gradient must track autodiff under every mix of
         regularizers, block sizes, layouts, and problem shapes."""
-        sweep_rng = np.random.default_rng(123)
         for trial in range(6):
+            rng = np.random.default_rng(1000 + trial)
             cfg = PlmConfig(
-                block_size=int(sweep_rng.choice([8, 16, 48])),
-                lambda_h=float(sweep_rng.uniform(0.0, 0.1)),
-                lambda_J=float(sweep_rng.uniform(0.01, 20.0)),
-                lambda_group=float(sweep_rng.choice(
-                    [0.0, sweep_rng.uniform(0.05, 1.0)])),
-                grad_layout=str(sweep_rng.choice(
-                    ["carried", "two_phase"])),
+                block_size=int(rng.choice([8, 16, 48])),
+                lambda_h=float(rng.uniform(0.0, 0.1)),
+                lambda_J=float(rng.uniform(0.01, 20.0)),
+                lambda_group=(
+                    float(rng.uniform(0.05, 1.0))
+                    if rng.random() < 0.5 else 0.0
+                ),
+                # alternate deterministically so BOTH dJh layouts are
+                # always exercised (incl. two_phase + group-L1, which
+                # no other test combines)
+                grad_layout=["carried", "two_phase"][trial % 2],
             )
-            L = int(sweep_rng.integers(3, 9))
-            q = int(sweep_rng.integers(3, 7))
-            N = int(cfg.block_size * sweep_rng.integers(1, 4))
-            self._case(cfg, L=L, q=q, N=N)
+            L = int(rng.integers(3, 9))
+            q = int(rng.integers(3, 7))
+            N = int(cfg.block_size * rng.integers(1, 4))
+            # per-trial rng: data independent of test ordering
+            self._case(cfg, L=L, q=q, N=N, rng=rng)
 
     def test_matches_autodiff_two_phase(self):
         # forced two-phase layout in float32 (same math as carried,
