@@ -340,6 +340,39 @@ class TestContactMapEntryPoints:
         assert xs and max(xs) >= 20
 
 
+class TestMiscHelpers:
+    def test_plot_context_and_chart_junk(self, ax):
+        from evcouplings_tpu.visualize.misc import (
+            plot_context, remove_chart_junk,
+        )
+
+        with plot_context("DejaVu Sans", size=10):
+            ax.plot([1, 2], [3, 4])
+        remove_chart_junk(ax=ax)
+        assert not ax.spines["top"].get_visible()
+        assert not ax.spines["right"].get_visible()
+        assert ax.spines["left"].get_visible()
+
+    def test_rgb2hex_and_colormap(self):
+        from evcouplings_tpu.visualize.misc import colormap, rgb2hex
+
+        assert rgb2hex(1.0, 0.0, 0.0) == "#ff0000"
+        assert rgb2hex(0.0, 1.0, 0.0, 1.0).startswith("#00ff00")
+        cm = colormap(0.0, 1.0)
+        lo, hi = cm(0.0), cm(1.0)
+        assert lo != hi and lo.startswith("#") and hi.startswith("#")
+
+    def test_amino_acid_code_tables(self):
+        from evcouplings_tpu.utils.constants import (
+            AA1_to_AA3, AA3_to_AA1,
+        )
+
+        assert len(AA1_to_AA3) == 23          # 20 AA + B/Z/X
+        assert AA1_to_AA3["W"] == "TRP"
+        assert AA3_to_AA1["GLX"] == "Z"
+        assert all(AA3_to_AA1[v] == k for k, v in AA1_to_AA3.items())
+
+
 class TestPymolScripts:
     def test_ec_lines_script(self, tmp_path):
         out = tmp_path / "ecs.pml"
