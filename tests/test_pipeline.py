@@ -290,3 +290,16 @@ class TestComplexPipeline:
         assert {"A_1", "B_1"} == (
             set(inter.segment_i) | set(inter.segment_j)
         )
+
+        # the complex summarizer aggregates this run into the
+        # run-level statistics table
+        from evcouplings_tpu.utils import summarize
+
+        job_cfg = str(tmp_path / "job_config.txt")
+        from evcouplings_tpu.utils.config import write_config_file
+        write_config_file(job_cfg, config)
+        table = summarize.protein_complex(prefix, [job_cfg])
+        assert len(table) == 1
+        assert os.path.isfile(prefix + "_job_statistics_summary.csv")
+        assert "first_n_seqs" in table.columns
+        assert "top_inter_rank" in table.columns
