@@ -15,6 +15,13 @@ config/outcfg chaining) is preserved from the reference.
 
 __version__ = "0.1.0"
 
+# subpackage surface, mirroring the reference's top-level __all__
+# (reference evcouplings/__init__.py) plus the TPU-specific packages
+__all__ = [
+    "align", "compare", "complex", "couplings", "fold", "mutate",
+    "visualize", "utils", "ops", "parallel",
+]
+
 import os as _os
 
 # Opt-in persistent XLA compilation cache: first TPU compile of the
