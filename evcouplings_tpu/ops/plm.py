@@ -1196,6 +1196,12 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             # iterate (plmc's log simply stops there)
             if len(metrics[k]) > 3 and metrics[k][3] > 0:
                 ls_failed = True
+                # the frozen pass-through row still carries the real
+                # objective — keep it so a fit that freezes before
+                # recording any row (e.g. resuming a frozen
+                # checkpoint) does not report NaN
+                if np.isnan(value):
+                    value = float(metrics[k][0])
                 break
             it += 1
             value, gnorm, xnorm = metrics[k][:3]

@@ -111,12 +111,16 @@ def _use_pallas_path(n, L, num_symbols):
 
     l_padded = ((L + _L_CHUNK - 1) // _L_CHUNK) * _L_CHUNK
     vmem_bytes = (
-        2 * _BLOCK * l_padded                       # code tiles (int8)
+        # pipelined input code tiles are DOUBLE-buffered by Pallas
+        2 * (2 * _BLOCK * l_padded)                 # code tiles (int8)
         + 2 * _BLOCK * _L_CHUNK * num_symbols       # one-hot (int8)
         + _BLOCK * _BLOCK * 4                       # ids tile (int32)
         + _BLOCK * 4                                # counts
     )
-    return vmem_bytes <= 14 * 1024 * 1024
+    # 13.5 MB against the ~16 MB scoped-VMEM limit: headroom for
+    # iota/cast intermediates the estimate does not model (the
+    # measured-good headline shape L=160, q=21 sits at ~13.0 MB)
+    return vmem_bytes <= int(13.5 * 1024 * 1024)
 
 
 def num_cluster_members(matrix_mapped, identity_threshold):

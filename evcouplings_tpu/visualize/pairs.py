@@ -652,13 +652,18 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
     # placement read the axis extents
     ids_i = _axis_ids(ecs, [monomer, multimer], "i")
     ids_j = _axis_ids(ecs, [monomer, multimer], "j")
-    # YAML configs deliver [min, max] as a list; find_boundaries
-    # expects the scalar-pair form as a tuple
-    if (isinstance(boundaries, list) and len(boundaries) == 2
-            and not isinstance(boundaries[0], (tuple, list))):
+    # normalize manual forms for find_boundaries: a scalar pair (from
+    # YAML, a list) -> tuple; a pair of per-axis pairs (tuple OR
+    # list) -> list of two tuples
+    if (isinstance(boundaries, (tuple, list)) and len(boundaries) == 2
+            and isinstance(boundaries[0], (tuple, list))):
+        boundaries = [tuple(boundaries[0]), tuple(boundaries[1])]
+    elif isinstance(boundaries, list) and len(boundaries) == 2:
         boundaries = tuple(boundaries)
-    if len(ids_i) == 0 and len(ids_j) == 0 \
+    if (len(ids_i) == 0 or len(ids_j) == 0) \
             and isinstance(boundaries, str):
+        # a mode string cannot be resolved against an empty axis —
+        # fall back to unit extents (after validating the mode)
         if boundaries not in (
                 "union", "intersection", "ecs", "structure"):
             raise ValueError(
@@ -866,10 +871,13 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
             res = res.dropna(subset=["sec_struct_3state"])
             if len(res) == 0:
                 return None
+            # residue ids may be strings with non-numeric entries
+            # (insertion codes) — coerce like _shift above
+            pos_num = pd.to_numeric(res.id, errors="coerce")
             return {
                 int(pos) + offset: state for pos, state in zip(
-                    pd.to_numeric(res.id), res.sec_struct_3state
-                )
+                    pos_num, res.sec_struct_3state
+                ) if pd.notna(pos)
             }
 
         ss = {}

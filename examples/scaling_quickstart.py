@@ -45,6 +45,11 @@ def main():
             "jax_platforms", os.environ["EVCOUPLINGS_JAX_PLATFORM"]
         )
         devices = jax.devices()[:8]
+        if len(devices) < 8:
+            # the chosen platform has too few chips for the 2x4 mesh:
+            # fall back to the 8 virtual CPU devices like below
+            jax.config.update("jax_platforms", "cpu")
+            devices = jax.devices("cpu")[:8]
     elif len(jax.devices()) < 8:
         # single-chip (or CPU-only) host: fall back to the 8 virtual
         # CPU devices created via XLA_FLAGS above
