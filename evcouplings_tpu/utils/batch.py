@@ -691,9 +691,15 @@ class LocalSubmitter(ASubmitter):
 
     _registry_name = "local"
 
-    def __init__(self, blocking=True, db_path=None, ncpu=1):
+    def __init__(self, blocking=True, db_path=None, ncpu=1,
+                 max_retries=0):
         self._blocking = blocking
         self._ncpu = max(1, int(ncpu))
+        # automatic resubmission of FAILED jobs (0 = reference
+        # behavior: no retry; the reference has no resubmission at
+        # all, SURVEY.md §5). Cancelled jobs are never retried.
+        self._max_retries = max(0, int(max_retries))
+        self._cancelled = set()
 
         if db_path is None:
             tmp_db = NamedTemporaryFile(
@@ -768,32 +774,38 @@ class LocalSubmitter(ASubmitter):
                 self._events[command.command_id].set()
                 return
 
+        cid = command.command_id
         with self._semaphore:
-            # cancelled while pending: never start the process
-            with self._lock:
-                if self._status.get(command.command_id) == EStatus.EXIT:
-                    self._events[command.command_id].set()
-                    return
             try:
-                p = subprocess.Popen(
-                    command.full_command_string(), shell=True,
-                    stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-                    stderr=subprocess.PIPE, universal_newlines=True,
-                    cwd=command.workdir, preexec_fn=os.setsid,
-                )
-                with self._lock:
-                    self._processes[command.command_id] = p
-                self._set_status(command, EStatus.RUN, p.pid)
+                for _attempt in range(1 + self._max_retries):
+                    # cancelled while pending / between retries:
+                    # never (re)start the process
+                    with self._lock:
+                        if cid in self._cancelled:
+                            return
+                    try:
+                        p = subprocess.Popen(
+                            command.full_command_string(), shell=True,
+                            stdin=subprocess.PIPE,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE,
+                            universal_newlines=True,
+                            cwd=command.workdir, preexec_fn=os.setsid,
+                        )
+                        with self._lock:
+                            self._processes[cid] = p
+                        self._set_status(command, EStatus.RUN, p.pid)
 
-                stdo, stde = p.communicate()
-                final = (
-                    EStatus.DONE if p.returncode == 0 else EStatus.EXIT
-                )
-                self._set_status(command, final, p.pid)
-            except Exception:
-                self._set_status(command, EStatus.EXIT)
+                        p.communicate()
+                        if p.returncode == 0:
+                            self._set_status(command, EStatus.DONE,
+                                             p.pid)
+                            return
+                        self._set_status(command, EStatus.EXIT, p.pid)
+                    except Exception:
+                        self._set_status(command, EStatus.EXIT)
             finally:
-                self._events[command.command_id].set()
+                self._events[cid].set()
 
     def submit(self, command, dependent=None):
         if dependent is None:
@@ -844,6 +856,11 @@ class LocalSubmitter(ASubmitter):
 
         if status in (EStatus.DONE, EStatus.EXIT):
             return True
+
+        with self._lock:
+            # marks the job as deliberately cancelled — it must not
+            # be auto-retried after the kill
+            self._cancelled.add(command.command_id)
 
         if p is not None and p.poll() is None:
             try:

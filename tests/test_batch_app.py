@@ -83,6 +83,30 @@ class TestLocalSubmitter:
         sub.join()
         assert sub.monitor(cmd) == EStatus.EXIT
 
+    def test_automatic_resubmission(self, tmp_path):
+        """max_retries > 0 re-runs a failed job (beyond-reference:
+        the reference has no resubmission, SURVEY §5); a command that
+        fails on the first attempt and succeeds on the second ends
+        DONE."""
+        sub = LocalSubmitter(
+            blocking=True, db_path=str(tmp_path / "jobs.txt"),
+            ncpu=1, max_retries=2,
+        )
+        marker = tmp_path / "attempted"
+        cmd = Command(
+            "test -e {m} || {{ touch {m}; exit 1; }}".format(m=marker),
+            name="flaky",
+        )
+        sub.submit(cmd)
+        sub.join()
+        assert sub.monitor(cmd) == EStatus.DONE
+
+        # a genuinely-broken command still ends EXIT after retries
+        cmd2 = Command("exit 1", name="fail")
+        sub.submit(cmd2)
+        sub.join()
+        assert sub.monitor(cmd2) == EStatus.EXIT
+
     def test_dependency_ordering(self, tmp_path):
         sub = self.make(tmp_path, ncpu=4)
         out = tmp_path / "order.txt"
