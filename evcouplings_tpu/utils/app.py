@@ -252,6 +252,11 @@ def run_jobs(configs, global_config, overwrite=False, workdir=None,
         submitter_kws = {
             "ncpu": min(len(configs), max_parallel_workers)
         }
+    if (submitter_engine == "local"
+            and submitter_cfg.get("max_retries")):
+        # automatic resubmission of failed sub-jobs (beyond-reference)
+        submitter_kws["max_retries"] = int(
+            submitter_cfg["max_retries"])
 
     submitter = utils.SubmitterFactory(
         submitter_engine,
