@@ -9,6 +9,8 @@ substitute_config (:41-184), unroll_config (:186-245), run_jobs
 
 import os
 import re
+import shutil
+import sys
 from collections.abc import Mapping
 from copy import deepcopy
 from os import environ, path
@@ -187,12 +189,18 @@ def run_jobs(configs, global_config, overwrite=False, workdir=None,
              abort_on_error=True, environment=None):
     """Write job config files and submit each sub-job (runcfg +
     summarizer) via the configured engine; returns {prefix: job id}."""
-    cmd_base = (
-        environ.get("EVCOUPLINGS_RUNCFG_APP") or "evcouplings_runcfg"
+    # console scripts exist only when the package is pip-installed;
+    # fall back to `python -m` module execution so batch runs also
+    # work from a plain source checkout
+    cmd_base = environ.get("EVCOUPLINGS_RUNCFG_APP") or (
+        "evcouplings_runcfg"
+        if shutil.which("evcouplings_runcfg")
+        else "{} -m evcouplings_tpu.utils.pipeline".format(sys.executable)
     )
-    summ_base = (
-        environ.get("EVCOUPLINGS_SUMMARIZE_APP")
-        or "evcouplings_summarize"
+    summ_base = environ.get("EVCOUPLINGS_SUMMARIZE_APP") or (
+        "evcouplings_summarize"
+        if shutil.which("evcouplings_summarize")
+        else "{} -m evcouplings_tpu.utils.summarize".format(sys.executable)
     )
 
     prefix = global_config["global"]["prefix"]

@@ -11,6 +11,15 @@ setdefault.
 
 import os
 
+# several tests spawn worker subprocesses from temp directories; when
+# running from a plain source checkout (package not pip-installed) they
+# need the repo root on PYTHONPATH to import evcouplings_tpu
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_existing = os.environ.get("PYTHONPATH")
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + ((os.pathsep + _existing) if _existing else "")
+)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
