@@ -36,6 +36,27 @@ from evcouplings_tpu.utils.tracker import EStatus, get_result_tracker
 CONFIG_NAME = "{}_config.txt"
 
 
+def resolve_app_commands():
+    """Resolve the (runcfg, summarize) command strings for sub-jobs.
+
+    Console scripts exist only when the package is pip-installed; fall
+    back to `python -m` module execution so batch runs also work from
+    a plain source checkout. Explicit EVCOUPLINGS_RUNCFG_APP /
+    EVCOUPLINGS_SUMMARIZE_APP env vars override both.
+    """
+    cmd_base = environ.get("EVCOUPLINGS_RUNCFG_APP") or (
+        "evcouplings_runcfg"
+        if shutil.which("evcouplings_runcfg")
+        else "{} -m evcouplings_tpu.utils.pipeline".format(sys.executable)
+    )
+    summ_base = environ.get("EVCOUPLINGS_SUMMARIZE_APP") or (
+        "evcouplings_summarize"
+        if shutil.which("evcouplings_summarize")
+        else "{} -m evcouplings_tpu.utils.summarize".format(sys.executable)
+    )
+    return cmd_base, summ_base
+
+
 # one-to-one CLI flag -> (config section, option) substitutions
 _FLAG_TO_CONFIG = (
     ("prefix", "global", "prefix"),
@@ -189,19 +210,7 @@ def run_jobs(configs, global_config, overwrite=False, workdir=None,
              abort_on_error=True, environment=None):
     """Write job config files and submit each sub-job (runcfg +
     summarizer) via the configured engine; returns {prefix: job id}."""
-    # console scripts exist only when the package is pip-installed;
-    # fall back to `python -m` module execution so batch runs also
-    # work from a plain source checkout
-    cmd_base = environ.get("EVCOUPLINGS_RUNCFG_APP") or (
-        "evcouplings_runcfg"
-        if shutil.which("evcouplings_runcfg")
-        else "{} -m evcouplings_tpu.utils.pipeline".format(sys.executable)
-    )
-    summ_base = environ.get("EVCOUPLINGS_SUMMARIZE_APP") or (
-        "evcouplings_summarize"
-        if shutil.which("evcouplings_summarize")
-        else "{} -m evcouplings_tpu.utils.summarize".format(sys.executable)
-    )
+    cmd_base, summ_base = resolve_app_commands()
 
     prefix = global_config["global"]["prefix"]
 

@@ -273,6 +273,51 @@ class TestConfigSubstitution:
         assert len(configs) == 1
 
 
+class TestRuncfgCommandResolution:
+    """Batch runs must work from a plain source checkout: when the
+    evcouplings_runcfg/evcouplings_summarize console scripts are not
+    on PATH, run_jobs falls back to `python -m` module execution."""
+
+    def test_python_m_fallback_when_scripts_missing(self, monkeypatch):
+        import sys as _sys
+
+        from evcouplings_tpu.utils import app as app_mod
+
+        monkeypatch.delenv("EVCOUPLINGS_RUNCFG_APP", raising=False)
+        monkeypatch.delenv("EVCOUPLINGS_SUMMARIZE_APP", raising=False)
+        monkeypatch.setattr(app_mod.shutil, "which", lambda name: None)
+
+        cmd_base, summ_base = app_mod.resolve_app_commands()
+        assert cmd_base == (
+            _sys.executable + " -m evcouplings_tpu.utils.pipeline"
+        )
+        assert summ_base == (
+            _sys.executable + " -m evcouplings_tpu.utils.summarize"
+        )
+
+    def test_console_scripts_used_when_installed(self, monkeypatch):
+        from evcouplings_tpu.utils import app as app_mod
+
+        monkeypatch.delenv("EVCOUPLINGS_RUNCFG_APP", raising=False)
+        monkeypatch.delenv("EVCOUPLINGS_SUMMARIZE_APP", raising=False)
+        monkeypatch.setattr(
+            app_mod.shutil, "which", lambda name: "/usr/bin/" + name
+        )
+
+        assert app_mod.resolve_app_commands() == (
+            "evcouplings_runcfg", "evcouplings_summarize"
+        )
+
+    def test_env_override_wins(self, monkeypatch):
+        from evcouplings_tpu.utils import app as app_mod
+
+        monkeypatch.setenv("EVCOUPLINGS_RUNCFG_APP", "my_runcfg")
+        monkeypatch.setenv("EVCOUPLINGS_SUMMARIZE_APP", "my_summ")
+        monkeypatch.setattr(app_mod.shutil, "which", lambda name: None)
+
+        assert app_mod.resolve_app_commands() == ("my_runcfg", "my_summ")
+
+
 class TestAppEndToEnd:
     """Full L6->L5->L4 stack: app.run unrolls a batch sweep, submits
     each sub-job as an `evcouplings_runcfg` process via the local
