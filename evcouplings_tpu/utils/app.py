@@ -9,6 +9,7 @@ substitute_config (:41-184), unroll_config (:186-245), run_jobs
 
 import os
 import re
+import shlex
 import shutil
 import sys
 from collections.abc import Mapping
@@ -44,16 +45,31 @@ def resolve_app_commands():
     a plain source checkout. Explicit EVCOUPLINGS_RUNCFG_APP /
     EVCOUPLINGS_SUMMARIZE_APP env vars override both.
     """
+    python = shlex.quote(sys.executable)
     cmd_base = environ.get("EVCOUPLINGS_RUNCFG_APP") or (
         "evcouplings_runcfg"
         if shutil.which("evcouplings_runcfg")
-        else "{} -m evcouplings_tpu.utils.pipeline".format(sys.executable)
+        else "{} -m evcouplings_tpu.utils.pipeline".format(python)
     )
     summ_base = environ.get("EVCOUPLINGS_SUMMARIZE_APP") or (
         "evcouplings_summarize"
         if shutil.which("evcouplings_summarize")
-        else "{} -m evcouplings_tpu.utils.summarize".format(sys.executable)
+        else "{} -m evcouplings_tpu.utils.summarize".format(python)
     )
+    if "-m evcouplings_tpu" in cmd_base or "-m evcouplings_tpu" in summ_base:
+        # `python -m` sub-jobs run via shell with cwd=workdir, so the
+        # package must be importable in the child even from a plain
+        # source checkout launched elsewhere — export the package's
+        # parent directory on PYTHONPATH for everything we submit
+        import evcouplings_tpu
+        pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.abspath(evcouplings_tpu.__file__))
+        )
+        current = environ.get("PYTHONPATH", "")
+        if pkg_parent not in current.split(os.pathsep):
+            environ["PYTHONPATH"] = (
+                pkg_parent + (os.pathsep + current if current else "")
+            )
     return cmd_base, summ_base
 
 

@@ -41,13 +41,20 @@ class PersistentDict(dict):
         # test emptiness by the file's absence/zero size)
         if not len(self):
             return
-        tempname = self.filename + ".tmp"
-        # open OUTSIDE the try (reference semantics): if open itself
-        # fails there is no tmp file to remove, and the caller must
-        # see the original OSError, not a FileNotFoundError from the
-        # cleanup
-        fileobj = open(
-            tempname, "wb" if self.format == "pickle" else "w")
+        # Unique temp name per writer: several submitters/threads/
+        # processes may persist to the same db path concurrently (the
+        # reference's TestUtilsBatch reuses one db across tests while
+        # threads from a prior submitter are still draining). A shared
+        # "<file>.tmp" lets one writer's os.replace steal another's
+        # temp file (FileNotFoundError); mkstemp + atomic replace makes
+        # concurrent syncs safe with last-writer-wins semantics.
+        import tempfile
+        dirname = os.path.dirname(os.path.abspath(self.filename))
+        fd, tempname = tempfile.mkstemp(
+            prefix=os.path.basename(self.filename) + ".tmp",
+            dir=dirname)
+        fileobj = os.fdopen(
+            fd, "wb" if self.format == "pickle" else "w")
         try:
             self.dump(fileobj)
         except Exception:
