@@ -24,7 +24,7 @@ def add_precision(ec_table, dist_cutoff=5, score="cn",
                   dist_column="dist"):
     """Cumulative precision of ECs as contact predictors: at each rank,
     TP / (TP + FP) where TP = pairs with distance <= dist_cutoff."""
-    ec_table = ec_table.sort_values(by=score, ascending=False)
+    ec_table = ec_table.sort_values(by=score, ascending=False, kind="stable")
 
     if min_sequence_dist is not None:
         ec_table = ec_table.query("abs(i - j) >= @min_sequence_dist")

@@ -44,7 +44,9 @@ def read_raw_ec_file(filename, sort=True, score="cn"):
         filename, sep=" ", names=["i", "A_i", "j", "A_j", "fn", "cn"]
     )
     if sort:
-        ecs = ecs.sort_values(by=score, ascending=False)
+        # stable sort keeps plmc's file order within tied scores, so
+        # round-tripping a reference-produced EC file is deterministic
+        ecs = ecs.sort_values(by=score, ascending=False, kind="stable")
     return ecs
 
 
