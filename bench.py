@@ -19,11 +19,31 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 PLMC_32T_BASELINE = 5.0e6  # seq*site/s, analytic bound, see module docstring
+
+# Measured CPU baseline (benchmarks/cpu_baseline.py): the same
+# value+gradient pass as vectorized numpy/OpenBLAS GEMMs on this
+# container's host CPU, linearly extrapolated to plmc's recommended 32
+# threads. GEMM throughput upper-bounds plmc's scalar loops, so
+# vs_measured_cpu is a conservative speedup claim.
+CPU_BASELINE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "cpu_baseline.json",
+)
+
+
+def measured_cpu_baseline():
+    try:
+        with open(CPU_BASELINE_FILE) as f:
+            data = json.load(f)
+        return float(data["plm_value_grad_seq_sites_per_s_32t_extrapolated"])
+    except (OSError, KeyError, ValueError):
+        return None
 
 # N = 32768 amortizes the N-independent per-step epilogue (optimizer +
 # regularizer traffic over the (Lq, Lq) arrays) across twice the rows:
@@ -36,32 +56,27 @@ WARMUP_CALLS = 2
 BENCH_CALLS = 4
 
 
-def main():
+def _plm_throughput(cfg, n, steps_per_call, warmup_calls, bench_calls,
+                    seed=0):
+    """seq*site/s of the fused value+grad + optimizer step loop at the
+    given PlmConfig (one step = one plmc-LBFGS-iteration equivalent)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from evcouplings_tpu.ops.plm import PlmConfig, make_plm_value_and_grad
-
-    from evcouplings_tpu.ops.plm import build_augmented_onehot
-
-    # production throughput mode: bf16 compute with float32 master
-    # parameters (the parity path uses dtype float32 + "highest");
-    # block 8192 engages the two-phase gradient layout (residual
-    # materialization + one K=N GEMM for dJh instead of a carried f32
-    # accumulator — PlmConfig.grad_layout)
-    cfg = PlmConfig(
-        block_size=8192, precision="default", dtype="bfloat16",
-        solver="adam",
+    from evcouplings_tpu.ops.plm import (
+        build_augmented_onehot, make_plm_value_and_grad,
     )
+
     vg = make_plm_value_and_grad(L, Q, cfg)
 
-    rng = np.random.default_rng(0)
-    codes = jnp.asarray(rng.integers(0, Q, size=(N, L)), dtype=jnp.int8)
-    weights = jnp.ones((N,), dtype=jnp.float32)
+    rng = np.random.default_rng(seed)
+    codes = jnp.asarray(rng.integers(0, Q, size=(n, L)), dtype=jnp.int8)
+    weights = jnp.ones((n,), dtype=jnp.float32)
+    compute_dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     # static per-fit input of the two-phase layout, built once
     oh_aug = jax.jit(
-        lambda c: build_augmented_onehot(c, Q, jnp.bfloat16)
+        lambda c: build_augmented_onehot(c, Q, compute_dtype)
     )(codes)
 
     params = {
@@ -71,10 +86,10 @@ def main():
     opt = optax.adam(cfg.adam_lr)
     state = opt.init(params)
 
-    # production step loop: STEPS_PER_CALL optimizer steps chained
-    # on-device per dispatch (ops/plm.py PlmConfig.steps_per_call) —
-    # the host round-trip through the TPU tunnel costs about as much
-    # as one grad eval, so chunking roughly doubles throughput
+    # step loop: steps_per_call optimizer steps chained on-device per
+    # dispatch (ops/plm.py PlmConfig.steps_per_call) — the host
+    # round-trip through the TPU tunnel costs about as much as one
+    # grad eval, so chunking roughly doubles throughput
     @jax.jit
     def step_chunk(params, state):
         def body(carry, _):
@@ -83,26 +98,66 @@ def main():
             updates, state = opt.update(grad, state, params)
             return (optax.apply_updates(params, updates), state), value
         (params, state), values = jax.lax.scan(
-            body, (params, state), None, length=STEPS_PER_CALL
+            body, (params, state), None, length=steps_per_call
         )
         return params, state, values
 
-    for _ in range(WARMUP_CALLS):
+    for _ in range(warmup_calls):
         params, state, values = step_chunk(params, state)
     jax.block_until_ready(params)
 
     t0 = time.perf_counter()
-    for _ in range(BENCH_CALLS):
+    for _ in range(bench_calls):
         params, state, values = step_chunk(params, state)
     jax.block_until_ready(params)
     elapsed = time.perf_counter() - t0
 
-    throughput = N * L * BENCH_CALLS * STEPS_PER_CALL / elapsed
+    return n * L * bench_calls * steps_per_call / elapsed
+
+
+def main():
+    from evcouplings_tpu.ops.plm import PlmConfig
+
+    # production throughput mode: bf16 compute with float32 master
+    # parameters; block 8192 engages the two-phase gradient layout
+    # (residual materialization + one K=N GEMM for dJh instead of a
+    # carried f32 accumulator — PlmConfig.grad_layout)
+    production = PlmConfig(
+        block_size=8192, precision="default", dtype="bfloat16",
+        solver="adam",
+    )
+    throughput = _plm_throughput(
+        production, N, STEPS_PER_CALL, WARMUP_CALLS, BENCH_CALLS,
+    )
+
+    # parity mode: f32 with "highest" matmul precision — the numerics
+    # that match plmc and that the golden/byte-parity gates run under.
+    # Smaller N and fewer steps: this exists to put a measured number
+    # on the mode the parity claims are about, not to win the headline.
+    parity = PlmConfig(
+        block_size=8192, precision="highest", dtype="float32",
+        solver="adam",
+    )
+    parity_throughput = _plm_throughput(
+        parity, N // 2, STEPS_PER_CALL // 3, 1, 2,
+    )
+
+    cpu = measured_cpu_baseline()
     print(json.dumps({
         "metric": "plm_fit_seq_sites_per_s",
         "value": round(throughput, 1),
         "unit": "seq*site/s per chip",
         "vs_baseline": round(throughput / PLMC_32T_BASELINE, 2),
+        "vs_measured_cpu": (
+            round(throughput / cpu, 2) if cpu else None
+        ),
+        "parity_mode_value": round(parity_throughput, 1),
+        "parity_mode_vs_baseline": round(
+            parity_throughput / PLMC_32T_BASELINE, 2
+        ),
+        "parity_mode_vs_measured_cpu": (
+            round(parity_throughput / cpu, 2) if cpu else None
+        ),
     }))
 
 
