@@ -8,10 +8,11 @@ cns_dgsa_fold (:429-597).
 
 CNS input-script templates: the jinja2-templated .inp protocol scripts
 (generate_seq / generate_extended / dg_sa / generate_easy /
-model_minimize) originate from the CNSsolve distribution and are not
-bundled; they are loaded from `cns_template_dir` (parameter), the
-EVCOUPLINGS_CNS_TEMPLATE_DIR environment variable, or the packaged
-cns_templates/ directory (see its README for the variable contract).
+model_minimize) are BUNDLED in cns_templates/ as clean-room CNSsolve
+1.21 protocol scripts (see cns_templates/README.md); user overrides
+are loaded from `cns_template_dir` (parameter) or the
+EVCOUPLINGS_CNS_TEMPLATE_DIR environment variable, which take
+precedence over the packaged directory.
 """
 
 import os

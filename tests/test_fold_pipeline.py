@@ -1,12 +1,15 @@
 """
 Hermetic end-to-end test of the fold stage: the full standard protocol
 (secondary structure -> clash filtering -> restraint generation ->
-CNS dg/sa orchestration -> model ranking) driven with a fake CNS
-binary and fake .inp templates. The fake templates render
-TOUCH/MAKEPDB/MAKEMODELS directives that the fake binary executes, so
-every real code path (restraint writers, topology/extended/dgsa/
-minimize sequencing, model collection, dihedral ranking) runs without
-CNSsolve.
+CNS dg/sa orchestration -> model ranking) driven through the REAL
+bundled .inp protocol templates (evcouplings_tpu/fold/cns_templates/)
+with a fake CNS binary. The fake binary parses the rendered CNS
+scripts it receives on stdin — `write structure output=`, `write
+coordinates output=`, and the dg_sa trial loop's runtime-assembled
+$filename — and produces the corresponding output files, so every
+real code path (template rendering, restraint writers, topology/
+extended/dgsa/minimize sequencing, model collection, dihedral
+ranking) runs without CNSsolve.
 """
 
 import os
@@ -20,31 +23,38 @@ from evcouplings_tpu.fold import protocol as fold_protocol
 SEQ = "MKTAYIAKQRQISFVKSHFSRQ"
 L = len(SEQ)
 
-TEMPLATES = {
-    "generate_seq": "TOUCH {{ mtf_outfile }}\n",
-    "generate_extended": "MAKEPDB {{ pdb_outfile }}\n",
-    "dg_sa": (
-        "MAKEMODELS {{ pdb_outfile_basename }} {{ num_structures }}\n"
-    ),
-    "generate_easy": (
-        "MAKEPDB {{ pdb_outfile }}\nTOUCH {{ mtf_outfile }}\n"
-    ),
-    "model_minimize": "MAKEPDB {{ pdb_outfile }}\n",
-}
+FAKE_CNS = """#!/usr/bin/env python3
+# fake CNSsolve: reads the rendered protocol script from stdin (the
+# way run_cns drives the real binary) and materializes every output
+# file the script would write
+import os, re, shutil, sys
 
-FAKE_CNS = """#!/bin/bash
-# fake CNSsolve: execute directives from the rendered .inp on stdin
-# (|| [ -n ... ] handles the final line missing its newline — jinja2
-# strips the trailing newline when rendering the templates)
-set -e
-while read -r op a b || [ -n "$op" ]; do
-  case "$op" in
-    TOUCH) : > "$a";;
-    MAKEPDB) cp "$PDBSRC" "$a";;
-    MAKEMODELS)
-      for ((k=1; k<=b; k++)); do cp "$PDBSRC" "${a}_${k}.pdb"; done;;
-  esac
-done
+script = sys.stdin.read()
+src = os.environ["PDBSRC"]
+
+# write structure output="<file>" end  -> molecular topology file
+for m in re.finditer(r'write\\s+structure\\s+output="([^"]+)"', script):
+    with open(m.group(1), "w") as f:
+        f.write("fake mtf\\n")
+
+# write coordinates [format=X] output="<file>" end -> PDB copy
+for m in re.finditer(
+        r'write\\s+coordinates\\s+(?:format=\\w+\\s+)?output="([^"]+)"',
+        script):
+    shutil.copy(src, m.group(1))
+
+# dg_sa trial loop: filename assembled at CNS runtime from
+#   evaluate ($filename = "<base>_" + encode($count) + ".pdb")
+# inside  while ($count < N) loop dgsa
+fm = re.search(
+    r'\\$filename\\s*=\\s*"([^"]+)"\\s*\\+\\s*'
+    r'encode\\(\\$count\\)\\s*\\+\\s*"\\.pdb"',
+    script, re.S)
+cm = re.search(r'while\\s+\\(\\$count\\s*<\\s*(\\d+)\\)\\s+loop\\s+dgsa',
+               script)
+if fm and cm:
+    for k in range(1, int(cm.group(1)) + 1):
+        shutil.copy(src, fm.group(1) + str(k) + ".pdb")
 """
 
 
@@ -73,12 +83,9 @@ def helix_pdb(n_residues):
 
 @pytest.fixture
 def fold_env(tmp_path, monkeypatch):
-    # fake template dir
-    tdir = tmp_path / "templates"
-    tdir.mkdir()
-    for name, content in TEMPLATES.items():
-        (tdir / (name + ".inp")).write_text(content)
-    monkeypatch.setenv("EVCOUPLINGS_CNS_TEMPLATE_DIR", str(tdir))
+    # the REAL bundled templates are the default search path; make
+    # sure no environment override redirects them
+    monkeypatch.delenv("EVCOUPLINGS_CNS_TEMPLATE_DIR", raising=False)
 
     # fake cns binary, three levels deep like a real install
     bin_dir = tmp_path / "cnsroot" / "intel" / "bin"
