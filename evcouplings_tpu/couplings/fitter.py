@@ -38,6 +38,7 @@ from evcouplings_tpu.align.alignment import (
 from evcouplings_tpu.couplings.model import CouplingsModel
 from evcouplings_tpu.ops import scores as _scores
 from evcouplings_tpu.ops.frequencies import frequencies, pair_frequencies
+from evcouplings_tpu.ops import plm as ops_plm
 from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
 from evcouplings_tpu.ops.weights import num_cluster_members
 from evcouplings_tpu.utils.system import (
@@ -167,10 +168,10 @@ def write_raw_ec_file(couplings_file, index_list, target_seq, fn, cn):
 def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             alphabet=None, theta=None, scale=None, ignore_gaps=False,
             iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
-            cpu=None, binary=None, mesh=None, solver="lbfgs",
+            cpu=None, binary=None, mesh=None, solver=None,
             block_size=None, steps_per_call=1,
             compute_dtype="float32", matmul_precision="highest",
-            parametrization="symmetric",
+            parametrization="auto",
             callback=None, checkpoint_file=None, checkpoint_every=50):
     """Fit a Potts model by pseudolikelihood maximization and write the
     plmc-compatible artifacts.
@@ -180,11 +181,19 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     and ignored (compute runs on the JAX default device / the given
     mesh).
 
-    parametrization: "symmetric" (plmc semantics, ops/plm.py) or
+    parametrization: "symmetric" (plmc semantics, ops/plm.py),
     "asymmetric" (site-sharded independent per-site regressions,
     symmetrized post-fit — ops/plm_sites.py; solver "adam" or
     per-site "lbfgs", supports a 2D ("data", "model") mesh for L
-    beyond single-chip HBM).
+    beyond single-chip HBM), or "auto" (default): symmetric while the
+    estimated per-device peak HBM fits the budget, transparently
+    falling back to asymmetric for large L (ops/plm.py
+    estimate_fit_hbm_bytes / device_hbm_budget). An EXPLICIT
+    "symmetric" request past the budget raises an actionable error
+    instead of compiling into an OOM.
+
+    solver: None picks the parametrization's default ("lbfgs" for
+    symmetric — plmc parity — and "adam" for asymmetric).
 
     Returns PlmResult (same fields as the reference PlmcResult).
     """
@@ -229,6 +238,75 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     if ignore_gaps:
         gap_code = 0      # gap is by convention first character
         fit_codes = np.where(codes == gap_code, -1, codes).astype(np.int8)
+
+    # --- parametrization routing (preflight HBM estimate) ----------
+    def _fmt_bytes(b):
+        return ("{:.1f} GiB".format(b / 2 ** 30) if b >= 2 ** 30
+                else "{:.1f} MiB".format(b / 2 ** 20))
+
+    # mesh axis sizes for the per-device estimate
+    n_data_shards, n_model_shards = 1, 1
+    if mesh is not None:
+        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        n_data_shards = shape.get("data", 1)
+        n_model_shards = shape.get("model", 1)
+
+    if parametrization not in ("auto", "symmetric", "asymmetric"):
+        raise ValueError(
+            "Invalid parametrization: {!r} (valid: auto, symmetric, "
+            "asymmetric)".format(parametrization))
+
+    if parametrization in ("auto", "symmetric"):
+        sym_cfg = PlmConfig(
+            solver=solver or "lbfgs",
+            dtype=compute_dtype,
+            block_size=int(block_size or 512),
+        )
+        budget = ops_plm.device_hbm_budget()
+        est = ops_plm.estimate_fit_hbm_bytes(
+            N, L, q, sym_cfg, "symmetric",
+            n_data_shards=n_data_shards * n_model_shards,
+        )
+        if est > 0.9 * budget:
+            if parametrization == "symmetric":
+                raise MemoryError(
+                    "Symmetric PLM fit at L={} (q={}) needs an "
+                    "estimated {} of device memory but only "
+                    "{} is available. Use 'parametrization: "
+                    "asymmetric' (site-sharded per-site regressions; "
+                    "add 'model_shards: k' to split sites across "
+                    "devices), or leave parametrization unset to "
+                    "route automatically.".format(
+                        L, q, _fmt_bytes(est), _fmt_bytes(budget))
+                )
+            parametrization = "asymmetric"
+        else:
+            parametrization = "symmetric"
+
+    if parametrization == "asymmetric":
+        asym_cfg = PlmConfig(
+            solver=solver or "adam",
+            dtype=compute_dtype,
+            block_size=int(block_size or 512),
+        )
+        budget = ops_plm.device_hbm_budget()
+        est = ops_plm.estimate_fit_hbm_bytes(
+            N, L, q, asym_cfg, "asymmetric",
+            n_data_shards=n_data_shards, n_model_shards=n_model_shards,
+        )
+        if est > budget:
+            raise MemoryError(
+                "Asymmetric PLM fit at L={} (q={}) needs an estimated "
+                "{} per device but only {} is "
+                "available; shard sites across more devices "
+                "('model_shards', currently {}).".format(
+                    L, q, _fmt_bytes(est), _fmt_bytes(budget),
+                    n_model_shards)
+            )
+
+    if solver is None:
+        solver = "adam" if parametrization == "asymmetric" else "lbfgs"
+    # ----------------------------------------------------------------
 
     if block_size is None:
         # parity (float32) mode: small blocks keep the carried f32

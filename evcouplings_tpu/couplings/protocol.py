@@ -157,19 +157,23 @@ def infer_plmc(**kwargs):
         #                  speed (42 vs 34 ms/iter measured).
         #   "production" — bfloat16 compute with f32 master
         #                  parameters; fastest.
-        # parametrization: "symmetric" (plmc semantics, default) or
-        # "asymmetric" (site-sharded per-site regressions for large L;
-        # defaults the solver to adam, or solver: lbfgs runs batched
-        # PER-SITE LBFGS — far fewer iterations, larger memory)
-        parametrization = kwargs.get("parametrization") or "symmetric"
-        if parametrization not in ("symmetric", "asymmetric"):
+        # parametrization: "auto" (default — symmetric plmc semantics
+        # while the preflight HBM estimate fits the device budget,
+        # transparent fallback to the asymmetric site-sharded fit for
+        # large L), "symmetric" (forced; raises an actionable error
+        # past the budget instead of OOMing), or "asymmetric"
+        # (site-sharded per-site regressions; defaults the solver to
+        # adam, or solver: lbfgs runs batched PER-SITE LBFGS — far
+        # fewer iterations, larger memory)
+        parametrization = kwargs.get("parametrization") or "auto"
+        if parametrization not in ("auto", "symmetric", "asymmetric"):
             raise InvalidParameterError(
                 "Invalid parametrization, valid options are: "
-                "symmetric, asymmetric"
+                "auto, symmetric, asymmetric"
             )
-        default_solver = (
-            "adam" if parametrization == "asymmetric" else "lbfgs")
-        solver = kwargs.get("solver") or default_solver
+        # solver None lets run_plm pick the resolved parametrization's
+        # default (lbfgs for symmetric, adam for asymmetric)
+        solver = kwargs.get("solver") or None
         precision_mode = kwargs.get("precision") or "parity"
         if precision_mode not in ("parity", "balanced", "production"):
             raise InvalidParameterError(
@@ -196,11 +200,17 @@ def infer_plmc(**kwargs):
             from evcouplings_tpu import parallel
 
             n_avail = len(_jax.devices())
-            if model_shards > 1 and parametrization != "asymmetric":
-                raise InvalidParameterError(
-                    "model_shards > 1 requires "
-                    "parametrization: asymmetric"
-                )
+            if model_shards > 1:
+                # site-sharding only exists on the asymmetric path;
+                # requesting it resolves "auto" accordingly
+                if parametrization == "auto":
+                    parametrization = "asymmetric"
+                    fitter_kwargs["parametrization"] = "asymmetric"
+                elif parametrization != "asymmetric":
+                    raise InvalidParameterError(
+                        "model_shards > 1 requires "
+                        "parametrization: asymmetric"
+                    )
             n_total = (
                 n_avail if fit_devices in (None, "all")
                 else int(fit_devices)
@@ -218,6 +228,15 @@ def infer_plmc(**kwargs):
             if parametrization == "asymmetric":
                 fitter_kwargs["mesh"] = parallel.make_mesh_2d(
                     n_total // model_shards, model_shards
+                )
+            elif parametrization == "auto":
+                # a ("data", "model"=1) mesh serves both outcomes of
+                # the preflight routing in run_plm: the symmetric fit
+                # shards rows over "data" and replicates over the
+                # size-1 "model" axis; the asymmetric fallback uses
+                # both axes
+                fitter_kwargs["mesh"] = parallel.make_mesh_2d(
+                    n_total, 1
                 )
             else:
                 fitter_kwargs["mesh"] = parallel.make_mesh(n_total)

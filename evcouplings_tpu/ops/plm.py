@@ -378,6 +378,85 @@ def _resolve_grad_layout(cfg, dtype, local_rows, lq_aug):
     return "carried"
 
 
+def device_hbm_budget():
+    """Per-device memory budget in bytes for the preflight router
+    (couplings/fitter.py parametrization="auto").
+
+    Resolution order: EVCOUPLINGS_HBM_BYTES environment variable
+    (simulated budgets in tests / user override), the device's
+    reported bytes_limit, then a conservative 16 GiB (TPU v5e HBM).
+    """
+    env = os.environ.get("EVCOUPLINGS_HBM_BYTES")
+    if env:
+        return int(float(env))
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 * 1024 ** 3
+
+
+def estimate_fit_hbm_bytes(n, l, q, cfg: "PlmConfig",
+                           parametrization="symmetric",
+                           n_data_shards=1, n_model_shards=1):
+    """Rough per-device peak-HBM estimate of a PLM fit, in bytes.
+
+    Counts the resident arrays of the chosen path (master parameters,
+    gradient, optimizer state, the grad-layout working set, codes /
+    one-hot inputs) plus a 25% allocator slack. Used by the couplings
+    protocol to route large-L fits to the asymmetric site-sharded
+    parametrization (or fail with an actionable message) BEFORE
+    burning a compile + OOM. Deliberately a cheap closed form, not an
+    XLA memory analysis — treat as +-30%.
+    """
+    f32 = 4
+    comp = 2 if cfg.dtype == "bfloat16" else 4
+    lq = l * q
+    lq_aug = _augmented_width(lq)
+    n_loc = -(-n // max(1, n_data_shards))
+    codes_bytes = n_loc * l                       # int8 rows
+
+    if parametrization == "asymmetric":
+        # per-site conditional regressions: params (L_loc, q, Lq_aug)
+        # in f32 plus solver state; inputs are the shared one-hot
+        l_loc = -(-l // max(1, n_model_shards))
+        d = l_loc * q * lq_aug
+        params = d * f32
+        grad = d * f32
+        if cfg.solver == "lbfgs":
+            opt = (2 * cfg.memory_size + 4) * d * f32
+        else:
+            opt = 2 * d * f32
+        onehot = n_loc * lq_aug * comp
+        act = cfg.block_size * (lq_aug + l_loc * q) * comp
+        total = params + grad + opt + onehot + act + codes_bytes
+    else:
+        # symmetric flat (Lq, Lq_aug) coupling matrix, replicated
+        d = lq * lq_aug
+        params = d * f32
+        grad = d * f32
+        if cfg.solver == "lbfgs":
+            # two (m, D) history arrays + ~4 D-sized work vectors
+            opt = (2 * cfg.memory_size + 4) * d * f32
+        else:
+            opt = 2 * d * f32                     # adam moments
+        layout = _resolve_grad_layout(
+            cfg, jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+            n_loc, lq_aug,
+        )
+        if layout == "two_phase":
+            # static augmented one-hot + per-step residual buffer
+            work = 2 * n_loc * lq_aug * comp
+        else:
+            # carried f32 accumulator + per-block one-hot/activations
+            work = d * f32 + 2 * cfg.block_size * lq_aug * comp
+        total = params + grad + opt + work + codes_bytes
+
+    return int(total * 1.25)
+
+
 def build_augmented_onehot(codes, q, dtype):
     """(N, Lq_aug) ones-augmented one-hot of an int code matrix —
     the static per-fit input of the two-phase gradient layout

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def main():
-    from test_protocols import write_synthetic_a2m
+    from test_protocols import write_synthetic_a2m, write_synthetic_a2m_gappy
 
     from evcouplings_tpu.couplings.fitter import run_plm
 
@@ -31,6 +31,22 @@ def main():
         matmul_precision="highest",
     )
     print("regenerated golden fixture:", res.optimization_status)
+
+    # fixture 2: heavy gaps + focus mode + ignore_gaps (plmc -g) +
+    # group-L1 (plmc -lg) through the full fitter — pins the smoothed
+    # group-L1 handling (ops/plm.py +1e-12) at fit level
+    write_synthetic_a2m_gappy(os.path.join(HERE, "golden2.a2m"))
+    res2 = run_plm(
+        os.path.join(HERE, "golden2.a2m"),
+        os.path.join(HERE, "golden2_ECs.txt"),
+        os.path.join(HERE, "golden2.model"),
+        focus_seq="TARGET_SEQ/21-36",
+        theta=0.8, ignore_gaps=True, iterations=40,
+        lambda_h=0.01, lambda_J=12.3, lambda_g=0.25,
+        solver="lbfgs", compute_dtype="float32",
+        matmul_precision="highest",
+    )
+    print("regenerated golden2 fixture:", res2.optimization_status)
 
 
 if __name__ == "__main__":

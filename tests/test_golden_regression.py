@@ -56,19 +56,20 @@ def test_ec_table_matches_golden(refit):
         got.cn.values, want.cn.values, rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(
         got.fn.values, want.fn.values, rtol=RTOL, atol=ATOL)
-    # the contact RANKING must be stable wherever the golden scores
-    # are separated by more than the tolerated numeric drift (exact
-    # ranking over near-ties would flake on any toolchain update)
-    want_sorted = np.sort(want.cn.values)[::-1]
-    gaps = -np.diff(want_sorted)
-    drift = 2 * (RTOL * np.abs(want_sorted[:-1]) + ATOL)
-    well_separated = np.flatnonzero(gaps > drift)
-    got_rank = np.argsort(-got.cn.values)
-    want_rank = np.argsort(-want.cn.values)
-    for k in well_separated:
-        # the set of the top-(k+1) ECs is unambiguous at this gap
-        np.testing.assert_array_equal(
-            np.sort(got_rank[:k + 1]), np.sort(want_rank[:k + 1]))
+    # EXACT full rank order (BASELINE.json: bit-equivalent EC ranks).
+    # Ties (bitwise-equal cn) are broken by (i, j) on both sides so
+    # the order is total; any swap of two distinct scores fails.
+    assert_exact_rank_order(got, want)
+
+
+def assert_exact_rank_order(got, want):
+    def order(df):
+        idx = np.lexsort(
+            (df.j.values, df.i.values, -df.cn.values)
+        )
+        return list(zip(df.i.values[idx], df.j.values[idx]))
+
+    assert order(got) == order(want)
 
 
 def test_model_file_matches_golden(refit):
@@ -86,3 +87,126 @@ def test_model_file_matches_golden(refit):
     np.testing.assert_allclose(got.h_i, want.h_i, rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(
         got.J_ij, want.J_ij, rtol=RTOL, atol=ATOL)
+
+
+# ---------------------------------------------------------------------
+# Fixture 2: heavy gaps + focus mode + ignore_gaps (plmc -g) +
+# group-L1 (plmc -lg) exercised through the FULL fitter — the flag
+# combination the first fixture leaves untested (reference flag
+# surface: /root/reference/evcouplings/couplings/tools.py:236-259).
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def refit2(tmp_path_factory):
+    from evcouplings_tpu.couplings.fitter import run_plm
+
+    d = tmp_path_factory.mktemp("golden2_refit")
+    ec_file = str(d / "ECs.txt")
+    model_file = str(d / "m.model")
+    run_plm(
+        os.path.join(GOLDEN, "golden2.a2m"), ec_file, model_file,
+        focus_seq="TARGET_SEQ/21-36",
+        theta=0.8, ignore_gaps=True, iterations=40,
+        lambda_h=0.01, lambda_J=12.3, lambda_g=0.25,
+        solver="lbfgs", compute_dtype="float32",
+        matmul_precision="highest",
+    )
+    return ec_file, model_file
+
+
+def test_gappy_groupl1_ec_table_matches_golden(refit2):
+    from evcouplings_tpu.couplings.pairs import read_raw_ec_file
+
+    ec_file, _ = refit2
+    got = read_raw_ec_file(ec_file, sort=False)
+    want = read_raw_ec_file(
+        os.path.join(GOLDEN, "golden2_ECs.txt"), sort=False)
+    assert (got.i == want.i).all() and (got.j == want.j).all()
+    np.testing.assert_allclose(
+        got.cn.values, want.cn.values, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        got.fn.values, want.fn.values, rtol=RTOL, atol=ATOL)
+    assert_exact_rank_order(got, want)
+
+
+def test_gappy_groupl1_model_matches_golden(refit2):
+    from evcouplings_tpu.couplings.model import CouplingsModel
+
+    _, model_file = refit2
+    got = CouplingsModel(model_file)
+    want = CouplingsModel(os.path.join(GOLDEN, "golden2.model"))
+
+    assert got.L == want.L and got.num_symbols == want.num_symbols
+    assert list(got.index_list) == list(want.index_list)
+    assert "".join(got.target_seq) == "".join(want.target_seq)
+    # lambda_group must round-trip through the plmc_v2 header
+    np.testing.assert_allclose(got.lambda_group, 0.25, rtol=1e-6)
+    np.testing.assert_allclose(got.weights, want.weights, rtol=1e-6)
+    np.testing.assert_allclose(got.f_i, want.f_i, rtol=1e-6)
+    np.testing.assert_allclose(got.h_i, want.h_i, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        got.J_ij, want.J_ij, rtol=RTOL, atol=ATOL)
+
+
+def test_group_l1_smoothing_is_the_documented_deviation():
+    """DELIBERATE DEVIATION from plmc, pinned: plmc treats the
+    group-L1 penalty lambda_g * sum_{i<j} ||J_ij||_F nonsmoothly
+    inside its LBFGS (subgradient 0 at J=0); our objective smooths it
+    as sqrt(||J_ij||^2 + 1e-12) (ops/plm.py) so the loss stays C^1
+    and lax-traceable. Consequences this test pins:
+
+      1. at J = 0 each pair block still contributes
+         0.5 * lambda_g * sqrt(1e-12) = 0.5e-6 * lambda_g to the
+         objective (plmc: exactly 0);
+      2. the gradient at J = 0 is exactly 0 (smoothing kills the
+         subgradient ambiguity), so LBFGS leaves an exactly-zero
+         block at zero unless the data pulls it away.
+
+    If the smoothing constant or functional form ever changes, this
+    fails and the change must be re-derived deliberately.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from evcouplings_tpu.ops.plm import PlmConfig, make_plm_loss
+
+    L, q, N = 4, 5, 8
+    # lambda_group large enough that the smoothing floor (0.5e-6 per
+    # block) is well above float32 resolution of the ~O(10) NLL
+    cfg = PlmConfig(
+        lambda_h=0.0, lambda_J=0.0, lambda_group=1e4,
+        dtype="float32", precision="highest", block_size=8,
+    )
+    loss = make_plm_loss(L, q, cfg)
+    rng = np.random.default_rng(3)
+    codes = jnp.asarray(
+        rng.integers(0, q, size=(N, L)), dtype=jnp.int8)
+    weights = jnp.ones((N,), jnp.float32)
+    params = {
+        "J": jnp.zeros((L * q, L * q), jnp.float32),
+        "h": jnp.zeros((L, q), jnp.float32),
+    }
+
+    value_at_zero = float(loss(params, codes, weights))
+    nll_only = float(
+        make_plm_loss(L, q, PlmConfig(
+            lambda_h=0.0, lambda_J=0.0, lambda_group=0.0,
+            dtype="float32", precision="highest", block_size=8,
+        ))(params, codes, weights)
+    )
+    # every (i, j) pair block (diagonal masked out contributes too —
+    # the smoothed norm of an all-zero block is sqrt(1e-12)) adds
+    # 0.5 * lambda_g * 1e-6
+    expected_smoothing = 0.5 * cfg.lambda_group * 1e-6 * (L * L)
+    np.testing.assert_allclose(
+        value_at_zero - nll_only, expected_smoothing, rtol=1e-3)
+
+    # the group term's gradient contribution at J = 0 is exactly 0
+    # (the NLL's data gradient is not — take the difference)
+    nll_loss = make_plm_loss(L, q, PlmConfig(
+        lambda_h=0.0, lambda_J=0.0, lambda_group=0.0,
+        dtype="float32", precision="highest", block_size=8,
+    ))
+    g = jax.grad(lambda p: loss(p, codes, weights))(params)
+    g0 = jax.grad(lambda p: nll_loss(p, codes, weights))(params)
+    assert float(jnp.max(jnp.abs(g["J"] - g0["J"]))) == 0.0

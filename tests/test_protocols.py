@@ -54,6 +54,46 @@ def write_synthetic_a2m(path, N=150, L=18, seed=7):
     return mat
 
 
+def write_synthetic_a2m_gappy(path, N=130, L=16, seed=23):
+    """Second golden-fixture alignment: like write_synthetic_a2m but
+    with HEAVY gaps (two columns at ~35% gap rate plus scattered
+    gaps), for pinning the fitter's gap handling (plmc -g semantics
+    via ignore_gaps) together with focus mode and group-L1."""
+    rng = np.random.default_rng(seed)
+    aa = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+    mat = np.empty((N, L), dtype="U1")
+    for col in range(L):
+        probs = rng.dirichlet(np.ones(20) * 0.4)
+        mat[:, col] = rng.choice(aa, size=N, p=probs)
+
+    planted = [
+        ((1, 8), ("A", "W"), ("C", "Y"), 0.88),
+        ((5, 13), ("D", "R"), ("E", "K"), 0.72),
+    ]
+    for (ci, cj), (si0, si1), (sj0, sj1), conc in planted:
+        state = rng.integers(0, 2, size=N)
+        follow = rng.random(N) < conc
+        partner = np.where(follow, state, 1 - state)
+        mat[:, ci] = np.where(state == 0, si0, si1)
+        mat[:, cj] = np.where(partner == 0, sj0, sj1)
+
+    # heavy gap columns (non-target rows): ~35% gap rate
+    for col in (3, 11):
+        gappy = 1 + rng.choice(N - 1, size=int(0.35 * N), replace=False)
+        mat[gappy, col] = "-"
+    # plus scattered gaps everywhere
+    gap_rows = rng.integers(1, N, size=40)
+    gap_cols = rng.integers(0, L, size=40)
+    mat[gap_rows, gap_cols] = "-"
+
+    with open(path, "w") as f:
+        f.write(">TARGET_SEQ/21-{}\n".format(21 + L - 1))
+        f.write("".join(mat[0]) + "\n")
+        for k in range(1, N):
+            f.write(">seq{}/1-{}\n{}\n".format(k, L, "".join(mat[k])))
+    return mat
+
+
 ALIGN_KWARGS = dict(
     sequence_id="TARGET_SEQ",
     first_index=None,
@@ -300,11 +340,15 @@ class TestCouplingsStandard:
         assert (top.i, top.j) == (13, 20)
 
     def test_model_shards_requires_asymmetric(self, pipeline_dir):
+        """model_shards > 1 only exists on the asymmetric path: with
+        the default parametrization ("auto") it resolves the routing
+        to asymmetric and succeeds; an EXPLICIT symmetric request
+        still raises."""
         from evcouplings_tpu.utils.config import InvalidParameterError
 
         d, _, align_outcfg, _ = pipeline_dir
         kwargs = dict(COUPLINGS_KWARGS)
-        kwargs.update(model_shards=2)
+        kwargs.update(model_shards=2, parametrization="symmetric")
         with pytest.raises(InvalidParameterError, match="asymmetric"):
             couplings_protocol.run(
                 protocol="standard",
@@ -315,6 +359,19 @@ class TestCouplingsStandard:
                 frequencies_file=align_outcfg["frequencies_file"],
                 **kwargs,
             )
+
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(model_shards=2)  # parametrization left at "auto"
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=str(d / "run_auto_shards" / "test"),
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+        assert os.path.isfile(outcfg["model_file"])
 
     def test_logistic_regression_none_min_seqdist(self, pipeline_dir):
         """min_sequence_distance: null is legal elsewhere in the stage
