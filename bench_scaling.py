@@ -17,6 +17,8 @@ collective layout but measures host-parallel rather than ICI scaling
 Prints one JSON line per mesh size:
   {"metric": "plm_weak_scaling", "devices": d,
    "value": <seq*site/s aggregate>, "efficiency": <vs 1 device>, ...}
+and writes the same records as one driver-capturable JSON artifact
+(--out, default SCALING.json in the working directory).
 """
 
 import argparse
@@ -34,6 +36,9 @@ def parse_args():
     p.add_argument("--sites", type=int, default=160)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--out", default="SCALING.json",
+                   help="JSON artifact with all per-mesh records "
+                        "('' disables)")
     return p.parse_args()
 
 
@@ -74,6 +79,7 @@ def main():
     )
     rng = np.random.default_rng(0)
 
+    records = []
     base_throughput = None
     for d in mesh_sizes:
         mesh = make_mesh(d)
@@ -122,7 +128,7 @@ def main():
             base_throughput = throughput
         efficiency = (throughput / d) / base_throughput
 
-        print(json.dumps({
+        record = {
             "metric": "plm_weak_scaling",
             "devices": d,
             "backend": backend,
@@ -132,8 +138,18 @@ def main():
             "unit": "seq*site/s aggregate",
             "step_ms": round(dt * 1e3, 2),
             "efficiency": round(efficiency, 3),
-        }))
+        }
+        records.append(record)
+        print(json.dumps(record))
         sys.stdout.flush()
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "metric": "plm_weak_scaling",
+                "records": records,
+            }, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":

@@ -106,7 +106,7 @@ class MeanFieldDCA:
         self.covariance_matrix = None
         self.covariance_matrix_inv = None
 
-    def fit(self, theta=0.8, pseudo_count=0.5, device=False):
+    def fit(self, theta=0.8, pseudo_count=0.5, device=False, mesh=None):
         """Run mean-field DCA; returns a MeanFieldCouplingsModel.
 
         Pipeline (reference mean_field.py:163-222): reweight sequences at
@@ -117,6 +117,12 @@ class MeanFieldDCA:
         JAX default device (TPU) instead of host float64 numpy — the
         hot step for large L (a 6000^2 inversion at L=300). Host f64
         remains the parity default.
+
+        mesh: a jax.sharding.Mesh with a "data" axis column-shards the
+        inversion's triangular solves across devices (C replicated,
+        each device solving its own identity-column block —
+        ops/mean_field.py invert_covariance_sharded); implies device
+        compute.
         """
         self._reset()
 
@@ -125,7 +131,16 @@ class MeanFieldDCA:
         self.regularize_pair_frequencies(pseudo_count=pseudo_count)
 
         self.compute_covariance_matrix()
-        if device:
+        if mesh is not None:
+            from evcouplings_tpu.ops.mean_field import (
+                invert_covariance_sharded,
+            )
+
+            self.covariance_matrix_inv = np.asarray(
+                invert_covariance_sharded(self.covariance_matrix, mesh),
+                dtype=np.float64,
+            )
+        elif device:
             from evcouplings_tpu.ops.mean_field import (
                 invert_covariance_device,
             )

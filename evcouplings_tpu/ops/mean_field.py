@@ -174,6 +174,53 @@ def invert_covariance_device(C):
     return -jnp.linalg.inv(jnp.asarray(C))
 
 
+def invert_covariance_sharded(C, mesh, axis="data"):
+    """-inv(C) with the solves column-sharded over a device mesh.
+
+    The (L(q-1))^2 covariance inversion is the mean-field hot step for
+    large L (reference mean_field.py:203-205 does np.linalg.inv on the
+    host). Dense inversion = LU factorization (~2/3 D^3 FLOPs, a
+    sequential dependency chain XLA cannot usefully shard) + D
+    triangular solve columns (~2 D^3 FLOPs, embarrassingly parallel
+    across columns). This shards the dominant solve phase: C is
+    replicated, each device LU-factorizes its copy once and solves
+    only its own block of identity columns, and the -inv(C) result
+    comes back column-sharded (~3x at 8 devices; the factorization
+    floor caps further scaling — a genuinely distributed factorization
+    would need a blocked ScaLAPACK-style kernel, unwarranted at the
+    L <= ~10^3 scales of this domain).
+
+    C is replicated to every device, so single-device HBM must hold
+    one (D, D) copy — the win is time, not memory.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    C = jnp.asarray(C)
+    D = C.shape[0]
+    n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+
+    # pad identity COLUMNS to a multiple of the shard count; the
+    # padded zero columns solve to zero and are sliced off
+    pad = (-D) % n_shards
+    eye = np.eye(D, dtype=C.dtype)
+    if pad:
+        eye = np.pad(eye, [(0, 0), (0, pad)])
+    eye = jax.device_put(
+        jnp.asarray(eye), NamedSharding(mesh, P(None, axis))
+    )
+
+    def shard_fn(C_full, I_blk):
+        return -jnp.linalg.solve(C_full, I_blk)
+
+    X = jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=P(None, axis),
+    ))(C, eye)
+    return X[:, :D]
+
+
 @jax.jit
 def _di_device_kernel(W, fi, fj, epsilon):
     P, q, _ = W.shape

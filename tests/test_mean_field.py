@@ -238,3 +238,39 @@ class TestDeviceInversion:
         np.testing.assert_allclose(
             m_dev.h_i, m_host.h_i, rtol=1e-4, atol=1e-6
         )
+
+
+class TestShardedInversion:
+    """Column-sharded -inv(C) (ops/mean_field.py
+    invert_covariance_sharded): the mean-field hot step on a multi-
+    device mesh, run here on the 8-virtual-device CPU test mesh."""
+
+    def test_sharded_matches_numpy(self):
+        from evcouplings_tpu.ops.mean_field import (
+            invert_covariance_sharded,
+        )
+        from evcouplings_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(17)
+        # D NOT a multiple of the 8-device mesh: exercises column pad
+        D = 8 * 5 + 3
+        A = rng.standard_normal((D, D))
+        C = A @ A.T + D * np.eye(D)
+
+        got = np.asarray(invert_covariance_sharded(C, make_mesh()))
+        np.testing.assert_allclose(got, -np.linalg.inv(C), atol=1e-8)
+
+    def test_mesh_fit_matches_host_fit(self):
+        from evcouplings_tpu.parallel import make_mesh
+
+        ali = synthetic_focus_alignment(N=60, L=7)
+        m_host = MeanFieldDCA(ali).fit(theta=0.8, pseudo_count=0.5)
+        m_mesh = MeanFieldDCA(ali).fit(
+            theta=0.8, pseudo_count=0.5, mesh=make_mesh()
+        )
+        np.testing.assert_allclose(
+            m_mesh.J_ij, m_host.J_ij, rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            m_mesh.h_i, m_host.h_i, rtol=1e-4, atol=1e-6
+        )
