@@ -21,26 +21,67 @@ from evcouplings_tpu.utils.update_database import (
 # ---------------------------------------------------------------------
 
 class _FakeCollection:
+    """Minimal mongo collection: match-by-equality filters, upserts,
+    and dot-path "$set" nesting (so partial updates of the "results"
+    subdocument behave like real MongoDB)."""
+
     def __init__(self):
-        self.docs = {}
+        self.docs = []
+        self._next_id = 0
+
+    def _match(self, filt):
+        return [
+            d for d in self.docs
+            if all(d.get(k) == v for k, v in filt.items())
+        ]
+
+    @staticmethod
+    def _set_path(doc, dotted, value):
+        parts = dotted.split(".")
+        node = doc
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def _apply(self, doc, update):
+        for k, v in update.get("$set", {}).items():
+            self._set_path(doc, k, v)
+
+    def _insert_from(self, update):
+        self._next_id += 1
+        doc = {"_id": self._next_id}
+        for k, v in update.get("$setOnInsert", {}).items():
+            self._set_path(doc, k, v)
+        self.docs.append(doc)
+        return doc
+
+    def find_one_and_update(self, filt, update, upsert=False,
+                            new=False, **_):
+        matched = self._match(filt)
+        if matched:
+            doc = matched[0]
+        elif upsert:
+            doc = self._insert_from(update)
+        else:
+            return None
+        self._apply(doc, update)
+        return doc
 
     def update_one(self, filt, update, upsert=False):
-        key = filt["job_id"]
-        doc = self.docs.get(key)
-        if doc is None:
-            if not upsert:
+        matched = self._match(filt)
+        if not matched:
+            if upsert:
+                matched = [self._insert_from(update)]
+            else:
                 return
-            doc = dict(update.get("$setOnInsert", {}))
-            self.docs[key] = doc
-        for k, v in update.get("$set", {}).items():
-            doc[k] = v
+        self._apply(matched[0], update)
 
     def find_one(self, filt):
-        return self.docs.get(filt["job_id"])
+        matched = self._match(filt)
+        return matched[0] if matched else None
 
     def find(self, filt):
-        doc = self.docs.get(filt["job_id"])
-        return [] if doc is None else [doc]
+        return list(self._match(filt))
 
 
 class _FakeDB:
@@ -139,6 +180,21 @@ class TestMongoDBTracker:
         assert doc["stage"] == "align"
         assert doc["message"] == "go"
         assert "time_started" in doc
+        # entering RUN fills in the job location from the runner's cwd
+        # (reference mongodb.py:373-379)
+        assert doc["location"] == os.getcwd()
+
+    def test_new_document_without_status_is_init(self, fake_mongo,
+                                                 tmp_path):
+        t = _make_tracker(tmp_path)
+        t.update(results={"num_sequences": 3})
+        doc = t.jobs.find_one({"job_id": "job1"})
+        assert doc["status"] == "initialized"
+        # a later status-less update must NOT reset it
+        t.update(stage="couplings")
+        doc = t.jobs.find_one({"job_id": "job1"})
+        assert doc["status"] == "initialized"
+        assert doc["stage"] == "couplings"
 
     def test_get_returns_current_document(self, fake_mongo, tmp_path):
         t = _make_tracker(tmp_path)
@@ -148,33 +204,86 @@ class TestMongoDBTracker:
         assert doc["status"] == "running"
         assert doc["stage"] == "align"
 
-    def test_results_merge_and_file_sync(self, fake_mongo, tmp_path):
+    def test_path_mode_stores_no_files(self, fake_mongo, tmp_path):
+        """file_list=None: results recorded as paths, nothing in
+        GridFS, delete-listed keys dropped (reference :273-282)."""
         f1 = tmp_path / "a.csv"
         f1.write_text("x,y\n1,2\n")
-        t = _make_tracker(tmp_path)
+        t = _make_tracker(tmp_path, delete_list=["scratch_file"])
         t.update(results={
             "alignment_file": str(f1),
             "num_sequences": 10,
-            "missing_file": str(tmp_path / "nope.txt"),
+            "scratch_file": str(tmp_path / "scratch.txt"),
         })
         doc = t.jobs.find_one({"job_id": "job1"})
-        assert doc["results.num_sequences"] == 10
-        assert doc["results.alignment_file"] == str(f1)
-        # only the existing *_file was mirrored into gridfs
-        stored = list(t.fs.files.values())
-        assert len(stored) == 1
-        assert stored[0].filename == "job1:alignment_file"
-        assert stored[0].data == b"x,y\n1,2\n"
+        assert doc["results"]["num_sequences"] == 10
+        assert doc["results"]["alignment_file"] == str(f1)
+        assert "scratch_file" not in doc["results"]
+        assert t.fs.files == {}
 
-        # re-sync replaces the stale copy instead of duplicating
+    def test_gridfs_mode_mirrors_and_replaces(self, fake_mongo,
+                                              tmp_path):
+        """file_list given: listed files go to GridFS, their result
+        entries become {filename, fs_id}, and a re-update deletes the
+        outdated GridFS version by its recorded fs_id
+        (reference :284-334)."""
+        f1 = tmp_path / "a.csv"
+        f1.write_text("x,y\n1,2\n")
+        t = _make_tracker(tmp_path, file_list=["alignment_file"])
+        t.update(results={
+            "alignment_file": str(f1), "num_sequences": 10,
+        })
+        doc = t.jobs.find_one({"job_id": "job1"})
+        entry = doc["results"]["alignment_file"]
+        assert entry["filename"] == str(f1)
+        stored = t.fs.files[entry["fs_id"]]
+        assert stored.data == b"x,y\n1,2\n"
+        assert stored.meta["parent_id"] == doc["_id"]
+        assert doc["results"]["num_sequences"] == 10
+
+        # partial re-update: the stale GridFS copy is deleted by fs_id
         f1.write_text("x,y\n3,4\n")
         t.update(results={"alignment_file": str(f1)})
-        stored = list(t.fs.files.values())
-        assert len(stored) == 1
-        assert stored[0].data == b"x,y\n3,4\n"
+        doc = t.jobs.find_one({"job_id": "job1"})
+        assert len(t.fs.files) == 1
+        assert t.fs.files[
+            doc["results"]["alignment_file"]["fs_id"]
+        ].data == b"x,y\n3,4\n"
+        # untouched keys of the results subdocument survive
+        assert doc["results"]["num_sequences"] == 10
 
-    def test_file_list_and_delete_list_filters(self, fake_mongo,
-                                               tmp_path):
+    def test_gridfs_mode_file_lists_and_mappings(self, fake_mongo,
+                                                 tmp_path):
+        """"*_files" entries: a list of paths maps to a list of
+        {filename, fs_id}; a mapping path->annotation carries the
+        annotation in a "value" field (reference :236-250)."""
+        fa = tmp_path / "m1.pdb"
+        fa.write_text("m1")
+        fb = tmp_path / "m2.pdb"
+        fb.write_text("m2")
+        t = _make_tracker(tmp_path, file_list=["model_files"])
+
+        t.update(results={"model_files": [str(fa), str(fb)]})
+        doc = t.jobs.find_one({"job_id": "job1"})
+        entries = doc["results"]["model_files"]
+        assert [e["filename"] for e in entries] == [str(fa), str(fb)]
+        assert len(t.fs.files) == 2
+
+        # mapping form replaces the list (stale copies dropped)
+        t.update(results={"model_files": {str(fa): 0.25}})
+        doc = t.jobs.find_one({"job_id": "job1"})
+        entries = doc["results"]["model_files"]
+        assert entries == [{
+            "filename": str(fa),
+            "fs_id": entries[0]["fs_id"],
+            "value": 0.25,
+        }]
+        assert len(t.fs.files) == 1
+
+    def test_gridfs_mode_key_filtering(self, fake_mongo, tmp_path):
+        """file_list mode: unlisted file keys are not recorded at all;
+        delete-listed files MAY be mirrored into GridFS — that is the
+        only place they survive (reference :60-68,284-305)."""
         f1 = tmp_path / "keep.csv"
         f1.write_text("k")
         f2 = tmp_path / "skip.csv"
@@ -191,12 +300,41 @@ class TestMongoDBTracker:
             "skip_file": str(f2),
             "del_file": str(f3),
         })
-        stored = {f.filename for f in t.fs.files.values()}
-        assert stored == {"job1:keep_file"}
         doc = t.jobs.find_one({"job_id": "job1"})
-        # delete-listed results are not recorded at all
-        assert "results.del_file" not in doc
-        assert doc["results.skip_file"] == str(f2)
+        assert doc["results"]["keep_file"]["filename"] == str(f1)
+        assert doc["results"]["del_file"]["filename"] == str(f3)
+        assert "skip_file" not in doc["results"]
+        data = {f.data for f in t.fs.files.values()}
+        assert data == {b"k", b"d"}
+
+    def test_unreadable_listed_file_raises(self, fake_mongo, tmp_path):
+        from evcouplings_tpu.utils.system import ResourceError
+
+        t = _make_tracker(tmp_path, file_list=["model_file"])
+        with pytest.raises(ResourceError, match="storing in MongoDB"):
+            t.update(results={
+                "model_file": str(tmp_path / "missing.model"),
+            })
+
+    def test_path_to_gridfs_migration_tolerated(self, fake_mongo,
+                                                tmp_path):
+        """A database written in path mode then re-run with a
+        file_list: the stale results entry is a plain string with no
+        fs_id — deletion must skip it, not crash (reference
+        :190-198)."""
+        f1 = tmp_path / "a.csv"
+        f1.write_text("v1")
+        t = _make_tracker(tmp_path)                     # path mode
+        t.update(results={"alignment_file": str(f1)})
+
+        t2 = _make_tracker(tmp_path, file_list=["alignment_file"])
+        t2.client = t.client                            # same "server"
+        t2.jobs = t.jobs
+        t2.fs = t.fs
+        t2.update(results={"alignment_file": str(f1)})
+        doc = t2.jobs.find_one({"job_id": "job1"})
+        assert doc["results"]["alignment_file"]["filename"] == str(f1)
+        assert len(t2.fs.files) == 1
 
 
 # ---------------------------------------------------------------------
