@@ -161,6 +161,12 @@ def decode_column(column):
 def _encode_numeric(values):
     values = np.asarray(values)
     if values.dtype.kind == "f":
+        if not np.all(np.isfinite(values)):
+            raise ValueError(
+                "Cannot encode non-finite values in a fixed-point "
+                "BinaryCIF column (NaN/inf would silently corrupt to "
+                "INT32_MIN/1000)"
+            )
         # fixed point with 3 decimals, stored as int32 deltas
         ints = np.round(values * 1000).astype("<i4")
         return ints.tobytes(), [

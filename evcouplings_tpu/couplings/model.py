@@ -482,6 +482,12 @@ class CouplingsModel:
         L = int(self.L)
         ii, jj = _triu_pairs(L)
         index_arr = np.asarray(self.index_list)
+        if index_arr.ndim > 1:
+            # (segment, position) tuple numbering (a model patched by
+            # SegmentIndexMapper): keep one tuple per entry instead of
+            # letting numpy spread tuples into a 2D array
+            index_arr = np.empty(len(self.index_list), dtype=object)
+            index_arr[:] = [tuple(x) for x in self.index_list]
         try:
             seqdist = np.abs(index_arr[ii] - index_arr[jj])
         except TypeError:

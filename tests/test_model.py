@@ -220,6 +220,29 @@ class TestSegments:
         assert mapper.to_target(4) == ("B_1", 10)
         assert mapper("B_1", 12) == 6
 
+    def test_patch_model_tuple_indices_keep_ecs_working(self):
+        """patch_model renumbers index_list to (segment, pos) tuples;
+        the EC table and the index-based sugar must keep working (the
+        tuples must not be spread into a 2D index array)."""
+        m = make_model(L=6, first_index=1)
+        s1 = Segment("aa", "X", 1, 3, segment_id="A_1")
+        s2 = Segment("aa", "Y", 1, 3, segment_id="B_1")
+        mapper = SegmentIndexMapper(True, 1, s1, s2)
+
+        patched = mapper.patch_model(m, inplace=False)
+        ecs = patched.ecs
+        assert len(ecs) == 6 * 5 // 2
+        assert ("A_1", 1) in set(ecs.i) | set(ecs.j)
+        # seqdist is undefined across segments -> NaN, not a crash
+        assert ecs.seqdist.isna().all()
+        # tuple-index sugar
+        assert patched.seq(("B_1", 2)) == m.seq(5)
+        np.testing.assert_allclose(
+            patched.smm(("B_1", 2)), m.smm(5)
+        )
+        # the original model is untouched (inplace=False)
+        assert int(m.index_list[0]) == 1
+
     def test_segment_map_ecs(self):
         s1 = Segment("aa", "X", 1, 3, segment_id="A_1")
         s2 = Segment("aa", "Y", 10, 12, segment_id="B_1")
