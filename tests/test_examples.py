@@ -86,6 +86,15 @@ def test_tutorial_distances(examples_dir):
         os.path.join(outdir, "demo_distance_map.csv"))
 
 
+def test_tutorial_alignment_analysis(examples_dir):
+    out = run_script(examples_dir, "tutorial_alignment_analysis.py")
+    assert "alignment is of length 30 and has 400 sequences" in out
+    assert "most gapped sequence" in out
+    assert os.path.isfile(os.path.join(
+        examples_dir, "output", "tutorial_alignment",
+        "identity_heatmap.png"))
+
+
 def test_library_quickstart(examples_dir):
     out = run_script(examples_dir, "library_quickstart.py")
     assert "top ECs" in out
