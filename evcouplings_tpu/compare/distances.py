@@ -391,6 +391,59 @@ def _prepare_chain(structures, pdb_id, pdb_chain, atom_filter, mapping,
     return chain.remap(mapping)
 
 
+class _RunningAggregate:
+    """The bookkeeping every distance-map aggregation entry point
+    (intra/multimer/inter) needs around its per-structure loop: a
+    running min-aggregate, optional persistence of each individual
+    map under an output prefix, and the final attachment of the
+    individual-map file table to the aggregate."""
+
+    def __init__(self, intersect=False, output_prefix=None):
+        self.intersect = intersect
+        self.output_prefix = output_prefix
+        self.agg = None
+        self.records = []
+        if output_prefix is not None:
+            create_prefix_folders(output_prefix)
+
+    def add(self, distmap, **index_fields):
+        """Fold one individual map into the aggregate. index_fields
+        name the hit(s) it came from; they become both the filename
+        suffix and the leading columns of the individual-map table."""
+        if self.output_prefix is not None:
+            suffix = "_".join(str(v) for v in index_fields.values())
+            residue_table, dist_mat = distmap.to_file(
+                "{}_{}".format(self.output_prefix, suffix)
+            )
+            self.records.append({
+                **index_fields,
+                "residue_table": residue_table,
+                "distance_matrix": dist_mat,
+            })
+
+        if self.agg is None:
+            self.agg = distmap
+        else:
+            self.agg = DistanceMap.aggregate(
+                self.agg, distmap, intersect=self.intersect
+            )
+
+    def result(self):
+        if self.agg is not None:
+            self.agg.individual_distance_map_table = (
+                pd.DataFrame(self.records) if self.records else None
+            )
+        return self.agg
+
+
+def _require_hits(*sifts_results):
+    if any(len(s.hits) == 0 for s in sifts_results):
+        raise ValueError(
+            "sifts_result is empty (no structure hits, but at least "
+            "one required)"
+        )
+
+
 def intra_dists(sifts_result, structures=None, atom_filter=None,
                 intersect=False, output_prefix=None, model=0,
                 raise_missing=True):
@@ -400,22 +453,12 @@ def intra_dists(sifts_result, structures=None, atom_filter=None,
     attaches aggregated_residue_maps and (with output_prefix)
     individual_distance_map_table to the result.
     """
-    if len(sifts_result.hits) == 0:
-        raise ValueError(
-            "sifts_result is empty (no structure hits, but at least "
-            "one required)"
-        )
-
+    _require_hits(sifts_result)
     structures = _prepare_structures(
         structures, sifts_result.hits.pdb_id, raise_missing
     )
 
-    agg_distmap = None
-
-    if output_prefix is not None:
-        create_prefix_folders(output_prefix)
-
-    individual_distance_map_info = []
+    running = _RunningAggregate(intersect, output_prefix)
     individual_residue_maps = []
 
     for i, r in sifts_result.hits.iterrows():
@@ -436,36 +479,13 @@ def intra_dists(sifts_result, structures=None, atom_filter=None,
         individual_residue_maps.append(
             distmap.residues_i.assign(sifts_table_index=i)
         )
+        running.add(distmap, sifts_table_index=i)
 
-        if output_prefix is not None:
-            residue_table_filename, dist_mat_filename = distmap.to_file(
-                "{}_{}".format(output_prefix, i)
-            )
-            individual_distance_map_info.append({
-                "sifts_table_index": i,
-                "residue_table": residue_table_filename,
-                "distance_matrix": dist_mat_filename,
-            })
-
-        if agg_distmap is None:
-            agg_distmap = distmap
-        else:
-            agg_distmap = DistanceMap.aggregate(
-                agg_distmap, distmap, intersect=intersect
-            )
-
+    agg_distmap = running.result()
     if agg_distmap is not None:
-        if len(individual_distance_map_info) > 0:
-            agg_distmap.individual_distance_map_table = pd.DataFrame(
-                individual_distance_map_info
-            )
-        else:
-            agg_distmap.individual_distance_map_table = None
-
         agg_distmap.aggregated_residue_maps = pd.concat(
             individual_residue_maps
         ).reset_index(drop=True)
-
     return agg_distmap
 
 
@@ -475,22 +495,12 @@ def multimer_dists(sifts_result, structures=None, atom_filter=None,
     """Aggregated homomultimer distance map: distances between all
     pairs of chains hitting the same entity, symmetrized by min over
     both orientations."""
-    if len(sifts_result.hits) == 0:
-        raise ValueError(
-            "sifts_result is empty (no structure hits, but at least "
-            "one required)"
-        )
-
+    _require_hits(sifts_result)
     structures = _prepare_structures(
         structures, sifts_result.hits.pdb_id, raise_missing
     )
 
-    agg_distmap = None
-
-    if output_prefix is not None:
-        create_prefix_folders(output_prefix)
-
-    individual_distance_maps = []
+    running = _RunningAggregate(intersect, output_prefix)
 
     for pdb_id, grp in sifts_result.hits.reset_index().groupby("pdb_id"):
         if not raise_missing and pdb_id not in structures:
@@ -526,35 +536,13 @@ def multimer_dists(sifts_result, structures=None, atom_filter=None,
             )
             distmap_sym.symmetric = True
 
-            if output_prefix is not None:
-                residue_table_filename, dist_mat_filename = (
-                    distmap_sym.to_file("{}_{}_{}".format(
-                        output_prefix, index_i, index_j
-                    ))
-                )
-                individual_distance_maps.append({
-                    "sifts_table_index_i": index_i,
-                    "sifts_table_index_j": index_j,
-                    "residue_table": residue_table_filename,
-                    "distance_matrix": dist_mat_filename,
-                })
-
-            if agg_distmap is None:
-                agg_distmap = distmap_sym
-            else:
-                agg_distmap = DistanceMap.aggregate(
-                    agg_distmap, distmap_sym, intersect=intersect
-                )
-
-    if agg_distmap is not None:
-        if len(individual_distance_maps) > 0:
-            agg_distmap.individual_distance_map_table = pd.DataFrame(
-                individual_distance_maps
+            running.add(
+                distmap_sym,
+                sifts_table_index_i=index_i,
+                sifts_table_index_j=index_j,
             )
-        else:
-            agg_distmap.individual_distance_map_table = None
 
-    return agg_distmap
+    return running.result()
 
 
 def inter_dists(sifts_result_i, sifts_result_j, structures=None,
@@ -573,12 +561,7 @@ def inter_dists(sifts_result_i, sifts_result_j, structures=None,
             if raise_missing or r["pdb_id"] in structures
         }
 
-    if len(sifts_result_i.hits) == 0 or len(sifts_result_j.hits) == 0:
-        raise ValueError(
-            "sifts_result_i or sifts_result_j is empty "
-            "(no structure hits, but at least one required)"
-        )
-
+    _require_hits(sifts_result_i, sifts_result_j)
     structures = _prepare_structures(
         structures,
         set(sifts_result_i.hits.pdb_id)
@@ -586,12 +569,7 @@ def inter_dists(sifts_result_i, sifts_result_j, structures=None,
         raise_missing,
     )
 
-    agg_distmap = None
-
-    if output_prefix is not None:
-        create_prefix_folders(output_prefix)
-
-    individual_distance_maps = []
+    running = _RunningAggregate(intersect, output_prefix)
 
     combis = sifts_result_i.hits.reset_index().merge(
         sifts_result_j.hits.reset_index(),
@@ -617,33 +595,13 @@ def inter_dists(sifts_result_i, sifts_result_j, structures=None,
         )
         distmap.id = "{}_{}".format(index_i, index_j)
 
-        if output_prefix is not None:
-            residue_table_filename, dist_mat_filename = distmap.to_file(
-                "{}_{}_{}".format(output_prefix, index_i, index_j)
-            )
-            individual_distance_maps.append({
-                "sifts_table_index_i": index_i,
-                "sifts_table_index_j": index_j,
-                "residue_table": residue_table_filename,
-                "distance_matrix": dist_mat_filename,
-            })
+        running.add(
+            distmap,
+            sifts_table_index_i=index_i,
+            sifts_table_index_j=index_j,
+        )
 
-        if agg_distmap is None:
-            agg_distmap = distmap
-        else:
-            agg_distmap = DistanceMap.aggregate(
-                agg_distmap, distmap, intersect=intersect
-            )
-
-    if agg_distmap is not None:
-        if len(individual_distance_maps) > 0:
-            agg_distmap.individual_distance_map_table = pd.DataFrame(
-                individual_distance_maps
-            )
-        else:
-            agg_distmap.individual_distance_map_table = None
-
-    return agg_distmap
+    return running.result()
 
 
 def _remap_sequence(chain, sequence):
