@@ -244,6 +244,26 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         return ("{:.1f} GiB".format(b / 2 ** 30) if b >= 2 ** 30
                 else "{:.1f} MiB".format(b / 2 ** 20))
 
+    # resolve the block size BEFORE the preflight so the estimate sees
+    # the same block size — and through it the same grad layout (the
+    # two-phase layout engages only at blocks >= 2048 and holds the
+    # static one-hot + residuals resident) — that the fit will use
+    if block_size is None:
+        # parity (float32) mode: small blocks keep the carried f32
+        # accumulator VMEM-friendly (block sweep in ops/plm.py).
+        # production (bfloat16) mode: the two-phase grad layout wants
+        # LARGE blocks — pick the largest multiple of 512 up to 8192
+        # that divides the per-device 512-padded row count, so the
+        # bigger block adds no extra padding waste.
+        if compute_dtype == "bfloat16":
+            n_dev = 1 if mesh is None else mesh.devices.size
+            k = max(1, -(-N // (512 * n_dev)))   # local 512-blocks
+            d = max(d for d in range(1, 17) if k % d == 0)
+            block_size = 512 * d
+        else:
+            block_size = 512
+    block_size = int(block_size)
+
     # mesh axis sizes for the per-device estimate
     n_data_shards, n_model_shards = 1, 1
     if mesh is not None:
@@ -260,12 +280,15 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         sym_cfg = PlmConfig(
             solver=solver or "lbfgs",
             dtype=compute_dtype,
-            block_size=int(block_size or 512),
+            block_size=block_size,
         )
         budget = ops_plm.device_hbm_budget()
+        # the symmetric fit shards rows over "data" only; a size-m
+        # model axis replicates them, so it does NOT reduce the
+        # per-device footprint
         est = ops_plm.estimate_fit_hbm_bytes(
             N, L, q, sym_cfg, "symmetric",
-            n_data_shards=n_data_shards * n_model_shards,
+            n_data_shards=n_data_shards,
         )
         if est > 0.9 * budget:
             if parametrization == "symmetric":
@@ -287,7 +310,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         asym_cfg = PlmConfig(
             solver=solver or "adam",
             dtype=compute_dtype,
-            block_size=int(block_size or 512),
+            block_size=block_size,
         )
         budget = ops_plm.device_hbm_budget()
         est = ops_plm.estimate_fit_hbm_bytes(
@@ -307,21 +330,6 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     if solver is None:
         solver = "adam" if parametrization == "asymmetric" else "lbfgs"
     # ----------------------------------------------------------------
-
-    if block_size is None:
-        # parity (float32) mode: small blocks keep the carried f32
-        # accumulator VMEM-friendly (block sweep in ops/plm.py).
-        # production (bfloat16) mode: the two-phase grad layout wants
-        # LARGE blocks — pick the largest multiple of 512 up to 8192
-        # that divides the per-device 512-padded row count, so the
-        # bigger block adds no extra padding waste.
-        if compute_dtype == "bfloat16":
-            n_dev = 1 if mesh is None else mesh.devices.size
-            k = max(1, -(-N // (512 * n_dev)))   # local 512-blocks
-            d = max(d for d in range(1, 17) if k % d == 0)
-            block_size = 512 * d
-        else:
-            block_size = 512
 
     cfg = PlmConfig(
         lambda_h=float(lambda_h),

@@ -65,6 +65,13 @@ class PersistentDict(dict):
         os.replace(tempname, self.filename)
         if self.mode is not None:
             os.chmod(self.filename, self.mode)
+        else:
+            # mkstemp created the temp 0600; restore the umask-default
+            # permissions a plain open() would have given the db, so
+            # other processes watching a shared job db keep read access
+            umask = os.umask(0)
+            os.umask(umask)
+            os.chmod(self.filename, 0o666 & ~umask)
 
     def close(self):
         self.sync()

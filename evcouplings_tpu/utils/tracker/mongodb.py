@@ -160,7 +160,9 @@ class MongoDBTracker(ResultTracker):
         """Apply func (store/drop) to every file of every "*_file" /
         "*_files" entry (reference :204-252). "*_files" values are a
         list of paths or a mapping path -> annotation; the annotation
-        is carried along as a "value" field."""
+        is carried along as a "value" field. The drop function returns
+        None (a legacy path-mode entry has no fs_id to delete) — guard
+        the merge so migration never crashes the update."""
         out = {}
         for key, value in file_mapping.items():
             if value is None:
@@ -170,7 +172,8 @@ class MongoDBTracker(ResultTracker):
             elif key.endswith("_files"):
                 if isinstance(value, Mapping):
                     out[key] = [
-                        {**func(path, parent_id), "value": annotation}
+                        {**(func(path, parent_id) or {}),
+                         "value": annotation}
                         for path, annotation in value.items()
                     ]
                 else:

@@ -67,6 +67,56 @@ def test_estimator_shapes_and_budget():
         del os.environ["EVCOUPLINGS_HBM_BYTES"]
 
 
+def test_estimator_counts_two_phase_working_set():
+    """A production bfloat16 fit with large blocks resolves the
+    two-phase grad layout, which holds the static one-hot + residual
+    buffers (~2 x N*Lq_aug*2 bytes) resident — the estimate must count
+    that, not just the carried-layout accumulator (the router resolves
+    the real block size BEFORE estimating for exactly this reason)."""
+    n, l, q = 32768, 160, 21
+    carried = estimate_fit_hbm_bytes(
+        n, l, q, PlmConfig(solver="adam", dtype="bfloat16",
+                           block_size=512))
+    two_phase = estimate_fit_hbm_bytes(
+        n, l, q, PlmConfig(solver="adam", dtype="bfloat16",
+                           block_size=8192))
+    # the resident working set exceeds one full bf16 one-hot
+    assert two_phase - carried > n * l * q * 2
+
+
+def test_symmetric_estimate_ignores_model_axis(tiny_alignment, tmp_path):
+    """The symmetric fit shards rows over "data" only; a model axis
+    replicates them. The preflight must NOT credit model shards with
+    reducing the symmetric per-device footprint."""
+    cfg = PlmConfig(solver="lbfgs")
+    base = estimate_fit_hbm_bytes(
+        4096, 64, 21, cfg, "symmetric", n_data_shards=2)
+    # passing more data shards shrinks the estimate...
+    assert estimate_fit_hbm_bytes(
+        4096, 64, 21, cfg, "symmetric", n_data_shards=4) < base
+    # ...and run_plm's symmetric routing passes only the data axis:
+    # with a (1 data x 4 model) mesh and a budget sized for the
+    # UNSHARDED footprint, an explicit symmetric request must raise
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("data", "model"))
+    full = estimate_fit_hbm_bytes(
+        N_SEQ, L, 21, PlmConfig(solver="lbfgs"), "symmetric",
+        n_data_shards=1)
+    os.environ["EVCOUPLINGS_HBM_BYTES"] = str(int(full / 0.9) - 1)
+    try:
+        with pytest.raises(MemoryError):
+            fitter.run_plm(
+                tiny_alignment, str(tmp_path / "ECs.txt"),
+                str(tmp_path / "m.model"), iterations=2,
+                parametrization="symmetric", mesh=mesh,
+            )
+    finally:
+        del os.environ["EVCOUPLINGS_HBM_BYTES"]
+
+
 def test_auto_stays_symmetric_with_room(tiny_alignment, tmp_path,
                                         monkeypatch):
     calls = []

@@ -336,6 +336,27 @@ class TestMongoDBTracker:
         assert doc["results"]["alignment_file"]["filename"] == str(f1)
         assert len(t2.fs.files) == 1
 
+    def test_path_to_gridfs_migration_of_files_mapping(self, fake_mongo,
+                                                       tmp_path):
+        """Same migration with a "*_files" MAPPING entry recorded in
+        path mode: the drop phase sees {path: annotation} and has no
+        fs_ids — it must skip cleanly, not crash on the merge."""
+        fa = tmp_path / "m1.pdb"
+        fa.write_text("m1")
+        t = _make_tracker(tmp_path)                     # path mode
+        t.update(results={"model_files": {str(fa): 0.25}})
+
+        t2 = _make_tracker(tmp_path, file_list=["model_files"])
+        t2.client = t.client
+        t2.jobs = t.jobs
+        t2.fs = t.fs
+        t2.update(results={"model_files": {str(fa): 0.5}})
+        doc = t2.jobs.find_one({"job_id": "job1"})
+        entry = doc["results"]["model_files"][0]
+        assert entry["filename"] == str(fa)
+        assert entry["value"] == 0.5
+        assert len(t2.fs.files) == 1
+
 
 # ---------------------------------------------------------------------
 # update_database
