@@ -132,6 +132,14 @@ def main():
             "metric": "plm_weak_scaling",
             "devices": d,
             "backend": backend,
+            # virtual CPU devices SHARE the host's cores, so weak
+            # scaling cannot be efficient there by construction — the
+            # cpu numbers validate the sharded program + collective
+            # layout, not ICI scaling (see module docstring)
+            "note": (
+                "virtual devices share host cores; validates program, "
+                "not ICI scaling" if backend == "cpu" else None
+            ),
             "rows_per_device": args.rows_per_device,
             "sites": L,
             "value": round(throughput, 1),
