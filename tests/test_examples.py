@@ -111,3 +111,45 @@ def test_complex_quickstart(examples_dir):
 def test_scaling_quickstart(examples_dir):
     out = run_script(examples_dir, "scaling_quickstart.py")
     assert "data" in out
+
+
+def run_pipeline_config(examples_dir, cfg_name):
+    """examples/README.md §3: the YAML configs drive evcouplings_runcfg
+    with paths relative to the directory containing examples/."""
+    root = os.path.dirname(examples_dir)
+    env = dict(os.environ)
+    env["EVCOUPLINGS_JAX_PLATFORM"] = "cpu"
+    env["MPLBACKEND"] = "Agg"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-m", "evcouplings_tpu.utils.pipeline",
+         os.path.join("examples", cfg_name)],
+        capture_output=True, text=True, env=env, cwd=root, timeout=900,
+    )
+    assert proc.returncode == 0, (
+        "{} failed\n--- stdout ---\n{}\n--- stderr ---\n{}".format(
+            cfg_name, proc.stdout[-4000:], proc.stderr[-4000:])
+    )
+    return root
+
+
+def test_monomer_pipeline_config(examples_dir):
+    root = run_pipeline_config(examples_dir, "monomer_pipeline.yml")
+    prefix = os.path.join(root, "examples", "output", "pipeline", "demo")
+    assert os.path.isfile(prefix + ".done")
+    assert os.path.isfile(prefix + "_final.outcfg")
+    # per-stage subdirectories under the prefix directory
+    assert os.path.isfile(os.path.join(
+        prefix, "couplings", "demo_CouplingScores.csv"))
+
+
+def test_complex_pipeline_config(examples_dir):
+    root = run_pipeline_config(examples_dir, "complex_pipeline.yml")
+    import glob
+
+    done = glob.glob(os.path.join(
+        root, "examples", "output", "**", "*.done"), recursive=True)
+    inter = glob.glob(os.path.join(
+        root, "examples", "output", "**", "*_CouplingScores_inter.csv"),
+        recursive=True)
+    assert done and inter
