@@ -508,12 +508,34 @@ def mean_field(**kwargs):
         alignment_file, "fasta", alphabet=alphabet
     )
 
+    # device-mesh knob (beyond the reference schema): fit_devices
+    # ("all" or an int) column-shards the (L(q-1))^2 covariance
+    # inversion's triangular solves across a "data" mesh
+    # (ops/mean_field.py invert_covariance_sharded) — the mean-field
+    # hot step at large L
+    mesh = None
+    fit_devices = kwargs.get("fit_devices")
+    if fit_devices is not None:
+        import jax as _jax
+
+        from evcouplings_tpu import parallel
+
+        n_avail = len(_jax.devices())
+        n_total = n_avail if fit_devices == "all" else int(fit_devices)
+        if not 1 <= n_total <= n_avail:
+            raise InvalidParameterError(
+                "fit_devices must be in [1, {}] (got {})".format(
+                    n_avail, fit_devices)
+            )
+        mesh = parallel.make_mesh(n_total)
+
     mf_dca = MeanFieldDCA(input_alignment)
     model = mf_dca.fit(
         theta=kwargs["theta"], pseudo_count=kwargs["pseudo_count"],
         # optional: invert the covariance matrix on the TPU instead
         # of host float64 (worthwhile at large L)
         device=bool(kwargs.get("device_inversion", False)),
+        mesh=mesh,
     )
 
     model.to_raw_ec_file(outcfg["raw_ec_file"])

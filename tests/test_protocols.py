@@ -515,6 +515,32 @@ class TestCouplingsMeanField:
         top = ecs.iloc[0]
         assert (top.i, top.j) == (13, 20)
 
+    def test_mean_field_protocol_fit_devices(self, pipeline_dir):
+        """fit_devices column-shards the covariance inversion over the
+        8-virtual-device test mesh; the EC table must match the
+        single-device run up to solve rounding."""
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix = str(d / "run3_mesh" / "test")
+        outcfg = couplings_protocol.run(
+            protocol="mean_field",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            focus_mode=True,
+            theta=0.8,
+            pseudo_count=0.5,
+            alphabet=None,
+            min_sequence_distance=3,
+            ec_score_type="di",
+            scoring_model="skewnormal",
+            fit_devices="all",
+        )
+        ecs = pd.read_csv(outcfg["ec_file"])
+        top = ecs.iloc[0]
+        assert (top.i, top.j) == (13, 20)
+
 
 class TestMutateOnFittedModel:
     def test_single_mutant_matrix_and_table(self, pipeline_dir):
