@@ -163,3 +163,58 @@ class TestClassicPDBFromId:
         assert urls == ["https://files.rcsb.org/download/1abc.pdb"]
         chain = s.get_chain("A")
         assert len(chain.residues) == 1
+
+
+class TestFullPublicSurface:
+    """EVERY public module-level function/class of EVERY reference
+    module must be importable at the same dotted path through the
+    compat alias — the line-by-line completeness gate for the whole
+    package surface (parsed from the reference's own source, so new
+    reference symbols fail here rather than silently missing)."""
+
+    REFERENCE_ROOT = "/root/reference/evcouplings"
+
+    def test_every_reference_symbol_resolves(self):
+        import ast
+        import importlib
+        import os
+        import warnings
+
+        import evcouplings_tpu.compat  # noqa: F401  (installs alias)
+
+        if not os.path.isdir(self.REFERENCE_ROOT):
+            pytest.skip("reference checkout not available")
+
+        missing = {}
+        n_symbols = 0
+        for root, dirs, files in os.walk(self.REFERENCE_ROOT):
+            dirs[:] = [
+                d for d in dirs
+                if d not in ("cns_templates", "scoring_models",
+                             "__pycache__")
+            ]
+            for f in sorted(files):
+                if not f.endswith(".py") or f == "__init__.py":
+                    continue
+                path = os.path.join(root, f)
+                rel = os.path.relpath(
+                    path, os.path.dirname(self.REFERENCE_ROOT)
+                )[:-3].replace(os.sep, ".")
+                with open(path) as fh, warnings.catch_warnings():
+                    warnings.simplefilter("ignore", SyntaxWarning)
+                    tree = ast.parse(fh.read())
+                public = [
+                    n.name for n in tree.body
+                    if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+                    and not n.name.startswith("_")
+                ]
+                n_symbols += len(public)
+                mod = importlib.import_module(rel)
+                miss = [nm for nm in public if not hasattr(mod, nm)]
+                if miss:
+                    missing[rel] = miss
+
+        assert not missing, missing
+        # the reference surface is ~200 public symbols; guard against
+        # the walk silently finding nothing
+        assert n_symbols > 150
