@@ -87,27 +87,51 @@ sequence_download_url: http://rest.uniprot.org/uniprot/{}.fasta
 def fetch_uniprot_mapping(ids, from_db="UniProtKB_AC-ID",
                           to_db="UniProtKB", format="fasta",
                           isoforms=True, polling_interval=3,
-                          max_polls=200):
+                          max_polls=200, retry_kws=None):
     """Run a UniProt ID-mapping job and return the raw result text.
 
     Mirrors the 2022 UniProt id-mapping REST flow (submit job, poll,
-    fetch results; reference sifts.py:77-183).
+    fetch results; reference sifts.py:77-183). retry_kws matches the
+    reference keyword (there: requests.adapters.Retry kwargs); here
+    the transport is urllib, so "total" maps to per-request retry
+    attempts and "backoff_factor" to the wait between them.
     """
     import urllib.parse
     import urllib.request
 
+    from evcouplings_tpu.utils.helpers import retry as _retry
+
+    if retry_kws is None:
+        retry_kws = {"total": 5, "backoff_factor": 0.25}
+    http_attempts = int(retry_kws.get("total", 5)) + 1
+    http_wait = float(retry_kws.get("backoff_factor", 0.25))
+
+    def _with_retry(fn):
+        return _retry(fn, retry_max_number=http_attempts,
+                      retry_wait=http_wait, exceptions=(OSError,))
+
     def _post(url, data):
         payload = urllib.parse.urlencode(data).encode()
-        with urllib.request.urlopen(url, payload) as r:
-            return json.loads(r.read().decode())
+
+        def go():
+            with urllib.request.urlopen(url, payload) as r:
+                return json.loads(r.read().decode())
+
+        return _with_retry(go)
 
     def _get_json(url):
-        with urllib.request.urlopen(url) as r:
-            return json.loads(r.read().decode()), dict(r.headers)
+        def go():
+            with urllib.request.urlopen(url) as r:
+                return json.loads(r.read().decode()), dict(r.headers)
+
+        return _with_retry(go)
 
     def _get_text(url):
-        with urllib.request.urlopen(url) as r:
-            return r.read().decode()
+        def go():
+            with urllib.request.urlopen(url) as r:
+                return r.read().decode()
+
+        return _with_retry(go)
 
     job = _post(
         "{}/idmapping/run".format(UNIPROT_MAPPING_URL),

@@ -74,16 +74,20 @@ def fields_from_couplings(J_ij, f_i):
     return log_fi - (total - diag)
 
 
-def tilde_fields(W_ij, f_i, f_j, epsilon=1e-4):
+def tilde_fields(J_ij, f_i, f_j, epsilon=1e-4):
     """h-tilde fields of the two-site model for one pair (fixed point).
 
-    W_ij is exp(J_ij[i, j]) (q, q). Iterates
+    J_ij — despite the name, kept for keyword compatibility with the
+    reference signature (mean_field.py:792) — receives the
+    EXPONENTIATED couplings W = exp(J[i, j]) (q, q): the reference's
+    own direct_information passes np.exp(J_ij[i, j]) (:869-871).
+    Iterates
       h_i <- normalize(f_i / (h_j @ W^T)),  h_j <- normalize(f_j / (h_i @ W))
     until max|update| <= epsilon (reference mean_field.py:791-838; the
     reference's object method passes mismatched arguments and is unusable
     as-is — this takes the corrected inputs).
     """
-    W_ij = np.asarray(W_ij, dtype=np.float64)
+    W_ij = np.asarray(J_ij, dtype=np.float64)
     f_i = np.asarray(f_i, dtype=np.float64).reshape(1, -1)
     f_j = np.asarray(f_j, dtype=np.float64).reshape(1, -1)
     q = f_i.shape[1]

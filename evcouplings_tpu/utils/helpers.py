@@ -238,7 +238,7 @@ class Progressbar:
 
 
 def retry(func, retry_max_number=None, retry_wait=None,
-          exceptions=None, retry_action=None):
+          exceptions=None, retry_action=None, fail_action=None):
     """Retry a function call with an optional wait between attempts.
 
     Parameters
@@ -246,13 +246,21 @@ def retry(func, retry_max_number=None, retry_wait=None,
     func : callable
         Zero-argument function to execute
     retry_max_number : int, optional
-        Maximum number of attempts (None = single attempt, no retry)
+        Maximum number of attempts. DELIBERATE DEVIATION from the
+        reference (helpers.py:279-321): there None retries FOREVER;
+        here None means a single attempt. An unreachable tracker DB
+        must fail a job loudly rather than hang it (and its CI)
+        indefinitely — callers that genuinely want unbounded retry
+        can pass a large number explicitly.
     retry_wait : float, optional
         Seconds to sleep between attempts
     exceptions : tuple(Exception), optional
         Retry only on these exception types (default: Exception)
     retry_action : callable, optional
         Zero-argument function run after each failed attempt
+    fail_action : callable, optional
+        Zero-argument function run once upon final failure, before the
+        exception is re-raised (reference helpers.py:279-321)
     """
     if exceptions is None:
         exceptions = (Exception,)
@@ -270,4 +278,6 @@ def retry(func, retry_max_number=None, retry_wait=None,
             if retry_wait is not None and attempt < attempts - 1:
                 time.sleep(retry_wait)
 
+    if fail_action is not None:
+        fail_action()
     raise last_exc

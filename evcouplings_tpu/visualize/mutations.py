@@ -133,10 +133,16 @@ def matrix_base_mpl(matrix, positions, substitutions, conservation=None,
                     colormap=None, colormap_conservation=None,
                     na_color="#bbbbbb", title=None,
                     position_label_size=8, substitution_label_size=8,
-                    show_colorbar=True, show_wt_char=True):
+                    show_colorbar=True, colorbar_indicate_bounds=False,
+                    show_wt_char=True, label_filter=None,
+                    secondary_structure_style=None):
     """Static matplotlib heatmap of a (positions x substitutions)
-    mutation-effect matrix, with wild-type markers and an optional
-    conservation strip below."""
+    mutation-effect matrix, with wild-type markers, an optional
+    conservation strip below and a secondary-structure cartoon above
+    (keyword surface matches the reference visualize/mutations.py:
+    matrix_base_mpl :401-694 — label_filter drops position labels,
+    colorbar_indicate_bounds adds <=/>= to the colorbar extremes,
+    secondary_structure_style is forwarded to the cartoon)."""
     if colormap is None:
         colormap = plt.cm.RdBu_r
     if colormap_conservation is None:
@@ -170,6 +176,11 @@ def matrix_base_mpl(matrix, positions, substitutions, conservation=None,
         ]
     else:
         xlabels = [str(p) for p in positions]
+    if label_filter is not None:
+        xlabels = [
+            lbl if label_filter(pos) else ""
+            for lbl, pos in zip(xlabels, positions)
+        ]
     ax.set_xticklabels(xlabels, rotation=90, size=position_label_size)
 
     ax.set_yticks(np.arange(num_subs) + 0.5)
@@ -195,10 +206,44 @@ def matrix_base_mpl(matrix, positions, substitutions, conservation=None,
                 ))
         ax.set_ylim(num_subs + 1.6, 0)
 
+    if secondary_structure is not None:
+        from evcouplings_tpu.visualize.pairs import (
+            find_secondary_structure_segments,
+            secondary_structure_cartoon,
+        )
+
+        if secondary_structure_style is None:
+            secondary_structure_style = {
+                "width": 0.8,
+                "line_width": 2,
+                "strand_width_factor": 0.5,
+                "helix_turn_length": 2,
+                "min_sse_length": 2,
+            }
+        start, end, sse = find_secondary_structure_segments(
+            secondary_structure
+        )
+        # cells are drawn at x in [i, i+1]; shift the cartoon to the
+        # cell centers, above the matrix (y axis runs downward)
+        secondary_structure_cartoon(
+            sse, sequence_start=start + 0.5, sequence_end=end + 0.5,
+            center=-1.2, ax=ax, **secondary_structure_style
+        )
+        bottom, _ = ax.get_ylim()
+        ax.set_ylim(bottom, -2.4)
+
     if title is not None:
         ax.set_title(title)
     if show_colorbar:
-        plt.colorbar(mesh, ax=ax, shrink=0.6, pad=0.02)
+        cb = plt.colorbar(mesh, ax=ax, shrink=0.6, pad=0.02)
+        if (colorbar_indicate_bounds
+                and min_value is not None and max_value is not None):
+            # clipped colormap: mark the extremes as bounds
+            cb.set_ticks([min_value, max_value])
+            cb.ax.set_yticklabels([
+                u"\u2264 {:+.1f}".format(min_value),
+                u"\u2265 {:+.1f}".format(max_value),
+            ])
 
     return ax
 

@@ -583,9 +583,11 @@ def plot_secondary_structure(secstruct_i, secstruct_j=None, ax=None,
         )
 
 
-def plot_pairs(pairs_table, symmetric=False, ax=None, style=None):
+def plot_pairs(pairs, symmetric=False, ax=None, style=None):
     """Scatter a table of (i, j) pairs; optional per-pair color / size
-    columns override the style."""
+    columns override the style. (Parameter named `pairs` for keyword
+    compatibility with the reference, visualize/pairs.py.)"""
+    pairs_table = pairs
     if ax is None:
         ax = plt.gca()
     style = dict(style or STYLE_EC)

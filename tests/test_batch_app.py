@@ -463,3 +463,68 @@ class TestAppEndToEnd:
 
         # the per-job summarizer command aggregated the sweep
         assert os.path.isfile(prefix + "_job_statistics_summary.csv")
+
+
+class TestRetryHelper:
+    """retry() semantics (utils/helpers.py), incl. the documented
+    deviation: retry_max_number=None is a SINGLE attempt here, not the
+    reference's retry-forever (an unreachable tracker DB must fail a
+    job loudly, not hang it)."""
+
+    def test_none_means_single_attempt(self):
+        from evcouplings_tpu.utils.helpers import retry
+
+        calls = []
+
+        def boom():
+            calls.append(1)
+            raise OSError("down")
+
+        with pytest.raises(OSError):
+            retry(boom)
+        assert len(calls) == 1
+
+    def test_counts_and_actions(self):
+        from evcouplings_tpu.utils.helpers import retry
+
+        calls, retries, fails = [], [], []
+
+        def boom():
+            calls.append(1)
+            raise ValueError("x")
+
+        with pytest.raises(ValueError):
+            retry(boom, retry_max_number=3, retry_wait=0,
+                  retry_action=lambda: retries.append(1),
+                  fail_action=lambda: fails.append(1))
+        assert len(calls) == 3
+        assert len(retries) == 3
+        assert len(fails) == 1
+
+    def test_exception_filter_propagates_others(self):
+        from evcouplings_tpu.utils.helpers import retry
+
+        calls = []
+
+        def boom():
+            calls.append(1)
+            raise KeyError("not retryable")
+
+        with pytest.raises(KeyError):
+            retry(boom, retry_max_number=5, retry_wait=0,
+                  exceptions=(OSError,))
+        assert len(calls) == 1
+
+    def test_success_after_failures(self):
+        from evcouplings_tpu.utils.helpers import retry
+
+        state = {"n": 0}
+
+        def flaky():
+            state["n"] += 1
+            if state["n"] < 3:
+                raise OSError("flaky")
+            return "ok"
+
+        assert retry(flaky, retry_max_number=5, retry_wait=0) == "ok"
+        assert state["n"] == 3

@@ -218,3 +218,62 @@ class TestFullPublicSurface:
         # the reference surface is ~200 public symbols; guard against
         # the walk silently finding nothing
         assert n_symbols > 150
+
+    def test_every_reference_keyword_accepted(self):
+        """Keyword-calling code written against the reference must not
+        hit TypeError: for every shared public function, each of the
+        reference's parameter names is accepted by ours (or we take
+        **kwargs)."""
+        import ast
+        import importlib
+        import inspect
+        import os
+        import warnings
+
+        import evcouplings_tpu.compat  # noqa: F401
+
+        if not os.path.isdir(self.REFERENCE_ROOT):
+            pytest.skip("reference checkout not available")
+
+        issues = []
+        for root, dirs, files in os.walk(self.REFERENCE_ROOT):
+            dirs[:] = [
+                d for d in dirs
+                if d not in ("cns_templates", "scoring_models",
+                             "__pycache__")
+            ]
+            for f in sorted(files):
+                if not f.endswith(".py") or f == "__init__.py":
+                    continue
+                path = os.path.join(root, f)
+                rel = os.path.relpath(
+                    path, os.path.dirname(self.REFERENCE_ROOT)
+                )[:-3].replace(os.sep, ".")
+                with open(path) as fh, warnings.catch_warnings():
+                    warnings.simplefilter("ignore", SyntaxWarning)
+                    tree = ast.parse(fh.read())
+                mod = importlib.import_module(rel)
+                for n in tree.body:
+                    if not (isinstance(n, ast.FunctionDef)
+                            and not n.name.startswith("_")):
+                        continue
+                    ref_params = [
+                        a.arg for a in n.args.args + n.args.kwonlyargs
+                    ]
+                    ours = getattr(mod, n.name, None)
+                    if ours is None:
+                        continue
+                    try:
+                        sig = inspect.signature(ours)
+                    except (ValueError, TypeError):
+                        continue
+                    if any(p.kind == p.VAR_KEYWORD
+                           for p in sig.parameters.values()):
+                        continue
+                    missing = [
+                        p for p in ref_params if p not in sig.parameters
+                    ]
+                    if missing:
+                        issues.append((rel, n.name, missing))
+
+        assert not issues, issues

@@ -419,6 +419,40 @@ class TestMutationMatrix:
         )
         assert len(ax.collections) + len(ax.patches) > 0
 
+    def test_mpl_reference_keywords(self, ax):
+        """matrix_base_mpl accepts the reference's full keyword
+        surface: label_filter drops position labels,
+        colorbar_indicate_bounds marks the colorbar extremes, and
+        secondary_structure(+style) draws the cartoon above the
+        matrix."""
+        import numpy as np
+
+        from evcouplings_tpu.visualize.mutations import matrix_base_mpl
+
+        rng = np.random.default_rng(0)
+        matrix = rng.normal(size=(6, 4))
+        out = matrix_base_mpl(
+            matrix, positions=list(range(1, 7)),
+            substitutions=list("ACDE"),
+            wildtype_sequence="KKKKKK",
+            secondary_structure="HHHEEC",
+            conservation=rng.uniform(size=6),
+            min_value=-2.0, max_value=2.0,
+            colorbar_indicate_bounds=True,
+            label_filter=lambda pos: pos % 2 == 0,
+            secondary_structure_style={
+                "width": 0.6, "line_width": 1,
+                "strand_width_factor": 0.5,
+                "helix_turn_length": 2, "min_sse_length": 1,
+            },
+            ax=ax,
+        )
+        labels = [t.get_text() for t in out.get_xticklabels()]
+        # odd positions filtered to empty labels
+        assert labels[0] == "" and labels[1] != ""
+        # the cartoon extended the y range above the matrix
+        assert out.get_ylim()[1] < -2
+
     def test_bokeh_engine_gated(self):
         from evcouplings_tpu.visualize.mutations import (
             plot_mutation_matrix,
