@@ -277,3 +277,56 @@ class TestFullPublicSurface:
                         issues.append((rel, n.name, missing))
 
         assert not issues, issues
+
+    def test_every_reference_class_method_resolves(self):
+        """Public methods of every shared public class must exist on
+        our class too (same walk as the symbol gate, one level
+        deeper)."""
+        import ast
+        import importlib
+        import os
+        import warnings
+
+        import evcouplings_tpu.compat  # noqa: F401
+
+        if not os.path.isdir(self.REFERENCE_ROOT):
+            pytest.skip("reference checkout not available")
+
+        missing = {}
+        n_methods = 0
+        for root, dirs, files in os.walk(self.REFERENCE_ROOT):
+            dirs[:] = [
+                d for d in dirs
+                if d not in ("cns_templates", "scoring_models",
+                             "__pycache__")
+            ]
+            for f in sorted(files):
+                if not f.endswith(".py") or f == "__init__.py":
+                    continue
+                path = os.path.join(root, f)
+                rel = os.path.relpath(
+                    path, os.path.dirname(self.REFERENCE_ROOT)
+                )[:-3].replace(os.sep, ".")
+                with open(path) as fh, warnings.catch_warnings():
+                    warnings.simplefilter("ignore", SyntaxWarning)
+                    tree = ast.parse(fh.read())
+                mod = importlib.import_module(rel)
+                for n in tree.body:
+                    if not (isinstance(n, ast.ClassDef)
+                            and not n.name.startswith("_")):
+                        continue
+                    cls = getattr(mod, n.name, None)
+                    if cls is None:
+                        continue
+                    methods = [
+                        m.name for m in n.body
+                        if isinstance(m, ast.FunctionDef)
+                        and not m.name.startswith("_")
+                    ]
+                    n_methods += len(methods)
+                    miss = [m for m in methods if not hasattr(cls, m)]
+                    if miss:
+                        missing["{}.{}".format(rel, n.name)] = miss
+
+        assert not missing, missing
+        assert n_methods > 120
