@@ -93,31 +93,47 @@ def fetch_uniprot_mapping(ids, from_db="UniProtKB_AC-ID",
     Mirrors the 2022 UniProt id-mapping REST flow (submit job, poll,
     fetch results; reference sifts.py:77-183). retry_kws matches the
     reference keyword (there: requests.adapters.Retry kwargs); here
-    the transport is urllib, so "total" maps to per-request retry
-    attempts and "backoff_factor" to the wait between them.
+    the transport is urllib, so "total" maps to retries per GET
+    request ("total": None, unlimited in requests, is capped at 100)
+    and "backoff_factor" to the wait between them. Like the
+    reference's session (which mounts retries on the GETs only, with
+    status_forcelist 500/502/503/504), only transient failures of the
+    result GETs are retried: permanent 4xx errors raise immediately,
+    and the job-submitting POST is never re-sent (a dropped response
+    to a completed POST must not double-submit the mapping job).
     """
+    import urllib.error
     import urllib.parse
     import urllib.request
 
-    from evcouplings_tpu.utils.helpers import retry as _retry
-
     if retry_kws is None:
         retry_kws = {"total": 5, "backoff_factor": 0.25}
-    http_attempts = int(retry_kws.get("total", 5)) + 1
-    http_wait = float(retry_kws.get("backoff_factor", 0.25))
+    total = retry_kws.get("total", 5)
+    http_retries = 100 if total is None else int(total)
+    http_wait = float(retry_kws.get("backoff_factor", 0.25) or 0)
+    RETRY_STATUS = tuple(
+        retry_kws.get("status_forcelist", (500, 502, 503, 504))
+    )
 
     def _with_retry(fn):
-        return _retry(fn, retry_max_number=http_attempts,
-                      retry_wait=http_wait, exceptions=(OSError,))
+        last = None
+        for attempt in range(http_retries + 1):
+            try:
+                return fn()
+            except urllib.error.HTTPError as e:
+                if e.code not in RETRY_STATUS:
+                    raise
+                last = e
+            except urllib.error.URLError as e:
+                last = e
+            if attempt < http_retries and http_wait:
+                time.sleep(http_wait)
+        raise last
 
     def _post(url, data):
         payload = urllib.parse.urlencode(data).encode()
-
-        def go():
-            with urllib.request.urlopen(url, payload) as r:
-                return json.loads(r.read().decode())
-
-        return _with_retry(go)
+        with urllib.request.urlopen(url, payload) as r:
+            return json.loads(r.read().decode())
 
     def _get_json(url):
         def go():
@@ -151,6 +167,12 @@ def fetch_uniprot_mapping(ids, from_db="UniProtKB_AC-ID",
             raise ResourceError(
                 "UniProt mapping job failed: {}".format(status)
             )
+    else:
+        raise ResourceError(
+            "UniProt mapping job {} still not finished after {} polls "
+            "({}s apart) — raise max_polls or retry later".format(
+                job_id, max_polls, polling_interval)
+        )
 
     details, _ = _get_json(
         "{}/idmapping/details/{}".format(UNIPROT_MAPPING_URL, job_id)

@@ -64,6 +64,30 @@ SCORING_MODELS = (
 )
 
 
+def _resolve_fit_device_count(fit_devices):
+    """Resolve the fit_devices config value ("all", an int, or None =
+    all available) to a validated device count — shared by the
+    standard and mean_field protocols."""
+    import jax as _jax
+
+    n_avail = len(_jax.devices())
+    if fit_devices in (None, "all"):
+        return n_avail
+    try:
+        n_total = int(fit_devices)
+    except (TypeError, ValueError):
+        raise InvalidParameterError(
+            "fit_devices must be 'all' or an integer "
+            "(got {!r})".format(fit_devices)
+        )
+    if not 0 < n_total <= n_avail:
+        raise InvalidParameterError(
+            "fit_devices must be in [1, {}] (got {})".format(
+                n_avail, fit_devices)
+        )
+    return n_total
+
+
 def infer_plmc(**kwargs):
     """Shared EC-inference core for monomer and complex protocols:
     run (or reuse) the PLM fit and load the raw EC table.
@@ -195,11 +219,8 @@ def infer_plmc(**kwargs):
         fit_devices = kwargs.get("fit_devices")
         model_shards = int(kwargs.get("model_shards") or 1)
         if fit_devices is not None or model_shards > 1:
-            import jax as _jax
-
             from evcouplings_tpu import parallel
 
-            n_avail = len(_jax.devices())
             if model_shards > 1:
                 # site-sharding only exists on the asymmetric path;
                 # requesting it resolves "auto" accordingly
@@ -211,15 +232,7 @@ def infer_plmc(**kwargs):
                         "model_shards > 1 requires "
                         "parametrization: asymmetric"
                     )
-            n_total = (
-                n_avail if fit_devices in (None, "all")
-                else int(fit_devices)
-            )
-            if not 0 < n_total <= n_avail:
-                raise InvalidParameterError(
-                    "fit_devices must be in [1, {}] (got {})".format(
-                        n_avail, fit_devices)
-                )
+            n_total = _resolve_fit_device_count(fit_devices)
             if n_total % model_shards:
                 raise InvalidParameterError(
                     "fit_devices ({}) must be divisible by "
@@ -516,18 +529,9 @@ def mean_field(**kwargs):
     mesh = None
     fit_devices = kwargs.get("fit_devices")
     if fit_devices is not None:
-        import jax as _jax
-
         from evcouplings_tpu import parallel
 
-        n_avail = len(_jax.devices())
-        n_total = n_avail if fit_devices == "all" else int(fit_devices)
-        if not 1 <= n_total <= n_avail:
-            raise InvalidParameterError(
-                "fit_devices must be in [1, {}] (got {})".format(
-                    n_avail, fit_devices)
-            )
-        mesh = parallel.make_mesh(n_total)
+        mesh = parallel.make_mesh(_resolve_fit_device_count(fit_devices))
 
     mf_dca = MeanFieldDCA(input_alignment)
     model = mf_dca.fit(

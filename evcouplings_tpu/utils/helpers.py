@@ -246,12 +246,14 @@ def retry(func, retry_max_number=None, retry_wait=None,
     func : callable
         Zero-argument function to execute
     retry_max_number : int, optional
-        Maximum number of attempts. DELIBERATE DEVIATION from the
-        reference (helpers.py:279-321): there None retries FOREVER;
-        here None means a single attempt. An unreachable tracker DB
-        must fail a job loudly rather than hang it (and its CI)
-        indefinitely — callers that genuinely want unbounded retry
-        can pass a large number explicitly.
+        Number of RETRIES after the initial attempt (reference
+        helpers.py:279-324 counting: total attempts =
+        retry_max_number + 1, so 0 means exactly one attempt).
+        DELIBERATE DEVIATION from the reference: there None retries
+        FOREVER; here None means a single attempt. An unreachable
+        tracker DB must fail a job loudly rather than hang it (and
+        its CI) indefinitely — callers that genuinely want unbounded
+        retry can pass a large number explicitly.
     retry_wait : float, optional
         Seconds to sleep between attempts
     exceptions : tuple(Exception), optional
@@ -265,7 +267,7 @@ def retry(func, retry_max_number=None, retry_wait=None,
     if exceptions is None:
         exceptions = (Exception,)
 
-    attempts = retry_max_number if retry_max_number is not None else 1
+    attempts = 1 if retry_max_number is None else retry_max_number + 1
 
     last_exc = None
     for attempt in range(attempts):

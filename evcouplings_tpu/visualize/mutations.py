@@ -220,17 +220,23 @@ def matrix_base_mpl(matrix, positions, substitutions, conservation=None,
                 "helix_turn_length": 2,
                 "min_sse_length": 2,
             }
+        # cells are drawn at x in [i, i+1]: offset the SEGMENT
+        # coordinates to the cell centers (the cartoon draws segments
+        # at their raw coordinates)
         start, end, sse = find_secondary_structure_segments(
-            secondary_structure
+            secondary_structure, offset=0.5
         )
-        # cells are drawn at x in [i, i+1]; shift the cartoon to the
-        # cell centers, above the matrix (y axis runs downward)
+        # place the cartoon above the matrix (y axis runs downward),
+        # leaving clearance derived from the style's width so wide
+        # cartoons neither overlap row 0 nor get clipped
+        sse_width = float(secondary_structure_style.get("width", 0.8))
+        center = -(0.5 + sse_width / 2)
         secondary_structure_cartoon(
-            sse, sequence_start=start + 0.5, sequence_end=end + 0.5,
-            center=-1.2, ax=ax, **secondary_structure_style
+            sse, sequence_start=start, sequence_end=end,
+            center=center, ax=ax, **secondary_structure_style
         )
         bottom, _ = ax.get_ylim()
-        ax.set_ylim(bottom, -2.4)
+        ax.set_ylim(bottom, center - sse_width / 2 - 0.5)
 
     if title is not None:
         ax.set_title(title)

@@ -497,9 +497,26 @@ class TestRetryHelper:
             retry(boom, retry_max_number=3, retry_wait=0,
                   retry_action=lambda: retries.append(1),
                   fail_action=lambda: fails.append(1))
-        assert len(calls) == 3
-        assert len(retries) == 3
+        # reference counting: 3 RETRIES after the initial attempt
+        assert len(calls) == 4
+        assert len(retries) == 4
         assert len(fails) == 1
+
+    def test_zero_retries_is_one_attempt(self):
+        """retry_max_number=0 (reference meaning: no retries) runs
+        func exactly once and re-raises its error — it must not skip
+        the call or raise a bogus None."""
+        from evcouplings_tpu.utils.helpers import retry
+
+        calls = []
+
+        def boom():
+            calls.append(1)
+            raise OSError("down")
+
+        with pytest.raises(OSError):
+            retry(boom, retry_max_number=0)
+        assert len(calls) == 1
 
     def test_exception_filter_propagates_others(self):
         from evcouplings_tpu.utils.helpers import retry

@@ -165,16 +165,20 @@ class TestClassicPDBFromId:
         assert len(chain.residues) == 1
 
 
+
 class TestFullPublicSurface:
-    """EVERY public module-level function/class of EVERY reference
-    module must be importable at the same dotted path through the
-    compat alias — the line-by-line completeness gate for the whole
-    package surface (parsed from the reference's own source, so new
-    reference symbols fail here rather than silently missing)."""
+    """EVERY public module-level symbol, keyword parameter, and class
+    method of EVERY reference module must resolve through the compat
+    alias — the line-by-line completeness gates for the whole package
+    surface (parsed from the reference's own source, so new reference
+    symbols fail here rather than silently missing)."""
 
     REFERENCE_ROOT = "/root/reference/evcouplings"
 
-    def test_every_reference_symbol_resolves(self):
+    @classmethod
+    def _iter_reference_modules(cls):
+        """Yield (dotted_name, ast_tree, imported_module) for every
+        reference module, importing it through the compat alias."""
         import ast
         import importlib
         import os
@@ -182,12 +186,10 @@ class TestFullPublicSurface:
 
         import evcouplings_tpu.compat  # noqa: F401  (installs alias)
 
-        if not os.path.isdir(self.REFERENCE_ROOT):
+        if not os.path.isdir(cls.REFERENCE_ROOT):
             pytest.skip("reference checkout not available")
 
-        missing = {}
-        n_symbols = 0
-        for root, dirs, files in os.walk(self.REFERENCE_ROOT):
+        for root, dirs, files in os.walk(cls.REFERENCE_ROOT):
             dirs[:] = [
                 d for d in dirs
                 if d not in ("cns_templates", "scoring_models",
@@ -198,21 +200,28 @@ class TestFullPublicSurface:
                     continue
                 path = os.path.join(root, f)
                 rel = os.path.relpath(
-                    path, os.path.dirname(self.REFERENCE_ROOT)
+                    path, os.path.dirname(cls.REFERENCE_ROOT)
                 )[:-3].replace(os.sep, ".")
                 with open(path) as fh, warnings.catch_warnings():
                     warnings.simplefilter("ignore", SyntaxWarning)
                     tree = ast.parse(fh.read())
-                public = [
-                    n.name for n in tree.body
-                    if isinstance(n, (ast.FunctionDef, ast.ClassDef))
-                    and not n.name.startswith("_")
-                ]
-                n_symbols += len(public)
-                mod = importlib.import_module(rel)
-                miss = [nm for nm in public if not hasattr(mod, nm)]
-                if miss:
-                    missing[rel] = miss
+                yield rel, tree, importlib.import_module(rel)
+
+    def test_every_reference_symbol_resolves(self):
+        import ast
+
+        missing = {}
+        n_symbols = 0
+        for rel, tree, mod in self._iter_reference_modules():
+            public = [
+                n.name for n in tree.body
+                if isinstance(n, (ast.FunctionDef, ast.ClassDef))
+                and not n.name.startswith("_")
+            ]
+            n_symbols += len(public)
+            miss = [nm for nm in public if not hasattr(mod, nm)]
+            if miss:
+                missing[rel] = miss
 
         assert not missing, missing
         # the reference surface is ~200 public symbols; guard against
@@ -225,56 +234,32 @@ class TestFullPublicSurface:
         reference's parameter names is accepted by ours (or we take
         **kwargs)."""
         import ast
-        import importlib
         import inspect
-        import os
-        import warnings
-
-        import evcouplings_tpu.compat  # noqa: F401
-
-        if not os.path.isdir(self.REFERENCE_ROOT):
-            pytest.skip("reference checkout not available")
 
         issues = []
-        for root, dirs, files in os.walk(self.REFERENCE_ROOT):
-            dirs[:] = [
-                d for d in dirs
-                if d not in ("cns_templates", "scoring_models",
-                             "__pycache__")
-            ]
-            for f in sorted(files):
-                if not f.endswith(".py") or f == "__init__.py":
+        for rel, tree, mod in self._iter_reference_modules():
+            for n in tree.body:
+                if not (isinstance(n, ast.FunctionDef)
+                        and not n.name.startswith("_")):
                     continue
-                path = os.path.join(root, f)
-                rel = os.path.relpath(
-                    path, os.path.dirname(self.REFERENCE_ROOT)
-                )[:-3].replace(os.sep, ".")
-                with open(path) as fh, warnings.catch_warnings():
-                    warnings.simplefilter("ignore", SyntaxWarning)
-                    tree = ast.parse(fh.read())
-                mod = importlib.import_module(rel)
-                for n in tree.body:
-                    if not (isinstance(n, ast.FunctionDef)
-                            and not n.name.startswith("_")):
-                        continue
-                    ref_params = [
-                        a.arg for a in n.args.args + n.args.kwonlyargs
-                    ]
-                    ours = getattr(mod, n.name, None)
-                    if ours is None:
-                        continue
-                    try:
-                        sig = inspect.signature(ours)
-                    except (ValueError, TypeError):
-                        continue
-                    if any(p.kind == p.VAR_KEYWORD
-                           for p in sig.parameters.values()):
-                        continue
-                    missing = [
-                        p for p in ref_params if p not in sig.parameters
-                    ]
-                    if missing:
-                        issues.append((rel, n.name, missing))
+                ref_params = [
+                    a.arg for a in n.args.args + n.args.kwonlyargs
+                ]
+                ours = getattr(mod, n.name, None)
+                if ours is None:
+                    continue
+                try:
+                    sig = inspect.signature(ours)
+                except (ValueError, TypeError):
+                    continue
+                if any(p.kind == p.VAR_KEYWORD
+                       for p in sig.parameters.values()):
+                    continue
+                missing = [
+                    p for p in ref_params if p not in sig.parameters
+                ]
+                if missing:
+                    issues.append((rel, n.name, missing))
 
         assert not issues, issues
 
@@ -283,50 +268,26 @@ class TestFullPublicSurface:
         our class too (same walk as the symbol gate, one level
         deeper)."""
         import ast
-        import importlib
-        import os
-        import warnings
-
-        import evcouplings_tpu.compat  # noqa: F401
-
-        if not os.path.isdir(self.REFERENCE_ROOT):
-            pytest.skip("reference checkout not available")
 
         missing = {}
         n_methods = 0
-        for root, dirs, files in os.walk(self.REFERENCE_ROOT):
-            dirs[:] = [
-                d for d in dirs
-                if d not in ("cns_templates", "scoring_models",
-                             "__pycache__")
-            ]
-            for f in sorted(files):
-                if not f.endswith(".py") or f == "__init__.py":
+        for rel, tree, mod in self._iter_reference_modules():
+            for n in tree.body:
+                if not (isinstance(n, ast.ClassDef)
+                        and not n.name.startswith("_")):
                     continue
-                path = os.path.join(root, f)
-                rel = os.path.relpath(
-                    path, os.path.dirname(self.REFERENCE_ROOT)
-                )[:-3].replace(os.sep, ".")
-                with open(path) as fh, warnings.catch_warnings():
-                    warnings.simplefilter("ignore", SyntaxWarning)
-                    tree = ast.parse(fh.read())
-                mod = importlib.import_module(rel)
-                for n in tree.body:
-                    if not (isinstance(n, ast.ClassDef)
-                            and not n.name.startswith("_")):
-                        continue
-                    cls = getattr(mod, n.name, None)
-                    if cls is None:
-                        continue
-                    methods = [
-                        m.name for m in n.body
-                        if isinstance(m, ast.FunctionDef)
-                        and not m.name.startswith("_")
-                    ]
-                    n_methods += len(methods)
-                    miss = [m for m in methods if not hasattr(cls, m)]
-                    if miss:
-                        missing["{}.{}".format(rel, n.name)] = miss
+                cls = getattr(mod, n.name, None)
+                if cls is None:
+                    continue
+                methods = [
+                    m.name for m in n.body
+                    if isinstance(m, ast.FunctionDef)
+                    and not m.name.startswith("_")
+                ]
+                n_methods += len(methods)
+                miss = [m for m in methods if not hasattr(cls, m)]
+                if miss:
+                    missing["{}.{}".format(rel, n.name)] = miss
 
         assert not missing, missing
         assert n_methods > 120
