@@ -169,7 +169,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             alphabet=None, theta=None, scale=None, ignore_gaps=False,
             iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
             cpu=None, binary=None, mesh=None, solver=None,
-            block_size=None, steps_per_call=1,
+            block_size=None, steps_per_call=1, pad_sites_to=None,
             compute_dtype="float32", matmul_precision="highest",
             parametrization="auto",
             callback=None, checkpoint_file=None, checkpoint_every=50):
@@ -194,6 +194,12 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
 
     solver: None picks the parametrization's default ("lbfgs" for
     symmetric — plmc parity — and "adam" for asymmetric).
+
+    pad_sites_to: round the fitted site count up to this multiple
+    with inert padding columns so families with different L share one
+    compiled XLA program in a sweep (shape-bucketed compile caching).
+    Padding alters GEMM shapes and therefore float rounding; leave
+    None (default) for exact-parity runs.
 
     Returns PlmResult (same fields as the reference PlmcResult).
     """
@@ -238,6 +244,24 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     if ignore_gaps:
         gap_code = 0      # gap is by convention first character
         fit_codes = np.where(codes == gap_code, -1, codes).astype(np.int8)
+
+    # --- shape-bucketed site padding (compile-cache reuse) ----------
+    # XLA compiles one program per distinct shape; a production sweep
+    # over many families (each with its own L) otherwise pays a fresh
+    # 20-40 s compile per family. pad_sites_to=k rounds the fitted
+    # site count up to a multiple of k with inert -1 columns (zero
+    # one-hot: no data contribution; zero coupling blocks: no
+    # regularizer gradient), so families in the same bucket share one
+    # compiled program. Padding changes GEMM shapes and therefore
+    # float rounding — leave unset for exact-parity runs.
+    L_fit = L
+    if pad_sites_to:
+        L_fit = -(-L // int(pad_sites_to)) * int(pad_sites_to)
+        if L_fit != L:
+            fit_codes = np.concatenate([
+                fit_codes,
+                np.full((N, L_fit - L), -1, dtype=np.int8),
+            ], axis=1)
 
     # --- parametrization routing (preflight HBM estimate) ----------
     def _fmt_bytes(b):
@@ -287,7 +311,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         # model axis replicates them, so it does NOT reduce the
         # per-device footprint
         est = ops_plm.estimate_fit_hbm_bytes(
-            N, L, q, sym_cfg, "symmetric",
+            N, L_fit, q, sym_cfg, "symmetric",
             n_data_shards=n_data_shards,
         )
         if est > 0.9 * budget:
@@ -314,7 +338,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         )
         budget = ops_plm.device_hbm_budget()
         est = ops_plm.estimate_fit_hbm_bytes(
-            N, L, q, asym_cfg, "asymmetric",
+            N, L_fit, q, asym_cfg, "asymmetric",
             n_data_shards=n_data_shards, n_model_shards=n_model_shards,
         )
         if est > budget:
@@ -361,12 +385,16 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             "Invalid parametrization: {!r} (valid: symmetric, "
             "asymmetric)".format(parametrization))
 
+    # drop the inert bucket-padding sites before scoring/persisting
+    fit_J_ij = fit.J_ij[:L, :L] if L_fit != L else fit.J_ij
+    fit_h_i = fit.h_i[:L] if L_fit != L else fit.h_i
+
     # weighted frequencies (no pseudocount) for the .model file
     f_i = frequencies(codes, weights, q)
     f_ij = pair_frequencies(codes, weights, q, f_i)
 
     # full-precision scoring for the raw EC file
-    fn = _scores.fn_scores(fit.J_ij)
+    fn = _scores.fn_scores(fit_J_ij)
     cn = _scores.apc(fn)
 
     iter_table = pd.DataFrame(fit.iteration_table)
@@ -377,8 +405,8 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     all_weights[prep["valid_index"]] = weights
 
     model = CouplingsModel.from_params(
-        J_ij=fit.J_ij,
-        h_i=fit.h_i,
+        J_ij=fit_J_ij,
+        h_i=fit_h_i,
         f_i=f_i,
         f_ij=f_ij,
         alphabet=alphabet,

@@ -208,6 +208,11 @@ def infer_plmc(**kwargs):
             "solver": solver,
             "parametrization": parametrization,
             "steps_per_call": int(kwargs.get("steps_per_call") or 1),
+            # pad_sites: round L up to this multiple with inert
+            # columns so families with different L share one compiled
+            # XLA program across a sweep (run_plm pad_sites_to);
+            # padding changes float rounding — leave unset for parity
+            "pad_sites_to": kwargs.get("pad_sites"),
         }
 
         # device-mesh knobs (beyond the reference schema, which is

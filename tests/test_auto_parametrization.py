@@ -228,3 +228,34 @@ def test_protocol_routes_auto(tiny_alignment, tmp_path, monkeypatch):
     assert calls == ["asymmetric"]
     assert len(ecs) > 0
     assert os.path.isfile(outcfg["model_file"])
+
+
+def test_pad_sites_bucket_shares_shape(tiny_alignment, tmp_path):
+    """pad_sites_to buckets the fitted site count: the padded fit
+    produces the same EC ranking on the true sites and a model at the
+    TRUE L, while the fitted shape rounds up to the bucket (the whole
+    point: one compiled program per bucket in a sweep)."""
+    from evcouplings_tpu.couplings.model import CouplingsModel
+    from evcouplings_tpu.couplings.pairs import read_raw_ec_file
+
+    base = fitter.run_plm(
+        tiny_alignment, str(tmp_path / "a_ECs.txt"),
+        str(tmp_path / "a.model"), iterations=8,
+    )
+    padded = fitter.run_plm(
+        tiny_alignment, str(tmp_path / "b_ECs.txt"),
+        str(tmp_path / "b.model"), iterations=8, pad_sites_to=32,
+    )
+    assert base.num_valid_sites == padded.num_valid_sites == L
+
+    e1 = read_raw_ec_file(str(tmp_path / "a_ECs.txt"), sort=False)
+    e2 = read_raw_ec_file(str(tmp_path / "b_ECs.txt"), sort=False)
+    assert len(e1) == len(e2) == L * (L - 1) // 2
+    np.testing.assert_allclose(
+        e1.cn.values, e2.cn.values, rtol=1e-4, atol=1e-6)
+    assert list(np.argsort(-e1.cn.values)) == \
+        list(np.argsort(-e2.cn.values))
+
+    # artifacts carry the TRUE L
+    m = CouplingsModel(str(tmp_path / "b.model"))
+    assert m.L == L
