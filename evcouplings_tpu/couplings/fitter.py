@@ -170,6 +170,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
             cpu=None, binary=None, mesh=None, solver=None,
             block_size=None, steps_per_call=1, pad_sites_to=None,
+            pad_rows_to=None,
             compute_dtype="float32", matmul_precision="highest",
             parametrization="auto",
             callback=None, checkpoint_file=None, checkpoint_every=50):
@@ -195,8 +196,9 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     solver: None picks the parametrization's default ("lbfgs" for
     symmetric — plmc parity — and "adam" for asymmetric).
 
-    pad_sites_to: round the fitted site count up to this multiple
-    with inert padding columns so families with different L share one
+    pad_sites_to / pad_rows_to: round the fitted site / sequence
+    counts up to these multiples with inert padding (code -1 columns;
+    weight-0 rows) so families with different (L, N) share one
     compiled XLA program in a sweep (shape-bucketed compile caching).
     Padding alters GEMM shapes and therefore float rounding; leave
     None (default) for exact-parity runs.
@@ -263,6 +265,23 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
                 np.full((N, L_fit - L), -1, dtype=np.int8),
             ], axis=1)
 
+    # same bucketing on the N axis (rows are -1/weight-0, inert):
+    # the fit pads rows to a block multiple anyway, but families with
+    # different N would still land on different padded shapes
+    fit_weights = weights
+    if pad_rows_to:
+        n_fit = -(-N // int(pad_rows_to)) * int(pad_rows_to)
+        if n_fit != N:
+            fit_codes = np.concatenate([
+                fit_codes,
+                np.full((n_fit - N, fit_codes.shape[1]), -1,
+                        dtype=np.int8),
+            ], axis=0)
+            fit_weights = np.concatenate([
+                weights, np.zeros(n_fit - N, dtype=weights.dtype)
+            ])
+    N_fit = fit_codes.shape[0]
+
     # --- parametrization routing (preflight HBM estimate) ----------
     def _fmt_bytes(b):
         return ("{:.1f} GiB".format(b / 2 ** 30) if b >= 2 ** 30
@@ -311,7 +330,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         # model axis replicates them, so it does NOT reduce the
         # per-device footprint
         est = ops_plm.estimate_fit_hbm_bytes(
-            N, L_fit, q, sym_cfg, "symmetric",
+            N_fit, L_fit, q, sym_cfg, "symmetric",
             n_data_shards=n_data_shards,
         )
         if est > 0.9 * budget:
@@ -338,7 +357,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         )
         budget = ops_plm.device_hbm_budget()
         est = ops_plm.estimate_fit_hbm_bytes(
-            N, L_fit, q, asym_cfg, "asymmetric",
+            N_fit, L_fit, q, asym_cfg, "asymmetric",
             n_data_shards=n_data_shards, n_model_shards=n_model_shards,
         )
         if est > budget:
@@ -370,13 +389,13 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         from evcouplings_tpu.ops.plm_sites import fit_plm_asym
 
         fit = fit_plm_asym(
-            fit_codes, weights, q, cfg, mesh=mesh, callback=callback,
+            fit_codes, fit_weights, q, cfg, mesh=mesh, callback=callback,
             checkpoint_file=checkpoint_file,
             checkpoint_every=checkpoint_every,
         )
     elif parametrization == "symmetric":
         fit = fit_plm(
-            fit_codes, weights, q, cfg, mesh=mesh, callback=callback,
+            fit_codes, fit_weights, q, cfg, mesh=mesh, callback=callback,
             checkpoint_file=checkpoint_file,
             checkpoint_every=checkpoint_every,
         )

@@ -208,11 +208,13 @@ def infer_plmc(**kwargs):
             "solver": solver,
             "parametrization": parametrization,
             "steps_per_call": int(kwargs.get("steps_per_call") or 1),
-            # pad_sites: round L up to this multiple with inert
-            # columns so families with different L share one compiled
-            # XLA program across a sweep (run_plm pad_sites_to);
-            # padding changes float rounding — leave unset for parity
+            # pad_sites / pad_rows: round L / N up to these
+            # multiples with inert padding so families with different
+            # shapes share one compiled XLA program across a sweep
+            # (run_plm pad_sites_to / pad_rows_to); padding changes
+            # float rounding — leave unset for parity
             "pad_sites_to": kwargs.get("pad_sites"),
+            "pad_rows_to": kwargs.get("pad_rows"),
         }
 
         # device-mesh knobs (beyond the reference schema, which is

@@ -245,6 +245,7 @@ def test_pad_sites_bucket_shares_shape(tiny_alignment, tmp_path):
     padded = fitter.run_plm(
         tiny_alignment, str(tmp_path / "b_ECs.txt"),
         str(tmp_path / "b.model"), iterations=8, pad_sites_to=32,
+        pad_rows_to=64,
     )
     assert base.num_valid_sites == padded.num_valid_sites == L
 
