@@ -177,35 +177,64 @@ class TestFullPublicSurface:
 
     @classmethod
     def _iter_reference_modules(cls):
-        """Yield (dotted_name, ast_tree, imported_module) for every
-        reference module, importing it through the compat alias."""
+        """Return [(dotted_name, ast_tree, imported_module)] for every
+        reference module, importing it through the compat alias.
+
+        Other test modules (the live-reference parity suite, the
+        alias's own tests) leave `evcouplings*` entries in sys.modules
+        and may have uninstalled the alias finder — so this makes the
+        alias authoritative for the duration of the walk and restores
+        the prior import state afterward, keeping the gate independent
+        of test order."""
         import ast
         import importlib
         import os
+        import sys
         import warnings
 
-        import evcouplings_tpu.compat  # noqa: F401  (installs alias)
+        from evcouplings_tpu import compat
 
         if not os.path.isdir(cls.REFERENCE_ROOT):
             pytest.skip("reference checkout not available")
 
-        for root, dirs, files in os.walk(cls.REFERENCE_ROOT):
-            dirs[:] = [
-                d for d in dirs
-                if d not in ("cns_templates", "scoring_models",
-                             "__pycache__")
-            ]
-            for f in sorted(files):
-                if not f.endswith(".py") or f == "__init__.py":
-                    continue
-                path = os.path.join(root, f)
-                rel = os.path.relpath(
-                    path, os.path.dirname(cls.REFERENCE_ROOT)
-                )[:-3].replace(os.sep, ".")
-                with open(path) as fh, warnings.catch_warnings():
-                    warnings.simplefilter("ignore", SyntaxWarning)
-                    tree = ast.parse(fh.read())
-                yield rel, tree, importlib.import_module(rel)
+        saved = {
+            k: sys.modules.pop(k)
+            for k in list(sys.modules)
+            if k == "evcouplings" or k.startswith("evcouplings.")
+        }
+        had_finder = any(
+            isinstance(f, compat.EvcouplingsAliasFinder)
+            for f in sys.meta_path
+        )
+        compat.install_alias()
+
+        out = []
+        try:
+            for root, dirs, files in os.walk(cls.REFERENCE_ROOT):
+                dirs[:] = [
+                    d for d in dirs
+                    if d not in ("cns_templates", "scoring_models",
+                                 "__pycache__")
+                ]
+                for f in sorted(files):
+                    if not f.endswith(".py") or f == "__init__.py":
+                        continue
+                    path = os.path.join(root, f)
+                    rel = os.path.relpath(
+                        path, os.path.dirname(cls.REFERENCE_ROOT)
+                    )[:-3].replace(os.sep, ".")
+                    with open(path) as fh, warnings.catch_warnings():
+                        warnings.simplefilter("ignore", SyntaxWarning)
+                        tree = ast.parse(fh.read())
+                    out.append((rel, tree, importlib.import_module(rel)))
+        finally:
+            if not had_finder:
+                compat.uninstall_alias()
+            for k in list(sys.modules):
+                if k == "evcouplings" or k.startswith("evcouplings."):
+                    del sys.modules[k]
+            sys.modules.update(saved)
+        return out
 
     def test_every_reference_symbol_resolves(self):
         import ast
