@@ -246,8 +246,13 @@ def bench_asym():
     n = 16384
     codes = rng.integers(0, Q, size=(n, L)).astype(np.int8)
     w = rng.uniform(0.5, 1.0, size=n)
-    cfg = PlmConfig(solver="adam", max_iter=60, steps_per_call=10,
-                    block_size=2048, dtype="bfloat16",
+    # block/chaining sweep on v5e (N=16k, L=160, bf16): 1024 beats
+    # 2048/4096/8192 (7.2 vs 7.6/11.7/12.5 ms/iter at spc 60) — the
+    # carried (l_loc*q, Lq) accumulator is small, so the symmetric
+    # path's large-block preference inverts here; deep step chaining
+    # amortizes the dispatch (9.97 ms/iter at spc 10 -> 7.2 at 60)
+    cfg = PlmConfig(solver="adam", max_iter=120, steps_per_call=30,
+                    block_size=1024, dtype="bfloat16",
                     precision="default", conv_tol=0.0)
     stamps = []
     fit_plm_asym(codes, w, Q, cfg,

@@ -287,25 +287,33 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         return ("{:.1f} GiB".format(b / 2 ** 30) if b >= 2 ** 30
                 else "{:.1f} MiB".format(b / 2 ** 20))
 
-    # resolve the block size BEFORE the preflight so the estimate sees
-    # the same block size — and through it the same grad layout (the
-    # two-phase layout engages only at blocks >= 2048 and holds the
-    # static one-hot + residuals resident) — that the fit will use
+    # resolve the block sizes BEFORE the preflight so the estimate
+    # sees the same block size — and through it the same grad layout
+    # (the two-phase layout engages only at blocks >= 2048 and holds
+    # the static one-hot + residuals resident) — that the fit will
+    # use. The two paths prefer OPPOSITE block regimes, so each gets
+    # its own default and the routing picks the winner's.
     if block_size is None:
-        # parity (float32) mode: small blocks keep the carried f32
-        # accumulator VMEM-friendly (block sweep in ops/plm.py).
-        # production (bfloat16) mode: the two-phase grad layout wants
-        # LARGE blocks — pick the largest multiple of 512 up to 8192
-        # that divides the per-device 512-padded row count, so the
-        # bigger block adds no extra padding waste.
+        # symmetric — parity (float32) mode: small blocks keep the
+        # carried f32 accumulator VMEM-friendly (block sweep in
+        # ops/plm.py). production (bfloat16) mode: the two-phase grad
+        # layout wants LARGE blocks — pick the largest multiple of
+        # 512 up to 8192 that divides the per-device 512-padded row
+        # count, so the bigger block adds no extra padding waste.
         if compute_dtype == "bfloat16":
             n_dev = 1 if mesh is None else mesh.devices.size
             k = max(1, -(-N // (512 * n_dev)))   # local 512-blocks
             d = max(d for d in range(1, 17) if k % d == 0)
-            block_size = 512 * d
+            sym_block = 512 * d
         else:
-            block_size = 512
-    block_size = int(block_size)
+            sym_block = 512
+        # asymmetric: the carried (l_loc*q, Lq) accumulator is small,
+        # so SMALL blocks win (v5e sweep at N=16k, L=160, bf16:
+        # 1024 -> 7.2 ms/iter, 2048 -> 7.6, 4096 -> 11.7, 8192 -> 12.5
+        # at steps_per_call 60)
+        asym_block = 1024
+    else:
+        sym_block = asym_block = int(block_size)
 
     # mesh axis sizes for the per-device estimate
     n_data_shards, n_model_shards = 1, 1
@@ -323,7 +331,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         sym_cfg = PlmConfig(
             solver=solver or "lbfgs",
             dtype=compute_dtype,
-            block_size=block_size,
+            block_size=sym_block,
         )
         budget = ops_plm.device_hbm_budget()
         # the symmetric fit shards rows over "data" only; a size-m
@@ -353,7 +361,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         asym_cfg = PlmConfig(
             solver=solver or "adam",
             dtype=compute_dtype,
-            block_size=block_size,
+            block_size=asym_block,
         )
         budget = ops_plm.device_hbm_budget()
         est = ops_plm.estimate_fit_hbm_bytes(
@@ -372,6 +380,9 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
 
     if solver is None:
         solver = "adam" if parametrization == "asymmetric" else "lbfgs"
+    block_size = (
+        asym_block if parametrization == "asymmetric" else sym_block
+    )
     # ----------------------------------------------------------------
 
     cfg = PlmConfig(

@@ -662,6 +662,11 @@ def fit_plm_asym(codes, weights, num_symbols,
     # only (l_loc*q, lq_pad) per shard and its round trips overlap
     # with the MXU phases. "auto" therefore resolves to carried, the
     # opposite of the symmetric path's resolution (ops/plm.py).
+    # Block/chaining sweep (same shape, carried layout): block 1024 +
+    # steps_per_call 60 reaches 7.2 ms/iter (365M seq*site/s) vs 9.97
+    # at the old block-2048/spc-10 default — small blocks win here,
+    # and deep chaining amortizes the host dispatch; the production
+    # default block for this path is 1024 (couplings/fitter.py).
     compute_dtype = jnp.dtype(cfg.dtype)
     if cfg.grad_layout not in ("auto", "carried", "two_phase"):
         raise ValueError(
