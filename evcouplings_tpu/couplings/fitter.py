@@ -233,6 +233,14 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     codes = prep["codes"]
     N, L = codes.shape
     q = len(alphabet)
+    if N == 0:
+        raise ResourceError(
+            "No valid sequences to fit: every row of {} contains "
+            "symbols outside the alphabet in the selected columns. "
+            "A2M/A3M alignments with lowercase insert columns need "
+            "focus mode (focus_seq=...) to select the uppercase match "
+            "columns.".format(alignment)
+        )
 
     # O(N^2 L) reweighting on the MXU (gaps participate in identity,
     # reference alignment.py:1192-1233 semantics)

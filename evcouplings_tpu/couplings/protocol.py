@@ -204,10 +204,18 @@ def infer_plmc(**kwargs):
                 "Invalid precision, valid options are: "
                 "parity, balanced, production"
             )
+        # steps_per_call absent from the config: parity modes keep the
+        # plmc-exact 1 step per dispatch (convergence checked every
+        # step); production mode defaults to 10 — one host dispatch
+        # costs about one gradient eval through the TPU tunnel, so
+        # chaining nearly doubles production throughput
+        steps_per_call = kwargs.get("steps_per_call")
+        if steps_per_call is None:
+            steps_per_call = 10 if precision_mode == "production" else 1
         fitter_kwargs = {
             "solver": solver,
             "parametrization": parametrization,
-            "steps_per_call": int(kwargs.get("steps_per_call") or 1),
+            "steps_per_call": int(steps_per_call),
             # pad_sites / pad_rows: round L / N up to these
             # multiples with inert padding so families with different
             # shapes share one compiled XLA program across a sweep
