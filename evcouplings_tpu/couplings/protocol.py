@@ -278,6 +278,18 @@ def infer_plmc(**kwargs):
                 compute_dtype="float32", matmul_precision="high",
             )
 
+        # mid-fit crash recovery (beyond the reference's stage-level
+        # reuse): checkpoint_every > 0 snapshots parameters + full
+        # solver state every k iterations; a killed job resumes the
+        # fit bitwise from the snapshot on re-run. The snapshot is
+        # removed after a completed fit so a later full re-run starts
+        # fresh.
+        checkpoint_every = int(kwargs.get("checkpoint_every") or 0)
+        fit_checkpoint = prefix + ".fit_checkpoint.npz"
+        if checkpoint_every > 0:
+            fitter_kwargs["checkpoint_file"] = fit_checkpoint
+            fitter_kwargs["checkpoint_every"] = checkpoint_every
+
         plmc_result = ct.run_plm(
             kwargs["alignment_file"],
             outcfg["raw_ec_file"],
@@ -295,6 +307,11 @@ def infer_plmc(**kwargs):
             cpu=kwargs["cpu"],
             **fitter_kwargs,
         )
+
+        if checkpoint_every > 0 and valid_file(fit_checkpoint):
+            import os as _os
+
+            _os.remove(fit_checkpoint)
 
         iter_table_file = prefix + "_iteration_table.csv"
         plmc_result.iteration_table.to_csv(iter_table_file)

@@ -373,6 +373,40 @@ class TestCouplingsStandard:
         )
         assert os.path.isfile(outcfg["model_file"])
 
+    def test_checkpoint_every_plumbs_and_cleans_up(self, pipeline_dir,
+                                                   monkeypatch):
+        """checkpoint_every wires mid-fit snapshots through the
+        protocol (run_plm checkpoint_file under the job prefix) and
+        removes the snapshot after a completed fit."""
+        from evcouplings_tpu.couplings import fitter as ct
+
+        d, _, align_outcfg, _ = pipeline_dir
+        seen = {}
+        real = ct.run_plm
+
+        def spy(*a, **k):
+            seen.update(k)
+            return real(*a, **k)
+
+        monkeypatch.setattr(couplings_protocol.ct, "run_plm", spy)
+
+        prefix = str(d / "run_ckpt" / "test")
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(checkpoint_every=3, iterations=7)
+        couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+        assert seen["checkpoint_every"] == 3
+        assert seen["checkpoint_file"] == prefix + ".fit_checkpoint.npz"
+        # the snapshot was written during the fit and removed after it
+        assert not os.path.exists(prefix + ".fit_checkpoint.npz")
+
     def test_logistic_regression_none_min_seqdist(self, pipeline_dir):
         """min_sequence_distance: null is legal elsewhere in the stage
         and must not crash the logistic-regression rescorer (the
