@@ -43,6 +43,7 @@ import numpy as np
 import optax
 
 from evcouplings_tpu.ops.encode import pad_rows
+from evcouplings_tpu.ops._jax_compat import pvary as _pvary
 from evcouplings_tpu.ops.lbfgs import init_lbfgs_state, make_lbfgs_chunk
 
 
@@ -172,7 +173,7 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
         if axis_name is not None:
             # inside shard_map the carry becomes varying along the data
             # axis; mark the init accordingly
-            init = jax.lax.pvary(init, (axis_name,))
+            init = _pvary(init, (axis_name,))
         acc, _ = jax.lax.scan(
             body, init, jnp.arange(num_blocks, dtype=jnp.int32),
         )
@@ -344,7 +345,7 @@ def _make_local_value_and_grad(L, q, block_size, prec, dtype,
         )
         if axis_name is not None:
             init = jax.tree.map(
-                lambda x: jax.lax.pvary(x, (axis_name,)), init
+                lambda x: _pvary(x, (axis_name,)), init
             )
         (nll, dJh), _ = jax.lax.scan(
             body, init, jnp.arange(num_blocks, dtype=jnp.int32),
@@ -512,7 +513,7 @@ def _make_local_value_and_grad_two_phase(L, q, block_size, prec, dtype,
 
         init = jnp.zeros((), dtype=acc_dtype)
         if axis_name is not None:
-            init = jax.lax.pvary(init, (axis_name,))
+            init = _pvary(init, (axis_name,))
         nll, r_all = jax.lax.scan(
             body, init, jnp.arange(num_blocks, dtype=jnp.int32),
         )

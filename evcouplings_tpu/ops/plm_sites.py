@@ -46,6 +46,7 @@ except ImportError:                      # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from evcouplings_tpu.ops.plm import PlmConfig, PlmFitResult, _precision
+from evcouplings_tpu.ops._jax_compat import pvary as _pvary
 from evcouplings_tpu.ops.plm_update import ADAM_B1, ADAM_B2, ADAM_EPS
 
 
@@ -145,7 +146,7 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
 
             init = jnp.zeros((), f32)
             if manual_axes:
-                init = lax.pvary(init, manual_axes)
+                init = _pvary(init, manual_axes)
             nll, r_blocks = lax.scan(
                 body, init, jnp.arange(n_blocks))
             r_all = r_blocks.reshape(n_loc, l_loc * q)
@@ -181,7 +182,7 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
                     jnp.zeros((l_loc, q), f32))
             if manual_axes:
                 init = jax.tree.map(
-                    lambda a: lax.pvary(a, manual_axes), init)
+                    lambda a: _pvary(a, manual_axes), init)
             (nll, dJ, dh), _ = lax.scan(
                 body, init, jnp.arange(n_blocks))
         # self-block gradient is excluded from the model by the mask
@@ -300,7 +301,7 @@ def _make_local_vg_site(L, L_pad, l_loc, q, cfg, manual_axes=()):
                 jnp.zeros((l_loc, q), f32))
         if manual_axes:
             init = jax.tree.map(
-                lambda a: lax.pvary(a, manual_axes), init)
+                lambda a: _pvary(a, manual_axes), init)
         (nll, dJ, dh), _ = lax.scan(body, init, jnp.arange(n_blocks))
         dJ = dJ * _site_mask(l_loc, L_pad, q, m_idx, f32)
         if has_data:
@@ -460,8 +461,8 @@ def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
             # count (each model shard's linesearch resolves in its own
             # number of passes — the vma system cannot infer that, so
             # declare it, which also makes the nevals psum below sound)
-            ok0 = lax.pvary(ok0, ("model",))
-            n0 = lax.pvary(n0, ("model",))
+            ok0 = _pvary(ok0, ("model",))
+            n0 = _pvary(n0, ("model",))
         carry0 = (t0, t0, f0, g, ok0, frozen, n0)
         _, t, f_t, g_t, ok, _, n_ls = lax.while_loop(
             cond, body, carry0
