@@ -646,7 +646,10 @@ def make_plm_nll_vg(L, q, cfg: PlmConfig, mesh=None):
             return local_vg(J_aug, codes, weights)
 
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:              # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
 
         if layout == "two_phase":
             def shard_fn(J_aug, codes, weights, oh_aug):
@@ -775,7 +778,10 @@ def make_plm_loss(L, q, cfg: PlmConfig, mesh=None,
             return local_nll(J_eff, h_flat, codes, weights)
 
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:              # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
 
         def shard_fn(J_eff, h_flat, codes, weights):
             return jax.lax.psum(
@@ -896,7 +902,10 @@ def _make_fused_step_chunk(L, q, cfg, mesh, steps_per_call,
                 ),
             ) + tuple(state[1:])
             gnorm = jnp.sqrt(gsq[0, 0] + jnp.sum(g_h ** 2))
-            xnorm = optax.tree_utils.tree_l2_norm(params2)
+            tree_norm = getattr(
+                optax.tree_utils, "tree_norm", None
+            ) or optax.tree_utils.tree_l2_norm
+            xnorm = tree_norm(params2)
 
             parts = [J_eff2, h2.astype(dtype).reshape(1, lq)]
             if lq_aug > lq + 1:
@@ -1164,8 +1173,11 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             value, grad = vg_fn(params, codes, weights, oh_aug)
             updates, state = opt.update(grad, state, params)
             params = optax.apply_updates(params, updates)
-            gnorm = optax.tree_utils.tree_l2_norm(grad)
-            xnorm = optax.tree_utils.tree_l2_norm(params)
+            tree_norm = getattr(
+                optax.tree_utils, "tree_norm", None
+            ) or optax.tree_utils.tree_l2_norm
+            gnorm = tree_norm(grad)
+            xnorm = tree_norm(params)
             return params, state, value, gnorm, xnorm
 
         def body(carry, _):
