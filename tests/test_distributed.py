@@ -56,9 +56,23 @@ cfg2 = PlmConfig(max_iter=12, block_size=32, solver="lbfgs",
                  conv_tol=0.0)
 res2 = fit_plm_asym(codes, weights, 5, cfg2, mesh=mesh2)
 
+# column-sharded covariance inversion across the two processes
+# (the mean-field hot step): each host solves its identity-column
+# block against a replicated factorization
+from evcouplings_tpu.ops.mean_field import invert_covariance_sharded
+from jax.experimental import multihost_utils
+
+rngc = np.random.default_rng(5)
+D = 2 * 9 + 1                       # odd: exercises column padding
+A = rngc.standard_normal((D, D))
+C = A @ A.T + D * np.eye(D)
+neg_inv = np.asarray(multihost_utils.process_allgather(
+    invert_covariance_sharded(C, mesh), tiled=True))
+
 if proc_id == 0:
     np.savez(out_file, J=res.J_ij, h=res.h_i,
-             J_asym=res2.J_ij, h_asym=res2.h_i)
+             J_asym=res2.J_ij, h_asym=res2.h_i,
+             neg_inv=neg_inv, C=C)
 jax.distributed.shutdown()
 """
 
@@ -130,3 +144,8 @@ def test_two_process_fit_matches_single_process(tmp_path):
                                rtol=1e-3, atol=2e-5)
     np.testing.assert_allclose(dist["h_asym"], ref2.h_i,
                                rtol=1e-3, atol=2e-5)
+
+    # the cross-process column-sharded inversion equals -inv(C)
+    np.testing.assert_allclose(
+        dist["neg_inv"], -np.linalg.inv(dist["C"]), atol=1e-8
+    )
