@@ -278,16 +278,11 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     # different N would still land on different padded shapes
     fit_weights = weights
     if pad_rows_to:
-        n_fit = -(-N // int(pad_rows_to)) * int(pad_rows_to)
-        if n_fit != N:
-            fit_codes = np.concatenate([
-                fit_codes,
-                np.full((n_fit - N, fit_codes.shape[1]), -1,
-                        dtype=np.int8),
-            ], axis=0)
-            fit_weights = np.concatenate([
-                weights, np.zeros(n_fit - N, dtype=weights.dtype)
-            ])
+        from evcouplings_tpu.ops.encode import pad_rows
+
+        fit_codes, _ = pad_rows(fit_codes, int(pad_rows_to))
+        fit_codes[N:] = -1
+        fit_weights = np.pad(weights, (0, fit_codes.shape[0] - N))
     N_fit = fit_codes.shape[0]
 
     # --- parametrization routing (preflight HBM estimate) ----------
@@ -310,7 +305,11 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         # count, so the bigger block adds no extra padding waste.
         if compute_dtype == "bfloat16":
             n_dev = 1 if mesh is None else mesh.devices.size
-            k = max(1, -(-N // (512 * n_dev)))   # local 512-blocks
+            # derived from the BUCKETED row count: with pad_rows set,
+            # families in one bucket must resolve the same block (and
+            # so the same compiled program) — sizing from the raw N
+            # would defeat the bucketing
+            k = max(1, -(-N_fit // (512 * n_dev)))  # local 512-blocks
             d = max(d for d in range(1, 17) if k % d == 0)
             sym_block = 512 * d
         else:

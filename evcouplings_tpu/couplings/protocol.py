@@ -308,7 +308,11 @@ def infer_plmc(**kwargs):
             **fitter_kwargs,
         )
 
-        if checkpoint_every > 0 and valid_file(fit_checkpoint):
+        # a completed fit obsoletes any crash snapshot under this
+        # prefix — including one left by an earlier run that had
+        # checkpointing on while the current run does not (a stale
+        # snapshot must never survive to poison a future fit)
+        if valid_file(fit_checkpoint):
             import os as _os
 
             _os.remove(fit_checkpoint)

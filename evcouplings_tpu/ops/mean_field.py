@@ -197,7 +197,7 @@ def invert_covariance_sharded(C, mesh, axis="data"):
     C is replicated to every device, so single-device HBM must hold
     one (D, D) copy — the win is time, not memory.
     """
-    from jax import shard_map
+    from evcouplings_tpu.ops._jax_compat import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     C = jnp.asarray(C)

@@ -43,7 +43,11 @@ import numpy as np
 import optax
 
 from evcouplings_tpu.ops.encode import pad_rows
-from evcouplings_tpu.ops._jax_compat import pvary as _pvary
+from evcouplings_tpu.ops._jax_compat import (
+    pvary as _pvary,
+    shard_map as _shard_map,
+    tree_norm as _tree_norm,
+)
 from evcouplings_tpu.ops.lbfgs import init_lbfgs_state, make_lbfgs_chunk
 
 
@@ -458,6 +462,43 @@ def estimate_fit_hbm_bytes(n, l, q, cfg: "PlmConfig",
     return int(total * 1.25)
 
 
+def fit_fingerprint(codes, weights, num_symbols, cfg):
+    """Identity of a fit for checkpoint-resume safety: the data plus
+    every configuration field that shapes the optimization trajectory.
+    max_iter / steps_per_call / checkpoint cadence are deliberately
+    excluded — resuming with a raised iteration cap is legitimate.
+    A snapshot whose fingerprint differs was written by a DIFFERENT
+    fit (edited hyperparameters, different alignment/weights) and must
+    not be silently resumed."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(codes, dtype=np.int8).tobytes())
+    h.update(np.asarray(weights, dtype=np.float64).tobytes())
+    h.update(repr((
+        int(num_symbols), cfg.lambda_h, cfg.lambda_J, cfg.lambda_group,
+        cfg.solver, cfg.adam_lr, cfg.block_size, cfg.dtype,
+        cfg.precision, cfg.memory_size, cfg.conv_tol, cfg.grad_layout,
+    )).encode())
+    return h.hexdigest()
+
+
+def _check_ckpt_fingerprint(ckpt, fingerprint, checkpoint_file):
+    """Reject a snapshot written by a different fit configuration
+    (older snapshots without a fingerprint are accepted)."""
+    if "fingerprint" not in getattr(ckpt, "files", ()):
+        return
+    saved = str(ckpt["fingerprint"])
+    if saved != fingerprint:
+        raise ValueError(
+            "Checkpoint {} was written by a DIFFERENT fit "
+            "configuration or input data (fingerprint {}... vs "
+            "{}...); delete it to start this fit fresh instead of "
+            "silently resuming a mixed-objective optimization.".format(
+                checkpoint_file, saved[:12], fingerprint[:12])
+        )
+
+
 def build_augmented_onehot(codes, q, dtype):
     """(N, Lq_aug) ones-augmented one-hot of an int code matrix —
     the static per-fit input of the two-phase gradient layout
@@ -646,10 +687,6 @@ def make_plm_nll_vg(L, q, cfg: PlmConfig, mesh=None):
             return local_vg(J_aug, codes, weights)
 
         from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:              # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
 
         if layout == "two_phase":
             def shard_fn(J_aug, codes, weights, oh_aug):
@@ -659,7 +696,7 @@ def make_plm_nll_vg(L, q, cfg: PlmConfig, mesh=None):
                     jax.lax.psum(dJh, "data"),
                 )
 
-            return shard_map(
+            return _shard_map(
                 shard_fn, mesh=mesh,
                 in_specs=(P(), P("data"), P("data"), P("data")),
                 out_specs=(P(), P()),
@@ -672,7 +709,7 @@ def make_plm_nll_vg(L, q, cfg: PlmConfig, mesh=None):
                 jax.lax.psum(dJh, "data"),
             )
 
-        return shard_map(
+        return _shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P("data"), P("data")),
             out_specs=(P(), P()),
@@ -778,17 +815,13 @@ def make_plm_loss(L, q, cfg: PlmConfig, mesh=None,
             return local_nll(J_eff, h_flat, codes, weights)
 
         from jax.sharding import PartitionSpec as P
-        try:
-            from jax import shard_map
-        except ImportError:              # pragma: no cover - older jax
-            from jax.experimental.shard_map import shard_map
 
         def shard_fn(J_eff, h_flat, codes, weights):
             return jax.lax.psum(
                 local_nll(J_eff, h_flat, codes, weights), "data"
             )
 
-        return shard_map(
+        return _shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P("data"), P("data")),
             out_specs=P(),
@@ -902,10 +935,7 @@ def _make_fused_step_chunk(L, q, cfg, mesh, steps_per_call,
                 ),
             ) + tuple(state[1:])
             gnorm = jnp.sqrt(gsq[0, 0] + jnp.sum(g_h ** 2))
-            tree_norm = getattr(
-                optax.tree_utils, "tree_norm", None
-            ) or optax.tree_utils.tree_l2_norm
-            xnorm = tree_norm(params2)
+            xnorm = _tree_norm(params2)
 
             parts = [J_eff2, h2.astype(dtype).reshape(1, lq)]
             if lq_aug > lq + 1:
@@ -1053,6 +1083,10 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
 
     # resume from a fit checkpoint if one exists
     start_iter = 0
+    fingerprint = (
+        fit_fingerprint(codes, weights, q, cfg)
+        if checkpoint_file is not None else None
+    )
     lbfgs_resume = None     # raw checkpoint arrays, consumed below
     if checkpoint_file is not None and os.path.exists(checkpoint_file):
         ckpt = np.load(checkpoint_file)
@@ -1062,6 +1096,7 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 "Checkpoint {} does not match problem shape "
                 "(L={}, q={})".format(checkpoint_file, L, q)
             )
+        _check_ckpt_fingerprint(ckpt, fingerprint, checkpoint_file)
         # re-establish the exact-symmetry invariant the fit relies on
         # (J_eff is built as P * mask): bitwise no-op for checkpoints
         # this fitter wrote (their P is exactly symmetric), and makes
@@ -1124,6 +1159,7 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             "J": np.asarray(params["J"]),
             "h": np.asarray(params["h"]),
             "iteration": np.asarray(iteration),
+            "fingerprint": np.asarray(fingerprint),
         }
         if cfg.solver == "adam":
             adam = state[0]
@@ -1173,11 +1209,8 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             value, grad = vg_fn(params, codes, weights, oh_aug)
             updates, state = opt.update(grad, state, params)
             params = optax.apply_updates(params, updates)
-            tree_norm = getattr(
-                optax.tree_utils, "tree_norm", None
-            ) or optax.tree_utils.tree_l2_norm
-            gnorm = tree_norm(grad)
-            xnorm = tree_norm(params)
+            gnorm = _tree_norm(grad)
+            xnorm = _tree_norm(params)
             return params, state, value, gnorm, xnorm
 
         def body(carry, _):

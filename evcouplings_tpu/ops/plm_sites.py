@@ -40,13 +40,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
-try:
-    from jax import shard_map
-except ImportError:                      # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
 
-from evcouplings_tpu.ops.plm import PlmConfig, PlmFitResult, _precision
-from evcouplings_tpu.ops._jax_compat import pvary as _pvary
+from evcouplings_tpu.ops.plm import (
+    PlmConfig,
+    PlmFitResult,
+    _check_ckpt_fingerprint,
+    _precision,
+    fit_fingerprint,
+)
+from evcouplings_tpu.ops._jax_compat import (
+    pvary as _pvary,
+    shard_map,
+)
 from evcouplings_tpu.ops.plm_update import ADAM_B1, ADAM_B2, ADAM_EPS
 
 
@@ -852,9 +857,14 @@ def fit_plm_asym(codes, weights, num_symbols,
         return np.asarray(arr)
 
     start_iter = 0
+    fingerprint = (
+        fit_fingerprint(codes, weights, q, cfg)
+        if checkpoint_file is not None else None
+    )
     needs_init_eval = cfg.solver == "lbfgs"
     if checkpoint_file is not None and os.path.exists(checkpoint_file):
         ckpt = np.load(checkpoint_file)
+        _check_ckpt_fingerprint(ckpt, fingerprint, checkpoint_file)
         if ckpt["J"].shape != (lq_pad, lq_pad):
             raise ValueError(
                 "Checkpoint {} does not match padded problem shape "
@@ -920,6 +930,7 @@ def fit_plm_asym(codes, weights, num_symbols,
         arrays = {
             "J": _to_host(J), "h": _to_host(h),
             "iteration": np.asarray(iteration),
+            "fingerprint": np.asarray(fingerprint),
         }
         if cfg.solver == "adam":
             arrays.update(

@@ -113,7 +113,7 @@ def num_cluster_members_sharded(matrix_mapped, identity_threshold,
 
     Same contract as ops.weights.num_cluster_members.
     """
-    from jax import shard_map
+    from evcouplings_tpu.ops._jax_compat import shard_map
 
     from evcouplings_tpu.ops.encode import pad_rows
     from evcouplings_tpu.ops.weights import _identity_count_threshold

@@ -496,6 +496,54 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(resumed.J_ij, ref.J_ij)
         np.testing.assert_array_equal(resumed.h_i, ref.h_i)
 
+    @pytest.mark.parametrize("solver", ["adam", "lbfgs"])
+    def test_changed_configuration_rejects_stale_checkpoint(
+            self, tmp_path, solver):
+        """A snapshot fingerprints the data + trajectory-shaping
+        config; resuming it under EDITED hyperparameters (or different
+        data) must raise instead of silently mixing objectives."""
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        ckpt = str(tmp_path / "fit.ckpt.npz")
+        fit_plm(codes, w, 5,
+                PlmConfig(max_iter=8, block_size=16, solver=solver,
+                          conv_tol=0.0, lambda_J=1.0),
+                checkpoint_file=ckpt, checkpoint_every=4)
+
+        # same shapes, different regularization -> different objective
+        with pytest.raises(ValueError, match="DIFFERENT fit"):
+            fit_plm(codes, w, 5,
+                    PlmConfig(max_iter=16, block_size=16,
+                              solver=solver, conv_tol=0.0,
+                              lambda_J=5.0),
+                    checkpoint_file=ckpt, checkpoint_every=4)
+
+        # different weights (e.g. a different theta) -> rejected too
+        with pytest.raises(ValueError, match="DIFFERENT fit"):
+            fit_plm(codes, w * 0.5, 5,
+                    PlmConfig(max_iter=16, block_size=16,
+                              solver=solver, conv_tol=0.0,
+                              lambda_J=1.0),
+                    checkpoint_file=ckpt, checkpoint_every=4)
+
+    def test_asym_changed_configuration_rejects_stale_checkpoint(
+            self, tmp_path):
+        from evcouplings_tpu.ops.plm import PlmConfig
+        from evcouplings_tpu.ops.plm_sites import fit_plm_asym
+
+        codes, w = self._data()
+        ckpt = str(tmp_path / "afit.ckpt.npz")
+        fit_plm_asym(codes, w, 5,
+                     PlmConfig(max_iter=6, block_size=16,
+                               solver="adam", lambda_J=1.0),
+                     checkpoint_file=ckpt, checkpoint_every=3)
+        with pytest.raises(ValueError, match="DIFFERENT fit"):
+            fit_plm_asym(codes, w, 5,
+                         PlmConfig(max_iter=12, block_size=16,
+                                   solver="adam", lambda_J=5.0),
+                         checkpoint_file=ckpt, checkpoint_every=3)
+
     def test_asymmetric_checkpoint_resumes_consistently(
             self, tmp_path):
         """A parameter checkpoint whose J is NOT exactly symmetric

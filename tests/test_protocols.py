@@ -407,6 +407,23 @@ class TestCouplingsStandard:
         # the snapshot was written during the fit and removed after it
         assert not os.path.exists(prefix + ".fit_checkpoint.npz")
 
+        # a STALE snapshot (e.g. from an earlier crashed run) is also
+        # removed by a completed fit that has checkpointing OFF
+        with open(prefix + ".fit_checkpoint.npz", "wb") as f:
+            f.write(b"stale")
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(iterations=5)
+        couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+        assert not os.path.exists(prefix + ".fit_checkpoint.npz")
+
     def test_logistic_regression_none_min_seqdist(self, pipeline_dir):
         """min_sequence_distance: null is legal elsewhere in the stage
         and must not crash the logistic-regression rescorer (the
