@@ -45,15 +45,17 @@ def measured_cpu_baseline():
     except (OSError, KeyError, ValueError):
         return None
 
-# N = 32768 amortizes the N-independent per-step epilogue (optimizer +
-# regularizer traffic over the (Lq, Lq) arrays) across twice the rows:
-# measured 459M vs 420M seq*site/s at N=16384. N = 65536 exceeds the
-# axon remote-compile tunnel's request-size limit (HTTP 413) because
-# the augmented one-hot constant ships in the program payload.
-N, L, Q = 32768, 160, 21
+# Larger N amortizes the N-independent per-step epilogue (optimizer +
+# regularizer traffic over the (Lq, Lq) arrays): measured 420M
+# seq*site/s at N=16384, 448M at 32768, 463M at 65536, 471M at 131072.
+# The inputs are passed as jit ARGUMENTS — closing over them embeds
+# them as constants in the remote-compile payload, which is what used
+# to cap N at 32768 through the axon tunnel (HTTP 413 above that).
+N, L, Q = 131072, 160, 21
+N_PARITY = 16384
 STEPS_PER_CALL = 60
 WARMUP_CALLS = 2
-BENCH_CALLS = 4
+BENCH_CALLS = 3
 
 
 def _plm_throughput(cfg, n, steps_per_call, warmup_calls, bench_calls,
@@ -89,9 +91,11 @@ def _plm_throughput(cfg, n, steps_per_call, warmup_calls, bench_calls,
     # step loop: steps_per_call optimizer steps chained on-device per
     # dispatch (ops/plm.py PlmConfig.steps_per_call) — the host
     # round-trip through the TPU tunnel costs about as much as one
-    # grad eval, so chunking roughly doubles throughput
+    # grad eval, so chunking roughly doubles throughput. Inputs enter
+    # as jit ARGUMENTS so they never ship in the compile payload (a
+    # closure capture becomes an embedded constant, which capped N).
     @jax.jit
-    def step_chunk(params, state):
+    def step_chunk(params, state, codes, weights, oh_aug):
         def body(carry, _):
             params, state = carry
             value, grad = vg(params, codes, weights, oh_aug)
@@ -102,14 +106,19 @@ def _plm_throughput(cfg, n, steps_per_call, warmup_calls, bench_calls,
         )
         return params, state, values
 
+    # force a host FETCH (not just block_until_ready) to sync:
+    # through the axon tunnel, block_until_ready on a small output
+    # can return before the work completes
     for _ in range(warmup_calls):
-        params, state, values = step_chunk(params, state)
-    jax.block_until_ready(params)
+        params, state, values = step_chunk(
+            params, state, codes, weights, oh_aug)
+    float(values[-1])
 
     t0 = time.perf_counter()
     for _ in range(bench_calls):
-        params, state, values = step_chunk(params, state)
-    jax.block_until_ready(params)
+        params, state, values = step_chunk(
+            params, state, codes, weights, oh_aug)
+    float(values[-1])
     elapsed = time.perf_counter() - t0
 
     return n * L * bench_calls * steps_per_call / elapsed
@@ -139,7 +148,7 @@ def main():
         solver="adam",
     )
     parity_throughput = _plm_throughput(
-        parity, N // 2, STEPS_PER_CALL // 3, 1, 2,
+        parity, N_PARITY, STEPS_PER_CALL // 3, 1, 2,
     )
 
     cpu = measured_cpu_baseline()
