@@ -48,6 +48,21 @@ def main():
     )
     print("regenerated golden2 fixture:", res2.optimization_status)
 
+    # fixture 3: the ASYMMETRIC site-sharded path (the production
+    # fallback of parametrization "auto" for large L) on the same
+    # alignment as fixture 1 — per-site LBFGS, f32/highest, fixed
+    # iterations; pins that path's numerics across toolchains
+    res3 = run_plm(
+        os.path.join(HERE, "golden.a2m"),
+        os.path.join(HERE, "golden3_ECs.txt"),
+        os.path.join(HERE, "golden3.model"),
+        focus_seq="TARGET_SEQ/11-28",
+        theta=0.8, iterations=25, lambda_h=0.01, lambda_J=16.15,
+        parametrization="asymmetric", solver="lbfgs",
+        compute_dtype="float32", matmul_precision="highest",
+    )
+    print("regenerated golden3 fixture:", res3.optimization_status)
+
 
 if __name__ == "__main__":
     main()

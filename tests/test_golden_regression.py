@@ -210,3 +210,52 @@ def test_group_l1_smoothing_is_the_documented_deviation():
     g = jax.grad(lambda p: loss(p, codes, weights))(params)
     g0 = jax.grad(lambda p: nll_loss(p, codes, weights))(params)
     assert float(jnp.max(jnp.abs(g["J"] - g0["J"]))) == 0.0
+
+
+# ---------------------------------------------------------------------
+# Fixture 3: the ASYMMETRIC site-sharded path — the production
+# fallback of parametrization "auto" for large L — pinned at
+# f32/highest with batched per-site LBFGS so drift in ITS numerics
+# (per-site objective, linesearch, post-fit symmetrization) fails
+# here, not only relative to the symmetric path.
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def refit3(tmp_path_factory):
+    from evcouplings_tpu.couplings.fitter import run_plm
+
+    d = tmp_path_factory.mktemp("golden3_refit")
+    ec_file = str(d / "ECs.txt")
+    model_file = str(d / "m.model")
+    run_plm(
+        os.path.join(GOLDEN, "golden.a2m"), ec_file, model_file,
+        focus_seq="TARGET_SEQ/11-28",
+        theta=0.8, iterations=25, lambda_h=0.01, lambda_J=16.15,
+        parametrization="asymmetric", solver="lbfgs",
+        compute_dtype="float32", matmul_precision="highest",
+    )
+    return ec_file, model_file
+
+
+def test_asymmetric_ec_table_matches_golden(refit3):
+    from evcouplings_tpu.couplings.pairs import read_raw_ec_file
+
+    ec_file, _ = refit3
+    got = read_raw_ec_file(ec_file, sort=False)
+    want = read_raw_ec_file(
+        os.path.join(GOLDEN, "golden3_ECs.txt"), sort=False)
+    assert (got.i == want.i).all() and (got.j == want.j).all()
+    np.testing.assert_allclose(
+        got.cn.values, want.cn.values, rtol=RTOL, atol=ATOL)
+    assert_exact_rank_order(got, want)
+
+
+def test_asymmetric_model_matches_golden(refit3):
+    from evcouplings_tpu.couplings.model import CouplingsModel
+
+    _, model_file = refit3
+    got = CouplingsModel(model_file)
+    want = CouplingsModel(os.path.join(GOLDEN, "golden3.model"))
+    np.testing.assert_allclose(got.h_i, want.h_i, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        got.J_ij, want.J_ij, rtol=RTOL, atol=ATOL)
