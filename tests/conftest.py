@@ -33,3 +33,30 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu"
+
+
+def _ensure_native_extensions():
+    """Build the C parser extensions in-place if absent so the native
+    IO tests run instead of skipping (no-op when a toolchain or the
+    sources are unavailable — tests then skip as before)."""
+    import glob
+    import subprocess
+    import sys
+
+    # check for the compiled artifacts WITHOUT importing the package:
+    # importing evcouplings_tpu.native caches HAVE_NATIVE=False before
+    # a rebuild could land, so a find_spec probe would defeat itself
+    native_dir = os.path.join(_REPO_ROOT, "evcouplings_tpu", "native")
+    if (glob.glob(os.path.join(native_dir, "_fasta*.so"))
+            and glob.glob(os.path.join(native_dir, "_stockholm*.so"))):
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=_REPO_ROOT, capture_output=True, timeout=300,
+        )
+    except Exception:
+        pass
+
+
+_ensure_native_extensions()
