@@ -47,11 +47,14 @@ def measured_cpu_baseline():
 
 # Larger N amortizes the N-independent per-step epilogue (optimizer +
 # regularizer traffic over the (Lq, Lq) arrays): measured 420M
-# seq*site/s at N=16384, 448M at 32768, 463M at 65536, 471M at 131072.
+# seq*site/s at N=16384, 448M at 32768, 463M at 65536, 471M at 131072,
+# 475M at 262144 (the two-phase one-hot + residual buffers then sit at
+# ~3.6 GB of HBM — comfortable on 16 GB, and past the knee of the
+# amortization curve, so N stops here).
 # The inputs are passed as jit ARGUMENTS — closing over them embeds
 # them as constants in the remote-compile payload, which is what used
 # to cap N at 32768 through the axon tunnel (HTTP 413 above that).
-N, L, Q = 131072, 160, 21
+N, L, Q = 262144, 160, 21
 N_PARITY = 16384
 STEPS_PER_CALL = 60
 WARMUP_CALLS = 2
@@ -176,8 +179,9 @@ def bench_reweighting():
     TPU, XLA one-hot matmul elsewhere)."""
     from evcouplings_tpu.ops.weights import num_cluster_members
 
+    n = 131072  # O(n^2) work — kept at the r1 shape for comparability
     rng = np.random.default_rng(0)
-    m = rng.integers(0, Q, size=(N, L)).astype(np.int8)
+    m = rng.integers(0, Q, size=(n, L)).astype(np.int8)
 
     num_cluster_members(m[:1024], 0.8)   # warm small shape
     num_cluster_members(m, 0.8)          # compile full shape
@@ -191,7 +195,7 @@ def bench_reweighting():
     float(counts[0])                     # force the host fetch
     elapsed = time.perf_counter() - t0
 
-    pairs_per_s = N * N / elapsed
+    pairs_per_s = n * n / elapsed
     print(json.dumps({
         "metric": "reweighting_row_pairs_per_s",
         "value": round(pairs_per_s, 1),

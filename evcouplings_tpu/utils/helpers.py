@@ -14,6 +14,28 @@ import time
 from collections import OrderedDict
 
 
+def _read_umask():
+    """The process umask, read WITHOUT the set-and-restore dance where
+    possible: os.umask(0) is process-global, so flipping it per call
+    races against concurrent threads (another thread's file lands with
+    no umask, or reads 0 back as the "real" umask and restores that).
+    /proc/self/status exposes it read-only on Linux; elsewhere fall
+    back to one flip at import time, before worker threads exist."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("Umask:"):
+                    return int(line.split()[1], 8)
+    except (OSError, ValueError, IndexError):
+        pass
+    umask = os.umask(0)
+    os.umask(umask)
+    return umask
+
+
+_UMASK = _read_umask()
+
+
 class PersistentDict(dict):
     """Persistent dictionary with an API compatible with shelve and anydbm.
 
@@ -69,9 +91,8 @@ class PersistentDict(dict):
             # mkstemp created the temp 0600; restore the umask-default
             # permissions a plain open() would have given the db, so
             # other processes watching a shared job db keep read access
-            umask = os.umask(0)
-            os.umask(umask)
-            os.chmod(self.filename, 0o666 & ~umask)
+            # (umask read once at import — see _read_umask)
+            os.chmod(self.filename, 0o666 & ~_UMASK)
 
     def close(self):
         self.sync()

@@ -191,7 +191,7 @@ class MongoDBTracker(ResultTracker):
             # after the run; nothing goes to GridFS
             return {
                 k: v for k, v in results.items() if k not in delete_list
-            }
+            }, []
 
         file_entries = {
             k: v for k, v in results.items() if _is_file_key(k)
@@ -216,7 +216,24 @@ class MongoDBTracker(ResultTracker):
             previous, current_state["_id"], self._drop_file
         )
 
-        return {**plain_entries, **stored}
+        # legacy schema written by this tracker's pre-GridFS-contract
+        # version: fs_id under file_ids.<key> with results.<key> a
+        # plain path. Replacing such a key must delete the legacy blob
+        # too (results.<key> carries no fs_id, so the drop above missed
+        # it) and retire its file_ids entry — otherwise every rerun of
+        # an upgraded job database leaks one GridFS copy per file.
+        legacy = {
+            k: v
+            for k, v in (current_state.get("file_ids") or {}).items()
+            if k in to_store and v is not None
+        }
+        for fs_id in legacy.values():
+            self._drop_file(
+                {"filename": None, "fs_id": fs_id}, current_state["_id"]
+            )
+
+        return ({**plain_entries, **stored},
+                ["file_ids." + k for k in legacy])
 
     # -- the update entry point ------------------------------------
 
@@ -262,15 +279,23 @@ class MongoDBTracker(ResultTracker):
         if message is not None:
             sets["message"] = str(message)
 
+        unsets = []
         if results is not None:
-            for k, v in self._results_update(
-                    results, current_state).items():
+            updates, unsets = self._results_update(
+                results, current_state)
+            for k, v in updates.items():
                 sets["results." + k] = v
 
-        if sets:
+        if sets or unsets:
+            op = {}
+            if sets:
+                op["$set"] = sets
+            if unsets:
+                op["$unset"] = {k: "" for k in unsets}
+
             def apply():
                 return self.jobs.update_one(
-                    {"_id": current_state["_id"]}, {"$set": sets}
+                    {"_id": current_state["_id"]}, op
                 )
 
             self._retry(apply)
