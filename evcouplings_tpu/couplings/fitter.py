@@ -169,6 +169,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             alphabet=None, theta=None, scale=None, ignore_gaps=False,
             iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
             cpu=None, binary=None, mesh=None, solver=None,
+            group_mode=None,
             block_size=None, steps_per_call=1, pad_sites_to=None,
             pad_rows_to=None,
             compute_dtype="float32", matmul_precision="highest",
@@ -334,9 +335,13 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             "Invalid parametrization: {!r} (valid: auto, symmetric, "
             "asymmetric)".format(parametrization))
 
+    # exact group-L1 needs the proximal solver; lbfgs/adam would only
+    # apply the smoothed approximation (ops/plm.py PlmConfig.group_mode)
+    sym_default_solver = "fista" if lambda_g > 0 else "lbfgs"
+
     if parametrization in ("auto", "symmetric"):
         sym_cfg = PlmConfig(
-            solver=solver or "lbfgs",
+            solver=solver or sym_default_solver,
             dtype=compute_dtype,
             block_size=sym_block,
         )
@@ -386,7 +391,8 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             )
 
     if solver is None:
-        solver = "adam" if parametrization == "asymmetric" else "lbfgs"
+        solver = ("adam" if parametrization == "asymmetric"
+                  else sym_default_solver)
     block_size = (
         asym_block if parametrization == "asymmetric" else sym_block
     )
@@ -402,6 +408,14 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         steps_per_call=int(steps_per_call),
         dtype=compute_dtype,
         precision=matmul_precision,
+        # the asymmetric path symmetrizes per-site solutions post fit
+        # and is documented as approximate for group-L1; it keeps the
+        # smoothed penalty (ops/plm_sites.py). The symmetric path
+        # defaults to the exact proximal treatment via solver "fista";
+        # group_mode="smoothed" opts back in to the smooth
+        # approximation with any solver.
+        group_mode=("smoothed" if parametrization == "asymmetric"
+                    else (group_mode or "prox")),
     )
     if parametrization == "asymmetric":
         from evcouplings_tpu.ops.plm_sites import fit_plm_asym

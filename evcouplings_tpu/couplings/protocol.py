@@ -214,6 +214,11 @@ def infer_plmc(**kwargs):
             steps_per_call = 10 if precision_mode == "production" else 1
         fitter_kwargs = {
             "solver": solver,
+            # group_mode (only meaningful with lambda_group > 0):
+            # None/absent fits the exact nonsmooth group-L1 penalty
+            # via the proximal "fista" solver; "smoothed" opts in to
+            # the sqrt(||J||^2 + eps) approximation with lbfgs/adam
+            "group_mode": kwargs.get("group_mode"),
             "parametrization": parametrization,
             "steps_per_call": int(steps_per_call),
             # pad_sites / pad_rows: round L / N up to these

@@ -61,10 +61,27 @@ class PlmConfig:
     lambda_h: float = 0.01
     lambda_J: float = 16.0
     lambda_group: float = 0.0
+    # group-L1 semantics when lambda_group > 0:
+    #   "prox"     — the EXACT nonsmooth penalty
+    #                lambda_group * sum_{i<j} ||J_ij||_F, handled by a
+    #                proximal step (group soft-thresholding; blocks
+    #                reach exactly zero). Requires solver "fista";
+    #                requesting it with lbfgs/adam raises (those
+    #                optimizers assume a smooth objective).
+    #   "smoothed" — sqrt(||J_ij||^2 + group_eps) with any solver.
+    #                Objective error vs the exact penalty is bounded by
+    #                0.5 * lambda_group * L(L-1)/2 * sqrt(group_eps)
+    #                (sqrt(s+e) - sqrt(s) <= sqrt(e)); with the default
+    #                group_eps = 1e-12 that is <= 5e-7 * lambda_group
+    #                per pair — negligible unless the optimum drives
+    #                blocks to exactly zero, which only the prox path
+    #                represents.
+    group_mode: str = "prox"
+    group_eps: float = 1e-12
     max_iter: int = 100
     conv_tol: float = 1e-5          # ||g|| <= tol * max(1, ||x||), libLBFGS-style
     memory_size: int = 5
-    solver: str = "lbfgs"           # or "adam"
+    solver: str = "lbfgs"           # "lbfgs" | "adam" | "fista"
     adam_lr: float = 5e-3
     # block-size sweep on TPU v5e (N=16384, L=160, fused closed-form
     # grad): 512 (361M seq*site/s) > 1024 (355M) > 2048 (325M) >
@@ -117,12 +134,39 @@ class PlmConfig:
     fused_update: str = "auto"
 
 
+from collections import namedtuple
+
+# Per-GEMM precision triple. TPU MXUs decompose an f32 operand into
+# bf16 limbs per its operand precision (DEFAULT 1, HIGH 2, HIGHEST 3);
+# an N-limb x M-limb dot runs the significant limb-pair passes. Every
+# GEMM on the PLM hot path has ONE operand that is exactly
+# bf16-representable — the 0/1 one-hot or the 0/1 segment matrix — so
+# its extra limbs are exactly zero and their passes contribute nothing.
+# Pairing DEFAULT on that operand with HIGHEST on the f32 operand keeps
+# every nonzero product term, making the result bitwise identical to
+# full HIGHEST (asserted by tests/test_plm.py) at 3 MXU passes instead
+# of 6 — measured 1.96x parity-mode fit throughput on TPU v5e.
+#   base       — both operands general (vector dots, fallback)
+#   exact_lhs  — the LHS is exactly representable (one-hot)
+#   exact_rhs  — the RHS is exactly representable (one-hot/segment)
+_PrecTriple = namedtuple("_PrecTriple", "base exact_lhs exact_rhs")
+
+
 def _precision(name):
-    return {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
-        "default": jax.lax.Precision.DEFAULT,
+    P = jax.lax.Precision
+    base = {
+        "highest": P.HIGHEST,
+        "high": P.HIGH,
+        "default": P.DEFAULT,
+        # escape hatch: full 6-pass HIGHEST on every GEMM (A/B
+        # reference for the structured default above)
+        "highest_unstructured": P.HIGHEST,
     }[name]
+    if name == "highest":
+        return _PrecTriple(
+            base, (P.DEFAULT, P.HIGHEST), (P.HIGHEST, P.DEFAULT)
+        )
+    return _PrecTriple(base, base, base)
 
 
 def _diag_block_mask(L, q, dtype):
@@ -161,7 +205,7 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
                 oh, J_eff,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=dtype,
-                precision=prec,
+                precision=prec.exact_lhs,
             ) + h_flat[None, :]
 
             logp = jax.nn.log_softmax(
@@ -171,7 +215,7 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
             # sum_r log P(x_sr | ...) as a masked gather via the one-hot
             per_seq = jnp.sum(oh * logp, axis=1)
             return acc - jnp.dot(w.astype(dtype), per_seq,
-                                 precision=prec), None
+                                 precision=prec.base), None
 
         init = jnp.zeros((), dtype=dtype)
         if axis_name is not None:
@@ -229,7 +273,7 @@ def _make_block_math(L, q, prec, dtype, acc_dtype):
             oh_aug, J_aug,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=dtype,
-            precision=prec,
+            precision=prec.exact_lhs,
         )
 
         # softmax via the segment GEMMs; the whole-row max (a
@@ -243,7 +287,7 @@ def _make_block_math(L, q, prec, dtype, acc_dtype):
             e, seg,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
-            precision=prec,
+            precision=prec.exact_rhs,
         )
 
         # sum_r log P(x_sr|..) = sum_r [logit_obs - rowmax -
@@ -258,7 +302,7 @@ def _make_block_math(L, q, prec, dtype, acc_dtype):
         )
         nll_b = -jnp.dot(
             w.astype(acc_dtype), obs - logZ,
-            precision=prec,
+            precision=prec.base,
             preferred_element_type=acc_dtype,
         )
 
@@ -269,7 +313,7 @@ def _make_block_math(L, q, prec, dtype, acc_dtype):
             rz, seg,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=dtype,
-            precision=prec,
+            precision=prec.exact_rhs,
         )
         r = w[:, None] * (e * bcast - oh)
         return nll_b, r
@@ -339,7 +383,7 @@ def _make_local_value_and_grad(L, q, block_size, prec, dtype,
                 r, oh_aug,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=acc_dtype,
-                precision=prec,
+                precision=prec.exact_rhs,
             )
             return (nll, dJh), None
 
@@ -479,7 +523,8 @@ def fit_fingerprint(codes, weights, num_symbols, cfg):
         int(num_symbols), cfg.lambda_h, cfg.lambda_J, cfg.lambda_group,
         cfg.solver, cfg.adam_lr, cfg.block_size, cfg.dtype,
         cfg.precision, cfg.memory_size, cfg.conv_tol, cfg.grad_layout,
-    )).encode())
+    ) + ((cfg.group_mode, cfg.group_eps)
+         if cfg.lambda_group > 0 else ())).encode())
     return h.hexdigest()
 
 
@@ -563,7 +608,7 @@ def _make_local_value_and_grad_two_phase(L, q, block_size, prec, dtype,
             r_all.reshape(n_pad, lq), oh_all,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
-            precision=prec,
+            precision=prec.exact_rhs,
         )
         return nll, dJh
 
@@ -769,7 +814,9 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None,
         if cfg.lambda_group > 0:
             J_eff_f = 0.5 * (P_f + P_f.T) * mask.astype(acc)
             blocks = J_eff_f.reshape(L, q, L, q)
-            norms = jnp.sqrt(jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12)
+            norms = jnp.sqrt(
+                jnp.sum(blocks ** 2, axis=(1, 3)) + cfg.group_eps
+            )
             reg_value = (
                 reg_value + cfg.lambda_group * 0.5 * jnp.sum(norms)
             )
@@ -853,10 +900,11 @@ def make_plm_loss(L, q, cfg: PlmConfig, mesh=None,
         )
 
         if cfg.lambda_group > 0:
-            # smoothed group-L1 over pair blocks
+            # smoothed group-L1 over pair blocks (see
+            # PlmConfig.group_mode for the bound vs the exact penalty)
             blocks = J_eff.reshape(L, q, L, q)
             norms = jnp.sqrt(
-                jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12
+                jnp.sum(blocks ** 2, axis=(1, 3)) + cfg.group_eps
             )
             reg = reg + cfg.lambda_group * 0.5 * jnp.sum(norms)
 
@@ -956,6 +1004,159 @@ def _make_fused_step_chunk(L, q, cfg, mesh, steps_per_call,
     return step_chunk
 
 
+def _make_fista_step_chunk(L, q, cfg, mesh, steps_per_call,
+                           max_backtracks=30):
+    """Fully-jitted FISTA chunk for the EXACT group-L1 objective
+    (PlmConfig.group_mode "prox"):
+
+        F(theta) = NLL + l2  +  lambda_group * sum_{i<j} ||J_ij||_F
+
+    with theta = (upper-triangle pair blocks, fields). The smooth part
+    reuses the closed-form GEMM gradient (lambda_group stripped); the
+    prox is group soft-thresholding of the q x q blocks, which reaches
+    exact zeros — the regime plmc's nonsmooth handling represents and
+    the smoothed path cannot. Backtracking on the smooth-part upper
+    bound runs in a bounded lax.while_loop; steps_per_call iterations
+    chain in one lax.scan, so the host pays one dispatch per chunk
+    like the LBFGS path.
+
+    Metric bookkeeping: the flat (Lq, Lq) matrix stores each shared
+    pair parameter twice, so in the shared metric the smooth gradient
+    is 2 * dP, inner products contract dP against full-matrix deltas,
+    and squared norms halve the J part.
+
+    Matches the generic step_chunk contract:
+    (params, state, codes, weights, oh_aug) ->
+    (params, state, metrics) with metric rows
+    [full objective, prox-gradient-mapping norm, ||theta||] — the
+    mapping norm plays the role of ||g|| in the libLBFGS-style
+    convergence test of the outer loop (it vanishes exactly at a
+    stationary point of the nonsmooth objective).
+    """
+    from dataclasses import replace as _dc_replace
+
+    lam = cfg.lambda_group
+    smooth_cfg = _dc_replace(cfg, lambda_group=0.0)
+    vg = make_plm_value_and_grad(
+        L, q, smooth_cfg, mesh=mesh, symmetric_params=True
+    )
+    loss = make_plm_loss(
+        L, q, smooth_cfg, mesh=mesh, symmetric_params=True
+    )
+    lq = L * q
+    # master/accumulator dtype (f32, or f64 for float64 parity runs)
+    acc = jnp.promote_types(jnp.dtype(cfg.dtype), jnp.float32)
+
+    def _block_norms(P):
+        blocks = P.reshape(L, q, L, q)
+        return jnp.sqrt(jnp.sum(blocks ** 2, axis=(1, 3)))
+
+    def prox_from(y, gJ, gh, s):
+        # gradient step in the shared metric (J gradient = 2 dP),
+        # then block soft-threshold at s * lambda_group
+        P = y["J"] - (2.0 * s) * gJ
+        h = y["h"] - s * gh
+        norms = _block_norms(P)
+        scale = jnp.maximum(
+            0.0, 1.0 - (s * lam) / jnp.maximum(norms, 1e-300)
+        )
+        blocks = P.reshape(L, q, L, q) * scale[:, None, :, None]
+        return {"J": blocks.reshape(lq, lq), "h": h}
+
+    def theta_terms(x_new, y, gJ, gh):
+        """(<grad, dtheta>, ||dtheta||^2) in the shared metric."""
+        dP = x_new["J"] - y["J"]
+        dh = x_new["h"] - y["h"]
+        inner = jnp.vdot(gJ, dP) + jnp.vdot(gh, dh)
+        sqn = 0.5 * jnp.vdot(dP, dP) + jnp.vdot(dh, dh)
+        return inner, sqn
+
+    def penalty(P):
+        # full-matrix norms count each pair twice, hence the 0.5
+        return lam * 0.5 * jnp.sum(_block_norms(P))
+
+    def theta_norm(x):
+        return jnp.sqrt(
+            0.5 * jnp.vdot(x["J"], x["J"]) + jnp.vdot(x["h"], x["h"])
+        )
+
+    @jax.jit
+    def step_chunk(params, state, codes, weights, oh_aug):
+        def one_step(carry, _):
+            x, y, x_prev, tk, s, f_prev = carry
+            f_y, grads = vg(y, codes, weights, oh_aug)
+            f_y = f_y.astype(acc)
+            gJ, gh = grads["J"], grads["h"]
+
+            def try_step(s):
+                x_t = prox_from(y, gJ, gh, s)
+                f_t = loss(x_t, codes, weights).astype(acc)
+                inner, sqn = theta_terms(x_t, y, gJ, gh)
+                ok = f_t <= (f_y + inner + sqn / (2.0 * s)
+                             + 1e-12 * jnp.maximum(1.0, jnp.abs(f_y)))
+                return x_t, f_t, sqn.astype(acc), ok
+
+            # backtracking: shrink s until the prox point satisfies
+            # the quadratic upper bound of the smooth part
+            def bt_cond(c):
+                _, _, accepted, k = c
+                return jnp.logical_and(~accepted, k < max_backtracks)
+
+            def bt_body(c):
+                s, _, _, k = c
+                s_try = s * 0.5
+                x_t, f_t, sqn, ok = try_step(s_try)
+                return s_try, (x_t, f_t, sqn), ok, k + 1
+
+            x0, f0, sqn0, ok0 = try_step(s)
+            s_acc, (x_new, f_new, sqn), _, _ = jax.lax.while_loop(
+                bt_cond, bt_body,
+                (s, (x0, f0, sqn0), ok0, jnp.ones((), jnp.int32)),
+            )
+
+            full = f_new + penalty(x_new["J"])
+            gmap = jnp.sqrt(jnp.maximum(sqn, 0.0)) / s_acc
+            xnorm = theta_norm(x_new)
+
+            # momentum with function-value adaptive restart
+            restart = full > f_prev
+            tk_next = jnp.where(
+                restart, jnp.ones((), acc),
+                0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk * tk)),
+            )
+            beta = jnp.where(
+                restart, jnp.zeros((), acc), (tk - 1.0) / tk_next
+            )
+            y_new = jax.tree.map(
+                lambda a, b: a + beta.astype(a.dtype) * (a - b),
+                x_new, x_prev,
+            )
+            # optimistic growth; backtracking re-clamps next step
+            carry = (x_new, y_new, x_new, tk_next,
+                     (s_acc * 1.3).astype(acc), full)
+            rec = jnp.stack([
+                full.astype(jnp.float32),
+                gmap.astype(jnp.float32),
+                xnorm.astype(jnp.float32),
+            ])
+            return carry, rec
+
+        carry = (
+            params, state["y"], state["x_prev"],
+            state["tk"].astype(acc), state["step"].astype(acc),
+            state["f_prev"].astype(acc),
+        )
+        (x, y, x_prev, tk, s, f_prev), metrics = jax.lax.scan(
+            one_step, carry, None, length=steps_per_call
+        )
+        return x, {
+            "y": y, "x_prev": x_prev,
+            "tk": tk, "step": s, "f_prev": f_prev,
+        }, metrics
+
+    return step_chunk
+
+
 @dataclass
 class PlmFitResult:
     J_ij: np.ndarray            # (L, L, q, q) float64, zero diagonal
@@ -1007,6 +1208,23 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     weights = np.asarray(weights, dtype=np.float64)
     N, L = codes.shape
     q = int(num_symbols)
+
+    if cfg.group_mode not in ("prox", "smoothed"):
+        raise ValueError(
+            "Unknown group_mode: {}".format(cfg.group_mode)
+        )
+    if (cfg.lambda_group > 0 and cfg.solver != "fista"
+            and cfg.group_mode != "smoothed"):
+        raise ValueError(
+            "lambda_group > 0 with solver '{}' would silently apply "
+            "the SMOOTHED group-L1 approximation, not the exact "
+            "nonsmooth penalty. Use solver='fista' (exact proximal "
+            "handling; pair blocks can reach exactly zero), or opt in "
+            "to the smooth approximation explicitly with "
+            "group_mode='smoothed' (objective error bounded by "
+            "0.5 * lambda_group * sqrt(group_eps) per pair).".format(
+                cfg.solver)
+        )
     # master parameters, optimizer moments, and input weights stay
     # float32 even in bfloat16 production mode — the kernels cast to
     # the compute dtype internally (bf16 masters lose Adam's small
@@ -1069,10 +1287,11 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     if mesh is not None:
         params = jax.device_put(params, replicated)
 
-    if cfg.solver == "lbfgs":
-        # state is (flat master vector, lbfgs history); built right
-        # before the fit loop — its init needs one gradient eval on
-        # the device-resident data arrays
+    if cfg.solver in ("lbfgs", "fista"):
+        # lbfgs: state is (flat master vector, lbfgs history), built
+        # right before the fit loop (its init needs one gradient eval
+        # on the device-resident data arrays). fista: state built
+        # below from the (possibly checkpoint-restored) parameters.
         opt = None
         state = None
     elif cfg.solver == "adam":
@@ -1088,6 +1307,7 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         if checkpoint_file is not None else None
     )
     lbfgs_resume = None     # raw checkpoint arrays, consumed below
+    fista_resume = None
     if checkpoint_file is not None and os.path.exists(checkpoint_file):
         ckpt = np.load(checkpoint_file)
         if (ckpt["J"].shape != (L * q, L * q)
@@ -1148,6 +1368,22 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                     and saved["x"].shape[0]
                     == (L * q) * (L * q) + L * q):
                 lbfgs_resume = saved
+        if cfg.solver == "fista" and "fista_yJ" in ckpt:
+            fista_resume = {
+                "y": {
+                    "J": jnp.asarray(ckpt["fista_yJ"], dtype=dtype),
+                    "h": jnp.asarray(ckpt["fista_yh"], dtype=dtype),
+                },
+                "x_prev": {
+                    "J": jnp.asarray(ckpt["fista_xprevJ"], dtype=dtype),
+                    "h": jnp.asarray(ckpt["fista_xprevh"], dtype=dtype),
+                },
+                "tk": jnp.asarray(float(ckpt["fista_tk"]), dtype),
+                "step": jnp.asarray(float(ckpt["fista_step"]), dtype),
+                "f_prev": jnp.asarray(
+                    float(ckpt["fista_fprev"]), dtype
+                ),
+            }
         start_iter = int(ckpt["iteration"])
         if mesh is not None:
             params = jax.device_put(params, replicated)
@@ -1178,6 +1414,16 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             arrays.update(
                 lbfgs_x=np.asarray(x),
                 **{"lbfgs_" + k: np.asarray(v) for k, v in ls.items()},
+            )
+        elif cfg.solver == "fista" and state is not None:
+            arrays.update(
+                fista_yJ=np.asarray(state["y"]["J"]),
+                fista_yh=np.asarray(state["y"]["h"]),
+                fista_xprevJ=np.asarray(state["x_prev"]["J"]),
+                fista_xprevh=np.asarray(state["x_prev"]["h"]),
+                fista_tk=np.asarray(state["tk"]),
+                fista_step=np.asarray(state["step"]),
+                fista_fprev=np.asarray(state["f_prev"]),
             )
         # single writer in multi-process runs (params/state are
         # replicated, so every process holds identical bytes — but
@@ -1284,6 +1530,25 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 state = jax.device_put(state, replicated)
         else:
             state = tuple(lbfgs_init_fn(params, codes_d, w_d, oh_d))
+    elif cfg.solver == "fista":
+        step_chunk = _make_fista_step_chunk(
+            L, q, cfg, mesh, steps_per_call
+        )
+        if fista_resume is not None:
+            state = fista_resume
+            if mesh is not None:
+                state = dict(
+                    state,
+                    y=jax.device_put(state["y"], replicated),
+                    x_prev=jax.device_put(state["x_prev"], replicated),
+                )
+        else:
+            state = {
+                "y": params, "x_prev": params,
+                "tk": jnp.asarray(1.0, dtype),
+                "step": jnp.asarray(1.0, dtype),
+                "f_prev": jnp.asarray(np.inf, dtype),
+            }
     elif not fused:
         step_chunk = step_chunk_unfused
 

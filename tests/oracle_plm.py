@@ -372,6 +372,139 @@ def fit(codes, weights, q, lambda_h=0.01, lambda_J=0.01,
     }
 
 
+def fit_prox(codes, weights, q, lambda_h=0.01, lambda_J=0.01,
+             lambda_group=0.1, tol=1e-10, max_iter=4000):
+    """Oracle fit of the EXACT nonsmooth group-L1 objective
+
+        smooth(h, J) + lambda_group * sum_{i<j} ||J_ij||_F
+
+    in float64 on the shared (h, upper-blocks) parametrization, with
+    an explicit optimality CERTIFICATE rather than trust in any one
+    iterative method:
+
+    1. accelerated proximal gradient (with backtracking + restart)
+       locates the solution and its active set (which pair blocks are
+       exactly zero);
+    2. zero blocks are frozen and the reduced problem — smooth away
+       from the group-norm kink — is polished to ||g|| ~1e-11 by
+       Newton-CG;
+    3. the KKT conditions are checked directly: every zero block must
+       satisfy ||grad_B smooth|| <= lambda_group (the subdifferential
+       condition), with the margin reported.
+
+    Returns the same dict shape as fit(), plus zero_pairs and
+    kkt_margin (min over zero blocks of lambda_group - ||grad_B||;
+    positive = certified).
+    """
+    codes = np.asarray(codes)
+    N, L = codes.shape
+    n_pairs = L * (L - 1) // 2
+    dim_h = L * q
+    dim = dim_h + n_pairs * q * q
+
+    def smooth_fg(x):
+        return objective(x, codes, weights, q, lambda_h, lambda_J,
+                         lambda_group=0.0)
+
+    def block_norms(x):
+        blocks = x[dim_h:].reshape(n_pairs, q, q)
+        return np.sqrt(np.sum(blocks ** 2, axis=(1, 2)))
+
+    def prox(x, s):
+        out = x.copy()
+        blocks = out[dim_h:].reshape(n_pairs, q, q)
+        norms = np.sqrt(np.sum(blocks ** 2, axis=(1, 2)))
+        scale = np.maximum(
+            0.0, 1.0 - (s * lambda_group) / np.maximum(norms, 1e-300)
+        )
+        out[dim_h:] = (blocks * scale[:, None, None]).ravel()
+        return out
+
+    def penalty(x):
+        return lambda_group * float(block_norms(x).sum())
+
+    # --- phase 1: FISTA with backtracking + function restart --------
+    x = np.zeros(dim)
+    y = x.copy()
+    x_prev = x.copy()
+    tk = 1.0
+    s = 1.0
+    f_full_prev = np.inf
+    converged = False
+    it = 0
+    while it < max_iter and not converged:
+        f_y, g_y = smooth_fg(y)
+        for _ in range(60):
+            x_new = prox(y - s * g_y, s)
+            f_new, _g = smooth_fg(x_new)
+            d = x_new - y
+            if f_new <= (f_y + float(np.dot(g_y, d))
+                         + float(np.dot(d, d)) / (2 * s)
+                         + 1e-12 * max(1.0, abs(f_y))):
+                break
+            s *= 0.5
+        gmap = np.linalg.norm(x_new - y) / s
+        f_full = f_new + penalty(x_new)
+        if f_full > f_full_prev:        # adaptive restart
+            tk, y = 1.0, x_new
+        else:
+            tk_next = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * tk * tk))
+            y = x_new + ((tk - 1.0) / tk_next) * (x_new - x_prev)
+            tk = tk_next
+        x_prev, x = x_new, x_new
+        f_full_prev = f_full
+        s *= 1.2
+        it += 1
+        converged = gmap <= tol * max(1.0, np.linalg.norm(x))
+
+    # --- phase 2: active-set Newton polish --------------------------
+    norms = block_norms(x)
+    active = norms > 0
+    mask = np.ones(dim, dtype=bool)
+    for p in np.flatnonzero(~active):
+        start = dim_h + p * q * q
+        mask[start:start + q * q] = False
+    idx = np.flatnonzero(mask)
+
+    def reduced_fg(xr):
+        xf = np.zeros(dim)
+        xf[idx] = xr
+        # exact penalty, smooth on the active set (group_eps = 0 with
+        # safe division; all active norms stay > 0 near the optimum)
+        f, g = objective(xf, codes, weights, q, lambda_h, lambda_J,
+                         lambda_group=lambda_group, group_eps=0.0)
+        return f, g[idx]
+
+    xr, f_red, g_red = newton_polish(reduced_fg, x[idx])
+    x = np.zeros(dim)
+    x[idx] = xr
+
+    # --- phase 3: KKT certificate for the zero blocks ---------------
+    _, g_smooth = smooth_fg(x)
+    gJ = g_smooth[dim_h:].reshape(n_pairs, q, q)
+    kkt_margin = np.inf
+    for p in np.flatnonzero(~active):
+        kkt_margin = min(
+            kkt_margin,
+            lambda_group - float(np.sqrt((gJ[p] ** 2).sum())),
+        )
+
+    h, J_pairs = unpack(x, L, q)
+    return {
+        "h": h,
+        "J": pairs_to_tensor(J_pairs, L, q),
+        "zero_pairs": np.flatnonzero(~active),
+        "kkt_margin": float(kkt_margin),
+        "result": {
+            "x": x, "f": f_red, "g": g_red, "n_iter": it,
+            "converged": bool(
+                np.linalg.norm(g_red) <= 1e-9
+                and (kkt_margin > 0 or active.all())
+            ),
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # synthetic test alignments with planted covariation
 # ---------------------------------------------------------------------------

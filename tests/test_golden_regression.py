@@ -110,6 +110,10 @@ def refit2(tmp_path_factory):
         lambda_h=0.01, lambda_J=12.3, lambda_g=0.25,
         solver="lbfgs", compute_dtype="float32",
         matmul_precision="highest",
+        # the golden fixture was produced by the smoothed-penalty
+        # LBFGS path; exact group-L1 now requires solver "fista", so
+        # the smooth approximation is an explicit opt-in
+        group_mode="smoothed",
     )
     return ec_file, model_file
 

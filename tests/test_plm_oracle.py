@@ -321,3 +321,106 @@ class TestFitParity:
                                    atol=self.H_ATOL)
         np.testing.assert_allclose(loaded.J_ij, ref["J"],
                                    atol=self.J_ATOL + 2e-7)
+
+
+class TestGroupL1:
+    """Exact group-L1 (VERDICT r2 item 6): the proximal FISTA solver
+    against the certificate-based f64 oracle (FISTA locate ->
+    active-set Newton polish -> explicit KKT check), plus the loud
+    failure contract for smooth solvers."""
+
+    def _sparse_case(self):
+        codes = oracle.synthetic_msa(24, 6, 4, seed=17, n_coupled=2)
+        weights = np.ones(24)
+        return codes, weights, 6, 4, 0.01, 0.05, 12.0
+
+    def test_lbfgs_with_group_raises(self):
+        codes, weights, L, q, lh, lj, lg = self._sparse_case()
+        cfg = PlmConfig(lambda_h=lh, lambda_J=lj, lambda_group=lg,
+                        solver="lbfgs", block_size=8)
+        with pytest.raises(ValueError, match="fista"):
+            fit_plm(codes, weights, q, cfg)
+
+    def test_fista_matches_certified_prox_oracle(self):
+        """Sparse regime: lambda_group large enough to zero most pair
+        blocks. The production FISTA fit must reproduce the oracle's
+        EXACT zero set and land within ~1e-6 on the surviving
+        couplings; the oracle optimum itself carries a KKT certificate
+        (every zero block's smooth gradient inside the lambda_group
+        ball), so this is optimality, not agreement-by-construction."""
+        codes, weights, L, q, lh, lj, lg = self._sparse_case()
+        ref = oracle.fit_prox(codes, weights, q, lambda_h=lh,
+                              lambda_J=lj, lambda_group=lg,
+                              tol=1e-8, max_iter=3000)
+        assert ref["result"]["converged"]
+        assert ref["kkt_margin"] > 0.1
+        # the case must exercise BOTH regimes: some blocks zeroed,
+        # some surviving
+        n_pairs = L * (L - 1) // 2
+        assert 0 < len(ref["zero_pairs"]) < n_pairs
+
+        cfg = PlmConfig(lambda_h=lh, lambda_J=lj, lambda_group=lg,
+                        solver="fista", max_iter=4000, conv_tol=1e-9,
+                        block_size=8, dtype="float64",
+                        steps_per_call=50)
+        fit = fit_plm(codes, weights, q, cfg)
+
+        np.testing.assert_allclose(fit.h_i, ref["h"], atol=5e-6)
+        np.testing.assert_allclose(fit.J_ij, ref["J"], atol=2e-6)
+
+        # exact zeros (group soft-thresholding), identical active set
+        bn = np.sqrt((fit.J_ij ** 2).sum(axis=(2, 3)))
+        ii, jj = np.triu_indices(L, k=1)
+        fit_zero = np.flatnonzero(bn[ii, jj] == 0.0)
+        np.testing.assert_array_equal(
+            np.sort(fit_zero), np.sort(ref["zero_pairs"])
+        )
+
+    def test_smoothed_optin_matches_oracle_when_no_zeros(self):
+        """Dense regime (small lambda_group, no block at zero): the
+        explicitly-opted-in smoothed LBFGS path solves the same
+        optimum as the exact-penalty oracle to within the smoothing
+        bound — the documented validity condition of group_mode
+        'smoothed'."""
+        codes, weights, L, q, lh, lj = _case("small_q6")
+        lg = 0.05
+        ref = oracle.fit(codes, weights, q, lambda_h=lh, lambda_J=lj,
+                         lambda_group=lg, group_eps=0.0,
+                         epsilon=1e-8, polish=True)
+        assert ref["result"]["converged"]
+        # validity condition: no block at zero
+        bn = np.sqrt((ref["J"] ** 2).sum(axis=(2, 3)))
+        ii, jj = np.triu_indices(L, k=1)
+        assert (bn[ii, jj] > 1e-3).all()
+
+        cfg = PlmConfig(lambda_h=lh, lambda_J=lj, lambda_group=lg,
+                        group_mode="smoothed", solver="lbfgs",
+                        max_iter=3000, conv_tol=1e-10, block_size=16,
+                        dtype="float64", steps_per_call=10)
+        fit = fit_plm(codes, weights, q, cfg)
+
+        np.testing.assert_allclose(fit.h_i, ref["h"], atol=5e-6)
+        np.testing.assert_allclose(fit.J_ij, ref["J"], atol=2e-6)
+
+    def test_fista_checkpoint_resume(self, tmp_path):
+        """A killed FISTA fit resumes from its snapshot and finishes
+        at the same answer as an uninterrupted fit."""
+        codes, weights, L, q, lh, lj, lg = self._sparse_case()
+        cfg = PlmConfig(lambda_h=lh, lambda_J=lj, lambda_group=lg,
+                        solver="fista", max_iter=300, conv_tol=0.0,
+                        block_size=8, dtype="float64",
+                        steps_per_call=50)
+        full = fit_plm(codes, weights, q, cfg)
+
+        ckpt = str(tmp_path / "fista.ckpt.npz")
+        cfg_half = PlmConfig(lambda_h=lh, lambda_J=lj, lambda_group=lg,
+                             solver="fista", max_iter=150, conv_tol=0.0,
+                             block_size=8, dtype="float64",
+                             steps_per_call=50)
+        fit_plm(codes, weights, q, cfg_half, checkpoint_file=ckpt,
+                checkpoint_every=50)
+        resumed = fit_plm(codes, weights, q, cfg,
+                          checkpoint_file=ckpt, checkpoint_every=50)
+
+        np.testing.assert_array_equal(resumed.h_i, full.h_i)
+        np.testing.assert_array_equal(resumed.J_ij, full.J_ij)
