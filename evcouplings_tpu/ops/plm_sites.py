@@ -79,7 +79,7 @@ def _make_block_residual(l_loc, q, block, prec):
 
     def block_residual(J_eff, h_c, rows, wb, oh, m_idx):
         logits = (
-            jnp.dot(oh, J_eff.T, precision=prec)
+            jnp.dot(oh, J_eff.T, precision=prec.exact_lhs)
             + h_c.reshape(l_loc * q)
         ).reshape(block, l_loc, q)
         logz = jax.nn.logsumexp(
@@ -157,7 +157,7 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
             r_all = r_blocks.reshape(n_loc, l_loc * q)
             dJ = lax.dot_general(
                 r_all, oh_all, (((0,), (0,)), ((), ())),
-                precision=prec, preferred_element_type=f32,
+                precision=prec.exact_rhs, preferred_element_type=f32,
             )
             dh = jnp.sum(
                 r_all.astype(f32), axis=0).reshape(l_loc, q)
@@ -176,7 +176,7 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
                 # f32 GEMM output: without preferred_element_type the
                 # bf16 block contribution would be rounded to bf16
                 # BEFORE entering the f32 accumulator
-                dJ_b = jnp.dot(r2.T, oh, precision=prec,
+                dJ_b = jnp.dot(r2.T, oh, precision=prec.exact_rhs,
                                preferred_element_type=f32)
                 dh_b = jnp.sum(r, axis=0)
                 return (nll_acc + nll_b, dJ_acc + dJ_b,
@@ -295,7 +295,7 @@ def _make_local_vg_site(L, L_pad, l_loc, q, cfg, manual_axes=()):
                 block, lq_pad)
             nll_b, r = block_residual(J_eff, h_c, rows, wb, oh, m_idx)
             r2 = r.reshape(block, l_loc * q).astype(dtype)
-            dJ_b = jnp.dot(r2.T, oh, precision=prec,
+            dJ_b = jnp.dot(r2.T, oh, precision=prec.exact_rhs,
                            preferred_element_type=f32)
             dh_b = jnp.sum(r, axis=0)
             return (nll_acc + nll_b, dJ_acc + dJ_b,
