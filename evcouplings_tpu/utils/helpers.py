@@ -14,13 +14,9 @@ import time
 from collections import OrderedDict
 
 
-def _read_umask():
-    """The process umask, read WITHOUT the set-and-restore dance where
-    possible: os.umask(0) is process-global, so flipping it per call
-    races against concurrent threads (another thread's file lands with
-    no umask, or reads 0 back as the "real" umask and restores that).
-    /proc/self/status exposes it read-only on Linux; elsewhere fall
-    back to one flip at import time, before worker threads exist."""
+def _proc_umask():
+    """The process umask from /proc/self/status (Linux) — a read-only,
+    race-free lookup — or None where unavailable."""
     try:
         with open("/proc/self/status") as f:
             for line in f:
@@ -28,12 +24,34 @@ def _read_umask():
                     return int(line.split()[1], 8)
     except (OSError, ValueError, IndexError):
         pass
+    return None
+
+
+def _read_umask():
+    """The process umask, read WITHOUT the set-and-restore dance where
+    possible: os.umask(0) is process-global, so flipping it per call
+    races against concurrent threads (another thread's file lands with
+    no umask, or reads 0 back as the "real" umask and restores that).
+    /proc/self/status exposes it read-only on Linux; elsewhere fall
+    back to one flip at import time, before worker threads exist."""
+    mask = _proc_umask()
+    if mask is not None:
+        return mask
     umask = os.umask(0)
     os.umask(umask)
     return umask
 
 
+# non-Linux fallback only: taken once at import, before worker threads
+# exist (the set-and-restore dance is not thread-safe). On Linux the
+# current umask is re-read from /proc on every sync, so a later
+# os.umask() change (e.g. daemonization with umask 0o077) is honored.
 _UMASK = _read_umask()
+
+
+def _current_umask():
+    mask = _proc_umask()
+    return mask if mask is not None else _UMASK
 
 
 class PersistentDict(dict):
@@ -91,8 +109,8 @@ class PersistentDict(dict):
             # mkstemp created the temp 0600; restore the umask-default
             # permissions a plain open() would have given the db, so
             # other processes watching a shared job db keep read access
-            # (umask read once at import — see _read_umask)
-            os.chmod(self.filename, 0o666 & ~_UMASK)
+            # (umask re-read per sync on Linux — see _current_umask)
+            os.chmod(self.filename, 0o666 & ~_current_umask())
 
     def close(self):
         self.sync()

@@ -227,6 +227,13 @@ class MongoDBTracker(ResultTracker):
             for k, v in (current_state.get("file_ids") or {}).items()
             if k in to_store and v is not None
         }
+        # ordering note: the legacy blob is dropped BEFORE the $unset
+        # of file_ids.<key> lands in the document update. If that
+        # final update fails after retries, the document briefly
+        # points at a deleted blob — benign on rerun (gridfs delete is
+        # idempotent and this branch re-fires), and the alternative
+        # (drop after update) would leak the blob permanently when the
+        # process dies between the two steps.
         for fs_id in legacy.values():
             self._drop_file(
                 {"filename": None, "fs_id": fs_id}, current_state["_id"]

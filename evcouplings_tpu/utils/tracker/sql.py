@@ -86,6 +86,16 @@ class SQLTracker(ResultTracker):
     def _connect(self):
         conn = sqlite3.connect(self.db_path, timeout=60)
         conn.row_factory = sqlite3.Row
+        # autocommit mode: transactions are controlled explicitly.
+        # With Python's implicit transaction handling the SELECT of a
+        # read-merge-write (update() below) runs OUTSIDE the write
+        # transaction (the implicit BEGIN fires at the first DML), so
+        # two concurrent processes merging `results` into one row can
+        # both read the same snapshot and the second commit silently
+        # drops the first one's keys — a lost update. BEGIN IMMEDIATE
+        # before the read serializes the whole read-merge-write
+        # (exercised by tests/test_tracker_db.py concurrency tests).
+        conn.isolation_level = None
         return conn
 
     def _execute(self, func):
@@ -138,6 +148,9 @@ class SQLTracker(ResultTracker):
 
     def update(self, status=None, message=None, stage=None, results=None):
         def _update(conn):
+            # take the write lock BEFORE reading: the merge below must
+            # see the latest committed `results` (see _connect)
+            conn.execute("BEGIN IMMEDIATE")
             cur = conn.execute(
                 "SELECT key, results, time_started FROM {} "
                 "WHERE job_id = ?".format(JOB_TABLE_NAME),

@@ -51,12 +51,27 @@ def _ensure_native_extensions():
             and glob.glob(os.path.join(native_dir, "_stockholm*.so"))):
         return
     try:
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable, "setup.py", "build_ext", "--inplace"],
             cwd=_REPO_ROOT, capture_output=True, timeout=300,
         )
-    except Exception:
-        pass
+        if proc.returncode != 0:
+            # make a silently-degraded CI run visible: without this,
+            # a broken toolchain reverts the native IO tests to
+            # skipping with no trace in the log
+            tail = proc.stderr.decode(errors="replace").strip()
+            print(
+                "WARNING: native extension build failed (rc={}); "
+                "native IO tests will skip. stderr tail: {}".format(
+                    proc.returncode, tail[-300:]),
+                file=sys.stderr,
+            )
+    except Exception as exc:
+        print(
+            "WARNING: native extension build did not run ({}); "
+            "native IO tests will skip.".format(exc),
+            file=sys.stderr,
+        )
 
 
 _ensure_native_extensions()

@@ -43,9 +43,21 @@ class _FakeCollection:
             node = node.setdefault(p, {})
         node[parts[-1]] = value
 
+    @staticmethod
+    def _unset_path(doc, dotted):
+        parts = dotted.split(".")
+        node = doc
+        for p in parts[:-1]:
+            node = node.get(p)
+            if not isinstance(node, dict):
+                return
+        node.pop(parts[-1], None)
+
     def _apply(self, doc, update):
         for k, v in update.get("$set", {}).items():
             self._set_path(doc, k, v)
+        for k in update.get("$unset", {}):
+            self._unset_path(doc, k)
 
     def _insert_from(self, update):
         self._next_id += 1
@@ -336,6 +348,44 @@ class TestMongoDBTracker:
         assert doc["results"]["alignment_file"]["filename"] == str(f1)
         assert len(t2.fs.files) == 1
 
+    def test_legacy_file_ids_migration_drops_blob_and_entry(
+            self, fake_mongo, tmp_path):
+        """Legacy schema written by the pre-GridFS-contract tracker:
+        file_ids.<key> holds an fs_id while results.<key> is a plain
+        path. Re-storing that key must delete the legacy blob AND
+        $unset file_ids.<key> — otherwise every rerun of an upgraded
+        job database leaks one GridFS copy per file
+        (mongodb.py legacy branch; ADVICE r2 item 1)."""
+        import io
+
+        f1 = tmp_path / "a.csv"
+        f1.write_text("v2")
+
+        t = _make_tracker(tmp_path, file_list=["alignment_file"])
+        # seed the legacy layout directly: a GridFS blob whose id is
+        # recorded under file_ids, with results.<key> a plain path
+        legacy_id = t.fs.put(io.BytesIO(b"v1"), filename=str(f1))
+        t.update(status="running")
+        t.jobs.update_one(
+            {"job_id": "job1"},
+            {"$set": {
+                "results.alignment_file": str(f1),
+                "file_ids.alignment_file": legacy_id,
+            }},
+        )
+        assert legacy_id in t.fs.files
+
+        t.update(results={"alignment_file": str(f1)})
+
+        doc = t.jobs.find_one({"job_id": "job1"})
+        # new-schema entry stored, legacy blob gone, mapping retired
+        assert doc["results"]["alignment_file"]["filename"] == str(f1)
+        assert legacy_id not in t.fs.files
+        assert "alignment_file" not in doc.get("file_ids", {})
+        # exactly the one fresh copy remains
+        assert len(t.fs.files) == 1
+        assert list(t.fs.files.values())[0].data == b"v2"
+
     def test_path_to_gridfs_migration_of_files_mapping(self, fake_mongo,
                                                        tmp_path):
         """Same migration with a "*_files" MAPPING entry recorded in
@@ -482,3 +532,110 @@ class TestUpdateDatabase:
             "uniprot_sprot.fasta.gz", "uniprot_trembl.fasta.gz",
             "uniref100.fasta.gz", "uniref90.fasta.gz",
         ]
+
+
+# --------------------------------------------------------------------------
+# SQLTracker concurrency (VERDICT r2 item 8): simultaneous jobs
+# updating ONE tracker database — the reference's real deployment
+# pattern (batch sub-jobs share a tracker DB; reference
+# utils/tracker/sql.py:45-283). Real OS processes, not threads: sqlite
+# locking behaves differently across processes.
+# --------------------------------------------------------------------------
+
+_SQL_WORKER = r"""
+import sys
+db, job_id, tag, n = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+
+from evcouplings_tpu.utils.tracker import EStatus
+from evcouplings_tpu.utils.tracker.sql import SQLTracker
+
+t = SQLTracker(
+    connection_string="sqlite:///" + db, job_id=job_id,
+    prefix="/tmp/" + job_id, pipeline="protein_monomer",
+    file_list=None, delete_list=[], config={},
+    retry_max_number=10, retry_wait=1,
+)
+t.update(status=EStatus.RUN)
+for k in range(n):
+    t.update(stage="stage{}".format(k),
+             results={"{}_key{}".format(tag, k): k})
+t.update(status=EStatus.DONE)
+"""
+
+
+class TestSQLTrackerConcurrency:
+    N_UPDATES = 25
+
+    def _run_workers(self, tmp_path, jobs):
+        """jobs: list of (job_id, tag). Returns the shared db path."""
+        import subprocess
+        import sys as _sys
+
+        worker = tmp_path / "sql_worker.py"
+        worker.write_text(_SQL_WORKER)
+        db = str(tmp_path / "shared.db")
+
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, str(worker), db, job_id, tag,
+                 str(self.N_UPDATES)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for job_id, tag in jobs
+        ]
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            assert p.returncode == 0, out.decode()
+        return db
+
+    def test_concurrent_distinct_jobs_no_lost_updates(self, tmp_path):
+        """Four simultaneous jobs, four rows, one database file: every
+        row must end DONE with all 25 of its result keys."""
+        import json
+        import sqlite3
+
+        jobs = [("job{}".format(i), "w{}".format(i)) for i in range(4)]
+        db = self._run_workers(tmp_path, jobs)
+
+        conn = sqlite3.connect(db)
+        conn.row_factory = sqlite3.Row
+        rows = {
+            r["job_id"]: r
+            for r in conn.execute("SELECT * FROM evcouplings_jobs")
+        }
+        assert set(rows) == {j for j, _ in jobs}
+        for job_id, tag in jobs:
+            row = rows[job_id]
+            assert row["status"] == "done"
+            results = json.loads(row["results"])
+            expected = {
+                "{}_key{}".format(tag, k) for k in range(self.N_UPDATES)
+            }
+            assert expected <= set(results), (
+                "lost updates for {}: missing {}".format(
+                    job_id, expected - set(results))
+            )
+
+    def test_concurrent_same_job_results_merge(self, tmp_path):
+        """Three processes merging results into ONE row (batch
+        sub-jobs inherit a shared job_id). The read-merge-write in
+        SQLTracker.update runs under BEGIN IMMEDIATE, so no process
+        may overwrite another's keys — all 75 must survive."""
+        import json
+        import sqlite3
+
+        jobs = [("shared_job", "w{}".format(i)) for i in range(3)]
+        db = self._run_workers(tmp_path, jobs)
+
+        conn = sqlite3.connect(db)
+        conn.row_factory = sqlite3.Row
+        rows = list(conn.execute("SELECT * FROM evcouplings_jobs"))
+        assert len(rows) == 1
+        results = json.loads(rows[0]["results"])
+        expected = {
+            "w{}_key{}".format(i, k)
+            for i in range(3) for k in range(self.N_UPDATES)
+        }
+        assert expected <= set(results), (
+            "lost updates: missing {}".format(expected - set(results))
+        )
