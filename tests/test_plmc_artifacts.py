@@ -156,3 +156,56 @@ def test_fields2013_singles_parse_through_mutation_machinery():
         split["pos"].astype(int).values,
         singles["mutant"].str[1:-1].astype(int).values,
     )
+
+
+def test_coupling_scores_compared_reproduces_reference_table(tmp_path):
+    """Drive the compare stage's full comparison chain —
+    add_distances (intra + multimer DistanceMap objects) -> min
+    aggregation -> long-range filter -> add_precision -> CSV — over
+    the reference's own stored CouplingScoresCompared_longrange table
+    (VERDICT r2 item 10), reconstructing the two distance maps from
+    its dist_intra / dist_multimer columns, and require every stored
+    column back: dist_intra, dist_multimer, dist, and precision
+    (reference compare/ecs.py:43-152)."""
+    import pandas as pd
+
+    from evcouplings_tpu.compare import ecs as compare_ecs
+    from evcouplings_tpu.compare.distances import DistanceMap
+
+    want = pd.read_csv(os.path.join(
+        EXAMPLE_DIR, "test_b0.6_CouplingScoresCompared_longrange.csv"))
+
+    # reconstruct symmetric DistanceMaps over the covered positions
+    ids = np.unique(np.concatenate([want.i.values, want.j.values]))
+    pos = {id_: k for k, id_ in enumerate(ids)}
+    residues = pd.DataFrame({"id": [str(i) for i in ids]})
+
+    def build(col):
+        m = np.full((len(ids), len(ids)), np.nan)
+        for i, j, d in zip(want.i, want.j, want[col]):
+            m[pos[i], pos[j]] = m[pos[j], pos[i]] = d
+        return DistanceMap(residues, residues, m, symmetric=True)
+
+    ec_table = want[["i", "A_i", "j", "A_j", "fn", "cn",
+                     "probability"]].copy()
+    out_file = str(tmp_path / "compared.csv")
+    got = compare_ecs.coupling_scores_compared(
+        ec_table,
+        build("dist_intra"),
+        dist_map_multimer=build("dist_multimer"),
+        dist_cutoff=5, min_sequence_dist=6,
+        output_file=out_file,
+    )
+
+    # nothing dropped: the stored table IS the long-range set
+    assert len(got) == len(want)
+    for col in ("dist_intra", "dist_multimer", "dist"):
+        assert np.allclose(got[col].values, want[col].values,
+                           rtol=0, atol=1e-12)
+    assert np.allclose(got["precision"].values, want["precision"].values,
+                       rtol=0, atol=1e-12)
+
+    # and the CSV artifact round-trips the same values
+    csv = pd.read_csv(out_file)
+    assert np.allclose(csv["precision"].values, want["precision"].values,
+                       rtol=0, atol=1e-12)
