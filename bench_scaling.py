@@ -1,21 +1,30 @@
 """
 Data-parallel scaling benchmark for the PLM fitter (BASELINE.md
-scaling target: >= 0.8 weak-scaling efficiency at >= 2 hosts with MSA
+scaling target: >= 0.8 scaling efficiency at >= 2 hosts with MSA
 rows sharded over the mesh and gradients psum-merged).
 
-Weak scaling: every device receives a fixed number of rows
-(N_PER_DEVICE), so the ideal aggregate throughput grows linearly with
-the mesh size; efficiency = (throughput_d / d) / throughput_1.
+Two modes (--mode, default "both"):
 
-On a real pod slice this measures ICI collective overhead. On a single
-chip (or CPU) it can still be run with virtual devices
-(--virtual N sets XLA_FLAGS=--xla_force_host_platform_device_count=N
-and forces the CPU backend), which validates the sharded program and
-collective layout but measures host-parallel rather than ICI scaling
-— the numbers are then labeled backend "cpu" accordingly.
+- weak: every device receives a fixed number of rows
+  (--rows-per-device), so the ideal aggregate throughput grows
+  linearly with the mesh size; efficiency = (throughput_d / d) /
+  throughput_1. On a real pod slice this measures ICI collective
+  overhead — the BASELINE scaling number.
+- strong: the TOTAL row count is fixed (rows_per_device x the largest
+  mesh) and sharded over d devices; efficiency = throughput_d /
+  throughput_1 (ideal 1.0). Total FLOPs are constant across mesh
+  sizes, so this isolates the overhead the sharded program +
+  collectives add — meaningful even on VIRTUAL devices that share
+  host cores, where weak scaling is bounded by 1/d by construction.
 
-Prints one JSON line per mesh size:
-  {"metric": "plm_weak_scaling", "devices": d,
+On a single chip (or CPU) run with virtual devices (--virtual N sets
+XLA_FLAGS=--xla_force_host_platform_device_count=N and forces the CPU
+backend): that validates the sharded program and collective layout,
+and the strong-mode efficiency is a real overhead measurement; the
+weak-mode numbers are then labeled with an explanatory note.
+
+Prints one JSON line per (mode, mesh size):
+  {"metric": "plm_weak_scaling"|"plm_strong_scaling", "devices": d,
    "value": <seq*site/s aggregate>, "efficiency": <vs 1 device>, ...}
 and writes the same records as one driver-capturable JSON artifact
 (--out, default SCALING.json in the working directory).
@@ -36,6 +45,8 @@ def parse_args():
     p.add_argument("--sites", type=int, default=160)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--mode", choices=("weak", "strong", "both"),
+                   default="both")
     p.add_argument("--out", default="SCALING.json",
                    help="JSON artifact with all per-mesh records "
                         "('' disables)")
@@ -79,12 +90,9 @@ def main():
     )
     rng = np.random.default_rng(0)
 
-    records = []
-    base_throughput = None
-    for d in mesh_sizes:
+    def measure(d, N):
+        """Mean step time for N total rows sharded over d devices."""
         mesh = make_mesh(d)
-        N = args.rows_per_device * d
-
         codes = rng.integers(0, Q, size=(N, L)).astype(np.int8)
         weights = np.ones((N,), dtype=np.float32)
 
@@ -121,40 +129,63 @@ def main():
         for _ in range(args.steps):
             params, state, value = step(params, state)
         float(value)
-        dt = (time.perf_counter() - t0) / args.steps
+        return (time.perf_counter() - t0) / args.steps
 
-        throughput = N * L / dt
-        if base_throughput is None:
-            base_throughput = throughput
-        efficiency = (throughput / d) / base_throughput
+    records = []
 
-        record = {
-            "metric": "plm_weak_scaling",
-            "devices": d,
-            "backend": backend,
-            # virtual CPU devices SHARE the host's cores, so weak
-            # scaling cannot be efficient there by construction — the
-            # cpu numbers validate the sharded program + collective
-            # layout, not ICI scaling (see module docstring)
-            "note": (
-                "virtual devices share host cores; validates program, "
-                "not ICI scaling" if backend == "cpu" else None
-            ),
-            "rows_per_device": args.rows_per_device,
-            "sites": L,
-            "value": round(throughput, 1),
-            "unit": "seq*site/s aggregate",
-            "step_ms": round(dt * 1e3, 2),
-            "efficiency": round(efficiency, 3),
-        }
-        records.append(record)
-        print(json.dumps(record))
-        sys.stdout.flush()
+    def run_mode(mode):
+        base_throughput = None
+        for d in mesh_sizes:
+            # weak: per-device rows fixed; strong: total rows fixed at
+            # the largest mesh's aggregate so every d divides it
+            N = args.rows_per_device * (
+                d if mode == "weak" else mesh_sizes[-1]
+            )
+            dt = measure(d, N)
+            throughput = N * L / dt
+            if base_throughput is None:
+                base_throughput = throughput
+            if mode == "weak":
+                efficiency = (throughput / d) / base_throughput
+            else:
+                efficiency = throughput / base_throughput
+
+            record = {
+                "metric": "plm_{}_scaling".format(mode),
+                "devices": d,
+                "backend": backend,
+                # virtual CPU devices SHARE the host's cores, so WEAK
+                # scaling cannot be efficient there by construction —
+                # those numbers validate the sharded program +
+                # collective layout only; the STRONG numbers (constant
+                # total FLOPs) measure real sharding overhead even on
+                # virtual devices (see module docstring)
+                "note": (
+                    "virtual devices share host cores; weak efficiency "
+                    "is bounded by 1/d here, see strong records"
+                    if backend == "cpu" and mode == "weak" else None
+                ),
+                "rows_per_device": args.rows_per_device,
+                "total_rows": N,
+                "sites": L,
+                "value": round(throughput, 1),
+                "unit": "seq*site/s aggregate",
+                "step_ms": round(dt * 1e3, 2),
+                "efficiency": round(efficiency, 3),
+            }
+            records.append(record)
+            print(json.dumps(record))
+            sys.stdout.flush()
+
+    if args.mode in ("weak", "both"):
+        run_mode("weak")
+    if args.mode in ("strong", "both"):
+        run_mode("strong")
 
     if args.out:
         with open(args.out, "w") as f:
             json.dump({
-                "metric": "plm_weak_scaling",
+                "metric": "plm_scaling",
                 "records": records,
             }, f, indent=2)
             f.write("\n")
