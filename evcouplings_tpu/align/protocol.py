@@ -6,7 +6,10 @@ Parity target: reference evcouplings/align/protocol.py — existing
 (:635-803), modify_alignment (:806-1016), jackhmmer_search (:1019-1170),
 hmmbuild_and_search (:1173-1431), standard (:1434-1543), complex
 (:1546-1647), stats writers (:400-633), sequence helpers (:181-310,
-search_thresholds :311-398), PROTOCOLS/run (:1651-1707).
+search_thresholds :311-398), PROTOCOLS/run (:1651-1707). Parity is at
+the ARTIFACT level — config keys, output file names, outcfg keys, and
+table columns match the reference; the orchestration bodies are this
+repo's own.
 
 The hermetic path (no external binaries) is the `existing` protocol;
 jackhmmer/hmmsearch/hhfilter remain external subprocesses. All numeric
@@ -49,23 +52,154 @@ from evcouplings_tpu.utils.system import (
 )
 
 
-def _verify_sequence_id(sequence_id):
-    """Reject missing / whitespace-containing target identifiers."""
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+def _require_clean_identifier(sequence_id):
+    """Reject missing / non-string / whitespace-containing target ids."""
+    problem = None
     if sequence_id is None:
+        problem = ("Target sequence identifier (sequence_id) must be "
+                   "defined and cannot be None/null.")
+    elif not isinstance(sequence_id, str):
+        problem = ("Target sequence identifier (sequence_id) must be "
+                   "a string")
+    elif sequence_id != sequence_id.strip() or " " in sequence_id \
+            or len(sequence_id.split()) != 1:
+        problem = ("Target sequence identifier (sequence_id) may not "
+                   "contain any whitespace (spaces, tabs, ...)")
+    if problem:
+        raise InvalidParameterError(problem)
+
+
+def _as_fraction(value):
+    """Coverage thresholds may be given as percent ints or fractions."""
+    return value / 100 if isinstance(value, int) else value
+
+
+def _write_aligned(path, alignment, format="fasta"):
+    with open(path, "w") as handle:
+        alignment.write(handle, format)
+
+
+def _load_autodetected(path, label="Input alignment"):
+    """Open an alignment of unknown on-disk format."""
+    verify_resources("{} does not exist".format(label), path)
+    with open(path) as handle:
+        fmt = detect_format(handle, filepath=path)
+    if fmt is None:
         raise InvalidParameterError(
-            "Target sequence identifier (sequence_id) must be defined and "
-            "cannot be None/null."
+            "Format of input alignment {} could not be "
+            "automatically detected.".format(path)
         )
-    if not isinstance(sequence_id, str):
+    return Alignment.from_path(path, fmt), fmt
+
+
+def _locate_row(ali, sequence_id):
+    """Row index whose identifier starts with sequence_id."""
+    hits = (
+        row for row, name in enumerate(ali.ids)
+        if name.startswith(sequence_id)
+    )
+    row = next(hits, None)
+    if row is None:
         raise InvalidParameterError(
-            "Target sequence identifier (sequence_id) must be a string"
+            "Target sequence {} could not be found in alignment".format(
+                sequence_id
+            )
         )
-    if len(sequence_id.split()) != 1 or sequence_id != sequence_id.strip():
+    return row
+
+
+def _promote_row(ali, row):
+    """Reorder so the given row becomes row 0 (swap, order otherwise
+    preserved) — hhfilter must not drop the target, and downstream code
+    assumes the target sits first."""
+    if row == 0:
+        return ali
+    order = np.arange(len(ali))
+    order[[0, row]] = order[[row, 0]]
+    return ali.select(sequences=order)
+
+
+def _focus_on_target(ali_raw, focus_index, first_index,
+                     prefer_header=False):
+    """Restrict an alignment to the target row's residue columns and
+    derive its region numbering.
+
+    prefer_header=False (the `existing` protocol): an explicit
+    first_index always wins over header-derived numbering.
+    prefer_header=True (`hmmbuild_and_search`): first_index only fills
+    in when the header has no /start-end range.
+
+    Returns dict(ali, header, id, sequence, region_start, region_end).
+    """
+    target_row = ali_raw[focus_index]
+    residue_cols = np.fromiter(
+        (c not in (ali_raw._match_gap, ali_raw._insert_gap)
+         for c in target_row),
+        dtype=bool, count=len(target_row),
+    )
+    focused = ali_raw.select(columns=residue_cols)
+    residues = "".join(focused[focus_index])
+
+    raw_header = ali_raw.ids[focus_index]
+    name, start, end = parse_header(raw_header.split()[0])
+
+    override = first_index is not None and (
+        start is None or end is None if prefer_header else True
+    )
+    if override:
+        start = first_index
+        end = start + len(residues) - 1
+
+    if start is None or end is None:
         raise InvalidParameterError(
-            "Target sequence identifier (sequence_id) may not contain any "
-            "whitespace (spaces, tabs, ...)"
+            "Could not extract region information "
+            "from sequence header {} "
+            "and first_index parameter is not given.".format(raw_header)
         )
 
+    header = "{}/{}-{}".format(name, start, end)
+    focused.ids[focus_index] = header
+    return {
+        "ali": focused, "header": header, "id": name,
+        "sequence": residues,
+        "region_start": start, "region_end": end,
+    }
+
+
+def _search_with_reuse(outcfg_file, kwargs, perform_search):
+    """Run an external homology search, or restart from the saved
+    search outcfg when reuse_alignment is set (the reference's restart
+    point; protocol.py:1094-1104)."""
+    if kwargs["reuse_alignment"] and valid_file(outcfg_file):
+        saved = read_config_file(outcfg_file)
+        verify_resources(
+            "Tried to reuse alignment, but empty or does not exist",
+            saved["alignment"], saved["domtblout"],
+        )
+        return saved
+
+    result = perform_search()
+    # the bulky stdout log is dropped immediately
+    try:
+        os.remove(result["output"])
+    except OSError:
+        pass
+    write_config_file(outcfg_file, result)
+    return result
+
+
+def _region_segment(sequence_id, start, end):
+    span = range(start, end + 1)
+    return [Segment("aa", sequence_id, start, end, span).to_list()]
+
+
+# ---------------------------------------------------------------------------
+# sequence helpers
+# ---------------------------------------------------------------------------
 
 def fetch_sequence(sequence_id, sequence_file, sequence_download_url,
                    out_file):
@@ -74,25 +208,22 @@ def fetch_sequence(sequence_id, sequence_file, sequence_download_url,
     Returns (path, (header, sequence)). Parity: reference
     protocol.py:181-236.
     """
-    if sequence_file is None:
-        get(
-            sequence_download_url.format(sequence_id),
-            out_file,
-            allow_redirects=True,
-        )
-    else:
+    if sequence_file is not None:
         try:
             copy(sequence_file, out_file)
         except FileNotFoundError:
             raise ResourceError(
                 "sequence_file does not exist: {}".format(sequence_file)
             )
+    else:
+        url = sequence_download_url.format(sequence_id)
+        get(url, out_file, allow_redirects=True)
 
     verify_resources("Input sequence missing", out_file)
 
-    with open(out_file) as f:
-        seq = next(read_fasta(f))
-    return out_file, seq
+    with open(out_file) as handle:
+        record = next(read_fasta(handle))
+    return out_file, record
 
 
 def cut_sequence(sequence, sequence_id, region=None, first_index=None,
@@ -102,68 +233,70 @@ def cut_sequence(sequence, sequence_id, region=None, first_index=None,
 
     Returns ((start, end), subsequence). Parity: protocol.py:238-308.
     """
-    if first_index is None:
-        first_index = 1
+    origin = 1 if first_index is None else first_index
 
     if region is None:
-        region = (first_index, first_index + len(sequence) - 1)
-        cut_seq = sequence
+        region = (origin, origin + len(sequence) - 1)
+        subsequence = sequence
     else:
-        start, end = region
-        str_start = start - first_index
-        str_end = end - first_index + 1
-        cut_seq = sequence[str_start:str_end]
-        if str_start < 0 or str_end > len(sequence):
+        lo = region[0] - origin
+        hi = region[1] - origin + 1
+        if lo < 0 or hi > len(sequence):
             raise InvalidParameterError(
                 "Invalid sequence range: "
                 "region={} first_index={} len(sequence)={}".format(
-                    region, first_index, len(sequence)
+                    region, origin, len(sequence)
                 )
             )
+        subsequence = sequence[lo:hi]
 
     if out_file is not None:
-        with open(out_file, "w") as f:
-            header = "{}/{}-{}".format(sequence_id, *region)
-            write_fasta([(header, cut_seq)], f)
+        record = ("{}/{}-{}".format(sequence_id, *region), subsequence)
+        with open(out_file, "w") as handle:
+            write_fasta([record], handle)
 
-    return region, cut_seq
+    return region, subsequence
+
+
+def _bitscore_flag(value, seq_len):
+    """Bitscores: floats are target-length-relative, ints/strings
+    absolute."""
+    if isinstance(value, float):
+        return "{:.1f}".format(value * seq_len)
+    return str(value)
+
+
+def _evalue_flag(value):
+    """E-values: ints are negative decimal exponents (2 -> "1E-2"),
+    floats/strings literal."""
+    if isinstance(value, int):
+        return "1E{}".format(-value)
+    return str(value).upper()
 
 
 def search_thresholds(use_bitscores, seq_threshold, domain_threshold,
                       seq_len):
     """Normalize HMMER inclusion thresholds to command-line strings.
 
-    Bitscores: floats are relative (multiplied by seq_len), ints/strings
-    absolute. E-values: ints are negative exponents (2 -> "1E-2"),
-    floats/strings literal. The sequence-level threshold defaults to the
-    domain-level one. Parity: protocol.py:311-398.
+    The sequence-level threshold defaults to the domain-level one.
+    Parity: protocol.py:311-398.
     """
-    def transform_bitscore(x):
-        if isinstance(x, float):
-            return "{:.1f}".format(x * seq_len)
-        return str(x)
-
-    def transform_evalue(x):
-        if isinstance(x, int):
-            return "1E{}".format(-x)
-        return str(x).upper()
-
     if domain_threshold is None:
         raise MissingParameterError(
             "domain_threshold must be explicitly defined "
             "and may not be None/empty"
         )
 
-    transform = transform_bitscore if use_bitscores else transform_evalue
+    def render(value):
+        if use_bitscores:
+            return _bitscore_flag(value, seq_len)
+        return _evalue_flag(value)
 
-    if seq_threshold is not None:
-        seq_threshold = transform(seq_threshold)
-    domain_threshold = transform(domain_threshold)
-
-    if seq_threshold is None:
-        seq_threshold = domain_threshold
-
-    return seq_threshold, domain_threshold
+    domain_flag = render(domain_threshold)
+    seq_flag = (
+        domain_flag if seq_threshold is None else render(seq_threshold)
+    )
+    return seq_flag, domain_flag
 
 
 # annotation fields extracted from UniProt/UniRef headers
@@ -184,43 +317,47 @@ def extract_header_annotation(alignment, from_annotation=True):
 
     Parity: protocol.py:398-471.
     """
-    regex = re.compile(r"\s({})=".format("|".join(_ANNOTATION_COLUMNS)))
-    res = []
-
-    for id_ in alignment.ids:
-        if from_annotation:
-            seq_id = id_
-            anno = None
-            gs = alignment.annotation.get("GS", {})
-            if id_ in gs and "DE" in gs[id_]:
-                anno = gs[id_]["DE"]
-        else:
-            split = id_.split(maxsplit=1)
-            if len(split) == 2:
-                seq_id, anno = split
-            else:
-                seq_id, anno = id_, None
-
-        if anno is not None:
-            pairs = re.split(regex, anno)
-            pairs = ["id", seq_id, "name"] + pairs
-            res.append(dict(zip(pairs[::2], pairs[1::2])))
-        else:
-            res.append({"id": seq_id})
-
-    df = pd.DataFrame(res)
-    return df.reindex(
-        ["id", "name"] + list(_ANNOTATION_COLUMNS), axis=1
+    key_splitter = re.compile(
+        r"\s({})=".format("|".join(_ANNOTATION_COLUMNS))
     )
 
+    def description_of(header):
+        """(seq_id, free-text annotation or None) for one entry."""
+        if from_annotation:
+            # Stockholm: annotation rides in GS DE lines, not headers
+            per_seq = alignment.annotation.get("GS", {}).get(header, {})
+            return header, per_seq.get("DE")
+        parts = header.split(maxsplit=1)
+        if len(parts) == 1:
+            return header, None
+        return parts[0], parts[1]
+
+    rows = []
+    for entry in alignment.ids:
+        seq_id, text = description_of(entry)
+        row = {"id": seq_id}
+        if text is not None:
+            tokens = ["id", seq_id, "name"] + re.split(key_splitter, text)
+            row = dict(zip(tokens[::2], tokens[1::2]))
+        rows.append(row)
+
+    wanted = ["id", "name"] + list(_ANNOTATION_COLUMNS)
+    return pd.DataFrame(rows).reindex(wanted, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# statistics writers
+# ---------------------------------------------------------------------------
 
 def describe_seq_identities(alignment, target_seq_index=0):
     """Identity of every sequence to the target sequence (accelerator
     kernel). Parity: protocol.py:474-499."""
-    id_to_query = alignment.identities_to(alignment[target_seq_index])
-    return pd.DataFrame(
-        {"id": alignment.ids, "identity_to_query": id_to_query}
-    )
+    return pd.DataFrame({
+        "id": alignment.ids,
+        "identity_to_query": alignment.identities_to(
+            alignment[target_seq_index]
+        ),
+    })
 
 
 def describe_frequencies(alignment, first_index, target_seq_index=None):
@@ -229,77 +366,81 @@ def describe_frequencies(alignment, first_index, target_seq_index=None):
     Lowercase (non-match) positions get NaN statistics.
     Parity: protocol.py:501-553.
     """
-    fi = alignment.frequencies
-    conservation = alignment.conservation()
+    symbols = list(alignment.alphabet)
+    freq = alignment.frequencies
 
-    fi_cols = {
-        c: fi[:, alignment.alphabet_map[c]] for c in alignment.alphabet
-    }
+    table = pd.DataFrame(
+        freq[:, [alignment.alphabet_map[s] for s in symbols]],
+        columns=symbols,
+    )
+    table.insert(0, "conservation", alignment.conservation())
+    table.insert(
+        0, "A_i",
+        np.full(alignment.L, np.nan) if target_seq_index is None
+        else alignment[target_seq_index],
+    )
+    table.insert(0, "i", np.arange(alignment.L) + first_index)
 
-    if target_seq_index is not None:
-        target_seq = alignment[target_seq_index]
-    else:
-        target_seq = np.full((alignment.L,), np.nan)
-
-    info = pd.DataFrame({
-        "i": range(first_index, first_index + alignment.L),
-        "A_i": target_seq,
-        "conservation": conservation,
-        **fi_cols,
-    }).loc[:, ["i", "A_i", "conservation"] + list(alignment.alphabet)]
-
-    info.loc[
-        info.A_i.str.lower() == info.A_i,
-        ["conservation"] + list(alignment.alphabet),
-    ] = np.nan
-
-    return info
+    stat_columns = ["conservation"] + symbols
+    lowercase_rows = table.A_i.str.lower() == table.A_i
+    table.loc[lowercase_rows, stat_columns] = np.nan
+    return table
 
 
 def describe_coverage(alignment, prefix, first_index,
                       minimum_column_coverage):
     """buildali-style coverage statistics table, one row per column-
     coverage threshold. Parity: protocol.py:555-633."""
-    res = []
-    NO_MEFF = np.nan
-
-    if not isinstance(minimum_column_coverage, Iterable):
-        minimum_column_coverage = [minimum_column_coverage]
-
-    pos = np.arange(first_index, first_index + alignment.L)
-    f_gap = alignment.frequencies[
-        :, alignment.alphabet_map[alignment._match_gap]
-    ]
-
-    for threshold in minimum_column_coverage:
-        if isinstance(threshold, int):
-            threshold /= 100
-
-        uppercase = f_gap <= 1 - threshold
-        uppercase_idx = np.nonzero(uppercase)[0]
-
-        cov_first_idx, cov_last_idx = uppercase_idx[0], uppercase_idx[-1]
-        first, last = pos[cov_first_idx], pos[cov_last_idx]
-        num_lc_cov = np.sum(~uppercase[cov_first_idx:cov_last_idx + 1])
-
-        num_cov = uppercase.sum()
-        num_lc = (~uppercase).sum()
-        perc_cov = num_cov / len(uppercase)
-
-        res.append(
-            (prefix, threshold, alignment.N, alignment.L,
-             num_cov, num_lc, perc_cov, first, last,
-             last - first + 1, num_lc_cov, NO_MEFF)
-        )
-
-    return pd.DataFrame(
-        res, columns=[
-            "prefix", "minimum_column_coverage", "num_seqs",
-            "seqlen", "num_cov", "num_lc", "perc_cov",
-            "1st_uc", "last_uc", "len_cov", "num_lc_cov", "N_eff",
-        ]
+    thresholds = (
+        minimum_column_coverage
+        if isinstance(minimum_column_coverage, Iterable)
+        else [minimum_column_coverage]
     )
 
+    numbering = np.arange(alignment.L) + first_index
+    gap_symbol = alignment._match_gap
+    gap_freq = alignment.frequencies[
+        :, alignment.alphabet_map[gap_symbol]
+    ]
+
+    rows = []
+    for raw_threshold in thresholds:
+        threshold = _as_fraction(raw_threshold)
+        covered = gap_freq <= 1 - threshold
+        where_covered = np.flatnonzero(covered)
+
+        span_lo = int(where_covered[0])
+        span_hi = int(where_covered[-1])
+        holes_in_span = int(
+            np.count_nonzero(~covered[span_lo:span_hi + 1])
+        )
+        n_covered = int(covered.sum())
+
+        rows.append({
+            "prefix": prefix,
+            "minimum_column_coverage": threshold,
+            "num_seqs": alignment.N,
+            "seqlen": alignment.L,
+            "num_cov": n_covered,
+            "num_lc": alignment.L - n_covered,
+            "perc_cov": n_covered / covered.size,
+            "1st_uc": numbering[span_lo],
+            "last_uc": numbering[span_hi],
+            "len_cov": numbering[span_hi] - numbering[span_lo] + 1,
+            "num_lc_cov": holes_in_span,
+            "N_eff": np.nan,
+        })
+
+    return pd.DataFrame(rows, columns=[
+        "prefix", "minimum_column_coverage", "num_seqs",
+        "seqlen", "num_cov", "num_lc", "perc_cov",
+        "1st_uc", "last_uc", "len_cov", "num_lc_cov", "N_eff",
+    ])
+
+
+# ---------------------------------------------------------------------------
+# alignment post-processing
+# ---------------------------------------------------------------------------
 
 def modify_alignment(focus_ali, target_seq_index, target_seq_id,
                      region_start, **kwargs):
@@ -330,17 +471,9 @@ def modify_alignment(focus_ali, target_seq_index, target_seq_id,
         "raw_focus_alignment_file": focus_fasta_file,
     }
 
-    # move the target sequence to row 0 (required so hhfilter cannot
-    # drop it, and so downstream target_seq_index is always 0)
-    if target_seq_index != 0:
-        indices = np.arange(0, len(focus_ali))
-        indices[0] = target_seq_index
-        indices[target_seq_index] = 0
-        target_seq_index = 0
-        focus_ali = focus_ali.select(sequences=indices)
-
-    with open(focus_fasta_file, "w") as f:
-        focus_ali.write(f, "fasta")
+    ali = _promote_row(focus_ali, target_seq_index)
+    target_seq_index = 0
+    _write_aligned(focus_fasta_file, ali)
 
     # optional pairwise identity filter via external hhfilter
     if kwargs["seqid_filter"] is not None:
@@ -350,22 +483,15 @@ def modify_alignment(focus_ali, target_seq_index, target_seq_id,
             threshold=kwargs["seqid_filter"],
             columns="first", binary=kwargs["hhfilter"],
         )
-        with open(filtered_file) as f:
-            focus_ali = Alignment.from_file(f, "a3m")
-
-        filtered_fasta_file = prefix + "_raw_focus_filtered.fasta"
-        with open(filtered_fasta_file, "w") as f:
-            focus_ali.write(f, "fasta")
-
-    ali = focus_ali
+        with open(filtered_file) as handle:
+            ali = Alignment.from_file(handle, "a3m")
+        _write_aligned(prefix + "_raw_focus_filtered.fasta", ali)
 
     # fragment filter: drop rows covering too little of the target
-    min_cov = kwargs["minimum_sequence_coverage"]
-    if min_cov is not None:
-        if isinstance(min_cov, int):
-            min_cov /= 100
-        keep_seqs = (1 - ali.count("-", axis="seq")) >= min_cov
-        ali = ali.select(sequences=keep_seqs)
+    if kwargs["minimum_sequence_coverage"] is not None:
+        min_cov = _as_fraction(kwargs["minimum_sequence_coverage"])
+        row_coverage = 1 - ali.count("-", axis="seq")
+        ali = ali.select(sequences=row_coverage >= min_cov)
 
     describe_seq_identities(
         ali, target_seq_index=target_seq_index
@@ -379,59 +505,58 @@ def modify_alignment(focus_ali, target_seq_index, target_seq_id,
         ali, prefix, region_start, kwargs["minimum_column_coverage"]
     )
 
-    pos_list = np.arange(region_start, region_start + ali.L, dtype="int32")
+    numbering = np.arange(ali.L, dtype="int32") + region_start
 
-    # lowercase columns exceeding the gap threshold
-    min_col_cov = kwargs["minimum_column_coverage"]
-    if min_col_cov is not None:
-        if isinstance(min_col_cov, int):
-            min_col_cov /= 100
-        lc_cols = ali.count(ali._match_gap, axis="pos") > 1 - min_col_cov
-        ali = ali.lowercase_columns(lc_cols)
-        pos_list = pos_list[~lc_cols]
-    else:
-        lc_cols = None
+    # lowercase columns exceeding the gap threshold; they are excluded
+    # from inference downstream, so the position list drops them too
+    lowered = None
+    if kwargs["minimum_column_coverage"] is not None:
+        max_gaps = 1 - _as_fraction(kwargs["minimum_column_coverage"])
+        lowered = ali.count(ali._match_gap, axis="pos") > max_gaps
+        ali = ali.lowercase_columns(lowered)
+        numbering = numbering[~lowered]
 
     # optional N_eff computation on the inference columns
+    n_eff = None
     if kwargs["compute_num_effective_seqs"]:
-        cut_ali = ali if lc_cols is None else ali.select(columns=~lc_cols)
-        cut_ali.set_weights(kwargs["theta"])
-        n_eff = float(cut_ali.weights.sum())
+        inference_ali = (
+            ali if lowered is None else ali.select(columns=~lowered)
+        )
+        inference_ali.set_weights(kwargs["theta"])
+        n_eff = float(inference_ali.weights.sum())
         coverage_stats.loc[:, "N_eff"] = n_eff
 
-        outcfg["sequence_weights_file"] = (
-            prefix + "_inverse_sequence_weights.csv"
-        )
+        weights_file = prefix + "_inverse_sequence_weights.csv"
+        outcfg["sequence_weights_file"] = weights_file
         pd.DataFrame({
-            "id": cut_ali.ids,
-            "num_cluster_members": cut_ali.num_cluster_members,
-        }).to_csv(outcfg["sequence_weights_file"], index=False)
-    else:
-        n_eff = None
+            "id": inference_ali.ids,
+            "num_cluster_members": inference_ali.num_cluster_members,
+        }).to_csv(weights_file, index=False)
 
     coverage_stats.to_csv(
         outcfg["statistics_file"], float_format="%.3f", index=False
     )
 
     outcfg.update({
-        "num_sites": len(pos_list),
+        "num_sites": len(numbering),
         "num_sequences": len(ali),
         "effective_sequences": n_eff,
         "region_start": region_start,
+        "segments": [
+            Segment(
+                "aa", target_seq_id, region_start,
+                region_start + ali.L - 1, numbering,
+            ).to_list()
+        ],
     })
 
-    outcfg["segments"] = [
-        Segment(
-            "aa", target_seq_id, region_start,
-            region_start + ali.L - 1, pos_list,
-        ).to_list()
-    ]
-
-    with open(outcfg["alignment_file"], "w") as f:
-        ali.write(f, "fasta")
-
+    _write_aligned(outcfg["alignment_file"], ali)
     return outcfg, ali
 
+
+# ---------------------------------------------------------------------------
+# protocols
+# ---------------------------------------------------------------------------
 
 def existing(**kwargs):
     """Protocol: start from a user-supplied alignment, focus on the
@@ -449,90 +574,41 @@ def existing(**kwargs):
     prefix = kwargs["prefix"]
     create_prefix_folders(prefix)
 
-    input_alignment = kwargs["input_alignment"]
-    verify_resources("Input alignment does not exist", input_alignment)
-
-    with open(input_alignment) as f:
-        format = detect_format(f, filepath=input_alignment)
-        if format is None:
-            raise InvalidParameterError(
-                "Format of input alignment {} could not be "
-                "automatically detected.".format(input_alignment)
-            )
-
-    ali_raw = Alignment.from_path(input_alignment, format)
+    ali_raw, fmt = _load_autodetected(kwargs["input_alignment"])
 
     annotation_file = None
     if kwargs["extract_annotation"]:
         annotation_file = prefix + "_annotation.csv"
-        from_anno_line = (format == "stockholm")
         extract_header_annotation(
-            ali_raw, from_annotation=from_anno_line
+            ali_raw, from_annotation=(fmt == "stockholm")
         ).to_csv(annotation_file, index=False)
 
     sequence_id = kwargs["sequence_id"]
-    _verify_sequence_id(sequence_id)
+    _require_clean_identifier(sequence_id)
 
-    # locate target sequence by identifier prefix
-    focus_index = None
-    for i, id_ in enumerate(ali_raw.ids):
-        if id_.startswith(sequence_id):
-            focus_index = i
-            break
-    if focus_index is None:
-        raise InvalidParameterError(
-            "Target sequence {} could not be found in alignment".format(
-                sequence_id
-            )
-        )
-
-    # focus columns: positions where the target is not gapped
-    focus_seq = ali_raw[focus_index]
-    focus_cols = np.array([
-        c not in (ali_raw._match_gap, ali_raw._insert_gap)
-        for c in focus_seq
-    ])
-    focus_ali = ali_raw.select(columns=focus_cols)
-    focus_seq_nogap = "".join(focus_ali[focus_index])
-
-    # determine target numbering from header or first_index override
-    full_focus_header = ali_raw.ids[focus_index]
-    focus_id = full_focus_header.split()[0]
-    id_, region_start, region_end = parse_header(focus_id)
-
-    if kwargs["first_index"] is not None:
-        region_start = kwargs["first_index"]
-        region_end = region_start + len(focus_seq_nogap) - 1
-
-    if region_start is None or region_end is None:
-        raise InvalidParameterError(
-            "Could not extract region information "
-            "from sequence header {} "
-            "and first_index parameter is not given.".format(
-                full_focus_header
-            )
-        )
-
-    header = "{}/{}-{}".format(id_, region_start, region_end)
-    focus_ali.ids[focus_index] = header
-
-    target_sequence_file = prefix + ".fa"
-    with open(target_sequence_file, "w") as f:
-        write_fasta([(header, focus_seq_nogap)], f)
-
-    mod_outcfg, ali = modify_alignment(
-        focus_ali, focus_index, id_, region_start, **kwargs
+    focus_index = _locate_row(ali_raw, sequence_id)
+    target = _focus_on_target(
+        ali_raw, focus_index, kwargs["first_index"], prefer_header=False
     )
 
-    outcfg = {
-        **mod_outcfg,
-        "sequence_id": sequence_id,
-        "sequence_file": target_sequence_file,
-        "first_index": region_start,
-        "target_sequence_file": target_sequence_file,
-        "focus_sequence": header,
-        "focus_mode": True,
-    }
+    target_sequence_file = prefix + ".fa"
+    with open(target_sequence_file, "w") as handle:
+        write_fasta([(target["header"], target["sequence"])], handle)
+
+    mod_outcfg, _ali = modify_alignment(
+        target["ali"], focus_index, target["id"],
+        target["region_start"], **kwargs
+    )
+
+    outcfg = dict(
+        mod_outcfg,
+        sequence_id=sequence_id,
+        sequence_file=target_sequence_file,
+        first_index=target["region_start"],
+        target_sequence_file=target_sequence_file,
+        focus_sequence=target["header"],
+        focus_mode=True,
+    )
     if annotation_file is not None:
         outcfg["annotation_file"] = annotation_file
 
@@ -558,68 +634,49 @@ def jackhmmer_search(**kwargs):
         ],
     )
     prefix = kwargs["prefix"]
-    _verify_sequence_id(kwargs["sequence_id"])
+    _require_clean_identifier(kwargs["sequence_id"])
     create_prefix_folders(prefix)
 
     target_sequence_file = prefix + ".fa"
     full_sequence_file = prefix + "_full.fa"
 
-    full_seq_file, (full_seq_id, full_seq) = fetch_sequence(
-        kwargs["sequence_id"],
-        kwargs["sequence_file"],
-        kwargs["sequence_download_url"],
-        full_sequence_file,
+    _, (_full_id, full_seq) = fetch_sequence(
+        kwargs["sequence_id"], kwargs["sequence_file"],
+        kwargs["sequence_download_url"], full_sequence_file,
     )
 
-    (region_start, region_end), cut_seq = cut_sequence(
-        full_seq,
-        kwargs["sequence_id"],
-        kwargs["region"],
-        kwargs["first_index"],
-        target_sequence_file,
+    (region_start, region_end), query_seq = cut_sequence(
+        full_seq, kwargs["sequence_id"], kwargs["region"],
+        kwargs["first_index"], target_sequence_file,
     )
 
-    ali_outcfg_file = prefix + ".align_jackhmmer_search.outcfg"
-
-    if kwargs["reuse_alignment"] and valid_file(ali_outcfg_file):
-        ali = read_config_file(ali_outcfg_file)
-        verify_resources(
-            "Tried to reuse alignment, but empty or does not exist",
-            ali["alignment"], ali["domtblout"],
+    def perform_search():
+        seq_flag, domain_flag = search_thresholds(
+            kwargs["use_bitscores"], kwargs["sequence_threshold"],
+            kwargs["domain_threshold"], len(query_seq),
         )
-    else:
-        seq_threshold, domain_threshold = search_thresholds(
-            kwargs["use_bitscores"],
-            kwargs["sequence_threshold"],
-            kwargs["domain_threshold"],
-            len(cut_seq),
-        )
-
-        ali = at.run_jackhmmer(
+        passthrough = {
+            name: kwargs[name] for name in (
+                "use_bitscores", "iterations", "nobias", "cpu",
+                "checkpoints_hmm", "checkpoints_ali",
+            )
+        }
+        hits = at.run_jackhmmer(
             query=target_sequence_file,
             database=kwargs[kwargs["database"]],
             prefix=prefix,
-            use_bitscores=kwargs["use_bitscores"],
-            domain_threshold=domain_threshold,
-            seq_threshold=seq_threshold,
-            iterations=kwargs["iterations"],
-            nobias=kwargs["nobias"],
-            cpu=kwargs["cpu"],
-            checkpoints_hmm=kwargs["checkpoints_hmm"],
-            checkpoints_ali=kwargs["checkpoints_ali"],
+            domain_threshold=domain_flag,
+            seq_threshold=seq_flag,
             binary=kwargs["jackhmmer"],
+            **passthrough,
         )
+        return dict(hits._asdict())
 
-        # drop the bulky stdout log immediately
-        try:
-            os.remove(ali.output)
-        except OSError:
-            pass
+    ali = _search_with_reuse(
+        prefix + ".align_jackhmmer_search.outcfg", kwargs, perform_search
+    )
 
-        ali = dict(ali._asdict())
-        write_config_file(ali_outcfg_file, ali)
-
-    outcfg = {
+    return {
         "sequence_id": kwargs["sequence_id"],
         "target_sequence_file": target_sequence_file,
         "sequence_file": full_sequence_file,
@@ -627,69 +684,58 @@ def jackhmmer_search(**kwargs):
         "focus_mode": True,
         "raw_alignment_file": ali["alignment"],
         "hittable_file": ali["domtblout"],
-        "segments": [
-            Segment(
-                "aa", kwargs["sequence_id"], region_start, region_end,
-                range(region_start, region_end + 1),
-            ).to_list()
-        ],
+        "segments": _region_segment(
+            kwargs["sequence_id"], region_start, region_end
+        ),
         "focus_sequence": "{}/{}-{}".format(
             kwargs["sequence_id"], region_start, region_end
         ),
     }
-    return outcfg
 
 
-def _make_hmmsearch_raw_fasta(alignment_result, prefix):
+def _assemble_hmmsearch_fasta(alignment_result, prefix):
     """Prepend the (RF-gapped) query sequence to an hmmsearch Stockholm
     result and save as FASTA, so downstream focusing/numbering works.
 
     Parity: protocol.py:81-178.
     """
-    with open(alignment_result["target_sequence_file"]) as a:
-        query_ali = Alignment.from_file(a, format="fasta")
+    with open(alignment_result["target_sequence_file"]) as handle:
+        query_ali = Alignment.from_file(handle, format="fasta")
 
-    raw_focus_alignment_file = prefix + "_raw.fasta"
-    if not valid_file(alignment_result["raw_alignment_file"]):
-        # empty search result: alignment is just the query
-        with open(raw_focus_alignment_file, "w") as of:
-            query_ali.write(of)
-        return raw_focus_alignment_file
+    out_path = prefix + "_raw.fasta"
+    search_hits = alignment_result["raw_alignment_file"]
 
-    ali = Alignment.from_path(
-        alignment_result["raw_alignment_file"], "stockholm"
-    )
+    if not valid_file(search_hits):
+        # empty search result: the "alignment" is just the query
+        _write_aligned(out_path, query_ali)
+        return out_path
 
-    if not ("GC" in ali.annotation and "RF" in ali.annotation["GC"]):
+    hits_ali = Alignment.from_path(search_hits, "stockholm")
+
+    rf = hits_ali.annotation.get("GC", {}).get("RF")
+    if rf is None:
         raise ValueError(
             "Stockholm alignment {} missing RF annotation of match "
-            "states".format(alignment_result["raw_alignment_file"])
+            "states".format(search_hits)
         )
 
-    rf = ali.annotation["GC"]["RF"]
-    match_cols = [x == "x" for x in rf]
-    if sum(match_cols) != query_ali.L:
+    is_match = [symbol == "x" for symbol in rf]
+    if sum(is_match) != query_ali.L:
         raise ValueError(
             "HMMsearch result {} does not have a one-to-one mapping to "
-            "the query sequence columns".format(
-                alignment_result["raw_alignment_file"]
-            )
+            "the query sequence columns".format(search_hits)
         )
 
     # distribute query residues over match states, gaps elsewhere
-    seq_iter = iter(query_ali.matrix[0, :])
+    residues = iter(query_ali.matrix[0, :])
     gapped_query = "".join(
-        next(seq_iter) if is_match else "-" for is_match in match_cols
+        next(residues) if m else "-" for m in is_match
     )
 
-    query_gapped_ali = Alignment.from_dict({
-        query_ali.ids[0]: gapped_query
-    })
-
-    with open(raw_focus_alignment_file, "w") as of:
-        query_gapped_ali.write(of)
-        ali.write(of)
-    return raw_focus_alignment_file
+    with open(out_path, "w") as handle:
+        Alignment.from_dict({query_ali.ids[0]: gapped_query}).write(handle)
+        hits_ali.write(handle)
+    return out_path
 
 
 def hmmbuild_and_search(**kwargs):
@@ -698,6 +744,7 @@ def hmmbuild_and_search(**kwargs):
 
     Parity: protocol.py:1173-1431.
     """
+    # all columns of the input alignment become match states
     SYMFRAC_HMMBUILD = 0.0
 
     check_required(
@@ -710,126 +757,58 @@ def hmmbuild_and_search(**kwargs):
         ],
     )
     prefix = kwargs["prefix"]
-    _verify_sequence_id(kwargs["sequence_id"])
+    _require_clean_identifier(kwargs["sequence_id"])
     create_prefix_folders(prefix)
 
     # --- focus the input alignment on the target sequence ---
-    input_alignment_file = kwargs["alignment_file"]
-    verify_resources("Input alignment does not exist", input_alignment_file)
+    ali_raw, _fmt = _load_autodetected(kwargs["alignment_file"])
 
-    with open(input_alignment_file) as f:
-        format = detect_format(f)
-        if format is None:
-            raise InvalidParameterError(
-                "Format of input alignment {} could not be "
-                "automatically detected.".format(input_alignment_file)
-            )
-    ali_raw = Alignment.from_path(input_alignment_file, format)
-
-    sequence_id = kwargs["sequence_id"]
-    focus_index = None
-    for i, id_ in enumerate(ali_raw.ids):
-        if id_.startswith(sequence_id):
-            focus_index = i
-            break
-    if focus_index is None:
-        raise InvalidParameterError(
-            "Target sequence {} could not be found in alignment".format(
-                sequence_id
-            )
-        )
-
-    focus_seq = ali_raw[focus_index]
-    focus_cols = np.array([
-        c not in (ali_raw._match_gap, ali_raw._insert_gap)
-        for c in focus_seq
-    ])
-    focus_ali = ali_raw.select(columns=focus_cols)
-    focus_seq_nogap = "".join(focus_ali[focus_index])
-
-    full_focus_header = ali_raw.ids[focus_index]
-    focus_id = full_focus_header.split()[0]
-    id_, region_start, region_end = parse_header(focus_id)
-
-    if kwargs["first_index"] is not None and (
-        region_start is None or region_end is None
-    ):
-        region_start = kwargs["first_index"]
-        region_end = region_start + len(focus_seq_nogap) - 1
-
-    if region_start is None or region_end is None:
-        raise InvalidParameterError(
-            "Could not extract region information "
-            "from sequence header {} "
-            "and first_index parameter is not given.".format(
-                full_focus_header
-            )
-        )
-
-    header = "{}/{}-{}".format(id_, region_start, region_end)
-    focus_ali.ids[focus_index] = header
+    focus_index = _locate_row(ali_raw, kwargs["sequence_id"])
+    target = _focus_on_target(
+        ali_raw, focus_index, kwargs["first_index"], prefer_header=True
+    )
+    region_start = target["region_start"]
+    region_end = target["region_end"]
 
     target_sequence_file = prefix + ".fa"
-    with open(target_sequence_file, "w") as f:
-        write_fasta([(header, focus_seq_nogap)], f)
-
-    if focus_index != 0:
-        indices = np.arange(0, len(focus_ali))
-        indices[0] = focus_index
-        indices[focus_index] = 0
-        focus_ali = focus_ali.select(sequences=indices)
+    with open(target_sequence_file, "w") as handle:
+        write_fasta([(target["header"], target["sequence"])], handle)
 
     focus_fasta_file = prefix + "_raw_focus_input.fasta"
-    with open(focus_fasta_file, "w") as f:
-        focus_ali.write(f, "fasta")
+    _write_aligned(
+        focus_fasta_file, _promote_row(target["ali"], focus_index)
+    )
 
     # --- hmmbuild + hmmsearch (or restart from saved outcfg) ---
-    ali_outcfg_file = prefix + ".align_hmmbuild_and_search.outcfg"
-
-    if kwargs["reuse_alignment"] and valid_file(ali_outcfg_file):
-        ali = read_config_file(ali_outcfg_file)
-        verify_resources(
-            "Tried to reuse alignment, but empty or does not exist",
-            ali["alignment"], ali["domtblout"],
+    def perform_search():
+        seq_flag, domain_flag = search_thresholds(
+            kwargs["use_bitscores"], kwargs["sequence_threshold"],
+            kwargs["domain_threshold"], region_end - region_start + 1,
         )
-    else:
-        sequence_length = region_end - region_start + 1
-        seq_threshold, domain_threshold = search_thresholds(
-            kwargs["use_bitscores"],
-            kwargs["sequence_threshold"],
-            kwargs["domain_threshold"],
-            sequence_length,
-        )
-
-        hmmbuild_result = at.run_hmmbuild(
+        built = at.run_hmmbuild(
             alignment_file=focus_fasta_file,
             prefix=prefix,
             symfrac=SYMFRAC_HMMBUILD,
             cpu=kwargs["cpu"],
             binary=kwargs["hmmbuild"],
         )
-        hmmfile = hmmbuild_result.hmmfile
-
-        ali = at.run_hmmsearch(
-            hmmfile=hmmfile,
+        hits = at.run_hmmsearch(
+            hmmfile=built.hmmfile,
             database=kwargs[kwargs["database"]],
             prefix=prefix,
             use_bitscores=kwargs["use_bitscores"],
-            domain_threshold=domain_threshold,
-            seq_threshold=seq_threshold,
+            domain_threshold=domain_flag,
+            seq_threshold=seq_flag,
             nobias=kwargs["nobias"],
             cpu=kwargs["cpu"],
             binary=kwargs["hmmsearch"],
         )
+        return dict(hits._asdict(), hmmfile=built.hmmfile)
 
-        try:
-            os.remove(ali.output)
-        except OSError:
-            pass
-
-        ali = dict(ali._asdict())
-        ali["hmmfile"] = hmmfile
-        write_config_file(ali_outcfg_file, ali)
+    ali = _search_with_reuse(
+        prefix + ".align_hmmbuild_and_search.outcfg", kwargs,
+        perform_search,
+    )
 
     outcfg = {
         "sequence_file": target_sequence_file,
@@ -840,15 +819,12 @@ def hmmbuild_and_search(**kwargs):
         "raw_alignment_file": ali["alignment"],
         "hittable_file": ali["domtblout"],
     }
-    outcfg["raw_focus_alignment_file"] = _make_hmmsearch_raw_fasta(
+    outcfg["raw_focus_alignment_file"] = _assemble_hmmsearch_fasta(
         outcfg, prefix
     )
-    outcfg["segments"] = [
-        Segment(
-            "aa", kwargs["sequence_id"], region_start, region_end,
-            range(region_start, region_end + 1),
-        ).to_list()
-    ]
+    outcfg["segments"] = _region_segment(
+        kwargs["sequence_id"], region_start, region_end
+    )
     outcfg["focus_sequence"] = "{}/{}-{}".format(
         kwargs["sequence_id"], region_start, region_end
     )
@@ -863,32 +839,30 @@ def standard(**kwargs):
     prefix = kwargs["prefix"]
     create_prefix_folders(prefix)
 
-    jackhmmer_outcfg = jackhmmer_search(**kwargs)
-    stockholm_file = jackhmmer_outcfg["raw_alignment_file"]
+    search_outcfg = jackhmmer_search(**kwargs)
 
-    segment = Segment.from_list(jackhmmer_outcfg["segments"][0])
-    target_seq_id = segment.sequence_id
-    region_start = segment.region_start
+    segment = Segment.from_list(search_outcfg["segments"][0])
 
-    ali_raw = Alignment.from_path(stockholm_file, "stockholm")
+    ali_raw = Alignment.from_path(
+        search_outcfg["raw_alignment_file"], "stockholm"
+    )
 
+    annotation_file = None
     if kwargs["extract_annotation"]:
         annotation_file = prefix + "_annotation.csv"
         extract_header_annotation(ali_raw).to_csv(
             annotation_file, index=False
         )
-    else:
-        annotation_file = None
 
     # jackhmmer puts the query first; focus on its non-gap columns
-    focus_cols = np.array([c != "-" for c in ali_raw[0]])
-    focus_ali = ali_raw.select(columns=focus_cols)
+    query_has_residue = ali_raw[0] != "-"
+    focus_ali = ali_raw.select(columns=query_has_residue)
 
     mod_outcfg, ali = modify_alignment(
-        focus_ali, 0, target_seq_id, region_start, **kwargs
+        focus_ali, 0, segment.sequence_id, segment.region_start, **kwargs
     )
 
-    outcfg = {**jackhmmer_outcfg, **mod_outcfg}
+    outcfg = {**search_outcfg, **mod_outcfg}
     if annotation_file is not None:
         outcfg["annotation_file"] = annotation_file
 
@@ -912,40 +886,33 @@ def complex(**kwargs):
          "ena_genome_location_table"],
     )
 
-    verify_resources(
-        "Uniprot to EMBL mapping table does not exist",
-        kwargs["uniprot_to_embl_table"],
-    )
-    verify_resources(
-        "ENA genome location table does not exist",
-        kwargs["ena_genome_location_table"],
-    )
+    for label, key in (
+        ("Uniprot to EMBL mapping table", "uniprot_to_embl_table"),
+        ("ENA genome location table", "ena_genome_location_table"),
+    ):
+        verify_resources(label + " does not exist", kwargs[key])
 
     prefix = kwargs["prefix"]
     create_prefix_folders(prefix)
 
-    alignment_protocol = kwargs["alignment_protocol"]
-    if alignment_protocol not in PROTOCOLS:
+    inner = kwargs["alignment_protocol"]
+    if inner not in PROTOCOLS:
         raise InvalidParameterError(
-            "Invalid choice for alignment protocol: {}".format(
-                alignment_protocol
-            )
+            "Invalid choice for alignment protocol: {}".format(inner)
         )
 
-    outcfg = PROTOCOLS[alignment_protocol](**kwargs)
+    outcfg = PROTOCOLS[inner](**kwargs)
 
     # user-provided annotation override for the existing protocol
-    if alignment_protocol == "existing":
+    if inner == "existing":
         check_required(kwargs, ["override_annotation_file"])
-        if kwargs["override_annotation_file"] is not None:
+        override = kwargs["override_annotation_file"]
+        if override is not None:
             verify_resources(
-                "Override annotation file does not exist",
-                kwargs["override_annotation_file"],
+                "Override annotation file does not exist", override
             )
             outcfg["annotation_file"] = prefix + "_annotation.csv"
-            pd.read_csv(kwargs["override_annotation_file"]).to_csv(
-                outcfg["annotation_file"]
-            )
+            pd.read_csv(override).to_csv(outcfg["annotation_file"])
 
     from evcouplings_tpu.align.ena import (
         add_full_header,
@@ -953,37 +920,29 @@ def complex(**kwargs):
         extract_embl_annotation,
     )
 
-    cds_ids = extract_cds_ids(
-        outcfg["alignment_file"], kwargs["uniprot_to_embl_table"]
-    )
-
     genome_location_filename = prefix + "_genome_location.csv"
-    genome_location_table = extract_embl_annotation(
-        cds_ids,
+    locations = extract_embl_annotation(
+        extract_cds_ids(
+            outcfg["alignment_file"], kwargs["uniprot_to_embl_table"]
+        ),
         kwargs["ena_genome_location_table"],
         genome_location_filename,
     )
-    genome_location_table = add_full_header(
-        genome_location_table, outcfg["alignment_file"]
-    )
-    genome_location_table.to_csv(genome_location_filename)
+    locations = add_full_header(locations, outcfg["alignment_file"])
+    locations.to_csv(genome_location_filename)
     outcfg["genome_location_file"] = genome_location_filename
 
     write_config_file(prefix + ".align_complex.outcfg", outcfg)
     return outcfg
 
 
+# protocol registry: function names double as the config-facing names
 PROTOCOLS = {
-    # standard buildali protocol (iterative hmmer search)
-    "standard": standard,
-    # build raw multiple sequence alignment using jackhmmer
-    "jackhmmer_search": jackhmmer_search,
-    # build HMM from existing alignment, then search database
-    "hmmbuild_and_search": hmmbuild_and_search,
-    # start from an existing (external) alignment
-    "existing": existing,
-    # run alignment protocol and postprocess output for complex pipeline
-    "complex": complex,
+    fn.__name__: fn
+    for fn in (
+        standard, jackhmmer_search, hmmbuild_and_search, existing,
+        complex,
+    )
 }
 
 
@@ -991,12 +950,11 @@ def run(**kwargs):
     """Dispatch to the alignment protocol named by kwargs["protocol"]."""
     check_required(kwargs, ["protocol"])
 
-    if kwargs["protocol"] not in PROTOCOLS:
+    selected = kwargs["protocol"]
+    if selected not in PROTOCOLS:
         raise InvalidParameterError(
-            "Invalid protocol selection: "
-            "{}. Valid protocols are: {}".format(
-                kwargs["protocol"], ", ".join(PROTOCOLS.keys())
-            )
+            "Invalid protocol selection: {}. Valid protocols are: "
+            "{}".format(selected, ", ".join(PROTOCOLS))
         )
 
-    return PROTOCOLS[kwargs["protocol"]](**kwargs)
+    return PROTOCOLS[selected](**kwargs)
