@@ -20,19 +20,28 @@ os.environ["PYTHONPATH"] = (
     _REPO_ROOT + ((os.pathsep + _existing) if _existing else "")
 )
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# escape hatch for the opt-in on-device runs (e.g. the full-length
+# family fit, test_real_alignment.py): EVCTPU_TEST_ON_DEVICE=1 keeps
+# the session backend (the real TPU via the axon plugin) instead of
+# forcing the 8-virtual-device CPU. x64 stays off there — TPUs have
+# no f64 units, and the on-device tests do not use the f64 oracles.
+_ON_DEVICE = bool(os.environ.get("EVCTPU_TEST_ON_DEVICE"))
+
+if not _ON_DEVICE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _ON_DEVICE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
-assert jax.default_backend() == "cpu"
+    assert jax.default_backend() == "cpu"
 
 
 def _ensure_native_extensions():
