@@ -55,7 +55,15 @@ def measured_cpu_baseline():
 # them as constants in the remote-compile payload, which is what used
 # to cap N at 32768 through the axon tunnel (HTTP 413 above that).
 N, L, Q = 262144, 160, 21
-N_PARITY = 16384
+# parity-mode N: large enough to amortize the N-independent epilogue
+# (sweep: 16384 -> 169.5M, 32768 -> 179.4M, 65536 -> 184.7M
+# seq*site/s at block 512 on v5e) while keeping the parity section's
+# share of total bench wall time small
+N_PARITY = 65536
+# large-L record: the site-sharded asymmetric path (the symmetric
+# (Lq)^2 layout would hold a 115M-parameter coupling matrix +
+# optimizer state here)
+L_BIG, N_BIG = 512, 8192
 STEPS_PER_CALL = 60
 WARMUP_CALLS = 2
 BENCH_CALLS = 3
@@ -127,6 +135,30 @@ def _plm_throughput(cfg, n, steps_per_call, warmup_calls, bench_calls,
     return n * L * bench_calls * steps_per_call / elapsed
 
 
+def _large_l_throughput():
+    """seq*site/s of the asymmetric site-sharded fit at L = L_BIG —
+    one full fit_plm_asym run (production bf16/adam), measured over
+    the warm window of its iteration callbacks so compile time drops
+    out. Returns None if the run converged inside one chunk."""
+    from evcouplings_tpu.ops.plm import PlmConfig
+    from evcouplings_tpu.ops.plm_sites import fit_plm_asym
+
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, Q, size=(N_BIG, L_BIG)).astype(np.int8)
+    w = rng.uniform(0.5, 1.0, size=N_BIG)
+    cfg = PlmConfig(solver="adam", max_iter=120, steps_per_call=30,
+                    block_size=1024, dtype="bfloat16",
+                    precision="default", conv_tol=0.0)
+    stamps = []
+    fit_plm_asym(codes, w, Q, cfg,
+                 callback=lambda r: stamps.append(
+                     (time.perf_counter(), r["iter"])))
+    warm, iters = _warm_window(stamps)
+    if warm is None or warm <= 0 or iters == 0:
+        return None
+    return N_BIG * L_BIG * iters / warm
+
+
 def main():
     from evcouplings_tpu.ops.plm import PlmConfig
 
@@ -144,15 +176,21 @@ def main():
 
     # parity mode: f32 with "highest" matmul precision — the numerics
     # that match plmc and that the golden/byte-parity gates run under.
-    # Smaller N and fewer steps: this exists to put a measured number
-    # on the mode the parity claims are about, not to win the headline.
+    # Structured per-operand precision (ops/plm.py _PrecTriple) makes
+    # every hot GEMM 3 MXU passes instead of 6; block 512 keeps the
+    # carried f32 dJ accumulator VMEM-friendly (sweep: 512 169.5M >
+    # 8192 164.0M > 2048 159.4M at N=16384 on v5e). Smaller N and
+    # fewer steps: this exists to put a measured number on the mode
+    # the parity claims are about, not to win the headline.
     parity = PlmConfig(
-        block_size=8192, precision="highest", dtype="float32",
+        block_size=512, precision="highest", dtype="float32",
         solver="adam",
     )
     parity_throughput = _plm_throughput(
         parity, N_PARITY, STEPS_PER_CALL // 3, 1, 2,
     )
+
+    large_l = _large_l_throughput()
 
     cpu = measured_cpu_baseline()
     print(json.dumps({
@@ -169,6 +207,18 @@ def main():
         ),
         "parity_mode_vs_measured_cpu": (
             round(parity_throughput / cpu, 2) if cpu else None
+        ),
+        # large-L regime (site-sharded asymmetric path, ops/
+        # plm_sites.py): substantiates the "removes the L~900
+        # ceiling" claim with a driver-captured number at L >= 512
+        "large_l_sites": L_BIG,
+        "large_l_rows": N_BIG,
+        "large_l_value": (
+            round(large_l, 1) if large_l is not None else None
+        ),
+        "large_l_vs_baseline": (
+            round(large_l / PLMC_32T_BASELINE, 2)
+            if large_l is not None else None
         ),
     }))
 
