@@ -169,7 +169,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
             alphabet=None, theta=None, scale=None, ignore_gaps=False,
             iterations=None, lambda_h=None, lambda_J=None, lambda_g=None,
             cpu=None, binary=None, mesh=None, solver=None,
-            group_mode=None,
+            group_mode=None, conv_tol=None,
             block_size=None, steps_per_call=1, pad_sites_to=None,
             pad_rows_to=None,
             compute_dtype="float32", matmul_precision="highest",
@@ -403,6 +403,10 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         lambda_J=float(lambda_J),
         lambda_group=float(lambda_g),
         max_iter=int(iterations),
+        # relative-gradient stop (libLBFGS semantics); None keeps the
+        # plmc-default 1e-5. Tighter values (e.g. 1e-10) run to the
+        # float rounding floor — used by the oracle parity gates.
+        **({} if conv_tol is None else {"conv_tol": float(conv_tol)}),
         solver=solver,
         block_size=int(block_size),
         steps_per_call=int(steps_per_call),

@@ -424,3 +424,63 @@ class TestGroupL1:
 
         np.testing.assert_array_equal(resumed.h_i, full.h_i)
         np.testing.assert_array_equal(resumed.J_ij, full.J_ij)
+
+
+class TestEndToEndArtifacts:
+    def test_run_plm_artifacts_match_oracle(self, tmp_path):
+        """The COMPLETE run_plm chain — alignment file in, O(N^2 L)
+        reweighting, f64 fit, plmc_v2 .model + raw EC file out —
+        against the oracle with weights from the literal-loop
+        reweighting oracle (tests/oracles.py o_num_cluster_members).
+        This closes the loop the kernel-level gates leave open: the
+        artifacts a USER receives carry the oracle-certified math."""
+        from evcouplings_tpu.couplings.fitter import run_plm
+        from evcouplings_tpu.couplings.model import CouplingsModel
+        from evcouplings_tpu.couplings.pairs import read_raw_ec_file
+        from oracles import o_num_cluster_members
+
+        q = 6
+        alphabet = "-ACDEF"
+        L, N = 8, 20
+        codes = oracle.synthetic_msa(N, L, q, seed=99, n_coupled=2)
+        fasta = tmp_path / "tiny.fasta"
+        with open(fasta, "w") as f:
+            for s in range(N):
+                f.write(">seq{}/1-{}\n{}\n".format(
+                    s, L, "".join(alphabet[c] for c in codes[s])))
+
+        lh, lj, theta = 0.01, 0.1, 0.8
+
+        ec_file = str(tmp_path / "ECs.txt")
+        model_file = str(tmp_path / "m.model")
+        res = run_plm(
+            str(fasta), ec_file, model_file, alphabet=alphabet,
+            theta=theta, iterations=2000, lambda_h=lh, lambda_J=lj,
+            solver="lbfgs", compute_dtype="float64",
+            steps_per_call=10, conv_tol=1e-10,
+        )
+        assert res.num_valid_seqs == N
+
+        # oracle weights via the literal-loop reweighting oracle
+        weights = 1.0 / o_num_cluster_members(codes, theta)
+        ref = oracle.fit(codes, weights, q, lambda_h=lh, lambda_J=lj,
+                         epsilon=1e-8, polish=True)
+        assert ref["result"]["converged"]
+
+        # .model artifact fields (float32 storage) against the oracle
+        model = CouplingsModel(model_file)
+        np.testing.assert_allclose(model.weights, weights, rtol=1e-6)
+        np.testing.assert_allclose(
+            model.h_i, ref["h"], atol=TestFitParity.H_ATOL)
+        np.testing.assert_allclose(
+            model.J_ij, ref["J"], atol=TestFitParity.J_ATOL + 2e-7)
+
+        # raw EC file rank order == oracle rank order
+        ecs = read_raw_ec_file(ec_file, sort=False)
+        cn_ref = _scores.apc(_scores.fn_scores(ref["J"]))
+        ii, jj = np.triu_indices(L, k=1)
+        order_file = np.argsort(-ecs.cn.values, kind="stable")
+        order_ref = np.argsort(-cn_ref[ii, jj], kind="stable")
+        np.testing.assert_array_equal(order_file, order_ref)
+        np.testing.assert_allclose(
+            ecs.cn.values, cn_ref[ii, jj], atol=1e-5)
