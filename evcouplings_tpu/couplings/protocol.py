@@ -219,6 +219,9 @@ def infer_plmc(**kwargs):
             # via the proximal "fista" solver; "smoothed" opts in to
             # the sqrt(||J||^2 + eps) approximation with lbfgs/adam
             "group_mode": kwargs.get("group_mode"),
+            # relative-gradient convergence (libLBFGS rule); absent
+            # keeps the plmc-default 1e-5
+            "conv_tol": kwargs.get("conv_tol"),
             "parametrization": parametrization,
             "steps_per_call": int(steps_per_call),
             # pad_sites / pad_rows: round L / N up to these
