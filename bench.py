@@ -62,8 +62,10 @@ N, L, Q = 262144, 160, 21
 N_PARITY = 65536
 # large-L record: the site-sharded asymmetric path (the symmetric
 # (Lq)^2 layout would hold a 115M-parameter coupling matrix +
-# optimizer state here)
-L_BIG, N_BIG = 512, 8192
+# optimizer state here). Block sweep at L=512 on v5e: 1024 (118.8M
+# seq*site/s at N=8192) > 2048 (108.0M) > 4096 (99.2M) > 512 (96.5M);
+# N=16384 amortizes the per-step epilogue further (134.3M)
+L_BIG, N_BIG = 512, 16384
 STEPS_PER_CALL = 60
 WARMUP_CALLS = 2
 BENCH_CALLS = 3
