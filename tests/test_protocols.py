@@ -605,3 +605,73 @@ class TestMutateOnFittedModel:
         table = pd.DataFrame({"mutant": ["{}11A".format(wt11)]})
         pred = predict_mutation_table(model, table)
         assert np.isfinite(pred.prediction_epistatic.iloc[0])
+
+
+class TestCouplingsGroupL1Protocol:
+    def test_standard_protocol_with_lambda_group_routes_to_fista(
+            self, pipeline_dir, tmp_path):
+        """Config-level group-L1 (VERDICT r2 item 6, protocol level):
+        `lambda_group > 0` with no explicit solver must route to the
+        proximal FISTA solver, produce the full artifact set (model +
+        EC table + iteration table with the fx/gnorm/xnorm columns),
+        and store lambda_group in the plmc_v2 header. A large
+        lambda_group must also land pair blocks at EXACTLY zero —
+        the observable the smoothed path cannot produce."""
+        from evcouplings_tpu.couplings.model import CouplingsModel
+
+        d, _, align_outcfg, _ = pipeline_dir
+        prefix = str(tmp_path / "g" / "test")
+
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(lambda_group=5.0, lambda_J=0.05,
+                      lambda_J_times_Lq=False, iterations=150,
+                      steps_per_call=25)
+        outcfg = couplings_protocol.run(
+            protocol="standard",
+            prefix=prefix,
+            alignment_file=align_outcfg["alignment_file"],
+            focus_sequence=align_outcfg["focus_sequence"],
+            segments=align_outcfg["segments"],
+            frequencies_file=align_outcfg["frequencies_file"],
+            **kwargs,
+        )
+
+        for key in ("model_file", "raw_ec_file", "ec_file"):
+            assert os.path.isfile(outcfg[key]), key
+
+        m = CouplingsModel(outcfg["model_file"])
+        assert m.lambda_group == pytest.approx(5.0)
+        bn = np.sqrt((m.J_ij ** 2).sum(axis=(2, 3)))
+        ii, jj = np.triu_indices(m.L, k=1)
+        n_zero = int((bn[ii, jj] == 0.0).sum())
+        assert 0 < n_zero < len(ii), (
+            "expected a sparse-but-not-empty zero set, got {}/{}"
+            .format(n_zero, len(ii))
+        )
+
+        # iteration table carries the standard columns from the
+        # proximal solver's metrics
+        import pandas as pd
+
+        table = pd.read_csv(prefix + "_iteration_table.csv")
+        assert {"fx", "gnorm", "xnorm"} <= set(table.columns)
+        assert len(table) > 0
+
+    def test_explicit_lbfgs_with_lambda_group_fails_loudly(
+            self, pipeline_dir, tmp_path):
+        from evcouplings_tpu.utils.config import InvalidParameterError
+
+        d, _, align_outcfg, _ = pipeline_dir
+        kwargs = dict(COUPLINGS_KWARGS)
+        kwargs.update(lambda_group=1.0, solver="lbfgs", iterations=5)
+        with pytest.raises((ValueError, InvalidParameterError),
+                           match="fista|smoothed"):
+            couplings_protocol.run(
+                protocol="standard",
+                prefix=str(tmp_path / "g2" / "test"),
+                alignment_file=align_outcfg["alignment_file"],
+                focus_sequence=align_outcfg["focus_sequence"],
+                segments=align_outcfg["segments"],
+                frequencies_file=align_outcfg["frequencies_file"],
+                **kwargs,
+            )
