@@ -334,10 +334,14 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         raise ValueError(
             "Invalid parametrization: {!r} (valid: auto, symmetric, "
             "asymmetric)".format(parametrization))
+    parametrization_requested = parametrization
 
     # exact group-L1 needs the proximal solver; lbfgs/adam would only
-    # apply the smoothed approximation (ops/plm.py PlmConfig.group_mode)
-    sym_default_solver = "fista" if lambda_g > 0 else "lbfgs"
+    # apply the smoothed approximation (ops/plm.py PlmConfig.group_mode).
+    # An explicit group_mode="smoothed" opts OUT of the fista routing —
+    # it asks for the smooth approximation, which LBFGS handles.
+    wants_exact_group = lambda_g > 0 and group_mode != "smoothed"
+    sym_default_solver = "fista" if wants_exact_group else "lbfgs"
 
     if parametrization in ("auto", "symmetric"):
         sym_cfg = PlmConfig(
@@ -389,6 +393,26 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
                     L, q, _fmt_bytes(est), _fmt_bytes(budget),
                     n_model_shards)
             )
+
+    # the asymmetric path has no proximal solver — only the smoothed
+    # group penalty (ops/plm_sites.py). Silently downgrading a
+    # requested EXACT group-L1 fit because the alignment was large
+    # enough to auto-route here would be the same quiet approximation
+    # the fit_plm guard refuses — so refuse it here too.
+    if parametrization == "asymmetric" and wants_exact_group:
+        raise ValueError(
+            "The asymmetric (site-sharded) fit supports only the "
+            "SMOOTHED group-L1 approximation, but lambda_group > 0 "
+            "without group_mode='smoothed' requests the exact "
+            "penalty{}. Either pass group_mode='smoothed' to accept "
+            "the approximation on this path, or force "
+            "parametrization='symmetric' (solver 'fista') if the "
+            "coupling matrix fits device memory.".format(
+                " (auto-routing chose the asymmetric path for this "
+                "problem size)" if parametrization_requested == "auto"
+                else ""
+            )
+        )
 
     if solver is None:
         solver = ("adam" if parametrization == "asymmetric"

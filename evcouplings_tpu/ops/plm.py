@@ -1058,9 +1058,17 @@ def _make_fista_step_chunk(L, q, cfg, mesh, steps_per_call,
         # then block soft-threshold at s * lambda_group
         P = y["J"] - (2.0 * s) * gJ
         h = y["h"] - s * gh
+        if lam == 0:
+            # plain (accelerated) gradient descent: the prox of a
+            # zero penalty is the identity
+            return {"J": P, "h": h}
         norms = _block_norms(P)
+        # divisor floor must be representable in the COMPUTE dtype: a
+        # 1e-300 literal flushes to 0.0 in float32 and turns every
+        # zero-norm block into 0/0 = NaN
+        tiny = jnp.finfo(P.dtype).tiny
         scale = jnp.maximum(
-            0.0, 1.0 - (s * lam) / jnp.maximum(norms, 1e-300)
+            0.0, 1.0 - (s * lam) / jnp.maximum(norms, tiny)
         )
         blocks = P.reshape(L, q, L, q) * scale[:, None, :, None]
         return {"J": blocks.reshape(lq, lq), "h": h}
@@ -1214,6 +1222,14 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     if cfg.group_mode not in ("prox", "smoothed"):
         raise ValueError(
             "Unknown group_mode: {}".format(cfg.group_mode)
+        )
+    if (cfg.lambda_group > 0 and cfg.solver == "fista"
+            and cfg.group_mode == "smoothed"):
+        raise ValueError(
+            "solver='fista' implements the EXACT nonsmooth group-L1 "
+            "penalty (proximal soft-thresholding) and cannot apply "
+            "the smoothed approximation; use solver='lbfgs' or "
+            "'adam' with group_mode='smoothed', or drop group_mode."
         )
     if (cfg.lambda_group > 0 and cfg.solver != "fista"
             and cfg.group_mode != "smoothed"):

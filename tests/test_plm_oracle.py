@@ -484,3 +484,82 @@ class TestEndToEndArtifacts:
         np.testing.assert_array_equal(order_file, order_ref)
         np.testing.assert_allclose(
             ecs.cn.values, cn_ref[ii, jj], atol=1e-5)
+
+
+class TestGroupL1Routing:
+    """Regression tests for the round-3 self-review findings: the
+    group-L1 routing must never silently swap exact and smoothed
+    semantics, and the prox must be f32-safe."""
+
+    def test_fista_without_group_penalty_is_finite_f32(self):
+        """solver='fista' with lambda_group=0 is plain accelerated
+        gradient descent; the prox divisor floor must be representable
+        in float32 (a 1e-300 literal flushes to 0 -> 0/0 NaN)."""
+        codes, weights, L, q, lh, lj = _case("small_q6")
+        cfg = PlmConfig(lambda_h=lh, lambda_J=lj, lambda_group=0.0,
+                        solver="fista", max_iter=50, conv_tol=0.0,
+                        block_size=16, dtype="float32",
+                        steps_per_call=10)
+        fit = fit_plm(codes, weights, q, cfg)
+        assert np.isfinite(fit.final_loss)
+        assert np.isfinite(fit.J_ij).all()
+        assert all(np.isfinite(r["fx"]) for r in fit.iteration_table)
+
+    def test_smoothed_optin_keeps_lbfgs_default(self, tmp_path):
+        """run_plm with lambda_g > 0, group_mode='smoothed', solver
+        unset must stay on the smoothed LBFGS path — observable as NO
+        exactly-zero pair blocks at a lambda that the prox solver
+        demonstrably zeroes (the sparse case above)."""
+        from evcouplings_tpu.couplings.fitter import run_plm
+        from evcouplings_tpu.couplings.model import CouplingsModel
+
+        codes = oracle.synthetic_msa(24, 6, 4, seed=17, n_coupled=2)
+        alphabet = "-ACD"
+        fasta = tmp_path / "s.fasta"
+        with open(fasta, "w") as f:
+            for s in range(24):
+                f.write(">s{}/1-6\n{}\n".format(
+                    s, "".join(alphabet[c] for c in codes[s])))
+
+        model_file = str(tmp_path / "s.model")
+        run_plm(str(fasta), str(tmp_path / "s_ECs.txt"), model_file,
+                alphabet=alphabet, theta=0.8, iterations=300,
+                lambda_h=0.01, lambda_J=0.05, lambda_g=12.0,
+                group_mode="smoothed", compute_dtype="float64",
+                steps_per_call=25)
+        m = CouplingsModel(model_file)
+        bn = np.sqrt((m.J_ij ** 2).sum(axis=(2, 3)))
+        ii, jj = np.triu_indices(m.L, k=1)
+        # smoothed semantics: blocks shrink but never land exactly at 0
+        assert (bn[ii, jj] > 0).all()
+
+    def test_asymmetric_with_exact_group_refuses(self, tmp_path):
+        """The asymmetric path only has the smoothed penalty; a
+        requested exact group-L1 fit must refuse loudly instead of
+        silently downgrading (incl. via auto-routing)."""
+        from evcouplings_tpu.couplings.fitter import run_plm
+
+        codes = oracle.synthetic_msa(16, 5, 4, seed=3, n_coupled=2)
+        alphabet = "-ACD"
+        fasta = tmp_path / "a.fasta"
+        with open(fasta, "w") as f:
+            for s in range(16):
+                f.write(">s{}/1-5\n{}\n".format(
+                    s, "".join(alphabet[c] for c in codes[s])))
+
+        with pytest.raises(ValueError, match="smoothed"):
+            run_plm(str(fasta), str(tmp_path / "a_ECs.txt"), None,
+                    alphabet=alphabet, iterations=3, lambda_g=1.0,
+                    parametrization="asymmetric")
+        # explicit opt-in works
+        run_plm(str(fasta), str(tmp_path / "a2_ECs.txt"), None,
+                alphabet=alphabet, iterations=3, lambda_g=1.0,
+                parametrization="asymmetric", group_mode="smoothed")
+
+    def test_fista_with_smoothed_optin_contradiction_refuses(self):
+        codes, weights, L, q, lh, lj = _case("small_q6")
+        cfg = PlmConfig(lambda_h=lh, lambda_J=lj, lambda_group=1.0,
+                        solver="fista", group_mode="smoothed",
+                        block_size=16)
+        with pytest.raises(ValueError, match="EXACT"):
+            fit_plm(codes, weights, q, cfg)
