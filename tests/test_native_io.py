@@ -322,3 +322,84 @@ class TestNativeStockholm:
         ali = Alignment.from_path(str(p), "stockholm")
         assert ali.N == 2
         assert ali.annotation["GS"]["s1"]["DE"] == "my target protein"
+
+
+class TestDifferentialFuzz:
+    """Multi-seed structural fuzz: random alignments rendered with
+    randomized formatting quirks (wrap widths, CRLF, comments, blank
+    lines, annotations, trailing-newline presence) must parse
+    identically through the C extension and the Python reader."""
+
+    @pytest.mark.parametrize("seed", range(12))
+    def test_fasta_differential(self, seed, tmp_path):
+        rng = np.random.default_rng(1000 + seed)
+        aa = np.array(list("ACDEFGHIKLMNPQRSTVWYX-acdefg.*"))
+        N = int(rng.integers(1, 40))
+        L = int(rng.integers(1, 120))
+        mat = rng.choice(aa, size=(N, L))
+
+        wrap = int(rng.integers(1, L + 30))
+        crlf = bool(rng.integers(2))
+        comments = bool(rng.integers(2))
+        blanks = bool(rng.integers(2))
+        annotate = bool(rng.integers(2))
+        trailing_nl = bool(rng.integers(2))
+        eol = "\r\n" if crlf else "\n"
+
+        lines = []
+        if comments:
+            lines.append("; leading comment")
+        for k in range(N):
+            header = "seq{}/{}-{}".format(k, k + 1, k + L)
+            if annotate and rng.integers(2):
+                header += " OS=Species{} n={}".format(k, k)
+            lines.append(">" + header)
+            row = "".join(mat[k])
+            for j in range(0, L, wrap):
+                lines.append(row[j:j + wrap])
+            if blanks and rng.integers(2):
+                lines.append("")
+        text = eol.join(lines) + (eol if trailing_nl else "")
+
+        p = tmp_path / "fuzz.fasta"
+        p.write_bytes(text.encode())
+        check_equal(p)
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_stockholm_differential(self, seed, tmp_path):
+        rng = np.random.default_rng(2000 + seed)
+        aa = np.array(list("ACDEFGHIKLMNPQRSTVWY-."))
+        N = int(rng.integers(1, 20))
+        L = int(rng.integers(4, 80))
+        mat = rng.choice(aa, size=(N, L))
+        interleave = bool(rng.integers(2))
+        gc_line = bool(rng.integers(2))
+        gs_lines = bool(rng.integers(2))
+        gr_lines = bool(rng.integers(2))
+
+        ids = ["s{}/1-{}".format(k, L) for k in range(N)]
+        body = []
+        body.append("# STOCKHOLM 1.0")
+        if gs_lines:
+            for k in range(0, N, 2):
+                body.append("#=GS {} DE fuzz description {}".format(
+                    ids[k], k))
+        n_chunks = 2 if (interleave and L >= 8) else 1
+        chunk = -(-L // n_chunks)
+        for c in range(n_chunks):
+            for k in range(N):
+                seq = "".join(mat[k])[c * chunk:(c + 1) * chunk]
+                body.append("{}  {}".format(ids[k], seq))
+                if gr_lines and k == 0:
+                    body.append("#=GR {} PP {}".format(
+                        ids[k], "*" * len(seq)))
+            if gc_line:
+                body.append("#=GC RF {}".format(
+                    "x" * min(chunk, L - c * chunk)))
+            if c + 1 < n_chunks:
+                body.append("")
+        body.append("//")
+
+        p = tmp_path / "fuzz.sto"
+        p.write_text("\n".join(body) + "\n")
+        check_stockholm_equal(p)
