@@ -40,3 +40,28 @@ def pad_rows(array, multiple):
         return array, n
     pad_width = [(0, n_pad)] + [(0, 0)] * (array.ndim - 1)
     return np.pad(array, pad_width), n
+
+
+def flatten_J(J_ij):
+    """(L, L, q, q) coupling tensor -> flat (Lq, Lq) matrix with
+    J_flat[(i, a), (j, b)] = J[i, j, a, b].
+
+    THE layout invariant tying the PLM fitters, Hamiltonian kernels,
+    and samplers together — conditional logits for a one-hot row are
+    then plain matrix products against this matrix. Single-sourced
+    here so the transpose convention cannot drift between modules.
+    """
+    L, _, q, _ = J_ij.shape
+    return jnp.asarray(J_ij).transpose(0, 2, 1, 3).reshape(L * q, L * q)
+
+
+def unflatten_J(J_flat, L, q, zero_diag=True):
+    """Inverse of flatten_J: (Lq, Lq) -> (L, L, q, q) float64 numpy,
+    optionally zeroing the L diagonal q x q self-blocks (they carry no
+    meaning in the pair-coupling tensor)."""
+    J = np.asarray(J_flat, dtype=np.float64).reshape(
+        L, q, L, q
+    ).transpose(0, 2, 1, 3)
+    if zero_diag:
+        J[np.arange(L), np.arange(L)] = 0.0
+    return J

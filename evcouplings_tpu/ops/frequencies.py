@@ -61,8 +61,10 @@ def frequencies(matrix_mapped, seq_weights, num_symbols, dtype=jnp.float32):
     codes, _ = pad_rows(matrix_mapped.astype(np.int8), block)
     w, _ = pad_rows(seq_weights, block)  # zero-weighted padding rows
 
+    # weights enter in the KERNEL dtype: a hard float32 cast would
+    # defeat the documented dtype=jnp.float64 bit-parity mode
     fi = _fi_kernel(
-        jnp.asarray(codes), jnp.asarray(w.astype(np.float32)),
+        jnp.asarray(codes), jnp.asarray(w, dtype=dtype),
         num_symbols, block, dtype,
     )
     return np.asarray(fi, dtype=np.float64) / seq_weights.sum()
@@ -114,7 +116,7 @@ def pair_frequencies(matrix_mapped, seq_weights, num_symbols, fi,
 
     fij = np.asarray(
         _fij_kernel(
-            jnp.asarray(codes), jnp.asarray(w.astype(np.float32)),
+            jnp.asarray(codes), jnp.asarray(w, dtype=dtype),
             num_symbols, block, dtype,
         ),
         dtype=np.float64,

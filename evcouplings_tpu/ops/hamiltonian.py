@@ -202,10 +202,9 @@ def hamiltonians_device(sequences, J_ij, h_i, dtype=jnp.float32):
     block = min(4096, max(8, ((sequences.shape[0] + 7) // 8) * 8))
     codes, n = pad_rows(sequences.astype(np.int8), block)
 
-    J_flat = jnp.asarray(
-        np.asarray(J_ij).transpose(0, 2, 1, 3).reshape(L * q, L * q),
-        dtype=dtype,
-    )
+    from evcouplings_tpu.ops.encode import flatten_J
+
+    J_flat = flatten_J(np.asarray(J_ij)).astype(dtype)
     H = _hamiltonians_device(
         jnp.asarray(codes), J_flat, jnp.asarray(h_i, dtype=dtype), block
     )

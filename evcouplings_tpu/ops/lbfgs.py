@@ -93,7 +93,7 @@ def _two_loop_direction(state, m):
 
 
 def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
-                     conv_tol=1e-5):
+                     conv_tol=1e-5, norm_split=None):
     """Build chunk(x, state, *extra) -> (x, state, metrics).
 
     vg : (x (D,), *extra) -> (value, grad (D,)) — value and gradient
@@ -101,11 +101,14 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
         and weights) is threaded through the chunk as arguments rather
         than closed over, so multi-process global arrays stay legal
         jit inputs.
-    metrics : (steps_per_call, 3) float32 rows of
-        [value, ||grad||, ||x||] at the ACCEPTED iterate of each step,
-        the same per-iteration record plmc prints to stderr (reference
-        couplings/tools.py:20-108 parses these columns from the plmc
-        log, where row k holds fx after iteration k's update).
+    metrics : (steps_per_call, 4) float32 rows of
+        [value, ||grad||, ||x||, ls_failed] at the ACCEPTED iterate of
+        each step — the per-iteration record plmc prints to stderr
+        (reference couplings/tools.py:20-108 parses these columns from
+        the plmc log, where row k holds fx after iteration k's
+        update). With norm_split=d, two extra columns
+        [||x[d:]||, ||x[:d]||] report the field / coupling norms of
+        the iterate (plmc's ||h|| and ||J|| table columns) per step.
 
     Convergence uses the libLBFGS rule ||g|| <= tol * max(1, ||x||);
     once it trips, remaining steps in the chunk pass through unchanged
@@ -256,12 +259,20 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
             # 4th column flags a linesearch failure so the host can
             # truncate the table at the failing step.
             gnorm2, xnorm2 = _norms(x2, state2)
-            rec = jnp.stack([
+            cols = [
                 state2["value"].astype(jnp.float32),
                 gnorm2.astype(jnp.float32),
                 xnorm2.astype(jnp.float32),
                 state2["ls_failed"].astype(jnp.float32),
-            ])
+            ]
+            if norm_split is not None:
+                cols.append(jnp.sqrt(
+                    jnp.dot(x2[norm_split:], x2[norm_split:])
+                ).astype(jnp.float32))
+                cols.append(jnp.sqrt(
+                    jnp.dot(x2[:norm_split], x2[:norm_split])
+                ).astype(jnp.float32))
+            rec = jnp.stack(cols)
             return (x2, state2, gnorm2, xnorm2), rec
 
         gnorm0, xnorm0 = _norms(x, state)

@@ -156,6 +156,24 @@ def direct_information(J_ij, f_i, epsilon=1e-4, max_sweeps=10000):
         h_j[idx] = h_j_new
         active[idx] = diff > epsilon
 
+    if active.any():
+        # the reference's per-pair while loop runs unboundedly until
+        # epsilon; the sweep cap here exists to guarantee termination
+        # on pathological fixed points — make hitting it VISIBLE
+        # instead of silently merging non-converged DI values
+        import warnings
+
+        bad = np.flatnonzero(active)
+        warnings.warn(
+            "direct_information: {} pair(s) did not reach the "
+            "epsilon={} fixed-point criterion within {} sweeps "
+            "(e.g. pair ({}, {})); their DI values are the last "
+            "iterate, not the converged two-site model".format(
+                bad.size, epsilon, max_sweeps,
+                ii[bad[0]], jj[bad[0]]),
+            RuntimeWarning,
+        )
+
     # two-site model distribution and its mutual information vs the
     # product of single-site frequencies
     p = W * h_i[:, :, None] * h_j[:, None, :]

@@ -192,6 +192,14 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
 
     def local_nll(J_eff, h_flat, codes, weights):
         n_pad = codes.shape[0]
+        if n_pad % block_size:
+            raise ValueError(
+                "codes rows ({}) must be a multiple of block_size "
+                "({}): the block scan would silently drop the "
+                "remainder rows. Pad with code -1 / weight-0 rows "
+                "(ops.encode.pad_rows) as fit_plm does.".format(
+                    n_pad, block_size)
+            )
         num_blocks = n_pad // block_size
 
         def body(acc, block_idx):
@@ -362,6 +370,14 @@ def _make_local_value_and_grad(L, q, block_size, prec, dtype,
 
     def local_vg(J_aug, codes, weights):
         n_pad = codes.shape[0]
+        if n_pad % block_size:
+            raise ValueError(
+                "codes rows ({}) must be a multiple of block_size "
+                "({}): the block scan would silently drop the "
+                "remainder rows. Pad with code -1 / weight-0 rows "
+                "(ops.encode.pad_rows) as fit_plm does.".format(
+                    n_pad, block_size)
+            )
         num_blocks = n_pad // block_size
         seg = seg_matrix()
 
@@ -583,6 +599,14 @@ def _make_local_value_and_grad_two_phase(L, q, block_size, prec, dtype,
 
     def local_vg(J_aug, codes, weights, oh_all):
         n_pad = codes.shape[0]
+        if n_pad % block_size:
+            raise ValueError(
+                "codes rows ({}) must be a multiple of block_size "
+                "({}): the block scan would silently drop the "
+                "remainder rows. Pad with code -1 / weight-0 rows "
+                "(ops.encode.pad_rows) as fit_plm does.".format(
+                    n_pad, block_size)
+            )
         num_blocks = n_pad // block_size
         seg = seg_matrix()
 
@@ -876,8 +900,6 @@ def make_plm_loss(L, q, cfg: PlmConfig, mesh=None,
             out_specs=P(),
         )(J_eff, h_flat, codes, weights)
 
-    mask = None
-
     def loss(params, codes, weights):
         # pin the compute dtype: under jax_enable_x64 the optimizer's
         # line search scalars are float64 and would otherwise promote
@@ -995,7 +1017,9 @@ def _make_fused_step_chunk(L, q, cfg, mesh, steps_per_call,
             J_aug2 = jnp.concatenate(parts, axis=0)
             return (params2, state2, J_aug2), jnp.stack(
                 [value.astype(f32), gnorm.astype(f32),
-                 xnorm.astype(f32)]
+                 xnorm.astype(f32),
+                 jnp.linalg.norm(h2).astype(f32),
+                 jnp.linalg.norm(P2).astype(f32)]
             )
 
         (params, state, _), metrics = jax.lax.scan(
@@ -1148,6 +1172,8 @@ def _make_fista_step_chunk(L, q, cfg, mesh, steps_per_call,
                 full.astype(jnp.float32),
                 gmap.astype(jnp.float32),
                 xnorm.astype(jnp.float32),
+                jnp.linalg.norm(x_new["h"]).astype(jnp.float32),
+                jnp.linalg.norm(x_new["J"]).astype(jnp.float32),
             ])
             return carry, rec
 
@@ -1409,6 +1435,13 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 state = jax.device_put(state, replicated)
 
     def save_checkpoint(params, state, iteration):
+        # single writer in multi-process runs (params/state are
+        # replicated, so every process holds identical bytes); the
+        # guard sits BEFORE the np.asarray gathers so non-writer
+        # processes do not pay the full device-to-host transfer of
+        # the parameters + solver history per checkpoint
+        if jax.process_index() != 0:
+            return
         arrays = {
             "J": np.asarray(params["J"]),
             "h": np.asarray(params["h"]),
@@ -1443,12 +1476,6 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 fista_step=np.asarray(state["step"]),
                 fista_fprev=np.asarray(state["f_prev"]),
             )
-        # single writer in multi-process runs (params/state are
-        # replicated, so every process holds identical bytes — but
-        # concurrent truncating writes to one path on a shared
-        # filesystem would interleave)
-        if jax.process_index() != 0:
-            return
         tmp = "{}.tmp.p{}.npz".format(
             checkpoint_file, jax.process_index())
         np.savez(tmp, **arrays)
@@ -1483,7 +1510,9 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
             return (params, state), jnp.stack(
                 [value.astype(jnp.float32),
                  gnorm.astype(jnp.float32),
-                 xnorm.astype(jnp.float32)]
+                 xnorm.astype(jnp.float32),
+                 jnp.linalg.norm(params["h"]).astype(jnp.float32),
+                 jnp.linalg.norm(params["J"]).astype(jnp.float32)]
             )
         (params, state), metrics = jax.lax.scan(
             body, (params, state), None, length=steps_per_call
@@ -1519,6 +1548,7 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         lb_chunk = make_lbfgs_chunk(
             vg_flat, m=cfg.memory_size,
             steps_per_call=steps_per_call, conv_tol=cfg.conv_tol,
+            norm_split=dsize,
         )
 
         @jax.jit
@@ -1589,20 +1619,21 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 params, state, codes_d, w_d, oh_d
             )
         metrics = np.asarray(metrics, dtype=np.float64)
-        hnorm = float(jnp.linalg.norm(params["h"]))
-        Jnorm = float(jnp.linalg.norm(params["J"]))
         now = time.time() - t0
+        # LBFGS rows carry the linesearch-failure flag in column 3;
+        # every solver's rows end with the per-step [||h||, ||J||]
+        # pair (plmc's table reports these at each iterate)
+        ls_col = 3 if cfg.solver == "lbfgs" else None
 
         # a chunk may overshoot max_iter or convergence by up to
         # steps_per_call - 1 steps; the table is truncated to the
         # first converged iteration (plmc semantics), the parameters
         # keep the extra descent steps
         for k in range(n_steps):
-            # LBFGS metrics carry a 4th column flagging a linesearch
-            # failure: the failing step did not move, so its repeated
-            # row is dropped and the table ends at the last real
-            # iterate (plmc's log simply stops there)
-            if len(metrics[k]) > 3 and metrics[k][3] > 0:
+            # a linesearch failure means the step did not move, so
+            # its repeated row is dropped and the table ends at the
+            # last real iterate (plmc's log simply stops there)
+            if ls_col is not None and metrics[k][ls_col] > 0:
                 ls_failed = True
                 # the frozen pass-through row still carries the real
                 # objective — keep it so a fit that freezes before
@@ -1618,8 +1649,8 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 "fx": value,
                 "gnorm": gnorm,
                 "xnorm": xnorm,
-                "hnorm": hnorm,
-                "Jnorm": Jnorm,
+                "hnorm": metrics[k][-2],
+                "Jnorm": metrics[k][-1],
                 "time": now,
             }
             table.append(record)
@@ -1649,11 +1680,19 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     if checkpoint_file is not None and it > last_ckpt:
         save_checkpoint(params, state, it)
 
+    if cfg.solver == "adam":
+        # the Adam chunks record fx at the PRE-update iterate (the
+        # gradient evaluation doubles as the metric), so the last
+        # table row lags the returned parameters by one step; one
+        # extra evaluation pins final_loss to the parameters actually
+        # returned (LBFGS/FISTA already report the accepted iterate)
+        value = float(vg_fn(params, codes_d, w_d, oh_d)[0])
+
     # materialize the effective symmetric couplings
+    from evcouplings_tpu.ops.encode import unflatten_J
+
     P_mat = np.asarray(params["J"], dtype=np.float64)
-    J_flat = 0.5 * (P_mat + P_mat.T)
-    J_ij = J_flat.reshape(L, q, L, q).transpose(0, 2, 1, 3)
-    J_ij[np.arange(L), np.arange(L)] = 0.0
+    J_ij = unflatten_J(0.5 * (P_mat + P_mat.T), L, q)
 
     return PlmFitResult(
         J_ij=J_ij,

@@ -222,7 +222,7 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
                 # unordered pair once via the double-counted full sum
                 blocks = J_loc.reshape(l_loc, q, L_pad, q)
                 norms = jnp.sqrt(
-                    jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12)
+                    jnp.sum(blocks ** 2, axis=(1, 3)) + cfg.group_eps)
                 reg = reg + cfg.lambda_group * 0.5 * jnp.sum(norms)
                 dJ = dJ + (
                     cfg.lambda_group * 0.5
@@ -324,7 +324,8 @@ def _make_local_vg_site(L, L_pad, l_loc, q, cfg, manual_axes=()):
         dh = dh + 2.0 * cfg.lambda_h * h_loc
         if cfg.lambda_group > 0:
             blocks = J_loc.reshape(l_loc, q, L_pad, q)
-            norms = jnp.sqrt(jnp.sum(blocks ** 2, axis=(1, 3)) + 1e-12)
+            norms = jnp.sqrt(
+                jnp.sum(blocks ** 2, axis=(1, 3)) + cfg.group_eps)
             f = f + cfg.lambda_group * 0.5 * jnp.sum(norms, axis=1)
             dJ = dJ + (
                 cfg.lambda_group * 0.5
@@ -627,6 +628,17 @@ def fit_plm_asym(codes, weights, num_symbols,
         raise ValueError(
             "fit_plm_asym supports solver='adam' or 'lbfgs' "
             "(got {!r})".format(cfg.solver))
+    if cfg.lambda_group > 0 and cfg.group_mode != "smoothed":
+        # same loud-refusal contract as fit_plm (ops/plm.py): this
+        # path only implements the SMOOTHED group penalty, and a
+        # default-prox caller must not silently get a different
+        # objective than requested
+        raise ValueError(
+            "fit_plm_asym only implements the SMOOTHED group-L1 "
+            "approximation; lambda_group > 0 requires an explicit "
+            "group_mode='smoothed' here, or the symmetric fit with "
+            "solver='fista' for the exact penalty."
+        )
     if cfg.dtype not in ("float32", "bfloat16"):
         # masters / Adam state / accumulators are f32 throughout this
         # path; honoring float64 would silently demote — refuse
@@ -1005,9 +1017,9 @@ def fit_plm_asym(codes, weights, num_symbols,
     lq = L * q
     J_dir = J_dir.reshape(L_pad, q, L_pad, q)[:L, :, :L, :] \
         .reshape(lq, lq)
-    J_sym = 0.5 * (J_dir + J_dir.T)
-    J_ij = J_sym.reshape(L, q, L, q).transpose(0, 2, 1, 3)
-    J_ij[np.arange(L), np.arange(L)] = 0.0
+    from evcouplings_tpu.ops.encode import unflatten_J
+
+    J_ij = unflatten_J(0.5 * (J_dir + J_dir.T), L, q)
     h_i = _to_host(h).astype(np.float64)[:L]
 
     return PlmFitResult(

@@ -21,10 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _flatten_J(J_ij):
-    """(L, L, q, q) -> (Lq, Lq) with [(i,a),(j,b)] layout."""
-    L, _, q, _ = J_ij.shape
-    return jnp.asarray(J_ij).transpose(0, 2, 1, 3).reshape(L * q, L * q)
+# the (L, L, q, q) <-> (Lq, Lq) layout is single-sourced in ops.encode
+from evcouplings_tpu.ops.encode import flatten_J as _flatten_J
 
 
 @functools.partial(

@@ -188,3 +188,42 @@ class TestPallasReweighting:
             ref = num_cluster_members(m, theta)
             got = num_cluster_members_pallas(m, theta, interpret=True)
             assert np.array_equal(ref, got), (n, L, q, theta)
+
+
+def test_frequencies_f64_mode_is_bit_level():
+    """dtype=jnp.float64 must carry the WEIGHTS in f64 too: cluster
+    reciprocals like 1/3 are not f32-representable, and the f64 parity
+    mode exists precisely for bit-level oracle comparisons."""
+    import jax.numpy as jnp
+
+    from evcouplings_tpu.ops.frequencies import (
+        frequencies, pair_frequencies,
+    )
+    from oracles import o_frequencies, o_pair_frequencies
+
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 5, size=(21, 6)).astype(np.int8)
+    weights = 1.0 / rng.integers(1, 7, size=21)   # f32-inexact values
+
+    fi = frequencies(codes, weights, 5, dtype=jnp.float64)
+    fi_o = o_frequencies(codes, weights, 5)
+    np.testing.assert_allclose(fi, fi_o, rtol=1e-14, atol=1e-16)
+
+    fij = pair_frequencies(codes, weights, 5, fi, dtype=jnp.float64)
+    fij_o = o_pair_frequencies(codes, weights, 5, fi_o)
+    np.testing.assert_allclose(fij, fij_o, rtol=1e-13, atol=1e-16)
+
+
+def test_direct_information_warns_when_sweeps_exhausted():
+    """Hitting the fixed-point sweep cap must be visible, not silently
+    merged with converged pairs."""
+    from evcouplings_tpu.ops.mean_field import direct_information
+
+    rng = np.random.default_rng(1)
+    L, q = 4, 3
+    J = rng.normal(size=(L, L, q, q))
+    J = 0.5 * (J + J.transpose(1, 0, 3, 2))
+    f = np.abs(rng.normal(size=(L, q))) + 0.1
+    f /= f.sum(axis=1, keepdims=True)
+    with pytest.warns(RuntimeWarning, match="did not reach"):
+        direct_information(J, f, epsilon=1e-12, max_sweeps=1)

@@ -826,3 +826,82 @@ def test_structured_highest_matches_unstructured():
     assert v_s == v_u
     np.testing.assert_allclose(gJ_s, gJ_u, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(gh_s, gh_u, rtol=1e-5, atol=1e-5)
+
+
+def test_loss_builder_rejects_unpadded_rows():
+    """The public loss/grad builders scan n_pad // block_size blocks;
+    a row count that is not a block multiple must raise instead of
+    silently dropping the remainder (with N < block_size the 'loss'
+    would be just the regularizer)."""
+    from evcouplings_tpu.ops.plm import (
+        PlmConfig, make_plm_loss, make_plm_value_and_grad,
+    )
+
+    L, q, N = 6, 4, 300          # 300 not a multiple of 512
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, q, size=(N, L)), dtype=jnp.int8)
+    weights = jnp.ones((N,), jnp.float32)
+    params = {
+        "J": jnp.zeros((L * q, L * q), jnp.float32),
+        "h": jnp.zeros((L, q), jnp.float32),
+    }
+    with pytest.raises(ValueError, match="multiple of block_size"):
+        make_plm_loss(L, q, PlmConfig())(params, codes, weights)
+    with pytest.raises(ValueError, match="multiple of block_size"):
+        make_plm_value_and_grad(L, q, PlmConfig())(
+            params, codes, weights)
+
+
+def test_adam_final_loss_matches_returned_parameters():
+    """Adam chunks log fx at the pre-update iterate; final_loss must
+    still be pinned to the RETURNED parameters (one extra eval)."""
+    from evcouplings_tpu.ops.plm import (
+        PlmConfig, fit_plm, make_plm_loss,
+    )
+    from evcouplings_tpu.ops.encode import flatten_J, pad_rows
+
+    L, q, N = 6, 4, 24
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, q, size=(N, L)).astype(np.int8)
+    weights = np.ones(N)
+    cfg = PlmConfig(solver="adam", max_iter=7, block_size=8,
+                    dtype="float64", conv_tol=0.0, steps_per_call=3)
+    fit = fit_plm(codes, weights, q, cfg)
+
+    params = {
+        "J": flatten_J(fit.J_ij).astype(jnp.float64),
+        "h": jnp.asarray(fit.h_i),
+    }
+    cp, _ = pad_rows(codes, 8)
+    wp, _ = pad_rows(weights, 8)
+    loss = make_plm_loss(L, q, cfg)
+    expected = float(loss(params, jnp.asarray(cp), jnp.asarray(wp)))
+    assert fit.final_loss == pytest.approx(expected, rel=1e-9)
+
+    # ... and the last table row (pre-update by one step) must differ
+    assert fit.iteration_table[-1]["fx"] != pytest.approx(
+        expected, rel=1e-12)
+
+
+@pytest.mark.parametrize("solver", ["adam", "lbfgs"])
+def test_iteration_table_norms_are_per_step(solver):
+    """hnorm/Jnorm must be the norms of each row's OWN iterate, not a
+    chunk-end value stamped across steps_per_call rows (plmc prints
+    ||h|| and ||J|| per iteration)."""
+    from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+    L, q, N = 6, 4, 24
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, q, size=(N, L)).astype(np.int8)
+    weights = np.ones(N)
+    cfg = PlmConfig(solver=solver, max_iter=8, block_size=8,
+                    dtype="float64", conv_tol=0.0, steps_per_call=4)
+    fit = fit_plm(codes, weights, q, cfg)
+    table = fit.iteration_table
+    assert len(table) == 8
+    # within one chunk the iterate moves every step, so must the norms
+    chunk = [r["Jnorm"] for r in table[:4]]
+    assert len(set(chunk)) == 4
+    # the last row's norms match the returned parameters
+    assert table[-1]["hnorm"] == pytest.approx(
+        float(np.linalg.norm(fit.h_i)), rel=1e-5)

@@ -205,7 +205,7 @@ class TestPerSiteLBFGS:
             codes, np.ones(200), 4,
             PlmConfig(solver="lbfgs", max_iter=40, block_size=64,
                       steps_per_call=5, lambda_J=0.1,
-                      lambda_group=8.0))
+                      lambda_group=8.0, group_mode="smoothed"))
         assert (np.linalg.norm(res1.J_ij)
                 < 0.9 * np.linalg.norm(res0.J_ij))
 
@@ -255,6 +255,9 @@ class TestGroupPenalty:
         cfg = PlmConfig(
             solver="adam", max_iter=2, block_size=32, conv_tol=0.0,
             lambda_h=lam_h, lambda_J=lam_J, lambda_group=lam_g,
+            # this oracle IS the smoothed objective; the asymmetric
+            # path requires the explicit opt-in since round 3
+            group_mode="smoothed",
         )
         recs = []
         fit_plm_asym(codes, w, q, cfg, callback=recs.append)
@@ -279,7 +282,8 @@ class TestGroupPenalty:
         res0 = fit_plm_asym(codes, np.ones(300), 4,
                             PlmConfig(lambda_group=0.0, **base))
         res1 = fit_plm_asym(codes, np.ones(300), 4,
-                            PlmConfig(lambda_group=20.0, **base))
+                            PlmConfig(lambda_group=20.0,
+                                      group_mode="smoothed", **base))
         assert (np.abs(res1.J_ij).sum()
                 < 0.5 * np.abs(res0.J_ij).sum())
 
@@ -395,3 +399,24 @@ class TestMesh:
         # differs; agreement is to accumulation noise only
         np.testing.assert_allclose(
             resM.J_ij, res1.J_ij, rtol=1e-3, atol=1e-4)
+
+
+def test_asym_exact_group_l1_refused_at_ops_level():
+    """fit_plm_asym only implements the smoothed group penalty; the
+    default group_mode='prox' with lambda_group > 0 must refuse loudly
+    (same contract as fit_plm) instead of silently fitting a different
+    objective."""
+    from evcouplings_tpu.ops.plm import PlmConfig
+    from evcouplings_tpu.ops.plm_sites import fit_plm_asym
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=(16, 5)).astype(np.int8)
+    w = np.ones(16)
+    with pytest.raises(ValueError, match="smoothed"):
+        fit_plm_asym(codes, w, 4, PlmConfig(
+            solver="adam", lambda_group=2.0, block_size=8, max_iter=2))
+    # explicit smoothed opt-in runs (and honors cfg.group_eps)
+    fit = fit_plm_asym(codes, w, 4, PlmConfig(
+        solver="adam", lambda_group=2.0, group_mode="smoothed",
+        group_eps=1e-8, block_size=8, max_iter=2, conv_tol=0.0))
+    assert np.isfinite(fit.final_loss)
