@@ -690,6 +690,11 @@ def remap_complex_chains(sifts_result_i, sifts_result_j,
     remapped = {}
 
     for i, r in combis.iterrows():
+        # tolerant loading (raise_missing=False) may have dropped this
+        # structure entirely — skip it like every sibling
+        # (intra/multimer/inter_dists, remap_chains) does
+        if not raise_missing and r["pdb_id"] not in structures:
+            continue
         chain_i = _prepare_chain(
             structures, r["pdb_id"], r["pdb_chain_i"],
             atom_filter, sifts_result_i.mapping[r["mapping_index_i"]],

@@ -599,8 +599,11 @@ class ClassicPDB:
             x = float(line[30:38])
             y = float(line[38:46])
             z = float(line[46:54])
-            occupancy = float(line[54:60] or "nan")
-            b_factor = float(line[60:66] or "nan")
+            # generated/modeling PDBs commonly leave occupancy and
+            # B-factor as whitespace in full-width lines; strip so
+            # they parse as NaN instead of crashing float('      ')
+            occupancy = float(line[54:60].strip() or "nan")
+            b_factor = float(line[60:66].strip() or "nan")
             element = line[76:78].strip()
 
             residues, atoms = current[chain_id]
@@ -637,19 +640,26 @@ class ClassicPDB:
         return models
 
     def get_chain(self, chain, model=0):
-        """Extract one chain as a Chain object."""
-        if model not in self._models:
+        """Extract one chain as a Chain object.
+
+        model is an *index* into self.models — the convention every
+        caller and the sibling PDB.get_chain use — NOT the raw PDB
+        MODEL serial (which starts at 1 in multi-model/NMR files, so
+        treating the default model=0 as a serial made every such file
+        unusable)."""
+        if not 0 <= model < len(self.models):
             raise ValueError(
-                "Invalid model, valid models are: "
-                + ",".join(map(str, self.models))
+                "Invalid model index, valid indices are: "
+                + ",".join(map(str, range(len(self.models))))
             )
-        if chain not in self._models[model]:
+        model_id = self.models[model]
+        if chain not in self._models[model_id]:
             raise ValueError(
                 "Invalid chain, valid chains are: "
-                + ",".join(self.model_to_chains[model])
+                + ",".join(self.model_to_chains[model_id])
             )
 
-        residues, atoms = self._models[model][chain]
+        residues, atoms = self._models[model_id][chain]
         res_df = pd.DataFrame(residues)
         res_df.index.name = "residue_index"
         res_df.loc[:, "coord_id"] = res_df.loc[:, "coord_id"].astype(str)

@@ -386,12 +386,21 @@ def _make_complex_contact_maps(ec_table, d_intra_i, d_multimer_i,
         if len(ec_set_inter) == 0:
             continue
 
-        # intra ECs scoring above the lowest plotted inter EC
-        last_inter_index = ec_set_inter.index[-1]
-        ec_set_i = ecs_longrange.iloc[0:last_inter_index].query(
+        # intra ECs scoring above the lowest plotted inter EC.
+        # DELIBERATE FIX vs the reference (compare/protocol.py complex
+        # contact maps): it slices iloc[0:ec_set_inter.index[-1]],
+        # using a pandas LABEL of the original ec_table as a POSITION
+        # in the already-filtered ecs_longrange — which silently
+        # includes intra ECs ranked BELOW the lowest plotted inter EC
+        # whenever the long-range filter dropped rows. Convert the
+        # label to its position first.
+        last_inter_pos = ecs_longrange.index.get_loc(
+            ec_set_inter.index[-1]
+        )
+        ec_set_i = ecs_longrange.iloc[0:last_inter_pos + 1].query(
             "segment_i == segment_j == @first_segment_name"
         )
-        ec_set_j = ecs_longrange.iloc[0:last_inter_index].query(
+        ec_set_j = ecs_longrange.iloc[0:last_inter_pos + 1].query(
             "segment_i == segment_j == @second_segment_name"
         )
 
@@ -789,6 +798,15 @@ def complex(**kwargs):
                 ),
                 raise_missing=kwargs["raise_missing"],
             )
+            # None when EVERY hit's structure failed to load (the
+            # tolerant raise_missing=False path skips them all):
+            # degrade like the no-hits branch instead of crashing on
+            # d_intra.to_file — the same guard standard() carries
+            if d_intra is None:
+                outcfg[name_prefix + "_distmap_monomer"] = None
+                outcfg[name_prefix + "_distmap_multimer"] = None
+                outcfg[name_prefix + "_remapped_pdb_files"] = None
+                return None, None, seqmap
             d_intra.to_file(outcfg[name_prefix + "_distmap_monomer"])
 
             outcfg[name_prefix + "_monomer_contacts_file"] = (

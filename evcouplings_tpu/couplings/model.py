@@ -373,7 +373,13 @@ class CouplingsModel:
         self._index_list = deepcopy(mapping)
         self.index_map = {b: a for a, b in enumerate(self.index_list)}
 
-        if hasattr(self, "_ecs"):
+        # refresh only a STALE table: _reset_precomputed always
+        # creates the attribute (as None), so hasattr would eagerly
+        # pay the full O(L^2 q^2) EC computation on every renumbering
+        # (e.g. SegmentIndexMapper.patch_model for every complex
+        # model) even when nothing had been computed yet — the lazy
+        # properties handle the never-computed case on demand
+        if getattr(self, "_ecs", None) is not None:
             self._calculate_ecs()
 
     # ------------------------------------------------------------------

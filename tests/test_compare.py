@@ -435,3 +435,104 @@ class TestMapIndices:
         aligned = df.dropna()
         assert list(aligned.i) == ["1", "3", "4"]
         assert list(aligned.j) == ["10", "12", "13"]
+
+
+class TestClassicPDBRegressions:
+    MULTI_MODEL = (
+        "MODEL        1\n"
+        "ATOM      1  CA  ALA A   1      11.000  12.000  13.000"
+        "  1.00 20.00           C\n"
+        "ENDMDL\n"
+        "MODEL        2\n"
+        "ATOM      1  CA  ALA A   1      21.000  22.000  23.000"
+        "  1.00 20.00           C\n"
+        "ENDMDL\n"
+        "END\n"
+    )
+
+    def test_multi_model_get_chain_uses_index(self, tmp_path):
+        """`model` is an index into self.models, not the PDB MODEL
+        serial — multi-model (NMR-style) files start their serials at
+        1, so treating the default model=0 as a serial made every such
+        file raise."""
+        path = tmp_path / "multi.pdb"
+        path.write_text(self.MULTI_MODEL)
+        pdb = ClassicPDB.from_file(str(path))
+        assert pdb.models == [1, 2]
+        chain0 = pdb.get_chain("A", model=0)
+        chain1 = pdb.get_chain("A", model=1)
+        assert chain0.coords.iloc[0].x == pytest.approx(11.0)
+        assert chain1.coords.iloc[0].x == pytest.approx(21.0)
+        with pytest.raises(ValueError, match="model index"):
+            pdb.get_chain("A", model=2)
+
+    def test_blank_occupancy_and_bfactor_parse_as_nan(self, tmp_path):
+        """Full-width ATOM lines with whitespace occupancy/B-factor
+        columns (common in generated/modeling PDBs) must parse, not
+        crash float('      ')."""
+        text = (
+            "ATOM      1  CA  ALA A   1      11.000  12.000  13.000"
+            "                           C\n"
+            "END\n"
+        )
+        path = tmp_path / "blank.pdb"
+        path.write_text(text)
+        pdb = ClassicPDB.from_file(str(path))
+        chain = pdb.get_chain("A")
+        row = chain.coords.iloc[0]
+        assert np.isnan(row.occupancy) and np.isnan(row.b_factor)
+
+
+def test_remap_complex_chains_skips_missing_structures(tmp_path):
+    """Tolerant loading (raise_missing=False) may drop a structure
+    that both monomers hit; the remap loop must skip it like its
+    siblings instead of raising KeyError."""
+    import pandas as pd
+
+    from evcouplings_tpu.compare.distances import remap_complex_chains
+    from evcouplings_tpu.compare.sifts import SIFTSResult
+
+    hits = pd.DataFrame({
+        "pdb_id": ["9xyz"], "pdb_chain": ["A"],
+        "mapping_index": [0],
+    })
+    hits_i = hits.rename(columns={"pdb_chain": "pdb_chain"})
+    mapping = {0: {"1": "1"}}
+    res = SIFTSResult(hits_i, mapping)
+
+    out = remap_complex_chains(
+        res, res, structures={},       # the structure failed to load
+        output_prefix=str(tmp_path / "rm"),
+        raise_missing=False,
+    )
+    assert out == {}
+
+
+def test_index_list_setter_stays_lazy():
+    """Renumbering a model whose EC table was never computed must not
+    eagerly pay the O(L^2 q^2) EC computation (the lazy properties
+    compute on demand with the new numbering)."""
+    from evcouplings_tpu.couplings.model import CouplingsModel
+
+    L, q = 5, 4
+    rng = np.random.default_rng(0)
+    J = rng.normal(size=(L, L, q, q))
+    J = 0.5 * (J + J.transpose(1, 0, 3, 2))
+    J[np.arange(L), np.arange(L)] = 0.0
+    h = rng.normal(size=(L, q))
+    f = np.full((L, q), 1.0 / q)
+    fij = np.full((L, L, q, q), 1.0 / q ** 2)
+    m = CouplingsModel.from_params(
+        J_ij=J, h_i=h, f_i=f, f_ij=fij, alphabet="-ACD",
+        target_seq=np.array(list("ACDAC")),
+        index_list=np.arange(1, L + 1), weights=np.ones(3),
+        theta=0.8, lambda_h=0.01, lambda_J=0.01, lambda_group=0.0,
+        N_valid=3, N_invalid=0, num_iter=1, N_eff=3.0,
+    )
+    m.index_list = np.arange(11, 11 + L)
+    assert m._ecs is None              # still lazy
+    ecs = m.ecs                        # computed on demand...
+    assert set(ecs.i).issubset(set(range(11, 11 + L)))
+    m.index_list = np.arange(21, 21 + L)
+    assert m._ecs is not None          # stale table refreshed eagerly
+    assert set(m.ecs.i).issubset(set(range(21, 21 + L)))
