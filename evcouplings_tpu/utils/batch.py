@@ -381,7 +381,10 @@ class _ClusterSubmitterBase(AClusterSubmitter):
             self._db.close()
             if self._is_temp_db:
                 os.remove(self._db_path)
-        except (AttributeError, OSError):
+        except (AttributeError, OSError, TypeError):
+            # TypeError: module globals (os/tempfile helpers inside
+            # PersistentDict.sync) may already be torn down when the
+            # interpreter exits and __del__ fires during shutdown
             pass
 
     @property
@@ -454,7 +457,12 @@ class LSFSubmitter(_ClusterSubmitterBase):
             dep_jobs = [
                 self._db_get(d.command_id)["job_id"] for d in dependent
             ]
-            return "-w {}".format(
+            # the expression is interpolated into a shell=True command
+            # string: unquoted, /bin/sh would eat the parentheses and
+            # split the line at && (any multi-dependency bsub failed —
+            # the reference inherits the same defect); single-quote so
+            # bsub receives the whole dependency expression
+            return "-w '{}'".format(
                 " && ".join("ended({})".format(d) for d in dep_jobs)
             )
         except KeyError:
@@ -597,21 +605,34 @@ class SGESubmitter(_ClusterSubmitterBase):
     def job_id_pattern(self):
         return self._job_id_re
 
-    def _get_status(self, stdo):
+    @staticmethod
+    def _map_state(st):
+        """Map one exact qstat state code to an EStatus.
+
+        EXACT matching is load-bearing: substring checks classified the
+        error state "Eqw" as pending ("qw" in "Eqw"), so a job that
+        errored before starting (bad cwd, permissions) reported PEND
+        forever and a blocking join() spun indefinitely."""
+        if st in ("r", "t", "Rr", "Rt"):
+            return EStatus.RUN
+        if st in ("qw", "hqw", "hRwq"):
+            return EStatus.PEND
+        if st in ("s", "ts", "S", "tS", "T", "tT", "Rs", "RS", "RT"):
+            return EStatus.SUSP
+        # error/deletion states (Eqw, EhRqw, dr, dt, ...) and anything
+        # unrecognized: terminal
+        return EStatus.EXIT
+
+    def _get_status(self, stdo, job_id=None):
         # qstat lists all jobs; find the row for the monitored job id
+        # (or, without one, the first job row)
         for line in stdo.split("\n")[2:]:
             fields = line.split()
-            if not fields:
+            if len(fields) <= 4 or not fields[0].isdigit():
                 continue
-            st = fields[4] if len(fields) > 4 else ""
-            if "qw" in st or "hqw" in st:
-                return EStatus.PEND
-            if "r" in st or "t" in st:
-                return EStatus.RUN
-            if "E" in st:
-                return EStatus.EXIT
-            if "s" in st or "S" in st:
-                return EStatus.SUSP
+            if job_id is not None and fields[0] != str(job_id):
+                continue
+            return self._map_state(fields[4])
         # job disappeared from qstat: finished
         return EStatus.DONE
 
@@ -632,20 +653,7 @@ class SGESubmitter(_ClusterSubmitterBase):
                 + " (EXIT!=0) with error: " + stde
             )
 
-        status = EStatus.DONE
-        for line in stdo.split("\n"):
-            fields = line.split()
-            if fields and fields[0] == str(job_id):
-                st = fields[4] if len(fields) > 4 else ""
-                if "qw" in st:
-                    status = EStatus.PEND
-                elif "r" in st or "t" in st:
-                    status = EStatus.RUN
-                elif "E" in st:
-                    status = EStatus.EXIT
-                else:
-                    status = EStatus.SUSP
-                break
+        status = self._get_status(stdo, job_id=job_id)
 
         entry = self._db_get(command_id)
         entry["status"] = status
@@ -736,7 +744,10 @@ class LocalSubmitter(ASubmitter):
             self._db.close()
             if self._is_temp_db:
                 os.remove(self._db_path)
-        except (AttributeError, OSError):
+        except (AttributeError, OSError, TypeError):
+            # TypeError: module globals (os/tempfile helpers inside
+            # PersistentDict.sync) may already be torn down when the
+            # interpreter exits and __del__ fires during shutdown
             pass
 
     @property
@@ -794,6 +805,23 @@ class LocalSubmitter(ASubmitter):
                         )
                         with self._lock:
                             self._processes[cid] = p
+                            # cancel() may have fired between the
+                            # pre-Popen check and process registration
+                            # (it found no process to kill then) —
+                            # re-check under the same lock so the
+                            # freshly started process dies instead of
+                            # running to completion after a
+                            # "successful" cancellation
+                            cancelled_now = cid in self._cancelled
+                        if cancelled_now:
+                            try:
+                                os.killpg(os.getpgid(p.pid),
+                                          signal.SIGKILL)
+                            except (ProcessLookupError,
+                                    PermissionError):
+                                pass
+                            p.communicate()
+                            return
                         self._set_status(command, EStatus.RUN, p.pid)
 
                         p.communicate()
@@ -845,22 +873,23 @@ class LocalSubmitter(ASubmitter):
             return self._status[command.command_id]
 
     def cancel(self, command):
+        cid = command.command_id
         with self._lock:
-            if command.command_id not in self._status:
+            if cid not in self._status:
                 raise ValueError(
                     "Command " + repr(command)
                     + " has not been submitted yet."
                 )
-            status = self._status[command.command_id]
-            p = self._processes.get(command.command_id)
+            status = self._status[cid]
+            # mark BEFORE the terminal-status early return: a job
+            # observed as EXIT may merely be between retry attempts
+            # (environment max_retries); without the mark the next
+            # attempt would launch after a "successful" cancellation
+            self._cancelled.add(cid)
+            p = self._processes.get(cid)
 
-        if status in (EStatus.DONE, EStatus.EXIT):
+        if status == EStatus.DONE:
             return True
-
-        with self._lock:
-            # marks the job as deliberately cancelled — it must not
-            # be auto-retried after the kill
-            self._cancelled.add(command.command_id)
 
         if p is not None and p.poll() is None:
             try:
@@ -868,8 +897,12 @@ class LocalSubmitter(ASubmitter):
             except (ProcessLookupError, PermissionError):
                 pass
 
-        self._set_status(command, EStatus.EXIT)
-        self._events[command.command_id].set()
+        with self._lock:
+            # don't overwrite a completion that landed while
+            # cancelling
+            if self._status.get(cid) != EStatus.DONE:
+                self._set_status(command, EStatus.EXIT)
+        self._events[cid].set()
         return True
 
     def join(self):

@@ -172,18 +172,35 @@ def get(url, output_path=None, allow_redirects=False):
             return None
         return r
     except ImportError:
-        # requests not available: fall back to urllib
+        # requests not available: fall back to urllib. Callers are
+        # written against the ResourceError contract (flag files,
+        # retry policy), so transport errors must not leak raw
+        # URLError; and allow_redirects=False must actually refuse
+        # redirects (urllib follows them unconditionally by default)
         class _Response:
             pass
 
+        if allow_redirects:
+            opener = urllib.request.build_opener()
+        else:
+            class _NoRedirect(urllib.request.HTTPRedirectHandler):
+                def redirect_request(self, *args, **kwargs):
+                    return None
+
+            opener = urllib.request.build_opener(_NoRedirect)
+
         req = urllib.request.Request(url)
         try:
-            with urllib.request.urlopen(req) as r:
+            with opener.open(req) as r:
                 body = r.read()
                 status = r.status
         except urllib.error.HTTPError as e:
             raise ResourceError(
                 "Invalid status code ({}) for URL: {}".format(e.code, url)
+            ) from e
+        except urllib.error.URLError as e:
+            raise ResourceError(
+                "Could not fetch URL: {} ({})".format(url, e.reason)
             ) from e
 
         if output_path is not None:

@@ -545,3 +545,93 @@ class TestRetryHelper:
 
         assert retry(flaky, retry_max_number=5, retry_wait=0) == "ok"
         assert state["n"] == 3
+
+
+class TestRoundThreeInfraFixes:
+    """Regression tests for the round-3 infra review findings."""
+
+    def test_sge_error_state_is_terminal(self, tmp_path):
+        """Exact-match qstat state mapping: "Eqw" (error-queued) must
+        be EXIT, not PEND — the substring check ('"qw" in "Eqw"')
+        classified errored jobs as pending and a blocking join()
+        spun forever."""
+        sub = SGESubmitter(blocking=False,
+                           db_path=str(tmp_path / "sge.db"))
+        header = ("job-ID  prior  name  user  state  submit\n"
+                  "-----------------------------------------\n")
+        for state, expected in (
+            ("Eqw", EStatus.EXIT), ("qw", EStatus.PEND),
+            ("hqw", EStatus.PEND), ("r", EStatus.RUN),
+            ("t", EStatus.RUN), ("s", EStatus.SUSP),
+            ("S", EStatus.SUSP), ("dr", EStatus.EXIT),
+        ):
+            stdo = header + "123  0.5  job  u  {}  now\n".format(state)
+            assert sub._get_status(stdo, job_id="123") == expected, state
+        # the monitored id must be matched, not the first row
+        stdo = (header + "7  0.5 other u r now\n"
+                + "123  0.5  job  u  Eqw  now\n")
+        assert sub._get_status(stdo, job_id="123") == EStatus.EXIT
+        # job absent from the listing: finished
+        assert sub._get_status(header, job_id="123") == EStatus.DONE
+
+    def test_lsf_multi_dependency_is_shell_quoted(self, tmp_path,
+                                                  monkeypatch):
+        """-w 'ended(a) && ended(b)' must reach bsub as ONE argument;
+        unquoted, /bin/sh splits the shell=True submit line at &&."""
+        sub = LSFSubmitter(blocking=False,
+                           db_path=str(tmp_path / "lsf.db"))
+        monkeypatch.setattr(
+            sub, "_db_get",
+            lambda cid: {"job_id": {"c1": "11", "c2": "22"}[cid]},
+        )
+        c1 = Command("true")
+        c1.command_id = "c1"
+        c2 = Command("true")
+        c2.command_id = "c2"
+        dep = sub._prepare_dependencies([c1, c2])
+        assert dep == "-w 'ended(11) && ended(22)'"
+
+    def test_cancel_between_retries_stops_resubmission(self, tmp_path):
+        """cancel() of a job sitting at EXIT between retry attempts
+        must mark it cancelled so the retry loop stops."""
+        import time
+
+        counter = tmp_path / "attempts.txt"
+        sub = LocalSubmitter(
+            blocking=True, db_path=str(tmp_path / "jobs.txt"),
+            ncpu=1, max_retries=10000,
+        )
+        cmd = Command(
+            "echo x >> {}; sleep 0.05; exit 1".format(counter),
+            name="flaky",
+        )
+        sub.submit(cmd)
+        # wait until a few attempts have run
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if counter.exists() and len(
+                    counter.read_text().splitlines()) >= 2:
+                break
+            time.sleep(0.02)
+        assert sub.cancel(cmd) is True
+        time.sleep(0.5)
+        n1 = len(counter.read_text().splitlines())
+        time.sleep(0.5)
+        n2 = len(counter.read_text().splitlines())
+        assert n2 == n1, "job kept retrying after cancellation"
+        assert sub.monitor(cmd) == EStatus.EXIT
+
+    def test_get_urllib_fallback_wraps_transport_errors(
+            self, monkeypatch, tmp_path):
+        """Without `requests`, a connection failure must surface as
+        ResourceError (the contract flag-file handling is written
+        against), not a raw urllib.error.URLError."""
+        import sys
+
+        from evcouplings_tpu.utils.system import ResourceError, get
+
+        monkeypatch.setitem(sys.modules, "requests", None)
+        with pytest.raises(ResourceError, match="Could not fetch"):
+            # port 9 (discard) on localhost: refused without egress
+            get("http://127.0.0.1:9/x",
+                output_path=str(tmp_path / "o"))
