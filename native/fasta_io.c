@@ -24,6 +24,8 @@
 #include <stdlib.h>
 #include <string.h>
 
+#include "io_common.h"
+
 static int
 is_trailing_ws(unsigned char c)
 {
@@ -38,46 +40,18 @@ parse_fasta(PyObject *self, PyObject *args)
         return NULL;
     }
 
-    FILE *fp = fopen(path, "rb");
-    if (fp == NULL) {
-        return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
-    }
-
-    if (fseek(fp, 0, SEEK_END) != 0) {
-        fclose(fp);
-        return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
-    }
-    long fsize = ftell(fp);
-    if (fsize < 0) {
-        fclose(fp);
-        return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
-    }
-    rewind(fp);
-
-    char *buf = (char *)malloc((size_t)fsize + 1);
+    long fsize = 0;
+    char *buf = evc_slurp_file(path, &fsize);
     if (buf == NULL) {
-        fclose(fp);
-        return PyErr_NoMemory();
-    }
-    if (fsize > 0 && fread(buf, 1, (size_t)fsize, fp) != (size_t)fsize) {
-        free(buf);
-        fclose(fp);
-        PyErr_SetString(PyExc_OSError, "short read");
         return NULL;
     }
-    fclose(fp);
-    buf[fsize] = '\0';
 
-    /* CR-only (classic Mac) line endings: without any '\n' the whole
-     * buffer would parse as one header line and yield an empty
-     * alignment silently; raise so the caller falls back to the
-     * Python reader (universal-newline open() handles it) */
-    if (memchr(buf, '\n', (size_t)fsize) == NULL
-            && memchr(buf, '\r', (size_t)fsize) != NULL) {
+    /* strict input guard: any byte the Python reader would interpret
+     * differently (bare '\r' incl. CR-only files, \f/\v whitespace,
+     * non-ASCII) raises ValueError so the caller falls back — the
+     * fast path must never silently produce a different alignment */
+    if (!evc_ascii_clean(buf, (size_t)fsize)) {
         free(buf);
-        PyErr_SetString(
-            PyExc_ValueError,
-            "CR-only line endings (no '\\n' in file)");
         return NULL;
     }
 
@@ -131,8 +105,9 @@ parse_fasta(PyObject *self, PyObject *args)
             char *h_end = line_end;
             while (h_end > p + 1 && is_trailing_ws((unsigned char)h_end[-1]))
                 h_end--;
+            /* pure ASCII after evc_ascii_clean: strict cannot fail */
             PyObject *id = PyUnicode_DecodeUTF8(
-                p + 1, (Py_ssize_t)(h_end - (p + 1)), "replace");
+                p + 1, (Py_ssize_t)(h_end - (p + 1)), "strict");
             if (id == NULL || PyList_Append(ids, id) != 0) {
                 Py_XDECREF(id);
                 goto fail;
@@ -184,7 +159,11 @@ parse_fasta(PyObject *self, PyObject *args)
 
     PyObject *result = Py_BuildValue("(NNnn)", ids, seqs, n_rows, L);
     if (result == NULL) {
-        /* N format steals references only on success of the build */
+        /* on failure the 'N' arguments were NOT consumed — release
+         * them or the id list + N*L residue buffer leak exactly when
+         * memory is already exhausted */
+        Py_DECREF(ids);
+        Py_DECREF(seqs);
         return NULL;
     }
     return result;

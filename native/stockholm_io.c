@@ -32,6 +32,8 @@
 #include <stdlib.h>
 #include <string.h>
 
+#include "io_common.h"
+
 /* ------------------------------------------------------------------ */
 /* open-addressing string hash map: id -> sequence slot               */
 
@@ -138,34 +140,18 @@ parse_stockholm(PyObject *self, PyObject *args)
         return NULL;
     }
 
-    FILE *fp = fopen(path, "rb");
-    if (fp == NULL) {
-        return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
-    }
-    if (fseek(fp, 0, SEEK_END) != 0) {
-        fclose(fp);
-        return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
-    }
-    long fsize = ftell(fp);
-    if (fsize < 0) {
-        fclose(fp);
-        return PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
-    }
-    rewind(fp);
-
-    char *buf = (char *)malloc((size_t)fsize + 1);
+    long fsize = 0;
+    char *buf = evc_slurp_file(path, &fsize);
     if (buf == NULL) {
-        fclose(fp);
-        return PyErr_NoMemory();
-    }
-    if (fsize > 0 && fread(buf, 1, (size_t)fsize, fp) != (size_t)fsize) {
-        free(buf);
-        fclose(fp);
-        PyErr_SetString(PyExc_OSError, "short read");
         return NULL;
     }
-    fclose(fp);
-    buf[fsize] = '\0';
+
+    /* strict input guard — see io_common.h: inputs the Python reader
+     * would tokenize differently must raise, not silently diverge */
+    if (!evc_ascii_clean(buf, (size_t)fsize)) {
+        free(buf);
+        return NULL;
+    }
 
     SeqSlot *slots = NULL;
     Py_ssize_t n_slots = 0, cap_slots = 0;

@@ -11,11 +11,15 @@ setup(
         Extension(
             "evcouplings_tpu.native._fasta",
             sources=["native/fasta_io.c"],
+            depends=["native/io_common.h"],
+            include_dirs=["native"],
             extra_compile_args=["-O3"],
         ),
         Extension(
             "evcouplings_tpu.native._stockholm",
             sources=["native/stockholm_io.c"],
+            depends=["native/io_common.h"],
+            include_dirs=["native"],
             extra_compile_args=["-O3"],
         ),
     ],

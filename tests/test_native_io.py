@@ -403,3 +403,44 @@ class TestDifferentialFuzz:
         p = tmp_path / "fuzz.sto"
         p.write_text("\n".join(body) + "\n")
         check_stockholm_equal(p)
+
+
+class TestStrictInputGuard:
+    """Inputs the Python reader tokenizes differently must RAISE in
+    the C parsers (diverting to the Python fallback), never silently
+    succeed with a different alignment (round-3 native review)."""
+
+    CASES = {
+        "bare_cr_mid_line": b">a\nAC\rGT\n>b\nAC\rGT\n",
+        "form_feed": b">a\nACGT\x0c\n>b\nACGT\x0c\n",
+        "vertical_tab": b">a\nAC\x0bGT\n>b\nAC\x0bGT\n",
+        "utf8_residue": ">a\nACÄT\n>b\nACÄT\n".encode(),
+        "invalid_utf8_header": b">seq\xff1\nACGT\n",
+    }
+
+    @pytest.mark.parametrize("name", list(CASES))
+    def test_fasta_guard_raises(self, name, tmp_path):
+        p = tmp_path / "g.fasta"
+        p.write_bytes(self.CASES[name])
+        with pytest.raises(ValueError):
+            parse_fasta_native(str(p))
+
+    def test_fasta_fallback_matches_python_reader(self, tmp_path):
+        """Through Alignment.from_path the guard is invisible: the
+        Python reader's answer comes back."""
+        p = tmp_path / "g.fasta"
+        p.write_bytes(self.CASES["bare_cr_mid_line"])
+        ali = Alignment.from_path(str(p), "fasta")
+        # universal newlines split AC\rGT into two lines -> "ACGT"
+        assert ali.L == 4
+        assert "".join(ali.matrix[0]) == "ACGT"
+
+    def test_stockholm_guard_raises(self, tmp_path):
+        p = tmp_path / "g.sto"
+        p.write_bytes(
+            b"# STOCKHOLM 1.0\nseq1\x0cACGT\nseq2 ACGT\n//\n")
+        with pytest.raises(ValueError):
+            parse_stockholm_native(str(p))
+        # and through from_path, the Python reader keeps both rows
+        ali = Alignment.from_path(str(p), "stockholm")
+        assert ali.N == 2
