@@ -88,6 +88,33 @@ def _resolve_fit_device_count(fit_devices):
     return n_total
 
 
+def _resolve_alphabet(choice):
+    """Alphabet string from a config value (None -> protein;
+    "aa"/"dna"/"rna" shortcuts resolve through ALPHABET_MAP)."""
+    if choice is None:
+        return ALPHABET_PROTEIN
+    return ALPHABET_MAP.get(choice, choice)
+
+
+def _scaled_lambda_j(kwargs, alphabet):
+    """Per-pair coupling l2 strength, optionally scaled by
+    (q-1)(L-1) like plmc's CLI convention (reference
+    protocol.py:157-179); L counts the target's match columns
+    (uppercase or gap) in the first alignment record."""
+    strength = kwargs["lambda_J"]
+    if not kwargs["lambda_J_times_Lq"]:
+        return strength
+
+    q_eff = len(alphabet) - (1 if kwargs["ignore_gaps"] else 0)
+
+    with open(kwargs["alignment_file"]) as handle:
+        _, target = next(read_fasta(handle))
+    gap = alphabet[0]
+    n_match = sum(1 for c in target if c == c.upper() or c == gap)
+
+    return strength * (q_eff - 1) * (n_match - 1)
+
+
 def infer_plmc(**kwargs):
     """Shared EC-inference core for monomer and complex protocols:
     run (or reuse) the PLM fit and load the raw EC table.
@@ -124,34 +151,12 @@ def infer_plmc(**kwargs):
     )
     create_prefix_folders(prefix)
 
-    lambda_J = kwargs["lambda_J"]
-
     segments = kwargs["segments"]
     if segments is not None:
         segments = [mapping.Segment.from_list(s) for s in segments]
 
-    # alphabet selection (shortcuts aa/dna/rna)
-    if kwargs["alphabet"] is None:
-        alphabet = ALPHABET_PROTEIN
-    else:
-        alphabet = kwargs["alphabet"]
-        if alphabet in ALPHABET_MAP:
-            alphabet = ALPHABET_MAP[alphabet]
-
-    # scale lambda_J with the number of couplings per site
-    # (reference protocol.py:157-179)
-    if kwargs["lambda_J_times_Lq"]:
-        num_symbols = len(alphabet)
-        if kwargs["ignore_gaps"]:
-            num_symbols -= 1
-
-        with open(kwargs["alignment_file"]) as f:
-            seq_id, seq = next(read_fasta(f))
-
-        # focus-mode match columns: uppercase or gap
-        gap = alphabet[0]
-        L = len([c for c in seq if c == c.upper() or c == gap])
-        lambda_J *= (num_symbols - 1) * (L - 1)
+    alphabet = _resolve_alphabet(kwargs["alphabet"])
+    lambda_J = _scaled_lambda_j(kwargs, alphabet)
 
     plm_outcfg_file = prefix + ".couplings_standard_plmc.outcfg"
 
@@ -171,11 +176,11 @@ def infer_plmc(**kwargs):
         # highest matmul precision, one optimizer step per dispatch).
         # solver: "lbfgs" | "adam"; steps_per_call: optimizer steps
         # chained per device dispatch; precision:
-        #   "parity"     — float32 with 6-pass matmul emulation;
-        #                  maximum reproducibility. Measured ~75x the
-        #                  per-eval cost of the other modes on TPU
-        #                  v5e (2.5 s vs 34 ms at N=16k, L=160) —
-        #                  use for validation runs, not production.
+        #   "parity"     — float32 with "highest" matmul precision;
+        #                  maximum reproducibility. With structured
+        #                  per-operand precision (ops/plm.py) this
+        #                  runs ~2.8x below the bf16 production mode
+        #                  (185M vs 476M seq*site/s on v5e, BENCH r3).
         #   "balanced"   — float32 state, 3-pass (bf16x3) matmuls:
         #                  near-f32 matmul accuracy at production
         #                  speed (42 vs 34 ms/iter measured).
@@ -298,21 +303,30 @@ def infer_plmc(**kwargs):
             fitter_kwargs["checkpoint_file"] = fit_checkpoint
             fitter_kwargs["checkpoint_every"] = checkpoint_every
 
+        # fit hyperparameters passed straight from the config
+        # (run_plm kwarg: config key)
+        passthrough = {
+            name: kwargs[key] for name, key in (
+                ("theta", "theta"),
+                ("scale", "scale_clusters"),
+                ("ignore_gaps", "ignore_gaps"),
+                ("iterations", "iterations"),
+                ("lambda_h", "lambda_h"),
+                ("lambda_g", "lambda_group"),
+                ("cpu", "cpu"),
+            )
+        }
+        focus = (
+            kwargs["focus_sequence"] if kwargs["focus_mode"] else None
+        )
         plmc_result = ct.run_plm(
             kwargs["alignment_file"],
             outcfg["raw_ec_file"],
             outcfg["model_file"],
-            focus_seq=kwargs["focus_sequence"] if kwargs["focus_mode"]
-            else None,
+            focus_seq=focus,
             alphabet=alphabet,
-            theta=kwargs["theta"],
-            scale=kwargs["scale_clusters"],
-            ignore_gaps=kwargs["ignore_gaps"],
-            iterations=kwargs["iterations"],
-            lambda_h=kwargs["lambda_h"],
             lambda_J=lambda_J,
-            lambda_g=kwargs["lambda_group"],
-            cpu=kwargs["cpu"],
+            **passthrough,
             **fitter_kwargs,
         )
 
@@ -332,12 +346,14 @@ def infer_plmc(**kwargs):
         plmc_result["iteration_table"] = iter_table_file
         write_config_file(plm_outcfg_file, plmc_result)
 
-    outcfg.update({
-        "num_sites": plmc_result["num_valid_sites"],
-        "num_valid_sequences": plmc_result["num_valid_seqs"],
-        "effective_sequences": plmc_result["effective_samples"],
-        "region_start": plmc_result["region_start"],
-    })
+    # fit statistics -> stage outputs (outcfg key: result field)
+    for out_key, res_key in (
+        ("num_sites", "num_valid_sites"),
+        ("num_valid_sequences", "num_valid_seqs"),
+        ("effective_sequences", "effective_samples"),
+        ("region_start", "region_start"),
+    ):
+        outcfg[out_key] = plmc_result[res_key]
 
     ecs = pairs.read_raw_ec_file(outcfg["raw_ec_file"])
 
@@ -554,12 +570,7 @@ def mean_field(**kwargs):
     if segments is not None:
         segments = [mapping.Segment.from_list(s) for s in segments]
 
-    if kwargs["alphabet"] is None:
-        alphabet = ALPHABET_PROTEIN
-    else:
-        alphabet = kwargs["alphabet"]
-        if alphabet in ALPHABET_MAP:
-            alphabet = ALPHABET_MAP[alphabet]
+    alphabet = _resolve_alphabet(kwargs["alphabet"])
 
     input_alignment = Alignment.from_path(
         alignment_file, "fasta", alphabet=alphabet
@@ -590,12 +601,13 @@ def mean_field(**kwargs):
     if outcfg["model_file"] is not None:
         model.to_file(outcfg["model_file"], file_format="plmc_v2")
 
-    outcfg.update({
-        "num_sites": model.L,
-        "num_valid_sequences": model.N_valid,
-        "effective_sequences": float(round(model.N_eff, 1)),
-        "region_start": int(model.index_list[0]),
-    })
+    for out_key, value in (
+        ("num_sites", model.L),
+        ("num_valid_sequences", model.N_valid),
+        ("effective_sequences", float(round(model.N_eff, 1))),
+        ("region_start", int(model.index_list[0])),
+    ):
+        outcfg[out_key] = value
 
     # mean-field raw EC format has four score columns
     ecs = pd.read_csv(
@@ -715,13 +727,9 @@ def _postprocess_inference(ecs, kwargs, model, outcfg, prefix,
     return ext_outcfg
 
 
+# protocol registry: function names double as the config-facing names
 PROTOCOLS = {
-    # standard monomer pseudolikelihood inference (TPU PLM fitter)
-    "standard": standard,
-    # pseudolikelihood inference for protein complexes
-    "complex": complex,
-    # mean-field approximation
-    "mean_field": mean_field,
+    fn.__name__: fn for fn in (standard, complex, mean_field)
 }
 
 
@@ -729,12 +737,11 @@ def run(**kwargs):
     """Dispatch to the couplings protocol named by kwargs["protocol"]."""
     check_required(kwargs, ["protocol"])
 
-    if kwargs["protocol"] not in PROTOCOLS:
+    selected = kwargs["protocol"]
+    if selected not in PROTOCOLS:
         raise InvalidParameterError(
-            "Invalid protocol selection: "
-            "{}. Valid protocols are: {}".format(
-                kwargs["protocol"], ", ".join(PROTOCOLS.keys())
-            )
+            "Invalid protocol selection: {}. Valid protocols are: "
+            "{}".format(selected, ", ".join(PROTOCOLS))
         )
 
-    return PROTOCOLS[kwargs["protocol"]](**kwargs)
+    return PROTOCOLS[selected](**kwargs)
