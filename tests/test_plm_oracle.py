@@ -486,6 +486,55 @@ class TestEndToEndArtifacts:
             ecs.cn.values, cn_ref[ii, jj], atol=1e-5)
 
 
+    def test_run_plm_ignore_gaps_matches_oracle(self, tmp_path):
+        """The plmc `-g` regime through the full artifact chain: gap
+        positions are missing data (no conditional term, no context
+        contribution — codes -1 in the fitter, skipped sites in the
+        oracle), while the reweighting still counts gaps as residues
+        (reference alignment.py:1192-1233 semantics)."""
+        from evcouplings_tpu.couplings.fitter import run_plm
+        from evcouplings_tpu.couplings.model import CouplingsModel
+        from oracles import o_num_cluster_members
+
+        q = 5
+        alphabet = "-ACDE"
+        L, N = 7, 18
+        rng = np.random.default_rng(123)
+        codes = oracle.synthetic_msa(N, L, q, seed=7, n_coupled=2)
+        # plant gaps (symbol 0)
+        gap_mask = rng.random((N, L)) < 0.2
+        codes = np.where(gap_mask, 0, codes).astype(np.int8)
+
+        fasta = tmp_path / "gappy.fasta"
+        with open(fasta, "w") as f:
+            for s in range(N):
+                f.write(">seq{}/1-{}\n{}\n".format(
+                    s, L, "".join(alphabet[c] for c in codes[s])))
+
+        lh, lj, theta = 0.01, 0.1, 0.8
+        ec_file = str(tmp_path / "gECs.txt")
+        model_file = str(tmp_path / "g.model")
+        run_plm(str(fasta), ec_file, model_file, alphabet=alphabet,
+                theta=theta, ignore_gaps=True, iterations=2000,
+                lambda_h=lh, lambda_J=lj, solver="lbfgs",
+                compute_dtype="float64", steps_per_call=10,
+                conv_tol=1e-10)
+
+        # oracle: weights from FULL codes (gaps count toward identity),
+        # likelihood with gap positions excluded (-1)
+        weights = 1.0 / o_num_cluster_members(codes, theta)
+        fit_codes = np.where(codes == 0, -1, codes)
+        ref = oracle.fit(fit_codes, weights, q, lambda_h=lh,
+                         lambda_J=lj, epsilon=1e-8, polish=True)
+        assert ref["result"]["converged"]
+
+        model = CouplingsModel(model_file)
+        np.testing.assert_allclose(
+            model.h_i, ref["h"], atol=TestFitParity.H_ATOL)
+        np.testing.assert_allclose(
+            model.J_ij, ref["J"], atol=TestFitParity.J_ATOL + 2e-7)
+
+
 class TestGroupL1Routing:
     """Regression tests for the round-3 self-review findings: the
     group-L1 routing must never silently swap exact and smoothed
@@ -563,51 +612,3 @@ class TestGroupL1Routing:
                         block_size=16)
         with pytest.raises(ValueError, match="EXACT"):
             fit_plm(codes, weights, q, cfg)
-
-    def test_run_plm_ignore_gaps_matches_oracle(self, tmp_path):
-        """The plmc `-g` regime through the full artifact chain: gap
-        positions are missing data (no conditional term, no context
-        contribution — codes -1 in the fitter, skipped sites in the
-        oracle), while the reweighting still counts gaps as residues
-        (reference alignment.py:1192-1233 semantics)."""
-        from evcouplings_tpu.couplings.fitter import run_plm
-        from evcouplings_tpu.couplings.model import CouplingsModel
-        from oracles import o_num_cluster_members
-
-        q = 5
-        alphabet = "-ACDE"
-        L, N = 7, 18
-        rng = np.random.default_rng(123)
-        codes = oracle.synthetic_msa(N, L, q, seed=7, n_coupled=2)
-        # plant gaps (symbol 0)
-        gap_mask = rng.random((N, L)) < 0.2
-        codes = np.where(gap_mask, 0, codes).astype(np.int8)
-
-        fasta = tmp_path / "gappy.fasta"
-        with open(fasta, "w") as f:
-            for s in range(N):
-                f.write(">seq{}/1-{}\n{}\n".format(
-                    s, L, "".join(alphabet[c] for c in codes[s])))
-
-        lh, lj, theta = 0.01, 0.1, 0.8
-        ec_file = str(tmp_path / "gECs.txt")
-        model_file = str(tmp_path / "g.model")
-        run_plm(str(fasta), ec_file, model_file, alphabet=alphabet,
-                theta=theta, ignore_gaps=True, iterations=2000,
-                lambda_h=lh, lambda_J=lj, solver="lbfgs",
-                compute_dtype="float64", steps_per_call=10,
-                conv_tol=1e-10)
-
-        # oracle: weights from FULL codes (gaps count toward identity),
-        # likelihood with gap positions excluded (-1)
-        weights = 1.0 / o_num_cluster_members(codes, theta)
-        fit_codes = np.where(codes == 0, -1, codes)
-        ref = oracle.fit(fit_codes, weights, q, lambda_h=lh,
-                         lambda_J=lj, epsilon=1e-8, polish=True)
-        assert ref["result"]["converged"]
-
-        model = CouplingsModel(model_file)
-        np.testing.assert_allclose(
-            model.h_i, ref["h"], atol=TestFitParity.H_ATOL)
-        np.testing.assert_allclose(
-            model.J_ij, ref["J"], atol=TestFitParity.J_ATOL + 2e-7)
