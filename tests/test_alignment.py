@@ -126,7 +126,10 @@ class TestAlignment:
     def test_lowercase_columns(self):
         ali = self.make()
         mod = ali.lowercase_columns(np.array([3]))
-        assert "".join(mod[1]) == "ACDeFGHi".replace("-", ".")[:8] or True
+        # column 3 lowercased ("-" becomes the insert gap "."), every
+        # other column untouched
+        assert "".join(mod[0]) == "ACDeFGHI"
+        assert "".join(mod[1]) == "ACD.FGHi"
         assert mod[1][3] == "."  # "-" became "."
         assert mod[0][3] == "e"
 

@@ -47,7 +47,7 @@ def _estimates():
     return sym, asym
 
 
-def test_estimator_shapes_and_budget():
+def test_estimator_shapes_and_budget(monkeypatch):
     sym, asym = _estimates()
     # symmetric LBFGS carries ~17 D-sized arrays, asymmetric adam ~4:
     # the asymmetric path must come out materially cheaper
@@ -59,12 +59,9 @@ def test_estimator_shapes_and_budget():
     assert estimate_fit_hbm_bytes(16384, 500, 21, cfg) < 16 * 2 ** 30
     assert estimate_fit_hbm_bytes(16384, 900, 21, cfg) > 16 * 2 ** 30
 
-    # env override wins
-    os.environ["EVCOUPLINGS_HBM_BYTES"] = "12345"
-    try:
-        assert device_hbm_budget() == 12345
-    finally:
-        del os.environ["EVCOUPLINGS_HBM_BYTES"]
+    # env override wins (monkeypatch restores any pre-existing value)
+    monkeypatch.setenv("EVCOUPLINGS_HBM_BYTES", "12345")
+    assert device_hbm_budget() == 12345
 
 
 def test_estimator_counts_two_phase_working_set():
@@ -84,7 +81,8 @@ def test_estimator_counts_two_phase_working_set():
     assert two_phase - carried > n * l * q * 2
 
 
-def test_symmetric_estimate_ignores_model_axis(tiny_alignment, tmp_path):
+def test_symmetric_estimate_ignores_model_axis(tiny_alignment, tmp_path,
+                                               monkeypatch):
     """The symmetric fit shards rows over "data" only; a model axis
     replicates them. The preflight must NOT credit model shards with
     reducing the symmetric per-device footprint."""
@@ -105,16 +103,14 @@ def test_symmetric_estimate_ignores_model_axis(tiny_alignment, tmp_path):
     full = estimate_fit_hbm_bytes(
         N_SEQ, L, 21, PlmConfig(solver="lbfgs"), "symmetric",
         n_data_shards=1)
-    os.environ["EVCOUPLINGS_HBM_BYTES"] = str(int(full / 0.9) - 1)
-    try:
-        with pytest.raises(MemoryError):
-            fitter.run_plm(
-                tiny_alignment, str(tmp_path / "ECs.txt"),
-                str(tmp_path / "m.model"), iterations=2,
-                parametrization="symmetric", mesh=mesh,
-            )
-    finally:
-        del os.environ["EVCOUPLINGS_HBM_BYTES"]
+    monkeypatch.setenv(
+        "EVCOUPLINGS_HBM_BYTES", str(int(full / 0.9) - 1))
+    with pytest.raises(MemoryError):
+        fitter.run_plm(
+            tiny_alignment, str(tmp_path / "ECs.txt"),
+            str(tmp_path / "m.model"), iterations=2,
+            parametrization="symmetric", mesh=mesh,
+        )
 
 
 def test_auto_stays_symmetric_with_room(tiny_alignment, tmp_path,

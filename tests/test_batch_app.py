@@ -385,7 +385,7 @@ class TestAppEndToEnd:
     pipeline."""
 
     @pytest.mark.slow
-    def test_batch_sweep_runs_two_subjobs(self, tmp_path):
+    def test_batch_sweep_runs_two_subjobs(self, tmp_path, monkeypatch):
         from test_protocols import write_synthetic_a2m
 
         from evcouplings_tpu.utils.app import run
@@ -441,17 +441,15 @@ class TestAppEndToEnd:
         # sub-jobs are separate processes; share one persistent XLA
         # compile cache so the second job (and any later run of this
         # test) starts hot instead of recompiling the pipeline
-        os.environ["EVCOUPLINGS_COMPILE_CACHE"] = os.path.join(
-            os.path.expanduser("~"), ".cache", "evcouplings_tests_xla"
+        monkeypatch.setenv(
+            "EVCOUPLINGS_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "evcouplings_tests_xla"),
         )
         # force the CPU backend in the sub-processes: the harness may
         # force-register a TPU plugin that ignores JAX_PLATFORMS
-        os.environ["EVCOUPLINGS_JAX_PLATFORM"] = "cpu"
-        try:
-            run(config=cfg_file, yolo=True)
-        finally:
-            os.environ.pop("EVCOUPLINGS_COMPILE_CACHE", None)
-            os.environ.pop("EVCOUPLINGS_JAX_PLATFORM", None)
+        monkeypatch.setenv("EVCOUPLINGS_JAX_PLATFORM", "cpu")
+        run(config=cfg_file, yolo=True)
 
         for suffix in ("_cc0", "_cc30"):
             sub_prefix = "{}{}".format(prefix, suffix)

@@ -14,7 +14,19 @@ from evcouplings_tpu.couplings import (
     CouplingsModel, Segment, SegmentIndexMapper, segment_map_ecs,
 )
 
-RNG = np.random.default_rng(11)
+RNG = np.random.default_rng(11)   # rebound per test below
+
+@pytest.fixture(autouse=True)
+def _per_test_rng(request):
+    """Rebind the module RNG to a fresh, per-test deterministic stream
+    (seeded from the test id) so a test's input data never depends on
+    which tests ran before it — `-k` selection, reordering, or adding
+    a test above no longer changes anyone's draws."""
+    import zlib
+
+    global RNG
+    RNG = np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
+
 
 
 def make_model(L=8, q=21, alphabet=ALPHABET_PROTEIN, first_index=5):

@@ -365,6 +365,7 @@ class TestDifferentialFuzz:
         p.write_bytes(text.encode())
         check_equal(p)
 
+    @stockholm_only
     @pytest.mark.parametrize("seed", range(8))
     def test_stockholm_differential(self, seed, tmp_path):
         rng = np.random.default_rng(2000 + seed)
@@ -435,6 +436,7 @@ class TestStrictInputGuard:
         assert ali.L == 4
         assert "".join(ali.matrix[0]) == "ACGT"
 
+    @stockholm_only
     def test_stockholm_guard_raises(self, tmp_path):
         p = tmp_path / "g.sto"
         p.write_bytes(

@@ -23,7 +23,19 @@ from evcouplings_tpu.ops.gauge import zero_sum_gauge
 from evcouplings_tpu.ops.scores import apc, fn_scores, mi_scores
 
 
-RNG = np.random.default_rng(7)
+RNG = np.random.default_rng(7)   # rebound per test below
+
+@pytest.fixture(autouse=True)
+def _per_test_rng(request):
+    """Rebind the module RNG to a fresh, per-test deterministic stream
+    (seeded from the test id) so a test's input data never depends on
+    which tests ran before it — `-k` selection, reordering, or adding
+    a test above no longer changes anyone's draws."""
+    import zlib
+
+    global RNG
+    RNG = np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
+
 
 
 def random_msa(n=40, L=13, q=5):

@@ -15,7 +15,19 @@ from evcouplings_tpu.ops.plm import (
     make_plm_value_and_grad,
 )
 
-RNG = np.random.default_rng(3)
+RNG = np.random.default_rng(3)   # rebound per test below
+
+@pytest.fixture(autouse=True)
+def _per_test_rng(request):
+    """Rebind the module RNG to a fresh, per-test deterministic stream
+    (seeded from the test id) so a test's input data never depends on
+    which tests ran before it — `-k` selection, reordering, or adding
+    a test above no longer changes anyone's draws."""
+    import zlib
+
+    global RNG
+    RNG = np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))
+
 
 
 def o_plm_loss(P_mat, h, codes, weights, lh, lJ, q):
@@ -877,10 +889,6 @@ def test_adam_final_loss_matches_returned_parameters():
     loss = make_plm_loss(L, q, cfg)
     expected = float(loss(params, jnp.asarray(cp), jnp.asarray(wp)))
     assert fit.final_loss == pytest.approx(expected, rel=1e-9)
-
-    # ... and the last table row (pre-update by one step) must differ
-    assert fit.iteration_table[-1]["fx"] != pytest.approx(
-        expected, rel=1e-12)
 
 
 @pytest.mark.parametrize("solver", ["adam", "lbfgs"])
