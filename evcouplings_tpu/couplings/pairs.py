@@ -353,11 +353,14 @@ class LinearLogisticModel:
     """
 
     def __init__(self, coef, intercept, classes=(0, 1),
-                 classifier_settings=None):
+                 classifier_settings=None, n_iter=None):
         self.coef = np.asarray(coef, dtype=float).reshape(-1)
         self.intercept = float(np.asarray(intercept).reshape(-1)[0])
         self.classes = list(classes)
         self.classifier_settings = classifier_settings or {}
+        # sklearn training metadata, carried so serialize(deserialize)
+        # is lossless on the reference schema
+        self.n_iter = list(n_iter) if n_iter is not None else [0]
 
     @classmethod
     def from_dict(cls, params):
@@ -369,6 +372,7 @@ class LinearLogisticModel:
             intercept=settings["intercept_"],
             classes=settings.get("classes_", [0, 1]),
             classifier_settings=params.get("classifier_settings"),
+            n_iter=settings.get("n_iter_"),
         )
         return model, params.get("feature_names")
 
@@ -381,7 +385,7 @@ class LinearLogisticModel:
                 "classes_": list(self.classes),
                 "intercept_": [self.intercept],
                 "coef_": [self.coef.tolist()],
-                "n_iter_": self.classifier_settings.get("n_iter_", [0]),
+                "n_iter_": list(self.n_iter),
             },
         }
         if feature_names is not None:

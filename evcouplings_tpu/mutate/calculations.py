@@ -73,7 +73,11 @@ def predict_mutation_table(model, table, output_column="prediction_epistatic",
         for seg_str, mut_str in zip(pred.loc[:, "segment"], mutations):
             segs = seg_str.split(",")
             muts = extract_mutations(mut_str)
-            if len(segs) != len(muts):
+            # wild-type rows ("wt"/"wild"/empty) carry no mutations;
+            # their segment annotation is irrelevant and they score
+            # Delta-E = 0 (the reference reaches the same outcome
+            # because its zip silently truncates)
+            if muts and len(segs) != len(muts):
                 raise ValueError(
                     "Number of mutations does not match number of "
                     "segments of origin: {} vs {}".format(mut_str, seg_str)
@@ -159,13 +163,21 @@ def split_mutants(x, mutant_column="mutant"):
     )
     spl = pd.Series(mutations).map(_split)
 
+    def _is_bad(m):
+        # the _split fallback marks unparseable mutant strings as NaN
+        return not isinstance(m, list)
+
     x = x.copy()
     # whole-column assignment: replaces any pre-existing pos/wt/subs
     # column regardless of its dtype (``.loc[:, col] = strings`` on an
     # int column raises in pandas >= 2)
-    x["num_mutations"] = [len(m) for m in spl]
+    x["num_mutations"] = [
+        np.nan if _is_bad(m) else len(m) for m in spl
+    ]
     for i, column in enumerate(["pos", "wt", "subs"]):
         x[column] = [
-            ",".join(str(sub[i]) for sub in mutant) for mutant in spl
+            np.nan if _is_bad(mutant)
+            else ",".join(str(sub[i]) for sub in mutant)
+            for mutant in spl
         ]
     return x

@@ -41,6 +41,52 @@ def _identity_count_threshold(L, identity_threshold):
     return k
 
 
+def _neighbor_count_scan(rows, oh_cols, min_identity_count,
+                         num_symbols, block_size, n_valid_cols,
+                         rows_are_onehot=False):
+    """Blocked neighbor-count core shared by the single-device kernel
+    and the row-sharded wrapper (parallel.num_cluster_members_sharded):
+    counts, for each row of `rows`, the columns of `oh_cols` (an
+    (N_cols, Lq) int8 one-hot) whose identity reaches the cutoff.
+
+    rows: (n_rows, L) int8 codes — or, with rows_are_onehot, their
+    precomputed (n_rows, Lq) one-hot. Columns >= n_valid_cols are
+    padding and never count. Returns (n_rows,) int32.
+    """
+    n_rows = rows.shape[0]
+    n_cols = oh_cols.shape[0]
+
+    # mask so padding columns never count as neighbors of valid rows
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
+        < n_valid_cols
+    )
+
+    num_blocks = n_rows // block_size
+
+    def body(_, block_idx):
+        start = block_idx * block_size
+        blk = jax.lax.dynamic_slice_in_dim(
+            rows, start, block_size, axis=0
+        )
+        oh_rows = blk if rows_are_onehot else jax.nn.one_hot(
+            blk, num_symbols, dtype=jnp.int8
+        ).reshape(block_size, -1)
+        # (B, Lq) @ (Lq, N) on the MXU, exact int32 accumulation
+        ids = jax.lax.dot_general(
+            oh_rows, oh_cols,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        is_neighbor = (ids >= min_identity_count) & valid
+        return None, jnp.sum(is_neighbor.astype(jnp.int32), axis=1)
+
+    _, counts = jax.lax.scan(
+        body, None, jnp.arange(num_blocks, dtype=jnp.int32)
+    )
+    return counts.reshape(n_rows)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_symbols", "block_size", "n_valid")
 )
@@ -54,30 +100,10 @@ def _neighbor_counts(codes, min_identity_count, num_symbols, block_size,
     n_pad, L = codes.shape
     oh = jax.nn.one_hot(codes, num_symbols, dtype=jnp.int8)  # (N_pad, L, q)
     oh = oh.reshape(n_pad, L * num_symbols)
-
-    # mask so padding rows never count as neighbors of valid rows
-    valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1) < n_valid
+    return _neighbor_count_scan(
+        oh, oh, min_identity_count, num_symbols, block_size, n_valid,
+        rows_are_onehot=True,
     )
-
-    num_blocks = n_pad // block_size
-
-    def body(_, block_idx):
-        start = block_idx * block_size
-        block = jax.lax.dynamic_slice_in_dim(oh, start, block_size, axis=0)
-        # (B, Lq) @ (Lq, N) on the MXU, exact int32 accumulation
-        ids = jax.lax.dot_general(
-            block, oh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        is_neighbor = (ids >= min_identity_count) & valid
-        return None, jnp.sum(is_neighbor.astype(jnp.int32), axis=1)
-
-    _, counts = jax.lax.scan(
-        body, None, jnp.arange(num_blocks, dtype=jnp.int32)
-    )
-    return counts.reshape(n_pad)
 
 
 def _pick_block_size(n, L, num_symbols):

@@ -88,15 +88,11 @@ def shard_rows(array, mesh, axis=DATA_AXIS, pad_multiple=None):
 
     Returns (sharded array, original row count).
     """
-    array = np.asarray(array)
-    n = array.shape[0]
+    from evcouplings_tpu.ops.encode import pad_rows
 
-    multiple = mesh.devices.size * (pad_multiple or 1)
-    n_pad = (-n) % multiple
-    if n_pad:
-        pad_width = [(0, n_pad)] + [(0, 0)] * (array.ndim - 1)
-        array = np.pad(array, pad_width)
-
+    array, n = pad_rows(
+        np.asarray(array), mesh.devices.size * (pad_multiple or 1)
+    )
     return jax.device_put(array, data_sharding(mesh, axis)), n
 
 
@@ -116,7 +112,10 @@ def num_cluster_members_sharded(matrix_mapped, identity_threshold,
     from evcouplings_tpu.ops._jax_compat import shard_map
 
     from evcouplings_tpu.ops.encode import pad_rows
-    from evcouplings_tpu.ops.weights import _identity_count_threshold
+    from evcouplings_tpu.ops.weights import (
+        _identity_count_threshold,
+        _neighbor_count_scan,
+    )
 
     if mesh is None:
         mesh = make_mesh()
@@ -140,44 +139,16 @@ def num_cluster_members_sharded(matrix_mapped, identity_threshold,
     )
 
     def shard_fn(rows_local, all_codes):
-        # count neighbors of the local rows against all valid rows:
-        # reuse the blocked XLA kernel with the roles swapped — the
-        # "columns" axis is the full matrix, rows are the local shard
-        n_local = rows_local.shape[0]
+        # count neighbors of the local rows against all valid rows —
+        # the same blocked core as the single-device kernel
+        # (ops.weights._neighbor_count_scan), with the column operand
+        # being the full replicated matrix
         oh_all = jax.nn.one_hot(
             all_codes, num_symbols, dtype=jnp.int8
         ).reshape(all_codes.shape[0], -1)
-
-        valid = (
-            jax.lax.broadcasted_iota(
-                jnp.int32, (1, all_codes.shape[0]), 1
-            ) < n
+        return _neighbor_count_scan(
+            rows_local, oh_all, min_count, num_symbols, block, n
         )
-
-        num_blocks = n_local // block
-
-        def body(_, block_idx):
-            start = block_idx * block
-            rows = jax.lax.dynamic_slice_in_dim(
-                rows_local, start, block, 0
-            )
-            oh_rows = jax.nn.one_hot(
-                rows, num_symbols, dtype=jnp.int8
-            ).reshape(block, -1)
-            ids = jax.lax.dot_general(
-                oh_rows, oh_all,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            is_neighbor = (ids >= min_count) & valid
-            return None, jnp.sum(
-                is_neighbor.astype(jnp.int32), axis=1
-            )
-
-        _, counts = jax.lax.scan(
-            body, None, jnp.arange(num_blocks, dtype=jnp.int32)
-        )
-        return counts.reshape(n_local)
 
     counts = jax.jit(shard_map(
         shard_fn, mesh=mesh,

@@ -125,3 +125,47 @@ class TestSplitMutants:
         assert out.pos.iloc[1] == "100,120"
         assert out.wt.iloc[1] == "I,K"
         assert out.subs.iloc[1] == "V,R"
+
+
+def test_predict_mutation_table_wildtype_row_with_segments():
+    """DMS datasets carry wild-type reference rows ('wt'/'wild'/'');
+    with a filled segment column those rows have zero mutations and
+    must score Delta-E = 0, not crash the segment/mutation length
+    check (round-3 review; the reference reaches the same outcome
+    because its zip silently truncates)."""
+    from evcouplings_tpu.couplings.mapping import (
+        Segment, SegmentIndexMapper,
+    )
+
+    m = make_model()  # positions 5..12
+    seg = Segment("aa", "TGT", 1, m.L, list(m.index_list))
+    seg.segment_id = "A_1"
+    mapper = SegmentIndexMapper(True, int(m.index_list[0]), seg)
+    mapper.patch_model(m)
+
+    (seg_id, pos) = m.index_list[0]
+    aa_from = m.seq((seg_id, pos))
+    aa_to = next(
+        a for a in m.alphabet if a not in (aa_from, "-")
+    )
+    table = pd.DataFrame({
+        "mutant": ["wt", "{}{}{}".format(aa_from, pos, aa_to)],
+        "segment": [seg_id, seg_id],
+    })
+    out = predict_mutation_table(m, table, mutant_column="mutant")
+    assert out.prediction_epistatic.iloc[0] == pytest.approx(0.0)
+    assert np.isfinite(out.prediction_epistatic.iloc[1])
+
+
+def test_split_mutants_tolerates_unparseable_strings():
+    """A malformed mutant string must produce NaN columns for that
+    row, not crash the whole split (the fallback existed but was dead
+    code before round 3)."""
+    from evcouplings_tpu.mutate.calculations import split_mutants
+
+    df = pd.DataFrame({"mutant": ["A10V", "K50fs", "A10V,K12R"]})
+    out = split_mutants(df, "mutant")
+    assert out.num_mutations.iloc[0] == 1
+    assert np.isnan(out.num_mutations.iloc[1])
+    assert out.num_mutations.iloc[2] == 2
+    assert out.pos.iloc[2] == "10,12"

@@ -235,3 +235,26 @@ class TestAddFreqs:
         # freq_i is the frequency of the target residue at that position
         row = freqs.iloc[0]
         assert out.freq_i.iloc[0] == pytest.approx(row[row["A_i"]])
+
+
+def test_linear_logistic_model_round_trips_n_iter():
+    """serialize(deserialize(d)) must preserve the reference schema's
+    sklearn training metadata (round-3 review: n_iter_ was read from
+    the wrong place and silently reset to [0])."""
+    from evcouplings_tpu.couplings.pairs import LinearLogisticModel
+
+    params = {
+        "classifier_settings": {"C": 1.0, "penalty": "l2"},
+        "model_settings": {
+            "classes_": [0, 1],
+            "intercept_": [0.5],
+            "coef_": [[1.0, -2.0]],
+            "n_iter_": [37],
+        },
+        "feature_names": ["a", "b"],
+    }
+    model, feats = LinearLogisticModel.from_dict(params)
+    out = model.to_dict(feature_names=feats)
+    assert out["model_settings"]["n_iter_"] == [37]
+    assert out["model_settings"]["coef_"] == [[1.0, -2.0]]
+    assert out["feature_names"] == ["a", "b"]
