@@ -45,6 +45,26 @@ SIFTS_TABLE_FORMAT_STR = (
 )
 
 
+def _as_list(value):
+    """Config values that may be a scalar or a list (plot cutoffs)."""
+    if not value:
+        return []
+    return value if isinstance(value, list) else [value]
+
+
+def _covered_site_count(ec_table):
+    """Number of distinct residue positions appearing in the table."""
+    return len(set(ec_table.i.unique()) | set(ec_table.j.unique()))
+
+
+def _count_or_fraction(value, num_sites):
+    """EC-count plot parameters: ints are absolute counts, floats are
+    fractions of the covered site count."""
+    if isinstance(value, float):
+        value = ceil(value * num_sites)
+    return int(value)
+
+
 def print_pdb_structure_info(sifts_result,
                              format_string=SIFTS_TABLE_FORMAT_STR,
                              header_text=None, hits_per_row=4,
@@ -87,10 +107,11 @@ def print_pdb_structure_info(sifts_result,
 def _identify_structures(**kwargs):
     """Identify 3D structures (via SIFTS lookup or sequence search);
     returns (filtered SIFTSResult, unfiltered SIFTSResult)."""
-    def _filter_by_id(x, id_list):
-        x = deepcopy(x)
-        x.hits = x.hits.loc[x.hits.pdb_id.isin(id_list)]
-        return x
+    def _restrict_to_pdb_ids(result, id_list):
+        trimmed = deepcopy(result)
+        keep = trimmed.hits.pdb_id.isin(id_list)
+        trimmed.hits = trimmed.hits.loc[keep]
+        return trimmed
 
     check_required(
         kwargs,
@@ -111,19 +132,18 @@ def _identify_structures(**kwargs):
         kwargs["sifts_mapping_table"], kwargs["sifts_sequence_db"]
     )
 
+    # multimer comparison needs every chain of a structure; monomer
+    # comparison reduces to one chain per structure
     reduce_chains = not kwargs["compare_multimer"]
 
     if kwargs["by_alignment"]:
-        SEARCH_METHODS = ["jackhmmer", "hmmsearch"]
-        if kwargs["pdb_alignment_method"] not in SEARCH_METHODS:
+        method = kwargs["pdb_alignment_method"]
+        if method not in ("jackhmmer", "hmmsearch"):
             raise InvalidParameterError(
                 "Invalid pdb search method: "
-                "{}. Valid selections are: {}".format(
-                    kwargs["pdb_alignment_method"],
-                    ", ".join(SEARCH_METHODS),
-                )
+                "{}. Valid selections are: jackhmmer, "
+                "hmmsearch".format(method)
             )
-
         sifts_map = s.by_alignment(
             reduce_chains=reduce_chains,
             min_overlap=kwargs["alignment_min_overlap"],
@@ -137,20 +157,22 @@ def _identify_structures(**kwargs):
     sifts_map_full = deepcopy(sifts_map)
 
     # user-selected PDB subset
-    if kwargs["pdb_ids"] is not None:
-        pdb_ids = kwargs["pdb_ids"]
-        if not isinstance(pdb_ids, list):
-            pdb_ids = [pdb_ids]
-        pdb_ids = [x.lower() for x in pdb_ids]
-        sifts_map = _filter_by_id(sifts_map, pdb_ids)
+    requested = kwargs["pdb_ids"]
+    if requested is not None:
+        if not isinstance(requested, list):
+            requested = [requested]
+        sifts_map = _restrict_to_pdb_ids(
+            sifts_map, [x.lower() for x in requested]
+        )
 
     if kwargs["max_num_hits"] is not None:
         sifts_map.hits = sifts_map.hits.iloc[:kwargs["max_num_hits"]]
 
     if kwargs["max_num_structures"] is not None:
-        keep_ids = sifts_map.hits.pdb_id.unique()
-        keep_ids = keep_ids[:kwargs["max_num_structures"]]
-        sifts_map = _filter_by_id(sifts_map, keep_ids)
+        first_ids = sifts_map.hits.pdb_id.unique()
+        sifts_map = _restrict_to_pdb_ids(
+            sifts_map, first_ids[:kwargs["max_num_structures"]]
+        )
 
     return sifts_map, sifts_map_full
 
@@ -205,36 +227,24 @@ def _make_contact_maps(ec_table, d_intra, d_multimer, sifts_map,
 
     cm_files = []
 
-    ecs_longrange = ec_table.query(
-        "abs(i - j) >= {}".format(kwargs["min_sequence_distance"])
-    )
+    min_dist = kwargs["min_sequence_distance"]
+    ecs_longrange = ec_table.query("abs(i - j) >= @min_dist")
 
-    if kwargs["plot_probability_cutoffs"]:
-        cutoffs = kwargs["plot_probability_cutoffs"]
-        if not isinstance(cutoffs, list):
-            cutoffs = [cutoffs]
+    for c in _as_list(kwargs["plot_probability_cutoffs"]):
+        ec_set = ecs_longrange.query("probability >= @c")
+        if len(ec_set) > 0:
+            output_file = (
+                prefix + "_significant_ECs_{}.pdf".format(c)
+            )
+            plot_cm(ec_set, output_file=output_file)
+            cm_files.append(output_file)
 
-        for c in cutoffs:
-            ec_set = ecs_longrange.query("probability >= @c")
-            if len(ec_set) > 0:
-                output_file = (
-                    prefix + "_significant_ECs_{}.pdf".format(c)
-                )
-                plot_cm(ec_set, output_file=output_file)
-                cm_files.append(output_file)
+    num_sites = _covered_site_count(ec_table)
 
-    num_sites = len(
-        set.union(set(ec_table.i.unique()), set(ec_table.j.unique()))
-    )
-
-    def _discrete_count(x):
-        if isinstance(x, float):
-            x = ceil(x * num_sites)
-        return int(x)
-
-    lowest = _discrete_count(kwargs["plot_lowest_count"])
-    highest = _discrete_count(kwargs["plot_highest_count"])
-    step = _discrete_count(kwargs["plot_increase"])
+    lowest = _count_or_fraction(kwargs["plot_lowest_count"], num_sites)
+    highest = _count_or_fraction(
+        kwargs["plot_highest_count"], num_sites)
+    step = _count_or_fraction(kwargs["plot_increase"], num_sites)
 
     for c in range(lowest, highest + 1, step):
         ec_set = ecs_longrange.iloc[:c]
@@ -358,26 +368,18 @@ def _make_complex_contact_maps(ec_table, d_intra_i, d_multimer_i,
                 if done:
                     cm_files.append(output_file)
 
-    def _discrete_count(x):
-        if isinstance(x, float):
-            num_sites = 0
-            for seg_name in [first_segment_name, second_segment_name]:
-                num_sites += len(
-                    set.union(
-                        set(ec_table.query(
-                            "segment_i == @seg_name"
-                        ).i.unique()),
-                        set(ec_table.query(
-                            "segment_j == @seg_name"
-                        ).j.unique()),
-                    )
-                )
-            x = ceil(x * num_sites)
-        return int(x)
-
-    lowest = _discrete_count(kwargs["plot_lowest_count"])
-    highest = _discrete_count(kwargs["plot_highest_count"])
-    step = _discrete_count(kwargs["plot_increase"])
+    # fraction parameters scale with the per-segment covered sites
+    num_sites = sum(
+        len(
+            set(ec_table.query("segment_i == @seg_name").i.unique())
+            | set(ec_table.query("segment_j == @seg_name").j.unique())
+        )
+        for seg_name in (first_segment_name, second_segment_name)
+    )
+    lowest = _count_or_fraction(kwargs["plot_lowest_count"], num_sites)
+    highest = _count_or_fraction(
+        kwargs["plot_highest_count"], num_sites)
+    step = _count_or_fraction(kwargs["plot_increase"], num_sites)
 
     for c in range(lowest, highest + 1, step):
         ec_set_inter = ecs_longrange.query(
@@ -605,9 +607,7 @@ def standard(**kwargs):
     # Step 3: compare ECs to distances
     ec_table = pd.read_csv(kwargs["ec_file"])
 
-    num_sites = len(
-        set.union(set(ec_table.i.unique()), set(ec_table.j.unique()))
-    )
+    num_sites = _covered_site_count(ec_table)
 
     for out_file, min_seq_dist in [
         ("ec_compared_longrange_file", kwargs["min_sequence_distance"]),
