@@ -612,3 +612,48 @@ class TestGroupL1Routing:
                         block_size=16)
         with pytest.raises(ValueError, match="EXACT"):
             fit_plm(codes, weights, q, cfg)
+
+
+class TestWeightConventions:
+    def test_run_plm_theta_and_scale_match_oracle(self, tmp_path):
+        """The remaining plmc weight flags through the artifact chain:
+        theta (identity threshold, passed DIRECTLY — the 1-theta CLI
+        transform of reference tools.py:236-239 does not exist here)
+        and scale (`-s`, cluster-weight numerator). Weights must equal
+        scale / cluster_size at the given theta, and the fit must sit
+        on the oracle optimum under exactly those weights."""
+        from evcouplings_tpu.couplings.fitter import run_plm
+        from evcouplings_tpu.couplings.model import CouplingsModel
+        from oracles import o_num_cluster_members
+
+        q = 5
+        alphabet = "-ACDE"
+        L, N = 7, 16
+        theta, scale = 0.6, 2.5
+        codes = oracle.synthetic_msa(N, L, q, seed=31, n_coupled=2)
+        fasta = tmp_path / "ts.fasta"
+        with open(fasta, "w") as f:
+            for s in range(N):
+                f.write(">seq{}/1-{}\n{}\n".format(
+                    s, L, "".join(alphabet[c] for c in codes[s])))
+
+        lh, lj = 0.01, 0.1
+        model_file = str(tmp_path / "ts.model")
+        run_plm(str(fasta), str(tmp_path / "ts_ECs.txt"), model_file,
+                alphabet=alphabet, theta=theta, scale=scale,
+                iterations=2000, lambda_h=lh, lambda_J=lj,
+                solver="lbfgs", compute_dtype="float64",
+                steps_per_call=10, conv_tol=1e-10)
+
+        weights = scale / o_num_cluster_members(codes, theta)
+        ref = oracle.fit(codes, weights, q, lambda_h=lh, lambda_J=lj,
+                         epsilon=1e-8, polish=True)
+        assert ref["result"]["converged"]
+
+        model = CouplingsModel(model_file)
+        np.testing.assert_allclose(model.weights, weights, rtol=1e-6)
+        assert model.theta == pytest.approx(theta)
+        np.testing.assert_allclose(
+            model.h_i, ref["h"], atol=TestFitParity.H_ATOL)
+        np.testing.assert_allclose(
+            model.J_ij, ref["J"], atol=TestFitParity.J_ATOL + 2e-7)
