@@ -137,6 +137,33 @@ def _plm_throughput(cfg, n, steps_per_call, warmup_calls, bench_calls,
     return n * L * bench_calls * steps_per_call / elapsed
 
 
+def _parity_lbfgs_throughput():
+    """seq*site/s of the FULL parity configuration — the native LBFGS
+    solver (plmc semantics: linesearch, history, convergence check)
+    at f32/"highest" with structured per-operand precision — measured
+    over the warm window of a real fit_plm run. The parity_mode_value
+    above isolates the per-step value+grad cost with an Adam update;
+    this record prices the complete plmc-replacement loop including
+    the ~1.1 linesearch evaluations per LBFGS iteration."""
+    from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+    rng = np.random.default_rng(2)
+    n = N_PARITY
+    codes = rng.integers(0, Q, size=(n, L)).astype(np.int8)
+    w = rng.uniform(0.5, 1.0, size=n)
+    cfg = PlmConfig(solver="lbfgs", max_iter=60, steps_per_call=10,
+                    block_size=512, dtype="float32",
+                    precision="highest", conv_tol=0.0)
+    stamps = []
+    fit_plm(codes, w, Q, cfg,
+            callback=lambda r: stamps.append(
+                (time.perf_counter(), r["iter"])))
+    warm, iters = _warm_window(stamps)
+    if warm is None or warm <= 0 or iters == 0:
+        return None
+    return n * L * iters / warm
+
+
 def _large_l_throughput():
     """seq*site/s of the asymmetric site-sharded fit at L = L_BIG —
     one full fit_plm_asym run (production bf16/adam), measured over
@@ -193,6 +220,7 @@ def main():
     )
 
     large_l = _large_l_throughput()
+    parity_lbfgs = _parity_lbfgs_throughput()
 
     cpu = measured_cpu_baseline()
     print(json.dumps({
@@ -209,6 +237,16 @@ def main():
         ),
         "parity_mode_vs_measured_cpu": (
             round(parity_throughput / cpu, 2) if cpu else None
+        ),
+        # the complete plmc-replacement loop (native LBFGS solver at
+        # parity numerics), not just the per-step value+grad cost
+        "parity_lbfgs_value": (
+            round(parity_lbfgs, 1) if parity_lbfgs is not None
+            else None
+        ),
+        "parity_lbfgs_vs_baseline": (
+            round(parity_lbfgs / PLMC_32T_BASELINE, 2)
+            if parity_lbfgs is not None else None
         ),
         # large-L regime (site-sharded asymmetric path, ops/
         # plm_sites.py): substantiates the "removes the L~900
