@@ -113,6 +113,18 @@ def test_scaling_quickstart(examples_dir):
     assert "data" in out
 
 
+def test_sparse_couplings_quickstart(examples_dir):
+    out = run_script(examples_dir, "sparse_couplings_quickstart.py")
+    # exact group-L1 must actually zero pair blocks
+    assert "exactly-zero pair blocks" in out
+    assert "% sparse" in out
+    sparse_line = next(
+        ln for ln in out.splitlines() if "% sparse" in ln
+    )
+    pct = int(sparse_line.split("(")[1].split("%")[0])
+    assert pct >= 50
+
+
 def run_pipeline_config(examples_dir, cfg_name):
     """examples/README.md §3: the YAML configs drive evcouplings_runcfg
     with paths relative to the directory containing examples/."""
