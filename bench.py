@@ -158,6 +158,9 @@ def _parity_lbfgs_throughput():
     fit_plm(codes, w, Q, cfg,
             callback=lambda r: stamps.append(
                 (time.perf_counter(), r["iter"])))
+    if not stamps:
+        # linesearch froze before any iteration row: no rate
+        return None
     warm, iters = _warm_window(stamps)
     if warm is None or warm <= 0 or iters == 0:
         return None

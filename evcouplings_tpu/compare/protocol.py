@@ -344,29 +344,24 @@ def _make_complex_contact_maps(ec_table, d_intra_i, d_multimer_i,
         )
     )
 
-    if kwargs["plot_probability_cutoffs"]:
-        cutoffs = kwargs["plot_probability_cutoffs"]
-        if not isinstance(cutoffs, list):
-            cutoffs = [cutoffs]
-
-        for c in cutoffs:
-            ec_set = ecs_longrange.query("probability >= @c")
-            if len(ec_set) > 0:
-                output_file = (
-                    prefix + "_significant_ECs_{}.pdf".format(c)
-                )
-                done = plot_complex_cm(
-                    ec_set.query(
-                        "segment_i == segment_j == @first_segment_name"
-                    ),
-                    ec_set.query(
-                        "segment_i == segment_j == @second_segment_name"
-                    ),
-                    ec_set.query("segment_i != segment_j"),
-                    output_file=output_file,
-                )
-                if done:
-                    cm_files.append(output_file)
+    for c in _as_list(kwargs["plot_probability_cutoffs"]):
+        ec_set = ecs_longrange.query("probability >= @c")
+        if len(ec_set) > 0:
+            output_file = (
+                prefix + "_significant_ECs_{}.pdf".format(c)
+            )
+            done = plot_complex_cm(
+                ec_set.query(
+                    "segment_i == segment_j == @first_segment_name"
+                ),
+                ec_set.query(
+                    "segment_i == segment_j == @second_segment_name"
+                ),
+                ec_set.query("segment_i != segment_j"),
+                output_file=output_file,
+            )
+            if done:
+                cm_files.append(output_file)
 
     # fraction parameters scale with the per-segment covered sites
     num_sites = sum(

@@ -59,7 +59,11 @@ def unflatten_J(J_flat, L, q, zero_diag=True):
     """Inverse of flatten_J: (Lq, Lq) -> (L, L, q, q) float64 numpy,
     optionally zeroing the L diagonal q x q self-blocks (they carry no
     meaning in the pair-coupling tensor)."""
-    J = np.asarray(J_flat, dtype=np.float64).reshape(
+    # an OWNED writable copy: np.asarray would alias the input (the
+    # diagonal zeroing then mutates the caller's array in place) or,
+    # for jax-backed f64 arrays, yield a read-only view that crashes
+    # the assignment
+    J = np.array(J_flat, dtype=np.float64, copy=True).reshape(
         L, q, L, q
     ).transpose(0, 2, 1, 3)
     if zero_diag:

@@ -159,11 +159,9 @@ parse_fasta(PyObject *self, PyObject *args)
 
     PyObject *result = Py_BuildValue("(NNnn)", ids, seqs, n_rows, L);
     if (result == NULL) {
-        /* on failure the 'N' arguments were NOT consumed — release
-         * them or the id list + N*L residue buffer leak exactly when
-         * memory is already exhausted */
-        Py_DECREF(ids);
-        Py_DECREF(seqs);
+        /* 'N' arguments are consumed by Py_BuildValue even on error
+         * (CPython do_mktuple releases them on the failure path since
+         * 3.5.2 / bpo-26168) — decref'ing here would double-free */
         return NULL;
     }
     return result;

@@ -78,16 +78,20 @@ def assert_exact_rank_order(got, want):
     got_cn = dict(zip(zip(got.i.values, got.j.values), got.cn.values))
     assert set(got_cn) == set(want_cn)
 
+    # ALL ordered pairs, not just adjacent ones: a chain of
+    # sub-tolerance adjacent gaps must not let two pairs that differ
+    # beyond the tolerance swap unnoticed
     ranked = sorted(key, key=lambda k: -want_cn[k])
-    for a, b in zip(ranked[:-1], ranked[1:]):
-        gap = want_cn[a] - want_cn[b]
-        tol = RTOL * max(abs(want_cn[a]), abs(want_cn[b])) + ATOL
-        if gap > tol:
-            # a outranks b beyond noise: the refit must agree
-            assert got_cn[a] > got_cn[b], (
-                "rank swap of distinguishable pair: {} ({}) vs {} "
-                "({})".format(a, got_cn[a], b, got_cn[b])
-            )
+    for idx_a, a in enumerate(ranked):
+        for b in ranked[idx_a + 1:]:
+            gap = want_cn[a] - want_cn[b]
+            tol = RTOL * max(abs(want_cn[a]), abs(want_cn[b])) + ATOL
+            if gap > tol:
+                # a outranks b beyond noise: the refit must agree
+                assert got_cn[a] > got_cn[b], (
+                    "rank swap of distinguishable pair: {} ({}) vs "
+                    "{} ({})".format(a, got_cn[a], b, got_cn[b])
+                )
 
 
 def test_model_file_matches_golden(refit):

@@ -239,3 +239,28 @@ def test_direct_information_warns_when_sweeps_exhausted():
     f /= f.sum(axis=1, keepdims=True)
     with pytest.warns(RuntimeWarning, match="did not reach"):
         direct_information(J, f, epsilon=1e-12, max_sweeps=1)
+
+
+def test_unflatten_j_round_trips_and_does_not_mutate():
+    """The single-sourced layout helpers: unflatten(flatten(J))
+    round-trips (including jax-backed inputs under x64) and never
+    zeroes the CALLER's array in place (round-3 review)."""
+    from evcouplings_tpu.ops.encode import flatten_J, unflatten_J
+    from oracles import random_symmetric_J
+
+    L, q = 4, 3
+    J = random_symmetric_J(L, q, np.random.default_rng(0))
+    J[0, 0] = 1.0     # nonzero diagonal block, must survive in caller
+
+    out = unflatten_J(flatten_J(J), L, q)
+    expect = J.copy()
+    expect[np.arange(L), np.arange(L)] = 0.0
+    np.testing.assert_array_equal(out, expect)
+    # caller's tensor untouched
+    assert (J[0, 0] == 1.0).all()
+
+    # numpy input aliasing: mutating the output must not write back
+    flat = np.asarray(flatten_J(J), dtype=np.float64)
+    out2 = unflatten_J(flat, L, q)
+    out2[0, 1] = 99.0
+    assert not np.any(flat.reshape(L, q, L, q)[0, :, 1, :] == 99.0)
