@@ -160,13 +160,20 @@ def _precision(name):
         "highest": P.HIGHEST,
         "high": P.HIGH,
         "default": P.DEFAULT,
-        # escape hatch: full 6-pass HIGHEST on every GEMM (A/B
-        # reference for the structured default above)
+        # escape hatches: symmetric-operand precision on every GEMM
+        # (A/B references for the structured defaults below)
         "highest_unstructured": P.HIGHEST,
+        "high_unstructured": P.HIGH,
     }[name]
     if name == "highest":
         return _PrecTriple(
             base, (P.DEFAULT, P.HIGHEST), (P.HIGHEST, P.DEFAULT)
+        )
+    if name == "high":
+        # same structure one tier down: 2 MXU passes instead of 3,
+        # keeping both contributing limb products of the f32 operand
+        return _PrecTriple(
+            base, (P.DEFAULT, P.HIGH), (P.HIGH, P.DEFAULT)
         )
     return _PrecTriple(base, base, base)
 
