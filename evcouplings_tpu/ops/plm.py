@@ -147,7 +147,7 @@ from collections import namedtuple
 # TPU v5e (N=16384, L=160): loss BITWISE equal to full HIGHEST,
 # gradients within a few f32 ulps (the pass accumulation order
 # differs), 1.76x step throughput (17.7 vs 31.2 ms/eval) — asserted by
-# tests/test_plm.py::test_structured_highest_matches_unstructured.
+# tests/test_plm.py::test_structured_precision_matches_unstructured.
 #   base       — both operands general (vector dots, fallback)
 #   exact_lhs  — the LHS is exactly representable (one-hot)
 #   exact_rhs  — the RHS is exactly representable (one-hot/segment)

@@ -800,7 +800,11 @@ class TestFusedUpdate:
             )
 
 
-def test_structured_highest_matches_unstructured():
+@pytest.mark.parametrize("mode,ref_mode", [
+    ("highest", "highest_unstructured"),
+    ("high", "high_unstructured"),
+])
+def test_structured_precision_matches_unstructured(mode, ref_mode):
     """precision="highest" uses per-operand precision on the hot GEMMs
     (the 0/1 one-hot / segment operand needs only one bf16 limb; see
     ops/plm.py _PrecTriple) — 3 MXU passes instead of 6, measured
@@ -826,15 +830,15 @@ def test_structured_highest_matches_unstructured():
     }
 
     outs = {}
-    for mode in ("highest", "highest_unstructured"):
-        cfg = PlmConfig(block_size=16, dtype="float32", precision=mode,
+    for m in (mode, ref_mode):
+        cfg = PlmConfig(block_size=16, dtype="float32", precision=m,
                         lambda_h=0.01, lambda_J=0.5)
         vg = make_plm_value_and_grad(L, q, cfg, symmetric_params=True)
         v, g = vg(params, codes, weights)
-        outs[mode] = (float(v), np.asarray(g["J"]), np.asarray(g["h"]))
+        outs[m] = (float(v), np.asarray(g["J"]), np.asarray(g["h"]))
 
-    v_s, gJ_s, gh_s = outs["highest"]
-    v_u, gJ_u, gh_u = outs["highest_unstructured"]
+    v_s, gJ_s, gh_s = outs[mode]
+    v_u, gJ_u, gh_u = outs[ref_mode]
     assert v_s == v_u
     np.testing.assert_allclose(gJ_s, gJ_u, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(gh_s, gh_u, rtol=1e-5, atol=1e-5)
