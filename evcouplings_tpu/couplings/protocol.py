@@ -181,9 +181,10 @@ def infer_plmc(**kwargs):
         #                  per-operand precision (ops/plm.py) this
         #                  runs ~2.8x below the bf16 production mode
         #                  (185M vs 476M seq*site/s on v5e, BENCH r3).
-        #   "balanced"   — float32 state, 3-pass (bf16x3) matmuls:
-        #                  near-f32 matmul accuracy at production
-        #                  speed (42 vs 34 ms/iter measured).
+        #   "balanced"   — float32 state, "high" matmuls (2 MXU
+        #                  passes on the one-hot GEMMs via structured
+        #                  per-operand precision): near-f32 matmul
+        #                  accuracy approaching production speed.
         #   "production" — bfloat16 compute with f32 master
         #                  parameters; fastest.
         # parametrization: "auto" (default — symmetric plmc semantics
