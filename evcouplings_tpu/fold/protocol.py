@@ -1,13 +1,18 @@
 """
-Fold-stage protocols: predict 3D structures from ECs (EVfold) and
-generate complex docking restraints.
+Fold-stage protocols: EC-restrained 3D structure prediction (EVfold)
+and complex docking restraint generation.
 
-Parity target: reference evcouplings/fold/protocol.py —
+Contract parity with reference evcouplings/fold/protocol.py —
 secondary_structure (:42), compare_models_maxcluster (:134),
 maxcluster_clustering_table (:265), standard (:308-580),
-complex_dock (:583-698), PROTOCOLS/run (:700-714). The reference's
-billiard pool over folding sub-runs is replaced by
-concurrent.futures (no extra dependency).
+complex_dock (:583-698), PROTOCOLS/run (:700-714) — at the level of
+config keys, output filenames, and outcfg fields only. The internals
+are organized differently: both protocols draw their EC-subset
+schedule from one shared planner (`_ec_subset_schedule`), the
+experimental-structure comparison tables are written by a dedicated
+helper, and folding sub-runs execute on a process pool
+(concurrent.futures) because cns_dgsa_fold chdirs and os.chdir is
+process-global.
 """
 
 import shutil
@@ -45,6 +50,35 @@ from evcouplings_tpu.utils.system import (
 )
 from evcouplings_tpu.visualize.pymol import pymol_secondary_structure
 
+# all maxcluster clustering modes; one cluster/cluster_size column
+# pair per mode in the clustering table
+_CLUSTER_MODES = ("single", "average", "maximum", "pairs_min",
+                  "pairs_abs")
+
+
+def _target_start_index(segments, seq_file):
+    """Residue number of the first target position — taken from the
+    leading segment when segment info exists, otherwise from the
+    id/start-end range in the FASTA header."""
+    if segments is not None:
+        return Segment.from_list(segments[0]).region_start
+
+    with open(seq_file) as handle:
+        header, _ = next(read_fasta(handle))
+
+    start = None
+    if header is not None:
+        _, start, _ = parse_header(header)
+
+    if start is None:
+        raise InvalidParameterError(
+            "FASTA header must carry an explicit residue range "
+            "(id/start-end) so predictions can be renumbered; "
+            "got: {!r}".format(header)
+        )
+
+    return start
+
 
 def secondary_structure(**kwargs):
     """Load (sec_struct_file) or predict (psipred) secondary structure
@@ -53,61 +87,85 @@ def secondary_structure(**kwargs):
     check_required(
         kwargs,
         [
-            "prefix", "target_sequence_file",
-            "segments", "sec_struct_method",
-            "sec_struct_file", "psipred",
+            "prefix",
+            "target_sequence_file",
+            "segments",
+            "sec_struct_method",
+            "sec_struct_file",
+            "psipred",
         ],
     )
 
     prefix = kwargs["prefix"]
     create_prefix_folders(prefix)
 
-    secstruct_file = kwargs["sec_struct_file"]
-    if secstruct_file is not None:
+    supplied = kwargs["sec_struct_file"]
+    if supplied is not None:
         verify_resources(
-            "Secondary structure prediction file does not "
-            "exist/is empty",
-            secstruct_file,
+            "secondary structure file missing or empty", supplied
         )
-        return pd.read_csv(secstruct_file)
+        return pd.read_csv(supplied)
 
-    target_seq_file = kwargs["target_sequence_file"]
-    verify_resources(
-        "Sequence file does not exist/is empty", target_seq_file
+    method = kwargs["sec_struct_method"]
+    if method != "psipred":
+        raise InvalidParameterError(
+            "unknown secondary structure method {!r} "
+            "(available: psipred)".format(method)
+        )
+
+    seq_file = kwargs["target_sequence_file"]
+    verify_resources("target sequence file missing or empty", seq_file)
+    start = _target_start_index(kwargs["segments"], seq_file)
+
+    psipred_dir = path.join(path.dirname(prefix), "psipred")
+    _ss2, horiz = run_psipred(
+        seq_file, psipred_dir, binary=kwargs["psipred"]
     )
+    return read_psipred_prediction(horiz, first_index=start)
 
-    # first index from segment info, else from the FASTA header range
-    if kwargs["segments"] is not None:
-        s = Segment.from_list(kwargs["segments"][0])
-        first_index = s.region_start
-    else:
-        first_index = None
-        with open(target_seq_file) as f:
-            header, _ = next(read_fasta(f))
-            if header is not None:
-                _, first_index, _ = parse_header(header)
 
-            if first_index is None:
-                raise InvalidParameterError(
-                    "Could not unambiguously identify sequence range "
-                    "from FASTA header, needs to specified as "
-                    "id/start-end: {}".format(header)
-                )
+def _load_single_chain(filename):
+    """The one chain of a single-model, single-chain PDB file (the
+    only shape maxcluster accepts), plus its residue ids as strings."""
+    structure = ClassicPDB.from_file(filename)
+    models = list(structure.model_to_chains)
 
-    if kwargs["sec_struct_method"] == "psipred":
-        output_dir = path.join(path.dirname(prefix), "psipred")
-
-        ss2_file, horiz_file = run_psipred(
-            target_seq_file, output_dir, binary=kwargs["psipred"]
+    if not models:
+        raise InvalidParameterError(
+            "{}: file holds no structure model (empty after "
+            "mapping?)".format(filename)
         )
-        return read_psipred_prediction(
-            horiz_file, first_index=first_index
+    if len(models) > 1:
+        raise InvalidParameterError(
+            "{}: maxcluster needs a single-model file but this one "
+            "has {} models".format(filename, len(models))
         )
 
-    raise InvalidParameterError(
-        "Secondary structure prediction method not implemented: "
-        "{}. Valid choices: psipred".format(kwargs["sec_struct_method"])
+    chain_names = structure.model_to_chains[models[0]]
+    if len(chain_names) != 1:
+        raise InvalidParameterError(
+            "{}: maxcluster needs a single-chain file; chains "
+            "present: {}".format(filename, ",".join(chain_names))
+        )
+
+    chain = structure.get_chain(chain_names[0], models[0])
+    return chain, chain.residues.id.astype(str).values
+
+
+def _dedup_atom_locations(chain):
+    """Write the chain to a temp PDB with alternate atom locations
+    collapsed to the highest-occupancy one (maxcluster rejects
+    duplicate atoms); returns the temp filename."""
+    coords = chain.coords.sort_values(
+        "occupancy", ascending=False, kind="stable"
     )
+    coords = coords.drop_duplicates(["residue_index", "atom_name"])
+    chain.coords = coords.sort_index()
+
+    out = temp()
+    with open(out, "w") as handle:
+        chain.to_file(handle)
+    return out
 
 
 def compare_models_maxcluster(experiments, predictions,
@@ -117,104 +175,129 @@ def compare_models_maxcluster(experiments, predictions,
     """Compare predicted models to experimental structures with
     maxcluster (TM normalized over the position intersection by
     default); returns (full table, {experiment file: table})."""
-    def _determine_pos(filename):
-        structure = ClassicPDB.from_file(filename)
-        if len(structure.model_to_chains) == 0:
-            raise InvalidParameterError(
-                "Structure contains no model (is empty): " + filename
-                + " - please verify that no problems occurred during "
-                "structure mapping"
-            )
-        elif len(structure.model_to_chains) > 1:
-            raise InvalidParameterError(
-                "Structure contains more than one model: " + filename
-            )
-
-        model = list(structure.model_to_chains.keys())[0]
-        chains = structure.model_to_chains[model]
-        if len(chains) != 1:
-            raise InvalidParameterError(
-                "Structure must contain exactly one chain, but "
-                "contains: " + ",".join(chains)
-            )
-        chain = structure.get_chain(chains[0], model)
-        return chain.residues.id.astype(str).values, chain
-
-    def _eliminate_altloc(chain):
-        # keep the highest-occupancy location per atom (maxcluster
-        # cannot handle duplicates)
-        chain.coords = chain.coords.loc[
-            chain.coords.groupby(
-                ["residue_index", "atom_name"]
-            ).occupancy.idxmax()
-        ]
-        temp_filename = temp()
-        with open(temp_filename, "w") as f:
-            chain.to_file(f)
-        return temp_filename
-
-    if len(predictions) == 0:
+    if not predictions:
         raise InvalidParameterError(
-            "Need at least one predicted structure."
+            "at least one predicted structure is required"
         )
 
-    pred_pos, _ = _determine_pos(predictions[0])
+    # all predictions are assumed to share positions, so the first
+    # one defines the predicted position set
+    _, pred_positions = _load_single_chain(predictions[0])
 
-    full_result = pd.DataFrame()
-    single_results = {}
-
+    per_experiment = {}
     for exp_file in experiments:
-        exp_pos, exp_chain = _determine_pos(exp_file)
-        exp_file_cleaned = _eliminate_altloc(exp_chain)
+        chain, exp_positions = _load_single_chain(exp_file)
+        cleaned = _dedup_atom_locations(chain)
 
-        joint_pos = set(exp_pos).intersection(pred_pos)
+        shared = set(exp_positions) & set(pred_positions)
+        norm_len = (
+            len(shared) if norm_by_intersection else len(exp_positions)
+        )
 
-        if norm_by_intersection:
-            normalization_length = len(joint_pos)
-        else:
-            normalization_length = len(exp_pos)
-
-        comp = run_maxcluster_compare(
-            predictions, exp_file_cleaned,
-            normalization_length=normalization_length,
+        table = run_maxcluster_compare(
+            predictions, cleaned,
+            normalization_length=norm_len,
             distance_cutoff=distance_cutoff, binary=binary,
         )
+        table = table.assign(
+            filename_experimental=exp_file,
+            L_experiment=len(exp_positions),
+            L_prediction=len(pred_positions),
+            L_joint=len(shared),
+            L_normalization=norm_len,
+        ).sort_values("tm", ascending=False)
 
-        comp.loc[:, "filename_experimental"] = exp_file
-        comp.loc[:, "L_experiment"] = len(exp_pos)
-        comp.loc[:, "L_prediction"] = len(pred_pos)
-        comp.loc[:, "L_joint"] = len(joint_pos)
-        comp.loc[:, "L_normalization"] = normalization_length
+        per_experiment[exp_file] = table
 
-        comp = comp.sort_values("tm", ascending=False)
-        single_results[exp_file] = comp
-        full_result = pd.concat([full_result, comp])
+    combined = pd.concat(
+        per_experiment.values()
+    ) if per_experiment else pd.DataFrame()
 
-    return full_result, single_results
+    return combined, per_experiment
 
 
 def maxcluster_clustering_table(structures, binary):
     """Clustering results for all maxcluster clustering methods, one
     cluster/cluster_size column pair per method."""
-    clust_all = None
-    for method in [
-        "single", "average", "maximum", "pairs_min", "pairs_abs"
-    ]:
-        clust = run_maxcluster_cluster(
-            structures, method=method, binary=binary
-        ).rename(columns={
-            "cluster": "cluster_" + method,
-            "cluster_size": "cluster_size_" + method,
-        })
+    tables = []
+    for mode in _CLUSTER_MODES:
+        result = run_maxcluster_cluster(
+            structures, method=mode, binary=binary
+        )
+        tables.append(result.rename(columns={
+            "cluster": "cluster_" + mode,
+            "cluster_size": "cluster_size_" + mode,
+        }))
 
-        if clust_all is None:
-            clust_all = clust
-        else:
-            clust_all = clust_all.merge(
-                clust, on="filename", how="outer"
-            )
+    merged = tables[0]
+    for extra in tables[1:]:
+        merged = merged.merge(extra, on="filename", how="outer")
+    return merged
 
-    return clust_all
+
+def _ec_subset_schedule(ec_table, prob_cutoffs, lowest, highest,
+                        increase, n_sites, suffix_pattern):
+    """Plan the EC subsets both fold protocols iterate over: one
+    subset per probability cutoff (skipped when empty), then a ramp
+    of top-k prefixes from `lowest` to `highest` by `increase`
+    (fractions are interpreted relative to n_sites). Returns
+    [(subset table, filename suffix)]."""
+    plan = []
+
+    if prob_cutoffs is not None and "probability" in ec_table.columns:
+        if not isinstance(prob_cutoffs, list):
+            prob_cutoffs = [prob_cutoffs]
+        for p in prob_cutoffs:
+            subset = ec_table[ec_table.probability >= p]
+            if len(subset):
+                tag = "significant_ECs_{}".format(p)
+                plan.append((subset, suffix_pattern.format(tag)))
+
+    if None not in (lowest, highest, increase):
+        def as_count(value):
+            if isinstance(value, float):
+                value = ceil(value * n_sites)
+            return int(value)
+
+        ramp = range(
+            as_count(lowest), as_count(highest) + 1, as_count(increase)
+        )
+        plan.extend(
+            (ec_table.iloc[:k], suffix_pattern.format(k))
+            for k in ramp
+        )
+
+    return plan
+
+
+def _write_experiment_comparisons(ranking, models, remapped_files,
+                                  stage_dir, prefix, binary):
+    """Run the maxcluster comparison of predicted models against each
+    remapped experimental structure and persist the combined + the
+    per-experiment tables; returns the outcfg fields."""
+    combined, singles = compare_models_maxcluster(
+        list(remapped_files.keys()), models,
+        norm_by_intersection=True, distance_cutoff=None,
+        binary=binary,
+    )
+
+    out = {"folding_comparison_file": prefix + "_comparison.csv"}
+    ranking.merge(combined, on="filename", how="left") \
+        .sort_values("tm", ascending=False) \
+        .to_csv(out["folding_comparison_file"], index=False)
+
+    per_file = {}
+    for exp_file, table in singles.items():
+        stem = path.splitext(path.basename(exp_file))[0]
+        csv_path = path.join(stage_dir, stem + ".csv")
+        ranking.merge(table, on="filename", how="left") \
+            .sort_values("tm", ascending=False) \
+            .to_csv(csv_path, index=False)
+        # keyed by csv path, valued by the original remap key
+        per_file[csv_path] = remapped_files[exp_file]
+
+    out["folding_individual_comparison_files"] = per_file
+    return out
 
 
 def standard(**kwargs):
@@ -223,14 +306,26 @@ def standard(**kwargs):
     check_required(
         kwargs,
         [
-            "prefix", "engine", "ec_file", "target_sequence_file",
-            "segments", "folding_config_file",
+            "prefix",
+            "engine",
+            "ec_file",
+            "target_sequence_file",
+            "segments",
+            "folding_config_file",
             "cut_to_alignment_region",
-            "sec_struct_method", "reuse_sec_struct",
-            "sec_struct_file", "filter_sec_struct_clashes",
-            "min_sequence_distance", "fold_probability_cutoffs",
-            "fold_lowest_count", "fold_highest_count", "fold_increase",
-            "num_models", "psipred", "cpu", "remapped_pdb_files",
+            "sec_struct_method",
+            "reuse_sec_struct",
+            "sec_struct_file",
+            "filter_sec_struct_clashes",
+            "min_sequence_distance",
+            "fold_probability_cutoffs",
+            "fold_lowest_count",
+            "fold_highest_count",
+            "fold_increase",
+            "num_models",
+            "psipred",
+            "cpu",
+            "remapped_pdb_files",
             "cleanup",
         ],
     )
@@ -238,197 +333,138 @@ def standard(**kwargs):
     prefix = kwargs["prefix"]
     create_prefix_folders(prefix)
 
-    outcfg = {
-        "folding_ec_file": prefix + "_CouplingScores_with_clashes.csv",
+    out = {
+        "folding_ec_file":
+            prefix + "_CouplingScores_with_clashes.csv",
         "sec_struct_file": prefix + "_secondary_structure.csv",
+        "secondary_structure_pml_file": prefix + "_ss_draw.pml",
     }
 
-    # secondary structure (reused from previous run if requested)
+    # secondary structure: reuse a previous run's table if allowed,
+    # else load/predict it fresh
+    ss_table = None
     if kwargs["reuse_sec_struct"] and valid_file(
-        outcfg["sec_struct_file"]
-    ):
-        residues = pd.read_csv(outcfg["sec_struct_file"])
-    else:
-        residues = secondary_structure(**kwargs)
+            out["sec_struct_file"]):
+        ss_table = pd.read_csv(out["sec_struct_file"])
+    if ss_table is None:
+        ss_table = secondary_structure(**kwargs)
 
-    outcfg["secondary_structure_pml_file"] = prefix + "_ss_draw.pml"
     pymol_secondary_structure(
-        residues, outcfg["secondary_structure_pml_file"]
+        ss_table, out["secondary_structure_pml_file"]
     )
 
+    # long-range ECs, annotated (and optionally filtered) for
+    # secondary-structure clashes
     verify_resources("EC file does not exist", kwargs["ec_file"])
-    ecs_all = pd.read_csv(kwargs["ec_file"])
-    ecs = ecs_all.query(
-        "abs(i - j) > {}".format(kwargs["min_sequence_distance"])
-    )
+    all_ecs = pd.read_csv(kwargs["ec_file"])
+    separation = (all_ecs.i - all_ecs.j).abs()
+    longrange = all_ecs[
+        separation > kwargs["min_sequence_distance"]
+    ]
 
-    # annotate + optionally filter secondary-structure clashes
-    ecs = secstruct_clashes(ecs, residues)
-    ecs.to_csv(outcfg["folding_ec_file"], index=False)
+    longrange = secstruct_clashes(longrange, ss_table)
+    longrange.to_csv(out["folding_ec_file"], index=False)
 
+    fold_ecs = longrange
     if kwargs["filter_sec_struct_clashes"]:
-        ecs_fold = ecs.loc[~ecs.ss_clash]
-    else:
-        ecs_fold = ecs
+        fold_ecs = longrange[~longrange.ss_clash]
 
-    # restrict modelled region to the aligned region if requested
+    # which residues enter the model: everything, or only the span
+    # covered by the alignment/ECs
     if kwargs["cut_to_alignment_region"]:
         segments = kwargs["segments"]
         if segments is not None:
-            positions = Segment.from_list(segments[0]).positions
+            covered = Segment.from_list(segments[0]).positions
         else:
-            positions = set(ecs.i.unique()).union(ecs.j.unique())
-
-        first_pos, last_pos = min(positions), max(positions)
-        residues.loc[:, "in_model"] = False
-        residues.loc[
-            (residues.i >= first_pos) & (residues.i <= last_pos),
-            "in_model",
-        ] = True
-    else:
-        residues.loc[:, "in_model"] = True
-
-    residues.to_csv(outcfg["sec_struct_file"], index=False)
-    residues_fold = residues.loc[residues.in_model]
-
-    num_procs = kwargs["cpu"]
-    if num_procs is None:
-        num_procs = 1
-
-    # define sub-runs: by probability cutoff ...
-    folding_runs = []
-    cutoffs = kwargs["fold_probability_cutoffs"]
-    if cutoffs is not None and "probability" in ecs_fold.columns:
-        if not isinstance(cutoffs, list):
-            cutoffs = [cutoffs]
-        for c in cutoffs:
-            sig_ecs = ecs_fold.query("probability >= @c")
-            if len(sig_ecs) > 0:
-                folding_runs.append(
-                    (sig_ecs, "_significant_ECs_{}".format(c))
-                )
-
-    # ... and by EC count ramp
-    flc = kwargs["fold_lowest_count"]
-    fhc = kwargs["fold_highest_count"]
-    fi = kwargs["fold_increase"]
-    if flc is not None and fhc is not None and fi is not None:
-        num_sites = len(
-            set.union(set(ecs.i.unique()), set(ecs.j.unique()))
-        )
-
-        def _discrete_count(x):
-            if isinstance(x, float):
-                x = ceil(x * num_sites)
-            return int(x)
-
-        lowest = _discrete_count(flc)
-        highest = _discrete_count(fhc)
-        step = _discrete_count(fi)
-
-        folding_runs += [
-            (ecs_fold.iloc[:c], "_{}".format(c))
-            for c in range(lowest, highest + 1, step)
-        ]
-
-    method = kwargs["engine"]
-
-    # fold into an aux subdirectory; final models are copied out
-    aux_prefix = insert_dir(prefix, "aux", rootname_subdir=False)
-    aux_dir = path.dirname(aux_prefix)
-
-    folding_runs = [
-        (job_ecs, aux_prefix + job_suffix)
-        for (job_ecs, job_suffix) in folding_runs
-    ]
-
-    if method == "cns_dgsa":
-        folder = partial(
-            cns_dgsa_fold,
-            residues_fold,
-            config_file=kwargs["folding_config_file"],
-            num_structures=kwargs["num_models"],
-            log_level=None,
-            binary=kwargs["cns"],
+            # fall back to EC positions (may under-cover when the EC
+            # list is truncated, hence only the fallback)
+            covered = set(longrange.i) | set(longrange.j)
+        ss_table["in_model"] = ss_table.i.between(
+            min(covered), max(covered)
         )
     else:
+        ss_table["in_model"] = True
+
+    ss_table.to_csv(out["sec_struct_file"], index=False)
+    model_residues = ss_table[ss_table.in_model]
+
+    # schedule the folding sub-runs; the site count that fractional
+    # ramp bounds refer to comes from the unfiltered long-range table
+    n_sites = len(set(longrange.i) | set(longrange.j))
+    plan = _ec_subset_schedule(
+        fold_ecs,
+        kwargs["fold_probability_cutoffs"],
+        kwargs["fold_lowest_count"],
+        kwargs["fold_highest_count"],
+        kwargs["fold_increase"],
+        n_sites,
+        "_{}",
+    )
+
+    engine = kwargs["engine"]
+    if engine != "cns_dgsa":
         raise InvalidParameterError(
-            "Invalid folding engine: {} ".format(method)
-            + "Valid selections are: cns_dgsa"
+            "unknown folding engine {!r} "
+            "(available: cns_dgsa)".format(engine)
         )
 
-    # parallelize sub-runs over PROCESSES (the reference uses
-    # multiprocessing.Pool, fold/protocol.py:495-502): cns_dgsa_fold
-    # chdirs into the aux directory and os.chdir is process-global,
-    # so threads would race on the working directory
-    with ProcessPoolExecutor(max_workers=num_procs) as pool:
+    fold_one = partial(
+        cns_dgsa_fold,
+        model_residues,
+        config_file=kwargs["folding_config_file"],
+        num_structures=kwargs["num_models"],
+        log_level=None,
+        binary=kwargs["cns"],
+    )
+
+    # sub-runs write into an aux subdirectory; finished models are
+    # copied up to the stage directory afterwards
+    aux_prefix = insert_dir(prefix, "aux", rootname_subdir=False)
+
+    # parallelize over PROCESSES (reference: billiard pool,
+    # fold/protocol.py:495-502): cns_dgsa_fold chdirs, and os.chdir
+    # is process-global, so threads would race
+    workers = kwargs["cpu"] or 1
+    with ProcessPoolExecutor(max_workers=workers) as pool:
         futures = [
-            pool.submit(folder, *args) for args in folding_runs
+            pool.submit(fold_one, subset, aux_prefix + suffix)
+            for subset, suffix in plan
         ]
-        results = [f.result() for f in futures]
+        produced = {}
+        for fut in futures:
+            produced.update(fut.result())
 
-    folded_files = {
-        k: v for subres in results for k, v in subres.items()
-    }
-
-    # move structures from aux into the main folding directory
-    fold_dir = path.dirname(prefix)
-    prediction_files = []
-    for name, file_path in folded_files.items():
-        shutil.copy(file_path, fold_dir)
-        prediction_files.append(file_path.replace(aux_prefix, prefix))
-
-    outcfg["folded_structure_files"] = prediction_files
+    stage_dir = path.dirname(prefix)
+    models = []
+    for aux_file in produced.values():
+        shutil.copy(aux_file, stage_dir)
+        models.append(aux_file.replace(aux_prefix, prefix))
+    out["folded_structure_files"] = models
 
     if kwargs["cleanup"]:
-        shutil.rmtree(aux_dir)
+        shutil.rmtree(path.dirname(aux_prefix))
 
-    # rank + cluster models
-    ranking = dihedral_ranking(prediction_files, residues)
-
-    if len(prediction_files) > 1:
-        clustering = maxcluster_clustering_table(
-            prediction_files, binary=kwargs["maxcluster"]
+    # rank models by dihedral statistics; clustering only makes
+    # sense with more than one model
+    ranking = dihedral_ranking(models, ss_table)
+    if len(models) > 1:
+        clusters = maxcluster_clustering_table(
+            models, binary=kwargs["maxcluster"]
         )
-        ranking = ranking.merge(clustering, on="filename", how="left")
+        ranking = ranking.merge(clusters, on="filename", how="left")
 
-    ranking = ranking.sort_values(by="ranking_score", ascending=False)
-    outcfg["folding_ranking_file"] = prefix + "_ranking.csv"
-    ranking.to_csv(outcfg["folding_ranking_file"], index=False)
+    ranking = ranking.sort_values("ranking_score", ascending=False)
+    out["folding_ranking_file"] = prefix + "_ranking.csv"
+    ranking.to_csv(out["folding_ranking_file"], index=False)
 
-    # compare to remapped experimental structures if available
-    if (kwargs["remapped_pdb_files"] is not None
-            and len(kwargs["remapped_pdb_files"]) > 0):
-        experimental_files = kwargs["remapped_pdb_files"]
-        comp_all, comp_singles = compare_models_maxcluster(
-            list(experimental_files.keys()), prediction_files,
-            norm_by_intersection=True, distance_cutoff=None,
-            binary=kwargs["maxcluster"],
-        )
+    remapped = kwargs["remapped_pdb_files"]
+    if remapped:
+        out.update(_write_experiment_comparisons(
+            ranking, models, remapped, stage_dir, prefix,
+            kwargs["maxcluster"],
+        ))
 
-        comparison = ranking.merge(
-            comp_all, on="filename", how="left"
-        ).sort_values(by="tm", ascending=False)
-
-        outcfg["folding_comparison_file"] = prefix + "_comparison.csv"
-        comparison.to_csv(
-            outcfg["folding_comparison_file"], index=False
-        )
-
-        ind_comp_files = {}
-        for filename, comp_single in comp_singles.items():
-            comparison_s = ranking.merge(
-                comp_single, on="filename", how="left"
-            ).sort_values(by="tm", ascending=False)
-
-            basename = path.splitext(path.split(filename)[1])[0]
-            ind_file = path.join(fold_dir, basename + ".csv")
-            ind_comp_files[ind_file] = experimental_files[filename]
-            comparison_s.to_csv(ind_file, index=False)
-
-        outcfg["folding_individual_comparison_files"] = ind_comp_files
-
-    return outcfg
+    return out
 
 
 def complex_dock(**kwargs):
@@ -437,66 +473,42 @@ def complex_dock(**kwargs):
     check_required(
         kwargs,
         [
-            "prefix", "ec_file",
-            "segments", "dock_probability_cutoffs",
-            "dock_lowest_count", "dock_highest_count", "dock_increase",
+            "prefix",
+            "ec_file",
+            "segments",
+            "dock_probability_cutoffs",
+            "dock_lowest_count",
+            "dock_highest_count",
+            "dock_increase",
         ],
     )
 
     prefix = kwargs["prefix"]
-    outcfg = {}
-
     create_prefix_folders(prefix)
 
     verify_resources(
         "EC file does not exist and/or is empty", kwargs["ec_file"]
     )
-    ecs_all = pd.read_csv(kwargs["ec_file"])
-    ecs_dock = ecs_all.query("segment_i != segment_j")
+    table = pd.read_csv(kwargs["ec_file"])
+    inter = table[table.segment_i != table.segment_j]
 
-    folding_runs = []
-    cutoffs = kwargs["dock_probability_cutoffs"]
-    if cutoffs is not None and "probability" in ecs_dock.columns:
-        if not isinstance(cutoffs, list):
-            cutoffs = [cutoffs]
-        for c in cutoffs:
-            sig_ecs = ecs_dock.query("probability >= @c")
-            if len(sig_ecs) > 0:
-                folding_runs.append(
-                    (sig_ecs,
-                     "_significant_ECs_{}_restraints.tbl".format(c))
-                )
+    plan = _ec_subset_schedule(
+        inter,
+        kwargs["dock_probability_cutoffs"],
+        kwargs["dock_lowest_count"],
+        kwargs["dock_highest_count"],
+        kwargs["dock_increase"],
+        inter.i.nunique() + inter.j.nunique(),
+        "_{}_restraints.tbl",
+    )
 
-    flc = kwargs["dock_lowest_count"]
-    fhc = kwargs["dock_highest_count"]
-    fi = kwargs["dock_increase"]
-    if flc is not None and fhc is not None and fi is not None:
-        num_sites = (
-            len(set(ecs_dock.i.unique()))
-            + len(set(ecs_dock.j.unique()))
-        )
+    written = []
+    for subset, suffix in plan:
+        target = prefix + suffix
+        docking_restraints(subset, target, haddock_dist_restraint)
+        written.append(target)
 
-        def _discrete_count(x):
-            if isinstance(x, float):
-                x = ceil(x * num_sites)
-            return int(x)
-
-        lowest = _discrete_count(flc)
-        highest = _discrete_count(fhc)
-        step = _discrete_count(fi)
-
-        folding_runs += [
-            (ecs_dock.iloc[:c], "_{}_restraints.tbl".format(c))
-            for c in range(lowest, highest + 1, step)
-        ]
-
-    outcfg["docking_restraint_files"] = []
-    for job_ecs, job_suffix in folding_runs:
-        job_filename = prefix + job_suffix
-        docking_restraints(job_ecs, job_filename, haddock_dist_restraint)
-        outcfg["docking_restraint_files"].append(job_filename)
-
-    return outcfg
+    return {"docking_restraint_files": written}
 
 
 PROTOCOLS = {
@@ -511,12 +523,13 @@ def run(**kwargs):
     """Dispatch to the fold protocol named by kwargs["protocol"]."""
     check_required(kwargs, ["protocol"])
 
-    if kwargs["protocol"] not in PROTOCOLS:
+    selected = kwargs["protocol"]
+    try:
+        runner = PROTOCOLS[selected]
+    except KeyError:
         raise InvalidParameterError(
-            "Invalid protocol selection: "
-            "{}. Valid protocols are: {}".format(
-                kwargs["protocol"], ", ".join(PROTOCOLS.keys())
-            )
-        )
+            "Invalid protocol selection: {}. Valid protocols are: "
+            "{}".format(selected, ", ".join(PROTOCOLS))
+        ) from None
 
-    return PROTOCOLS[kwargs["protocol"]](**kwargs)
+    return runner(**kwargs)
