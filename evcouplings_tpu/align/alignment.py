@@ -1,12 +1,16 @@
 """
 Multiple sequence alignment container and format I/O.
 
-Parity target: reference evcouplings/align/alignment.py (Alignment class,
-fasta/stockholm/a3m parsers and writers, alphabets). The numerical members
-(set_weights, frequencies, pair_frequencies, identities_to) delegate to the
-JAX/TPU kernels in evcouplings_tpu.ops instead of numba loops; the container
-itself stays a plain numpy char matrix so that string-level operations
-(case changes, gap replacement, column selection) stay cheap on host.
+Contract parity with reference evcouplings/align/alignment.py
+(Alignment class, fasta/stockholm/a3m parsers and writers, alphabets)
+at the level of API names, accepted formats, and produced values. The
+numerical members (set_weights, frequencies, pair_frequencies,
+identities_to) delegate to the JAX/TPU kernels in evcouplings_tpu.ops
+instead of numba loops; the container itself stays a plain numpy char
+matrix so that string-level operations (case changes, gap
+replacement, column selection) stay cheap on host. Stockholm parsing
+is organized around a per-block accumulator object rather than the
+reference's inline counter loop.
 """
 
 import re
@@ -80,29 +84,32 @@ HMMER_PREFIX_WARNING = (
     "# WARNING: seq names have been made unique by adding a prefix of"
 )
 
+_STOCKHOLM_HEADER = "# STOCKHOLM 1.0"
+
 
 def read_fasta(fileobj):
     """Yield (id, sequence) tuples from a FASTA-family file (fasta/a2m/a3m)."""
-    current_id = None
-    current_seq = []
+    header = None
+    body = []
 
     for line in fileobj:
         if line.startswith(">"):
-            if current_id is not None:
-                yield current_id, "".join(current_seq)
-            current_id = line.rstrip()[1:]
-            current_seq = []
+            if header is not None:
+                yield header, "".join(body)
+            header = line[1:].rstrip()
+            body = []
         elif not line.startswith(";"):
-            current_seq.append(line.rstrip())
+            body.append(line.rstrip())
 
-    yield current_id, "".join(current_seq)
+    yield header, "".join(body)
 
 
 def write_fasta(sequences, fileobj, width=80):
     """Write (id, sequence) tuples in FASTA format."""
     for seq_id, seq in sequences:
-        fileobj.write(">{}\n".format(seq_id))
-        fileobj.write(wrap(seq, width=width) + "\n")
+        fileobj.write(
+            ">" + seq_id + "\n" + wrap(seq, width=width) + "\n"
+        )
 
 
 def write_aln(sequences, fileobj, width=80):
@@ -117,6 +124,57 @@ StockholmAlignment = namedtuple(
 )
 
 
+class _StockholmBlock:
+    """Accumulator for one `# STOCKHOLM 1.0` ... `//` block.
+
+    Markup namespaces (http://sonnhammer.sbc.su.se/Stockholm.html):
+    GF per-file (multi-line -> list), GC per-column (wrapped ->
+    concatenated), GS per-sequence (single value), GR per-residue
+    (wrapped -> concatenated). Interleaved sequence rows concatenate
+    by id.
+    """
+
+    def __init__(self, keep_markup):
+        self.keep_markup = keep_markup
+        self.rows = DefaultOrderedDict(str)
+        self.per_file = DefaultOrderedDict(list)
+        self.per_column = DefaultOrderedDict(str)
+        self.per_seq = DefaultOrderedDict(
+            lambda: DefaultOrderedDict(list)
+        )
+        self.per_residue = DefaultOrderedDict(
+            lambda: DefaultOrderedDict(str)
+        )
+
+    def markup(self, line):
+        if not self.keep_markup:
+            return
+        if line.startswith("#=GF"):
+            _, tag, text = line.rstrip().split(maxsplit=2)
+            self.per_file[tag].append(text)
+        elif line.startswith("#=GC"):
+            _, tag, text = line.rstrip().split(maxsplit=2)
+            self.per_column[tag] += text
+        elif line.startswith("#=GS"):
+            _, row_id, tag, text = line.rstrip().split(maxsplit=3)
+            self.per_seq[row_id][tag] = text
+        elif line.startswith("#=GR"):
+            _, row_id, tag, text = line.rstrip().split()
+            self.per_residue[row_id][tag] += text
+
+    def sequence(self, line):
+        parts = line.rstrip().split(maxsplit=2)
+        # blank/ragged lines are silently skipped
+        if len(parts) == 2:
+            self.rows[parts[0]] += parts[1]
+
+    def packaged(self):
+        return StockholmAlignment(
+            self.rows, self.per_file, self.per_column,
+            self.per_seq, self.per_residue,
+        )
+
+
 def read_stockholm(fileobj, read_annotation=False, raise_hmmer_prefixes=True):
     """Yield StockholmAlignment tuples from a (possibly multi-)Stockholm file.
 
@@ -125,59 +183,34 @@ def read_stockholm(fileobj, read_annotation=False, raise_hmmer_prefixes=True):
     yielded. Raises on HMMER made-unique prefix warnings when
     ``raise_hmmer_prefixes``.
     """
-    seqs = DefaultOrderedDict(str)
-    gf = DefaultOrderedDict(list)
-    gc = DefaultOrderedDict(str)
-    gs = DefaultOrderedDict(lambda: DefaultOrderedDict(list))
-    gr = DefaultOrderedDict(lambda: DefaultOrderedDict(str))
-
-    # line counter within the current alignment block
-    i = 0
+    block = None  # None until the block's header line is consumed
 
     for line in fileobj:
-        if i == 0 and not line.startswith("# STOCKHOLM 1.0"):
+        if block is None:
+            if not line.startswith(_STOCKHOLM_HEADER):
+                raise ValueError(
+                    "Not a valid Stockholm alignment: "
+                    "Header missing. " + line.rstrip()
+                )
+            block = _StockholmBlock(read_annotation)
+            continue
+
+        if raise_hmmer_prefixes and line.startswith(
+                HMMER_PREFIX_WARNING):
             raise ValueError(
-                "Not a valid Stockholm alignment: "
-                "Header missing. {}".format(line.rstrip())
+                "HMMER added identifier prefixes to alignment "
+                "because of non-unique sequence identifiers. Please "
+                "ensure unique sequence identifiers in the database "
+                "and for the target."
             )
 
-        if raise_hmmer_prefixes and line.startswith(HMMER_PREFIX_WARNING):
-            raise ValueError(
-                "HMMER added identifier prefixes to alignment because of "
-                "non-unique sequence identifiers. Please ensure unique "
-                "sequence identifiers in the database and for the target."
-            )
-
-        if line.startswith("#"):
-            if read_annotation:
-                if line.startswith("#=GF"):
-                    _, feat, val = line.rstrip().split(maxsplit=2)
-                    gf[feat].append(val)
-                elif line.startswith("#=GC"):
-                    _, feat, seq = line.rstrip().split(maxsplit=2)
-                    gc[feat] += seq
-                elif line.startswith("#=GS"):
-                    _, seq_id, feat, val = line.rstrip().split(maxsplit=3)
-                    gs[seq_id][feat] = val
-                elif line.startswith("#=GR"):
-                    _, seq_id, feat, seq = line.rstrip().split()
-                    gr[seq_id][feat] += seq
-            i += 1
-        elif line.startswith("//"):
-            yield StockholmAlignment(seqs, gf, gc, gs, gr)
-            # fresh containers for any further alignment in the same file
-            seqs = DefaultOrderedDict(str)
-            gf = DefaultOrderedDict(list)
-            gc = DefaultOrderedDict(str)
-            gs = DefaultOrderedDict(lambda: DefaultOrderedDict(list))
-            gr = DefaultOrderedDict(lambda: DefaultOrderedDict(str))
-            i = 0
+        if line.startswith("//"):
+            yield block.packaged()
+            block = None
+        elif line.startswith("#"):
+            block.markup(line)
         else:
-            splitted = line.rstrip().split(maxsplit=2)
-            if len(splitted) == 2:
-                seq_id, seq = splitted
-                seqs[seq_id] += seq
-            i += 1
+            block.sequence(line)
 
 
 def read_a3m(fileobj, inserts="first"):
@@ -187,59 +220,73 @@ def read_a3m(fileobj, inserts="first"):
     sequence, pad other sequences' match states into that template with
     "." insert gaps. inserts="delete": drop all lowercase/insert states.
     """
-    seqs = OrderedDict()
-    uppercase_cols = None
-    gap_template = None
+    if inserts not in ("first", "delete"):
+        raise ValueError("Invalid option for inserts: " + str(inserts))
 
-    for i, (seq_id, seq) in enumerate(read_fasta(fileobj)):
+    expanded = OrderedDict()
+    match_positions = None
+    template_width = None
+
+    for seq_id, seq in read_fasta(fileobj):
         seq = seq.replace(".", "")
 
-        if inserts == "first":
-            if i == 0:
-                uppercase_cols = [
-                    j for (j, c) in enumerate(seq)
-                    if (c == c.upper() or c == "-")
-                ]
-                gap_template = np.array(["."] * len(seq))
-                filled_seq = seq
-            else:
-                uppercase_chars = [
-                    c for c in seq if c == c.upper() or c == "-"
-                ]
-                filled = np.copy(gap_template)
-                filled[uppercase_cols] = uppercase_chars
-                filled_seq = "".join(filled)
-        elif inserts == "delete":
-            filled_seq = "".join(
-                [c for c in seq if c == c.upper() and c != "."]
+        if inserts == "delete":
+            expanded[seq_id] = "".join(
+                c for c in seq if not c.islower()
             )
+            continue
+
+        match_states = [c for c in seq if not c.islower()]
+
+        if match_positions is None:
+            # the target sequence fixes the output template: its
+            # non-insert positions are the match columns, everything
+            # else fills with "." in the remaining rows
+            match_positions = [
+                j for j, c in enumerate(seq) if not c.islower()
+            ]
+            template_width = len(seq)
+            expanded[seq_id] = seq
         else:
-            raise ValueError("Invalid option for inserts: {}".format(inserts))
+            if len(match_states) != len(match_positions):
+                raise ValueError(
+                    "a3m row {!r} has {} match states, template "
+                    "expects {}".format(
+                        seq_id, len(match_states),
+                        len(match_positions),
+                    )
+                )
+            row = ["."] * template_width
+            for j, c in zip(match_positions, match_states):
+                row[j] = c
+            expanded[seq_id] = "".join(row)
 
-        seqs[seq_id] = filled_seq
-
-    return seqs
+    return expanded
 
 
 def write_a3m(sequences, fileobj, insert_gap=INSERT_GAP, width=80):
     """Write sequences in a3m format (insert gaps removed)."""
     for seq_id, seq in sequences:
-        fileobj.write(">{}\n".format(seq_id))
-        fileobj.write(seq.replace(insert_gap, "") + "\n")
+        fileobj.write(
+            ">" + seq_id + "\n" + seq.replace(insert_gap, "") + "\n"
+        )
 
 
 def detect_format(fileobj, filepath=""):
     """Detect alignment format: "stockholm", "a3m", "fasta", or None."""
-    for i, line in enumerate(fileobj):
-        if i == 0 and line.startswith("# STOCKHOLM 1.0"):
+    first = True
+    for line in fileobj:
+        if first and line.startswith(_STOCKHOLM_HEADER):
             return "stockholm"
+        first = False
 
         if line.startswith(">"):
-            if Path(filepath).suffix.lower() == ".a3m":
-                return "a3m"
-            return "fasta"
+            # FASTA family; the .a3m extension disambiguates a3m
+            suffix = Path(filepath).suffix.lower()
+            return "a3m" if suffix == ".a3m" else "fasta"
 
-        if line.startswith(";") or line.rstrip() == "":
+        # comments/blank lines are inconclusive, keep scanning
+        if line.startswith(";") or not line.strip():
             continue
 
         return None
@@ -251,46 +298,41 @@ def parse_header(header):
     Any annotation after the first whitespace is discarded. start/stop are
     None if no range is present.
     """
-    header = header.split()[0]
-    m = re.search(r"(.+)/(\d+)-(\d+)", header)
-    if m:
-        id_, start_str, end_str = m.groups()
-        return id_, int(start_str), int(end_str)
-    return header, None, None
+    token = header.split()[0]
+    m = re.fullmatch(r"(.+)/(\d+)-(\d+)(.*)", token, flags=re.S)
+    if m is None:
+        return token, None, None
+    return m.group(1), int(m.group(2)), int(m.group(3))
 
 
 def sequences_to_matrix(sequences):
     """Stack aligned sequence strings into an N x L character matrix."""
-    sequences = list(sequences)
-    if len(sequences) == 0:
+    rows = [np.array(list(s)) for s in sequences]
+    if not rows:
         raise ValueError("Need at least one sequence")
 
-    N = len(sequences)
-    L = len(sequences[0])
-    matrix = np.empty((N, L), dtype=str)
-
-    for i, seq in enumerate(sequences):
-        if len(seq) != L:
+    width = len(rows[0])
+    for k, row in enumerate(rows):
+        if len(row) != width:
             raise ValueError(
-                "Sequences have differing lengths: i={} L_0={} L_i={}".format(
-                    i, L, len(seq)
-                )
+                "Sequences have differing lengths: i={} L_0={} "
+                "L_i={}".format(k, width, len(row))
             )
-        matrix[i] = np.array(list(seq))
 
-    return matrix
+    out = np.empty((len(rows), width), dtype=str)
+    for k, row in enumerate(rows):
+        out[k] = row
+    return out
 
 
 def map_from_alphabet(alphabet=ALPHABET_PROTEIN, default=GAP):
     """Character -> integer code mapping; unknown characters map to default."""
-    map_ = {c: i for i, c in enumerate(alphabet)}
-    try:
-        default = map_[default]
-    except KeyError:
+    codes = {c: i for i, c in enumerate(alphabet)}
+    if default not in codes:
         raise ValueError(
             "Default {} is not in alphabet {}".format(default, alphabet)
         )
-    return defaultdict(lambda: default, map_)
+    return defaultdict(lambda: codes[default], codes)
 
 
 def map_matrix(matrix, map_):
@@ -311,6 +353,10 @@ def map_matrix(matrix, map_):
     codes = matrix.view(np.uint32).reshape(matrix.shape + (-1,))[..., 0]
     codes = np.where(codes < 256, codes, 0)
     return lut[codes.astype(np.int64)]
+
+
+# from_file-only knobs that the Alignment constructor does not accept
+_PARSER_ONLY_KWARGS = ("raise_hmmer_prefixes", "a3m_inserts")
 
 
 class Alignment:
@@ -344,17 +390,18 @@ class Alignment:
         self._pair_frequencies = None
 
         if sequence_ids is None:
-            self.ids = [str(i) for i in range(self.N)]
+            sequence_ids = [str(i) for i in range(self.N)]
         else:
             sequence_ids = list(sequence_ids)
             if len(sequence_ids) != self.N:
                 raise ValueError(
-                    "Number of sequence IDs ({}) and length of alignment "
-                    "({}) do not match".format(len(sequence_ids), self.N)
+                    "Number of sequence IDs ({}) and length of "
+                    "alignment ({}) do not match".format(
+                        len(sequence_ids), self.N
+                    )
                 )
-            self.ids = sequence_ids
 
-        self.ids = np.array(self.ids, dtype=np.object_)
+        self.ids = np.array(sequence_ids, dtype=np.object_)
         self.id_to_index = {id_: i for i, id_ in enumerate(self.ids)}
 
         self.annotation = annotation if annotation is not None else {}
@@ -369,8 +416,6 @@ class Alignment:
     def from_file(cls, fileobj, format="fasta", a3m_inserts="first",
                   raise_hmmer_prefixes=True, split_header=False, **kwargs):
         """Create an alignment by parsing a fasta/stockholm/a3m file."""
-        annotation = {}
-
         if format == "fasta":
             seqs = OrderedDict(read_fasta(fileobj))
         elif format == "stockholm":
@@ -381,15 +426,13 @@ class Alignment:
                 )
             )
             seqs = ali.seqs
-            annotation["GF"] = ali.gf
-            annotation["GC"] = ali.gc
-            annotation["GS"] = ali.gs
-            annotation["GR"] = ali.gr
-            kwargs["annotation"] = annotation
+            kwargs["annotation"] = {
+                "GF": ali.gf, "GC": ali.gc, "GS": ali.gs, "GR": ali.gr,
+            }
         elif format == "a3m":
             seqs = read_a3m(fileobj, inserts=a3m_inserts)
         else:
-            raise ValueError("Invalid alignment format: {}".format(format))
+            raise ValueError("Invalid alignment format: " + str(format))
 
         if split_header:
             seqs = {
@@ -418,102 +461,114 @@ class Alignment:
                 )
 
         if format == "fasta":
-            from evcouplings_tpu.native import (
-                HAVE_NATIVE, parse_fasta_native,
+            loaded = cls._from_native_fasta(path, split_header, kwargs)
+            if loaded is not None:
+                return loaded
+        elif format == "stockholm":
+            loaded = cls._from_native_stockholm(
+                path, split_header, kwargs
             )
-
-            if HAVE_NATIVE:
-                try:
-                    ids, matrix = parse_fasta_native(path)
-                except ValueError:
-                    ids = None  # ragged (a3m-style): Python fallback
-                if ids is not None:
-                    if split_header:
-                        ids = [i.split()[0] for i in ids]
-                    # duplicate headers: the Python path builds an
-                    # OrderedDict — first occurrence keeps its
-                    # position, last occurrence supplies the sequence
-                    # — replicate that so results do not depend on
-                    # whether the C extension is built
-                    if len(set(ids)) != len(ids):
-                        last = {id_: k for k, id_ in enumerate(ids)}
-                        seen = set()
-                        order = [
-                            id_ for id_ in ids
-                            if not (id_ in seen or seen.add(id_))
-                        ]
-                        matrix = matrix[[last[i] for i in order]]
-                        ids = order
-                    # drop from_file-only kwargs the constructor does
-                    # not take (same filtering the stockholm branch
-                    # does), so behavior matches the fallback path
-                    ctor_kwargs = {
-                        k: v for k, v in kwargs.items()
-                        if k not in (
-                            "raise_hmmer_prefixes", "a3m_inserts",
-                        )
-                    }
-                    return cls(matrix, ids, **ctor_kwargs)
-
-        if format == "stockholm":
-            from evcouplings_tpu.native import (
-                HAVE_NATIVE_STOCKHOLM, parse_stockholm_native,
-            )
-
-            if HAVE_NATIVE_STOCKHOLM:
-                rhp = kwargs.get("raise_hmmer_prefixes", True)
-                try:
-                    ids, matrix, annotation = parse_stockholm_native(
-                        path, raise_hmmer_prefixes=rhp,
-                    )
-                except ValueError as e:
-                    if "HMMER added identifier prefixes" in str(e):
-                        raise
-                    ids = None  # unsupported layout: Python fallback
-                if ids is not None:
-                    if split_header:
-                        ids = [i.split()[0] for i in ids]
-                    ctor_kwargs = {
-                        k: v for k, v in kwargs.items()
-                        if k not in (
-                            "raise_hmmer_prefixes", "a3m_inserts",
-                        )
-                    }
-                    return cls(
-                        matrix, ids, annotation=annotation,
-                        **ctor_kwargs
-                    )
+            if loaded is not None:
+                return loaded
 
         with open(path) as f:
             return cls.from_file(
                 f, format=format, split_header=split_header, **kwargs
             )
 
-    def __getitem__(self, index):
-        if index in self.id_to_index:
-            return self.matrix[self.id_to_index[index], :]
-        elif isinstance(index, (int, np.integer)) and 0 <= index < self.N:
-            return self.matrix[index, :]
-        raise KeyError(
-            "Not a valid index for sequence alignment: {}".format(index)
+    @classmethod
+    def _from_native_fasta(cls, path, split_header, kwargs):
+        """Attempt the C fasta loader; None means "use the Python
+        fallback" (extension not built, or ragged a3m-style input)."""
+        from evcouplings_tpu.native import (
+            HAVE_NATIVE, parse_fasta_native,
         )
+        if not HAVE_NATIVE:
+            return None
+
+        try:
+            ids, matrix = parse_fasta_native(path)
+        except ValueError:
+            return None  # ragged (a3m-style): Python fallback
+
+        if split_header:
+            ids = [i.split()[0] for i in ids]
+
+        # duplicate headers: the Python path builds an OrderedDict —
+        # first occurrence keeps its position, last occurrence
+        # supplies the sequence — replicate that so results do not
+        # depend on whether the C extension is built
+        if len(set(ids)) != len(ids):
+            last = {id_: k for k, id_ in enumerate(ids)}
+            seen = set()
+            order = [
+                id_ for id_ in ids
+                if not (id_ in seen or seen.add(id_))
+            ]
+            matrix = matrix[[last[i] for i in order]]
+            ids = order
+
+        ctor_kwargs = {
+            k: v for k, v in kwargs.items()
+            if k not in _PARSER_ONLY_KWARGS
+        }
+        return cls(matrix, ids, **ctor_kwargs)
+
+    @classmethod
+    def _from_native_stockholm(cls, path, split_header, kwargs):
+        """Attempt the C stockholm loader; None means "use the Python
+        fallback" (extension not built, or unsupported layout)."""
+        from evcouplings_tpu.native import (
+            HAVE_NATIVE_STOCKHOLM, parse_stockholm_native,
+        )
+        if not HAVE_NATIVE_STOCKHOLM:
+            return None
+
+        rhp = kwargs.get("raise_hmmer_prefixes", True)
+        try:
+            ids, matrix, annotation = parse_stockholm_native(
+                path, raise_hmmer_prefixes=rhp,
+            )
+        except ValueError as e:
+            if "HMMER added identifier prefixes" in str(e):
+                raise
+            return None  # unsupported layout: Python fallback
+
+        if split_header:
+            ids = [i.split()[0] for i in ids]
+
+        ctor_kwargs = {
+            k: v for k, v in kwargs.items()
+            if k not in _PARSER_ONLY_KWARGS
+        }
+        return cls(matrix, ids, annotation=annotation, **ctor_kwargs)
+
+    def __getitem__(self, index):
+        row = self.id_to_index.get(index)
+        if row is None and isinstance(index, (int, np.integer)):
+            if 0 <= index < self.N:
+                row = index
+        if row is None:
+            raise KeyError(
+                "Not a valid index for sequence alignment: "
+                "{}".format(index)
+            )
+        return self.matrix[row, :]
 
     def __len__(self):
         return self.N
 
     def count(self, char, axis="pos", normalize=True):
         """Count (optionally relative) occurrences of a character along an axis."""
-        if axis == "pos":
-            naxis = 0
-        elif axis == "seq":
-            naxis = 1
-        else:
-            raise ValueError("Invalid axis: {}".format(axis))
+        try:
+            naxis = {"pos": 0, "seq": 1}[axis]
+        except KeyError:
+            raise ValueError("Invalid axis: " + str(axis)) from None
 
-        c = np.sum(self.matrix == char, axis=naxis)
+        hits = (self.matrix == char).sum(axis=naxis)
         if normalize:
-            c = c / self.matrix.shape[naxis]
-        return c
+            return hits / self.matrix.shape[naxis]
+        return hits
 
     def select(self, columns=None, sequences=None):
         """Sub-alignment with a subset of columns and/or sequences
@@ -521,17 +576,16 @@ class Alignment:
         if columns is None and sequences is None:
             return self
 
-        sel_matrix = self.matrix
+        picked = self.matrix
         ids = self.ids
-
         if columns is not None:
-            sel_matrix = sel_matrix[:, columns]
+            picked = picked[:, columns]
         if sequences is not None:
-            sel_matrix = sel_matrix[sequences, :]
+            picked = picked[sequences, :]
             ids = ids[sequences]
 
         return Alignment(
-            np.copy(sel_matrix), np.copy(ids), alphabet=self.alphabet
+            np.copy(picked), np.copy(ids), alphabet=self.alphabet
         )
 
     def apply(self, columns=None, sequences=None, func=np.char.lower):
@@ -540,15 +594,15 @@ class Alignment:
         if columns is None and sequences is None:
             return self
 
-        mod_matrix = np.copy(self.matrix)
+        edited = np.copy(self.matrix)
         # guard empty selections: np.char funcs reject zero-size arrays
-        if columns is not None and mod_matrix[:, columns].size > 0:
-            mod_matrix[:, columns] = func(mod_matrix[:, columns])
-        if sequences is not None and mod_matrix[sequences, :].size > 0:
-            mod_matrix[sequences, :] = func(mod_matrix[sequences, :])
+        if columns is not None and edited[:, columns].size:
+            edited[:, columns] = func(edited[:, columns])
+        if sequences is not None and edited[sequences, :].size:
+            edited[sequences, :] = func(edited[sequences, :])
 
         return Alignment(
-            mod_matrix, deepcopy(self.ids), deepcopy(self.annotation),
+            edited, deepcopy(self.ids), deepcopy(self.annotation),
             alphabet=self.alphabet,
         )
 
@@ -571,6 +625,12 @@ class Alignment:
     def _ensure_mapped_matrix(self):
         if self.matrix_mapped is None:
             self.matrix_mapped = map_matrix(self.matrix, self.alphabet_map)
+
+    def _effective_weights(self):
+        """Sequence weights if set_weights() ran, else uniform ones."""
+        if self.weights is None:
+            return np.ones(self.N)
+        return self.weights
 
     def set_weights(self, identity_threshold=0.8):
         """Compute clustering-based sequence weights on the accelerator.
@@ -599,12 +659,10 @@ class Alignment:
             from evcouplings_tpu.ops.frequencies import frequencies
 
             self._ensure_mapped_matrix()
-            weights = (
-                np.ones(self.N) if self.weights is None else self.weights
-            )
-            self._frequencies = np.asarray(
-                frequencies(self.matrix_mapped, weights, self.num_symbols)
-            )
+            self._frequencies = np.asarray(frequencies(
+                self.matrix_mapped, self._effective_weights(),
+                self.num_symbols,
+            ))
         return self._frequencies
 
     @property
@@ -615,15 +673,10 @@ class Alignment:
             from evcouplings_tpu.ops.frequencies import pair_frequencies
 
             self._ensure_mapped_matrix()
-            weights = (
-                np.ones(self.N) if self.weights is None else self.weights
-            )
-            self._pair_frequencies = np.asarray(
-                pair_frequencies(
-                    self.matrix_mapped, weights,
-                    self.num_symbols, self.frequencies,
-                )
-            )
+            self._pair_frequencies = np.asarray(pair_frequencies(
+                self.matrix_mapped, self._effective_weights(),
+                self.num_symbols, self.frequencies,
+            ))
         return self._pair_frequencies
 
     def identities_to(self, seq, normalize=True):
@@ -631,13 +684,11 @@ class Alignment:
         from evcouplings_tpu.ops.weights import identities_to_seq
 
         self._ensure_mapped_matrix()
-        seq = np.array(list(seq))
-        seq_mapped = map_matrix(seq, self.alphabet_map)
-        ids = np.asarray(identities_to_seq(seq_mapped, self.matrix_mapped))
-
-        if normalize:
-            return ids / self.L
-        return ids
+        target = map_matrix(np.array(list(seq)), self.alphabet_map)
+        counts = np.asarray(
+            identities_to_seq(target, self.matrix_mapped)
+        )
+        return counts / self.L if normalize else counts
 
     def conservation(self, normalize=True):
         """Per-column conservation from single-column frequency entropy."""
@@ -645,16 +696,17 @@ class Alignment:
 
     def write(self, fileobj, format="fasta", width=80):
         """Write alignment in fasta, a3m, or aln format."""
-        seqs = (
-            (id_, "".join(self.matrix[i]))
-            for (i, id_) in enumerate(self.ids)
-        )
+        writers = {
+            "fasta": lambda s: write_fasta(s, fileobj, width),
+            "a3m": lambda s: write_a3m(
+                s, fileobj, self._insert_gap, width
+            ),
+            "aln": lambda s: write_aln(s, fileobj, width),
+        }
+        if format not in writers:
+            raise ValueError("Invalid alignment format: " + str(format))
 
-        if format == "fasta":
-            write_fasta(seqs, fileobj, width)
-        elif format == "a3m":
-            write_a3m(seqs, fileobj, self._insert_gap, width)
-        elif format == "aln":
-            write_aln(seqs, fileobj, width)
-        else:
-            raise ValueError("Invalid alignment format: {}".format(format))
+        writers[format](
+            (id_, "".join(self.matrix[i]))
+            for i, id_ in enumerate(self.ids)
+        )

@@ -1,12 +1,16 @@
 """
 Residue distance maps on PDB 3D coordinates.
 
-Parity target: reference evcouplings/compare/distances.py —
+Contract parity with reference evcouplings/compare/distances.py —
 DistanceMap (:91-792), _prepare_structures (:794), _prepare_chain
 (:823), intra_dists (:863), multimer_dists (:1020), inter_dists
-(:1180), remap_chains (:1396), remap_complex_chains (:1514). The numba
-min-atom-distance kernel is replaced by the vectorized GEMM kernel in
-evcouplings_tpu.ops.distances.
+(:1180), remap_chains (:1396), remap_complex_chains (:1514) — at the
+level of persisted file formats, returned tables, and function
+signatures. Internals differ: the numba min-atom-distance kernel is
+replaced by the vectorized GEMM kernel in evcouplings_tpu.ops
+.distances, aggregation builds its axis row maps from plain dict
+lookups instead of frame merges, and the per-structure loops share
+one `_usable_hits` iterator and one `_RunningAggregate` accumulator.
 """
 
 from collections import Counter
@@ -23,14 +27,120 @@ from evcouplings_tpu.utils.constants import AA1_to_AA3
 from evcouplings_tpu.utils.helpers import find_segments
 from evcouplings_tpu.utils.system import create_prefix_folders
 
+# separator between distance map id and field name in aggregated
+# residue tables
+_SEP = "::"
+
+_NON_NUMERIC_IDS_ERROR = (
+    "Residue indices must be all numeric for aggregate "
+    "function (no insertion codes allowed)"
+)
+
+
+def _majority_secstruct(states):
+    """Majority vote over per-structure secondary-structure states;
+    ties break toward the lexicographically larger state, which
+    prefers H over E over C."""
+    tally = Counter(states.dropna())
+    if not tally:
+        return np.nan
+    return max(tally.items(), key=itemgetter(1, 0))[0]
+
+
+def _numeric_axis_ids(table):
+    """Residue ids of one axis as ints (insertion codes refuse)."""
+    try:
+        return pd.to_numeric(table.id).astype(int)
+    except ValueError as err:
+        raise ValueError(_NON_NUMERIC_IDS_ERROR) from err
+
+
+def _aggregate_axis(matrices, axis, intersect):
+    """Combine one axis (residues_i / residues_j) of several maps.
+
+    Returns the merged residue table (ids as strings, per-structure
+    annotation columns prefixed "<map id>::", secondary structure
+    majority-merged) plus, per input map, the (agg_rows, src_rows)
+    index arrays that place its matrix block into the aggregate.
+    """
+    tables = [getattr(m, axis) for m in matrices]
+    numeric_ids = [_numeric_axis_ids(t) for t in tables]
+
+    id_sets = [set(v) for v in numeric_ids]
+    if intersect:
+        joint = set.intersection(*id_sets)
+        if not joint:
+            raise ValueError(
+                "Intersection of positions on axis "
+                "is empty, try intersect=False instead "
+                "or remove non-overlapping DistanceMap(s)."
+            )
+    else:
+        joint = set.union(*id_sets)
+
+    ordered = sorted(joint)
+    agg_row_of = {id_: k for k, id_ in enumerate(ordered)}
+
+    row_maps = []
+    for ids in numeric_ids:
+        agg_rows, src_rows = [], []
+        for src, value in enumerate(ids):
+            pos = agg_row_of.get(value)
+            if pos is not None:
+                agg_rows.append(pos)
+                src_rows.append(src)
+        row_maps.append((
+            np.asarray(agg_rows, dtype=int),
+            np.asarray(src_rows, dtype=int),
+        ))
+
+    # label each map's annotation columns with its id (or its list
+    # position when unset); the separator char is reserved
+    labels = [
+        str(m.id).replace(_SEP, "") if m.id is not None else k
+        for k, m in enumerate(matrices)
+    ]
+
+    pieces = []
+    for label, table in zip(labels, tables):
+        # a previously merged secondary-structure column would be
+        # re-merged on iterative aggregation — drop it (the prefixed
+        # per-structure columns carry the raw states)
+        if len(table.filter(regex=_SEP + "sec_struct_3state").columns):
+            table = table.drop(["sec_struct_3state"], axis=1)
+        renames = {
+            c: "{}{}{}".format(label, _SEP, c)
+            for c in table.columns if _SEP not in c
+        }
+        pieces.append(table.set_index("id").rename(columns=renames))
+
+    stacked = pd.concat(
+        pieces, axis=1,
+        join="inner" if intersect else "outer", sort=True,
+    )
+    stacked.index.name = "id"
+
+    axis_table = pd.DataFrame({"id": [str(v) for v in ordered]})
+
+    sse = stacked.filter(regex=_SEP + "sec_struct_3state")
+    if len(sse.columns):
+        majority = sse.apply(_majority_secstruct, axis=1)
+        axis_table = axis_table.merge(
+            majority.rename("sec_struct_3state").reset_index(),
+            on="id", how="left",
+        )
+
+    axis_table = axis_table.merge(
+        stacked.reset_index(), on="id", how="left"
+    )
+    return axis_table, row_maps
+
 
 class DistanceMap:
     """Pairwise residue distances between two PDB chains (or within
     one chain, symmetric), with csv+npy persistence and aggregation."""
 
-    # separator between distance map id and field name in aggregated
-    # residue tables
-    _id_separator = "::"
+    _id_separator = _SEP
 
     def __init__(self, residues_i, residues_j, dist_matrix, symmetric):
         self.residues_i = residues_i
@@ -38,30 +148,29 @@ class DistanceMap:
         self.dist_matrix = dist_matrix
         self.symmetric = symmetric
 
-        self.id_map_i = {
-            id_: i for (i, id_) in enumerate(self.residues_i.id.values)
-        }
-        self.id_map_j = {
-            id_: j for (j, id_) in enumerate(self.residues_j.id.values)
-        }
+        self.id_map_i = self._row_lookup(residues_i)
+        self.id_map_j = self._row_lookup(residues_j)
 
         # unique identifier used during aggregation
         self.id = None
+
+    @staticmethod
+    def _row_lookup(residues):
+        return {v: k for k, v in enumerate(residues.id.values)}
 
     @classmethod
     def _extract_coords(cls, coords):
         """Flatten a chain's atom table into (atom_ranges, xyz) inputs
         for the distance kernel."""
-        C = coords.reset_index(drop=True).reset_index()
+        flat = coords.reset_index(drop=True).reset_index()
+        xyz = flat[["x", "y", "z"]].values
 
-        xyz_coords = np.stack((C.x.values, C.y.values, C.z.values)).T
-
-        C_grp = C.groupby("residue_index")
-        atom_ranges = np.stack((
-            C_grp.first().loc[:, "index"].values,
-            C_grp.last().loc[:, "index"].values,
-        )).T
-        return atom_ranges, xyz_coords
+        per_residue = flat.groupby("residue_index")["index"]
+        atom_ranges = np.stack(
+            (per_residue.first().values, per_residue.last().values),
+            axis=1,
+        )
+        return atom_ranges, xyz
 
     @classmethod
     def from_coords(cls, chain_i, chain_j=None):
@@ -69,12 +178,11 @@ class DistanceMap:
         only one chain is given)."""
         ranges_i, coords_i = cls._extract_coords(chain_i.coords)
 
-        if chain_j is None:
-            symmetric = True
+        symmetric = chain_j is None
+        if symmetric:
             chain_j = chain_i
             ranges_j, coords_j = ranges_i, coords_i
         else:
-            symmetric = False
             ranges_j, coords_j = cls._extract_coords(chain_j.coords)
 
         dists = min_atom_distances(
@@ -93,67 +201,64 @@ class DistanceMap:
         """Load with explicit residue-table (.csv) and matrix (.npy)
         paths."""
         residues = pd.read_csv(
-            residue_table_file,
-            index_col=0,
-            dtype={
-                "id": str,
-                "seqres_id": str,
-                "coord_id": str,
-            },
+            residue_table_file, index_col=0,
+            dtype={"id": str, "seqres_id": str, "coord_id": str},
         )
-        dist_matrix = np.load(distance_matrix_file)
+        matrix = np.load(distance_matrix_file)
 
-        if "axis" in residues.columns:
-            symmetric = False
-            residues_i = residues.query("axis == 'i'").drop("axis", axis=1)
-            residues_j = residues.query("axis == 'j'").drop("axis", axis=1)
-        else:
-            symmetric = True
-            residues_i = residues
-            residues_j = residues
+        # symmetric maps persist one residue table; asymmetric ones
+        # stack both axes with an "axis" marker column
+        if "axis" not in residues.columns:
+            return cls(residues, residues, matrix, True)
 
-        return cls(residues_i, residues_j, dist_matrix, symmetric)
+        on_i = residues.axis == "i"
+        return cls(
+            residues[on_i].drop("axis", axis=1),
+            residues[~on_i].drop("axis", axis=1),
+            matrix, False,
+        )
 
     def to_file(self, filename):
         """Persist as <filename>.csv (residue tables) + .npy (matrix);
         returns both paths."""
         if self.symmetric:
-            residues = self.residues_i
+            table = self.residues_i
         else:
-            residues = pd.concat([
+            table = pd.concat([
                 self.residues_i.assign(axis="i"),
                 self.residues_j.assign(axis="j"),
             ])
 
-        residue_table_filename = filename + ".csv"
-        residues.to_csv(residue_table_filename, index=True)
-
-        dist_mat_filename = filename + ".npy"
-        np.save(dist_mat_filename, self.dist_matrix)
-
-        return residue_table_filename, dist_mat_filename
+        csv_path = filename + ".csv"
+        npy_path = filename + ".npy"
+        table.to_csv(csv_path, index=True)
+        np.save(npy_path, self.dist_matrix)
+        return csv_path, npy_path
 
     def dist(self, i, j, raise_na=True):
         """Distance of residue pair (i, j); KeyError or NaN for
         identifiers missing from an axis."""
-        i, j = str(i), str(j)
-
-        if i not in self.id_map_i:
+        try:
+            row = self.id_map_i[str(i)]
+        except KeyError:
             if raise_na:
                 raise KeyError(
                     "{} not contained in first axis of distance "
                     "map".format(i)
-                )
+                ) from None
             return np.nan
-        if j not in self.id_map_j:
+
+        try:
+            col = self.id_map_j[str(j)]
+        except KeyError:
             if raise_na:
                 raise KeyError(
                     "{} not contained in second axis of distance "
                     "map".format(j)
-                )
+                ) from None
             return np.nan
 
-        return self.dist_matrix[self.id_map_i[i], self.id_map_j[j]]
+        return self.dist_matrix[row, col]
 
     def __getitem__(self, identifiers):
         i, j = identifiers
@@ -162,24 +267,19 @@ class DistanceMap:
     def contacts(self, max_dist=5.0, min_dist=None):
         """Table of residue pairs with max_dist >= distance
         (> min_dist), excluding the diagonal."""
-        if min_dist is None:
-            cond = np.where(self.dist_matrix <= max_dist)
-        else:
-            cond = np.where(
-                (self.dist_matrix <= max_dist)
-                & (self.dist_matrix > min_dist)
-            )
+        close = self.dist_matrix <= max_dist
+        if min_dist is not None:
+            close = close & (self.dist_matrix > min_dist)
 
-        i_all, j_all = cond
-        nodiag = i_all != j_all
-        i = i_all[nodiag]
-        j = j_all[nodiag]
+        rows, cols = np.nonzero(close)
+        offdiag = rows != cols
+        rows, cols = rows[offdiag], cols[offdiag]
 
-        contacts = pd.DataFrame()
-        contacts.loc[:, "i"] = self.residues_i.id.values[i]
-        contacts.loc[:, "j"] = self.residues_j.id.values[j]
-        contacts.loc[:, "dist"] = self.dist_matrix[i, j]
-        return contacts
+        return pd.DataFrame({
+            "i": self.residues_i.id.values[rows],
+            "j": self.residues_j.id.values[cols],
+            "dist": self.dist_matrix[rows, cols],
+        })
 
     def transpose(self):
         """Swap the two axes."""
@@ -194,183 +294,68 @@ class DistanceMap:
         nanmin) over the union (or intersection) of their numeric
         residue ids; secondary structure is merged by majority vote
         with ties preferring H over E over C."""
-        def _sse_count(secstruct_elements):
-            counts = Counter(secstruct_elements.dropna())
-            sorted_sse = sorted(counts.items(), key=itemgetter(1, 0))
-            if len(sorted_sse) == 0:
-                return np.nan
-            return sorted_sse[-1][0]
-
-        def _merge_axis(axis):
-            dm = [getattr(m, axis) for m in matrices]
-
-            try:
-                ids = [pd.to_numeric(m.id).astype(int) for m in dm]
-            except ValueError as e:
-                raise ValueError(
-                    "Residue indices must be all numeric for aggregate "
-                    "function (no insertion codes allowed)"
-                ) from e
-
-            id_sets = [set(id_list) for id_list in ids]
-
-            if intersect:
-                new_ids = set.intersection(*id_sets)
-                if len(new_ids) == 0:
-                    raise ValueError(
-                        "Intersection of positions on axis "
-                        "is empty, try intersect=False instead "
-                        "or remove non-overlapping DistanceMap(s)."
-                    )
-            else:
-                new_ids = set.union(*id_sets)
-
-            new_axis_df = pd.DataFrame(sorted(new_ids), columns=["id"])
-
-            # per-matrix mapping from source row index to new row index
-            new_axis_map = new_axis_df.reset_index()
-            mappings = [
-                new_axis_map.merge(
-                    id_list.to_frame("id").reset_index(drop=True)
-                    .reset_index(),
-                    on="id", how="inner",
-                    suffixes=("_agg", "_src"),
-                )
-                for id_list in ids
-            ]
-
-            new_axis_df = new_axis_df.assign(
-                id=new_axis_df.loc[:, "id"].astype(str)
-            )
-
-            # column-prefix all per-structure annotations with the map id
-            dm_ids = [
-                (str(m.id).replace(cls._id_separator, "")
-                 if m.id is not None else i)
-                for i, m in enumerate(matrices)
-            ]
-
-            # drop previously merged secondary structure so iterative
-            # aggregation does not re-merge it
-            dm_dropped = [
-                m.drop(["sec_struct_3state"], axis=1)
-                if len(m.filter(
-                    regex=cls._id_separator + "sec_struct_3state"
-                ).columns) >= 1 else m
-                for m in dm
-            ]
-
-            dm_prefixed = [
-                m.set_index("id").rename(
-                    columns={
-                        c: "{}{}{}".format(id_, cls._id_separator, c)
-                        for c in m.columns
-                        if cls._id_separator not in c
-                    }
-                )
-                for id_, m in zip(dm_ids, dm_dropped)
-            ]
-
-            individual_dm_merged = pd.concat(
-                dm_prefixed, axis=1,
-                join="inner" if intersect else "outer", sort=True,
-            )
-            individual_dm_merged.index.name = "id"
-
-            secstruct_columns = individual_dm_merged.filter(
-                regex=cls._id_separator + "sec_struct_3state"
-            )
-            if len(secstruct_columns.columns) >= 1:
-                merged_sse = secstruct_columns.apply(
-                    _sse_count, axis=1
-                ).to_frame("sec_struct_3state")
-                new_axis_df = new_axis_df.merge(
-                    merged_sse.reset_index(), on="id", how="left"
-                )
-
-            new_axis_df = new_axis_df.merge(
-                individual_dm_merged.reset_index(), on="id", how="left"
-            )
-            return new_axis_df, mappings
-
-        symmetries = np.array([m.symmetric for m in matrices])
-        if not np.all(symmetries[0] == symmetries):
+        flavors = {m.symmetric for m in matrices}
+        if len(flavors) > 1:
             raise ValueError(
                 "DistanceMaps are mixed symmetric/non-symmetric."
             )
 
-        new_res_i, maps_i = _merge_axis("residues_i")
-        new_res_j, maps_j = _merge_axis("residues_j")
+        res_i, maps_i = _aggregate_axis(matrices, "residues_i",
+                                        intersect)
+        res_j, maps_j = _aggregate_axis(matrices, "residues_j",
+                                        intersect)
 
-        new_mat = np.full(
-            (len(matrices), len(new_res_i), len(new_res_j)), np.nan
+        stack = np.full(
+            (len(matrices), len(res_i), len(res_j)), np.nan
         )
-
         for k, m in enumerate(matrices):
-            i_src, j_src = np.meshgrid(
-                maps_i[k].index_src.values,
-                maps_j[k].index_src.values,
-                indexing="ij",
-            )
-            i_agg, j_agg = np.meshgrid(
-                maps_i[k].index_agg.values,
-                maps_j[k].index_agg.values,
-                indexing="ij",
-            )
-            if (len(i_agg) == 0 or len(j_agg) == 0
-                    or len(i_src) == 0 or len(j_src) == 0):
+            rows_agg, rows_src = maps_i[k]
+            cols_agg, cols_src = maps_j[k]
+            if not (len(rows_agg) and len(cols_agg)):
                 raise ValueError(
                     "Trying to aggregate distance matrices on empty "
                     "set of positions."
                 )
-            new_mat[k][i_agg, j_agg] = m.dist_matrix[i_src, j_src]
+            stack[k][np.ix_(rows_agg, cols_agg)] = \
+                m.dist_matrix[np.ix_(rows_src, cols_src)]
 
-        agg_mat = agg_func(new_mat, axis=0)
+        return DistanceMap(
+            res_i, res_j, agg_func(stack, axis=0), flavors.pop()
+        )
 
-        return DistanceMap(new_res_i, new_res_j, agg_mat, symmetries[0])
+    def _axis_coverage(self, axis):
+        """{map id: covered residue segments} for one axis."""
+        table = getattr(self, "residues_" + axis)
+        table = table.assign(id=_numeric_axis_ids(table))
+        table = table.set_index("id")
+
+        # aggregated maps carry one prefixed coord_id column per
+        # constituent structure; plain maps carry a bare one
+        if "coord_id" in table:
+            picked = table[["coord_id"]]
+        else:
+            picked = table.filter(regex=self._id_separator + "coord_id")
+
+        segments = {}
+        for name, column in picked.items():
+            if name == "coord_id":
+                key = self.id
+            else:
+                key = name.split(self._id_separator)[0]
+            segments[key] = find_segments(
+                column.dropna().sort_index().index
+            )
+        return segments
 
     def structure_coverage(self):
         """Residue segments covered by each constituent structure, as
         (coverage_i, coverage_j, coverage_id) tuples."""
-        def _get_coverage_for_axis(axis):
-            coverage_col_name = "coord_id"
-            residue_map = getattr(self, "residues_" + axis)
-
-            try:
-                residue_map = residue_map.assign(
-                    id=pd.to_numeric(residue_map.id)
-                )
-            except ValueError as e:
-                raise ValueError(
-                    "Residue indices must be all numeric for aggregate "
-                    "function (no insertion codes allowed)"
-                ) from e
-
-            residue_map = residue_map.set_index("id")
-
-            if coverage_col_name in residue_map:
-                coverage_cols = residue_map[[coverage_col_name]]
-            else:
-                coverage_cols = residue_map.filter(
-                    regex=self._id_separator + coverage_col_name
-                )
-
-            def _get_col_name(col_name):
-                if col_name == coverage_col_name:
-                    return self.id
-                return col_name.split(self._id_separator)[0]
-
-            return {
-                _get_col_name(col_name): find_segments(
-                    series.dropna().sort_index().index
-                )
-                for col_name, series in coverage_cols.items()
-            }
-
-        coverage_i = _get_coverage_for_axis("i")
-        coverage_j = _get_coverage_for_axis("j")
-        joint_keys = {k for k in coverage_i if k in coverage_j}
-        return [(coverage_i[k], coverage_j[k], k) for k in joint_keys]
+        cov_i = self._axis_coverage("i")
+        cov_j = self._axis_coverage("j")
+        return [
+            (cov_i[k], cov_j[k], k)
+            for k in cov_i.keys() & cov_j.keys()
+        ]
 
 
 def _prepare_structures(structures, pdb_id_list, raise_missing=True):
@@ -389,6 +374,23 @@ def _prepare_chain(structures, pdb_id, pdb_chain, atom_filter, mapping,
     if atom_filter is not None:
         chain = chain.filter_atoms(atom_filter)
     return chain.remap(mapping)
+
+
+def _usable_hits(hits, structures, raise_missing):
+    """Iterate (index, row) over structure hits, skipping entries
+    whose structure tolerant loading (raise_missing=False) dropped."""
+    for idx, row in hits.iterrows():
+        if raise_missing or row["pdb_id"] in structures:
+            yield idx, row
+
+
+def _paired_hits(sifts_result_i, sifts_result_j):
+    """All chain pairings of two hit tables that share a PDB entry
+    (columns suffixed _i / _j; original row index kept as index_*)."""
+    return sifts_result_i.hits.reset_index().merge(
+        sifts_result_j.hits.reset_index(),
+        on="pdb_id", suffixes=("_i", "_j"),
+    )
 
 
 class _RunningAggregate:
@@ -459,32 +461,30 @@ def intra_dists(sifts_result, structures=None, atom_filter=None,
     )
 
     running = _RunningAggregate(intersect, output_prefix)
-    individual_residue_maps = []
+    per_hit_residues = []
 
-    for i, r in sifts_result.hits.iterrows():
-        if not raise_missing and r["pdb_id"] not in structures:
-            continue
-
+    for idx, hit in _usable_hits(sifts_result.hits, structures,
+                                 raise_missing):
         chain = _prepare_chain(
-            structures, r["pdb_id"], r["pdb_chain"],
-            atom_filter, sifts_result.mapping[r["mapping_index"]],
+            structures, hit["pdb_id"], hit["pdb_chain"],
+            atom_filter, sifts_result.mapping[hit["mapping_index"]],
             model,
         )
-        if len(chain.residues) == 0:
+        if not len(chain.residues):
             continue
 
         distmap = DistanceMap.from_coords(chain)
-        distmap.id = i
+        distmap.id = idx
 
-        individual_residue_maps.append(
-            distmap.residues_i.assign(sifts_table_index=i)
+        per_hit_residues.append(
+            distmap.residues_i.assign(sifts_table_index=idx)
         )
-        running.add(distmap, sifts_table_index=i)
+        running.add(distmap, sifts_table_index=idx)
 
     agg_distmap = running.result()
     if agg_distmap is not None:
         agg_distmap.aggregated_residue_maps = pd.concat(
-            individual_residue_maps
+            per_hit_residues
         ).reset_index(drop=True)
     return agg_distmap
 
@@ -501,45 +501,46 @@ def multimer_dists(sifts_result, structures=None, atom_filter=None,
     )
 
     running = _RunningAggregate(intersect, output_prefix)
+    by_entry = sifts_result.hits.reset_index().groupby("pdb_id")
 
-    for pdb_id, grp in sifts_result.hits.reset_index().groupby("pdb_id"):
+    for pdb_id, entry_hits in by_entry:
         if not raise_missing and pdb_id not in structures:
             continue
 
         chains = [
             (
-                r["index"],
+                hit["index"],
                 _prepare_chain(
-                    structures, r["pdb_id"], r["pdb_chain"],
+                    structures, hit["pdb_id"], hit["pdb_chain"],
                     atom_filter,
-                    sifts_result.mapping[r["mapping_index"]],
+                    sifts_result.mapping[hit["mapping_index"]],
                     model,
                 ),
             )
-            for _, r in grp.iterrows()
+            for _, hit in entry_hits.iterrows()
         ]
 
-        for (index_i, ch_i), (index_j, ch_j) in combinations(chains, 2):
-            if len(ch_i.residues) == 0 or len(ch_j.residues) == 0:
+        for (idx_i, ch_i), (idx_j, ch_j) in combinations(chains, 2):
+            if not (len(ch_i.residues) and len(ch_j.residues)):
                 continue
 
             distmap = DistanceMap.from_coords(ch_i, ch_j)
-            distmap.id = "{}_{}".format(index_i, index_j)
+            distmap.id = "{}_{}".format(idx_i, idx_j)
 
             # symmetrize: a pair is a contact if close in either
             # orientation
-            distmap_transposed = distmap.transpose()
-            distmap_transposed.id = distmap.id + "_T"
+            flipped = distmap.transpose()
+            flipped.id = distmap.id + "_T"
 
-            distmap_sym = DistanceMap.aggregate(
-                distmap, distmap_transposed, intersect=intersect
+            both_ways = DistanceMap.aggregate(
+                distmap, flipped, intersect=intersect
             )
-            distmap_sym.symmetric = True
+            both_ways.symmetric = True
 
             running.add(
-                distmap_sym,
-                sifts_table_index_i=index_i,
-                sifts_table_index_j=index_j,
+                both_ways,
+                sifts_table_index_i=idx_i,
+                sifts_table_index_j=idx_j,
             )
 
     return running.result()
@@ -550,17 +551,6 @@ def inter_dists(sifts_result_i, sifts_result_j, structures=None,
                 model=0, raise_missing=True):
     """Aggregated inter-chain distance map between two entities, over
     all chain combinations sharing a PDB id."""
-    def _get_chains(sifts_result):
-        return {
-            i: _prepare_chain(
-                structures, r["pdb_id"], r["pdb_chain"],
-                atom_filter, sifts_result.mapping[r["mapping_index"]],
-                model,
-            )
-            for i, r in sifts_result.hits.iterrows()
-            if raise_missing or r["pdb_id"] in structures
-        }
-
     _require_hits(sifts_result_i, sifts_result_j)
     structures = _prepare_structures(
         structures,
@@ -569,54 +559,63 @@ def inter_dists(sifts_result_i, sifts_result_j, structures=None,
         raise_missing,
     )
 
+    def _chains_by_hit(sifts_result):
+        return {
+            idx: _prepare_chain(
+                structures, hit["pdb_id"], hit["pdb_chain"],
+                atom_filter,
+                sifts_result.mapping[hit["mapping_index"]],
+                model,
+            )
+            for idx, hit in _usable_hits(
+                sifts_result.hits, structures, raise_missing
+            )
+        }
+
+    chains_i = _chains_by_hit(sifts_result_i)
+    chains_j = _chains_by_hit(sifts_result_j)
+
     running = _RunningAggregate(intersect, output_prefix)
 
-    combis = sifts_result_i.hits.reset_index().merge(
-        sifts_result_j.hits.reset_index(),
-        on="pdb_id", suffixes=("_i", "_j"),
-    )
-
-    chains_i = _get_chains(sifts_result_i)
-    chains_j = _get_chains(sifts_result_j)
-
-    for _, r in combis.iterrows():
-        if not raise_missing and r["pdb_id"] not in structures:
+    for _, pair in _paired_hits(sifts_result_i,
+                                sifts_result_j).iterrows():
+        if not raise_missing and pair["pdb_id"] not in structures:
             continue
 
-        index_i = r["index_i"]
-        index_j = r["index_j"]
-
-        if (len(chains_i[index_i].residues) == 0
-                or len(chains_j[index_j].residues) == 0):
+        idx_i, idx_j = pair["index_i"], pair["index_j"]
+        ch_i, ch_j = chains_i[idx_i], chains_j[idx_j]
+        if not (len(ch_i.residues) and len(ch_j.residues)):
             continue
 
-        distmap = DistanceMap.from_coords(
-            chains_i[index_i], chains_j[index_j]
-        )
-        distmap.id = "{}_{}".format(index_i, index_j)
+        distmap = DistanceMap.from_coords(ch_i, ch_j)
+        distmap.id = "{}_{}".format(idx_i, idx_j)
 
         running.add(
             distmap,
-            sifts_table_index_i=index_i,
-            sifts_table_index_j=index_j,
+            sifts_table_index_i=idx_i,
+            sifts_table_index_j=idx_j,
         )
 
     return running.result()
+
+
+def _stringify_keys(sequence):
+    """Structure residue ids are strings; align a {position: aa}
+    mapping to that convention (None passes through)."""
+    if sequence is None:
+        return None
+    return {str(k): v for k, v in sequence.items()}
 
 
 def _remap_sequence(chain, sequence):
     """Rename chain residues to the target sequence (one- and
     three-letter codes); unmapped residues are dropped."""
     chain = deepcopy(chain)
-    chain.residues.loc[:, "one_letter_code"] = chain.residues.id.map(
-        sequence
-    )
-    chain.residues.loc[:, "three_letter_code"] = (
-        chain.residues.one_letter_code.map(AA1_to_AA3)
-    )
-    chain.residues = chain.residues.dropna(
-        subset=["one_letter_code", "three_letter_code"]
-    )
+    one_letter = chain.residues.id.map(sequence)
+    chain.residues = chain.residues.assign(
+        one_letter_code=one_letter,
+        three_letter_code=one_letter.map(AA1_to_AA3),
+    ).dropna(subset=["one_letter_code", "three_letter_code"])
     return chain
 
 
@@ -632,27 +631,22 @@ def remap_chains(sifts_result, output_prefix, sequence=None,
     if output_prefix is not None:
         create_prefix_folders(output_prefix)
 
+    sequence = _stringify_keys(sequence)
     remapped = {}
 
-    # structure residue ids are strings
-    if sequence is not None:
-        sequence = {str(k): v for k, v in sequence.items()}
-
-    for idx, r in sifts_result.hits.iterrows():
-        if not raise_missing and r["pdb_id"] not in structures:
-            continue
-
+    for idx, hit in _usable_hits(sifts_result.hits, structures,
+                                 raise_missing):
         chain = _prepare_chain(
-            structures, r["pdb_id"], r["pdb_chain"],
-            atom_filter, sifts_result.mapping[r["mapping_index"]],
+            structures, hit["pdb_id"], hit["pdb_chain"],
+            atom_filter, sifts_result.mapping[hit["mapping_index"]],
             model,
         )
         if sequence is not None:
             chain = _remap_sequence(chain, sequence)
 
         filename = "{}_{}_{}_{}.pdb".format(
-            output_prefix, r["pdb_id"], r["pdb_chain"],
-            r["mapping_index"],
+            output_prefix, hit["pdb_id"], hit["pdb_chain"],
+            hit["mapping_index"],
         )
         with open(filename, "w") as f:
             chain.to_file(f, chain_id=chain_name, first_atom_id=1)
@@ -670,51 +664,48 @@ def remap_complex_chains(sifts_result_i, sifts_result_j,
                          chain_name_i="A", chain_name_j="B", model=0):
     """Write chain pairs from shared structures as two-chain PDB files
     renumbered to their respective target sequences."""
-    if sequence_i is not None:
-        sequence_i = {str(k): v for k, v in sequence_i.items()}
-    if sequence_j is not None:
-        sequence_j = {str(k): v for k, v in sequence_j.items()}
+    sequence_i = _stringify_keys(sequence_i)
+    sequence_j = _stringify_keys(sequence_j)
 
     if output_prefix is not None:
         create_prefix_folders(output_prefix)
 
-    combis = sifts_result_i.hits.reset_index().merge(
-        sifts_result_j.hits.reset_index(),
-        on="pdb_id", suffixes=("_i", "_j"),
-    )
-
+    pairs = _paired_hits(sifts_result_i, sifts_result_j)
     structures = _prepare_structures(
-        structures, combis.pdb_id, raise_missing
+        structures, pairs.pdb_id, raise_missing
     )
 
     remapped = {}
 
-    for i, r in combis.iterrows():
-        # tolerant loading (raise_missing=False) may have dropped this
-        # structure entirely — skip it like every sibling
+    for k, pair in pairs.iterrows():
+        # tolerant loading (raise_missing=False) may have dropped
+        # this structure entirely — skip it like every sibling
         # (intra/multimer/inter_dists, remap_chains) does
-        if not raise_missing and r["pdb_id"] not in structures:
+        if not raise_missing and pair["pdb_id"] not in structures:
             continue
-        chain_i = _prepare_chain(
-            structures, r["pdb_id"], r["pdb_chain_i"],
-            atom_filter, sifts_result_i.mapping[r["mapping_index_i"]],
-            model,
-        )
-        if sequence_i is not None:
-            chain_i = _remap_sequence(chain_i, sequence_i)
 
-        chain_j = _prepare_chain(
-            structures, r["pdb_id"], r["pdb_chain_j"],
-            atom_filter, sifts_result_j.mapping[r["mapping_index_j"]],
-            model,
-        )
-        if sequence_j is not None:
-            chain_j = _remap_sequence(chain_j, sequence_j)
+        halves = []
+        for side, sequence in (("i", sequence_i), ("j", sequence_j)):
+            result = (
+                sifts_result_i if side == "i" else sifts_result_j
+            )
+            chain = _prepare_chain(
+                structures, pair["pdb_id"],
+                pair["pdb_chain_" + side],
+                atom_filter,
+                result.mapping[pair["mapping_index_" + side]],
+                model,
+            )
+            if sequence is not None:
+                chain = _remap_sequence(chain, sequence)
+            halves.append(chain)
+
+        chain_i, chain_j = halves
 
         filename = "{}_{}_{}_{}_{}_{}.pdb".format(
-            output_prefix, r["pdb_id"],
-            r["pdb_chain_i"], r["mapping_index_i"],
-            r["pdb_chain_j"], r["mapping_index_j"],
+            output_prefix, pair["pdb_id"],
+            pair["pdb_chain_i"], pair["mapping_index_i"],
+            pair["pdb_chain_j"], pair["mapping_index_j"],
         )
         with open(filename, "w") as f:
             chain_i.to_file(
@@ -725,6 +716,6 @@ def remap_complex_chains(sifts_result_i, sifts_result_j,
                 first_atom_id=len(chain_i.coords) + 1,
             )
 
-        remapped[int(i)] = filename
+        remapped[int(k)] = filename
 
     return remapped
