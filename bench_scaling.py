@@ -1,33 +1,38 @@
 """
-Data-parallel scaling benchmark for the PLM fitter (BASELINE.md
+Data-parallel scaling evidence for the PLM fitter (BASELINE.md
 scaling target: >= 0.8 scaling efficiency at >= 2 hosts with MSA
 rows sharded over the mesh and gradients psum-merged).
 
-Two modes (--mode, default "both"):
+The artifact (SCALING.json, schema_version 2) carries three kinds of
+evidence, strongest first:
 
+1. collective_accounting — the compiled sharded step's collectives,
+   parsed out of the optimized HLO: exactly one all-reduce per
+   gradient step carrying the scalar NLL + the (Lq x Lq_aug) gradient
+   block, byte-for-byte constant in the number of sequences N. This
+   is machine-checked (also gated in tests/test_scaling.py) and is
+   the property that makes data-parallel row sharding scale: per-step
+   wire bytes are constant while per-step FLOPs grow with rows/device.
+2. analytic_model — ring-all-reduce predictions built from (1) plus
+   the measured single-chip rate and a stated ICI bandwidth, with a
+   sensitivity sweep. A reviewer with a pod slice can check these in
+   minutes.
+3. measurements_virtual_cpu — wall-clock runs on VIRTUAL CPU devices
+   that share the host's cores. These validate that the sharded
+   program executes at every mesh size, but their efficiency numbers
+   measure host-core contention, NOT communication: weak-scaling
+   efficiency is bounded by 1/d by construction, and strong-scaling
+   efficiency can exceed 1.0 from host-load noise. Every record is
+   labeled accordingly; no BASELINE claim is sourced from them.
+
+Measurement modes (--mode, default "both"):
 - weak: every device receives a fixed number of rows
-  (--rows-per-device), so the ideal aggregate throughput grows
-  linearly with the mesh size; efficiency = (throughput_d / d) /
-  throughput_1. On a real pod slice this measures ICI collective
-  overhead — the BASELINE scaling number.
+  (--rows-per-device); efficiency = (throughput_d / d) / throughput_1.
 - strong: the TOTAL row count is fixed (rows_per_device x the largest
-  mesh) and sharded over d devices; efficiency = throughput_d /
-  throughput_1 (ideal 1.0). Total FLOPs are constant across mesh
-  sizes, so this isolates the overhead the sharded program +
-  collectives add — meaningful even on VIRTUAL devices that share
-  host cores, where weak scaling is bounded by 1/d by construction.
+  mesh); efficiency = throughput_d / throughput_1 (ideal 1.0).
 
-On a single chip (or CPU) run with virtual devices (--virtual N sets
-XLA_FLAGS=--xla_force_host_platform_device_count=N and forces the CPU
-backend): that validates the sharded program and collective layout,
-and the strong-mode efficiency is a real overhead measurement; the
-weak-mode numbers are then labeled with an explanatory note.
-
-Prints one JSON line per (mode, mesh size):
-  {"metric": "plm_weak_scaling"|"plm_strong_scaling", "devices": d,
-   "value": <seq*site/s aggregate>, "efficiency": <vs 1 device>, ...}
-and writes the same records as one driver-capturable JSON artifact
-(--out, default SCALING.json in the working directory).
+Prints one JSON line per (mode, mesh size) and writes the full
+artifact to --out (default SCALING.json in the working directory).
 """
 
 import argparse
@@ -35,6 +40,27 @@ import json
 import os
 import sys
 import time
+
+# host-load caveats attached to every virtual-CPU measurement record
+WEAK_CPU_NOTE = (
+    "virtual devices share host cores; weak efficiency is bounded "
+    "by 1/d here — see collective_accounting + analytic_model for "
+    "the scaling evidence"
+)
+STRONG_CPU_NOTE = (
+    "virtual CPU strong scaling measures host-core contention; "
+    "values (including efficiency > 1.0) are host-load artifacts, "
+    "not communication overhead — see collective_accounting + "
+    "analytic_model"
+)
+
+# single-chip rates measured by bench.py on real TPU (BENCH_r03)
+DEFAULT_CHIP_RATE = 475.8e6     # seq*site/s, L=160 production config
+DEFAULT_CHIP_RATE_LARGE_L = 135.0e6  # seq*site/s at L=512
+# assumed per-chip ICI all-reduce bandwidth (bytes/s); stated, not
+# measured — the sensitivity sweep below brackets it by 2.5x each way
+DEFAULT_ICI_BYTES_PER_S = 4.5e10
+ICI_SENSITIVITY = (1.8e10, 4.5e10, 9.0e10)
 
 
 def parse_args():
@@ -47,10 +73,156 @@ def parse_args():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--mode", choices=("weak", "strong", "both"),
                    default="both")
+    p.add_argument("--chip-rate", type=float, default=DEFAULT_CHIP_RATE,
+                   help="measured single-chip seq*site/s for the "
+                        "analytic model")
+    p.add_argument("--ici-bytes-per-s", type=float,
+                   default=DEFAULT_ICI_BYTES_PER_S)
+    p.add_argument("--skip-accounting", action="store_true",
+                   help="omit the collective_accounting section "
+                        "(needs a >= 2 device mesh)")
     p.add_argument("--out", default="SCALING.json",
                    help="JSON artifact with all per-mesh records "
                         "('' disables)")
     return p.parse_args()
+
+
+def collective_accounting_section(n_devices, L, q=21):
+    """Compile the production gradient step and the loss-only eval on
+    the mesh at two row counts; record the collective profile and its
+    N-independence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from evcouplings_tpu.ops.plm import (
+        PlmConfig, make_plm_loss, make_plm_value_and_grad,
+    )
+    from evcouplings_tpu.parallel import make_mesh
+    from evcouplings_tpu.parallel.comm_accounting import (
+        collective_profile, expected_gradient_payload,
+    )
+
+    d = min(8, n_devices)
+    mesh = make_mesh(d)
+    block = 32
+    cfg = PlmConfig(block_size=block)
+    lq = L * q
+    params = {
+        "J": jnp.zeros((lq, lq), jnp.float32),
+        "h": jnp.zeros((L, q), jnp.float32),
+    }
+    rng = np.random.default_rng(0)
+    vg = make_plm_value_and_grad(L, q, cfg, mesh=mesh)
+    loss = make_plm_loss(L, q, cfg, mesh=mesh)
+
+    row_counts = (block * d, 4 * block * d)
+    profiles = []
+    for n in row_counts:
+        codes = jnp.asarray(
+            rng.integers(0, q, size=(n, L)), dtype=jnp.int32
+        )
+        w = jnp.ones(n, dtype=jnp.float32)
+        _, summary = collective_profile(vg, params, codes, w)
+        profiles.append(summary)
+
+    codes = jnp.asarray(
+        rng.integers(0, q, size=(row_counts[0], L)), dtype=jnp.int32
+    )
+    w = jnp.ones(row_counts[0], dtype=jnp.float32)
+    _, loss_summary = collective_profile(loss, params, codes, w)
+
+    payload = expected_gradient_payload(L, q)
+    return {
+        "step": "make_plm_value_and_grad (production gradient step)",
+        "devices": d,
+        "backend": jax.default_backend(),
+        "sites": L,
+        "q": q,
+        "checked_row_counts": list(row_counts),
+        "all_reduce_count_per_step": profiles[0]["all_reduce_count"],
+        "non_reduction_collectives": profiles[0]["non_reduction_ops"],
+        "payload_elements": profiles[0]["elements"],
+        "payload_bytes": profiles[0]["bytes"],
+        "expected_payload_elements": payload["padded_elements"],
+        "useful_elements_lq2_plus_lq_plus_1":
+            payload["useful_elements"],
+        "n_independent": profiles[0] == profiles[1],
+        "loss_eval_payload_elements": loss_summary["elements"],
+        "gate": "tests/test_scaling.py (collective accounting tests)",
+    }
+
+
+def analytic_model_section(chip_rate, ici_bytes_per_s):
+    """Ring-all-reduce scaling predictions from the accounted payload
+    and the measured single-chip rate, with the assumptions stated."""
+    from evcouplings_tpu.parallel.comm_accounting import (
+        analytic_efficiency, expected_gradient_payload,
+        min_rows_for_efficiency,
+    )
+
+    configs = (
+        # (label, L, chip seq*site/s) — rates from bench.py on-chip
+        ("headline_L160", 160, chip_rate),
+        ("large_L512", 512, DEFAULT_CHIP_RATE_LARGE_L),
+    )
+    predictions = []
+    for label, L, rate in configs:
+        for rows in (4096, 16384, 65536, 262144):
+            for d in (2, 4, 8, 32):
+                predictions.append({
+                    "config": label,
+                    **analytic_efficiency(
+                        rows, L, 21, d, rate, ici_bytes_per_s
+                    ),
+                })
+
+    sensitivity = [
+        {
+            "ici_bytes_per_s": b,
+            "min_rows_per_device_for_0.8_at_32_devices": {
+                label: min_rows_for_efficiency(0.8, L, 21, 32, rate, b)
+                for label, L, rate in configs
+            },
+        }
+        for b in ICI_SENSITIVITY
+    ]
+
+    return {
+        "formula": (
+            "efficiency(d) = t_compute / (t_compute + t_comm); "
+            "t_compute = rows_per_device * L / chip_rate; "
+            "t_comm = 2 (d-1)/d * payload_bytes / ici_bytes_per_s "
+            "(ring all-reduce)"
+        ),
+        "payload_source": (
+            "collective_accounting (one f32 all-reduce of "
+            "(Lq x Lq_aug) + scalar per step, N-independent)"
+        ),
+        "assumptions": {
+            "chip_rate_seq_sites_per_s": chip_rate,
+            "chip_rates_by_config": {
+                label: rate for label, _, rate in configs
+            },
+            "chip_rate_source": "bench.py on one real TPU chip "
+                                "(BENCH_r03 production mode)",
+            "ici_bytes_per_s": ici_bytes_per_s,
+            "ici_note": "assumed per-chip all-reduce bandwidth; "
+                        "bracketed by the sensitivity sweep",
+            "payload_example_L160_bytes": expected_gradient_payload(
+                160, 21
+            )["bytes"],
+        },
+        "predictions": predictions,
+        "min_rows_sensitivity": sensitivity,
+        "summary": {
+            "headline_operating_point": {
+                "config": "headline_L160",
+                "rows_per_device": 262144,
+                "note": "the rows-per-chip bench.py actually runs",
+            },
+        },
+    }
 
 
 def main():
@@ -150,21 +322,23 @@ def main():
             else:
                 efficiency = throughput / base_throughput
 
+            if backend == "cpu" and d > 1:
+                note = (
+                    WEAK_CPU_NOTE if mode == "weak"
+                    else STRONG_CPU_NOTE
+                )
+            else:
+                note = None
             record = {
                 "metric": "plm_{}_scaling".format(mode),
                 "devices": d,
                 "backend": backend,
-                # virtual CPU devices SHARE the host's cores, so WEAK
-                # scaling cannot be efficient there by construction —
-                # those numbers validate the sharded program +
-                # collective layout only; the STRONG numbers (constant
-                # total FLOPs) measure real sharding overhead even on
-                # virtual devices (see module docstring)
-                "note": (
-                    "virtual devices share host cores; weak efficiency "
-                    "is bounded by 1/d here, see strong records"
-                    if backend == "cpu" and mode == "weak" else None
-                ),
+                # virtual CPU devices SHARE the host's cores: these
+                # wall-clock numbers validate that the sharded program
+                # runs at every mesh size, nothing more (see module
+                # docstring); the scaling claim lives in
+                # collective_accounting + analytic_model
+                "note": note,
                 "rows_per_device": args.rows_per_device,
                 "total_rows": N,
                 "sites": L,
@@ -182,11 +356,34 @@ def main():
     if args.mode in ("strong", "both"):
         run_mode("strong")
 
+    if args.skip_accounting or n_devices_avail < 2:
+        accounting = {
+            "skipped": True,
+            "reason": ("--skip-accounting" if args.skip_accounting
+                       else "single-device run"),
+        }
+    else:
+        # accounted at a reduced L (the collective layout — one
+        # all-reduce of (Lq x Lq_aug)+scalar — is shape-parametric,
+        # and the tests re-check it; compiling the full L on the CPU
+        # backend would dominate the runtime)
+        accounting = collective_accounting_section(
+            n_devices_avail, L=min(args.sites, 48)
+        )
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump({
                 "metric": "plm_scaling",
-                "records": records,
+                "schema_version": 2,
+                "collective_accounting": accounting,
+                "analytic_model": analytic_model_section(
+                    args.chip_rate, args.ici_bytes_per_s
+                ),
+                # per-record "backend" says whether a row came from
+                # virtual CPU devices (host-load caveats above) or
+                # real chips
+                "measurements": records,
             }, f, indent=2)
             f.write("\n")
 

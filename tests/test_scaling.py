@@ -1,25 +1,29 @@
 """
-Scaling-efficiency gate (VERDICT r2 item 2 / BASELINE scaling row).
+Scaling evidence gates (BASELINE scaling row / VERDICT r3 item 3).
 
-Regenerates the bench_scaling.py measurement at small shapes on a
-virtual CPU mesh in a subprocess and asserts the committed contract:
+Wall-clock efficiency on virtual CPU devices measures host-core
+contention, not communication (weak scaling is bounded by 1/d by
+construction; strong scaling can exceed 1.0 from host load), so no
+>= 0.8 claim is sourced from such a measurement. The gates here are
+the properties that ARE machine-checkable in this environment:
 
-- STRONG scaling (fixed total rows sharded over d devices) must hold
-  >= 0.8 efficiency — on virtual devices that share the host's cores
-  the total FLOPs are constant across mesh sizes, so any drop below
-  1.0 is genuine sharding overhead (program + collectives), which is
-  exactly what the BASELINE ">= 0.8 efficiency" row demands of the
-  collective layout. Asserted at d = 2 (and d = 4 when the host has
-  >= 4 cores — beyond the core count, virtual devices oversubscribe
-  the host and measure the machine, not the program).
-- WEAK scaling records exist for every mesh size (their efficiencies
-  are bounded by 1/d on shared cores by construction — the committed
-  SCALING.json documents that; real weak-scaling numbers need a real
-  pod slice).
+1. Collective accounting — the compiled sharded gradient step psums
+   exactly one all-reduce carrying the scalar NLL + the (Lq x Lq_aug)
+   gradient block, byte-identical at different sequence counts N
+   (communication is N-independent while compute grows with N); the
+   loss-only eval (LBFGS linesearch) psums one scalar; the
+   autodiff+optax step moves exactly (Lq)^2 + Lq + 1 useful numbers.
+2. The analytic ring-all-reduce model predicts >= 0.8 weak-scaling
+   efficiency at the operating point bench.py actually runs
+   (rows/device = 262144, L = 160), and the committed SCALING.json's
+   predictions reproduce from its own recorded assumptions.
+3. The bench_scaling.py generator still runs end to end on a virtual
+   mesh and labels every virtual-CPU record with the host-load
+   caveat.
 
-The repo-root SCALING.json is the committed artifact of the same
-script at larger shapes; this test keeps the artifact generator honest
-in CI.
+Anchors: BASELINE.md scaling row; reference
+evcouplings/couplings/tools.py:257-259 (the shared-memory-only plmc
+being surpassed — the reference has no distributed path at all).
 """
 
 import json
@@ -27,80 +31,308 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO_ROOT, "bench_scaling.py")
 
-
-def _measure(tmp_path):
-    out = str(tmp_path / "scaling.json")
-    env = dict(os.environ)
-    # the subprocess manages its own backend/device count
-    env.pop("XLA_FLAGS", None)
-    env.pop("JAX_PLATFORMS", None)
-    proc = subprocess.run(
-        [sys.executable, SCRIPT, "--virtual", "4",
-         "--rows-per-device", "512", "--sites", "48",
-         "--steps", "6", "--warmup", "2", "--mode", "both",
-         "--out", out],
-        cwd=REPO_ROOT, env=env,
-        capture_output=True, timeout=540,
-    )
-    assert proc.returncode == 0, proc.stderr.decode()[-2000:]
-    with open(out) as f:
-        return json.load(f)["records"]
+L, Q = 8, 5
+LQ = L * Q
 
 
 @pytest.fixture(scope="module")
-def scaling_records(tmp_path_factory):
-    return _measure(tmp_path_factory.mktemp("scaling"))
+def mesh8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from evcouplings_tpu.parallel import make_mesh
+
+    return make_mesh(8)
 
 
-def test_strong_scaling_efficiency(scaling_records, tmp_path):
-    """d = 2 only: at d = cpu-count the virtual devices claim every
-    host core and any concurrent process (including pytest itself)
-    shows up as lost efficiency — that measures the machine's load,
-    not the sharded program. One remeasure on failure for the same
-    reason (a transient background burst during the ~10 s window)."""
-    for attempt in range(2):
-        strong = {
-            r["devices"]: r for r in scaling_records
+@pytest.fixture(scope="module")
+def tiny_inputs():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+
+    def make(n):
+        codes = jnp.asarray(
+            rng.integers(0, Q, size=(n, L)), dtype=jnp.int32
+        )
+        return codes, jnp.ones(n, dtype=jnp.float32)
+
+    params = {
+        "J": jnp.zeros((LQ, LQ), jnp.float32),
+        "h": jnp.zeros((L, Q), jnp.float32),
+    }
+    return params, make
+
+
+class TestCollectiveAccounting:
+    """The compiled sharded step's communication, from optimized HLO."""
+
+    def _vg_profile(self, mesh8, tiny_inputs, n):
+        from evcouplings_tpu.ops.plm import (
+            PlmConfig, make_plm_value_and_grad,
+        )
+        from evcouplings_tpu.parallel.comm_accounting import (
+            collective_profile,
+        )
+
+        params, make = tiny_inputs
+        codes, w = make(n)
+        vg = make_plm_value_and_grad(
+            L, Q, PlmConfig(block_size=32), mesh=mesh8
+        )
+        return collective_profile(vg, params, codes, w)
+
+    def test_gradient_step_is_one_padded_all_reduce(self, mesh8,
+                                                    tiny_inputs):
+        from evcouplings_tpu.parallel.comm_accounting import (
+            expected_gradient_payload,
+        )
+
+        ops, summary = self._vg_profile(mesh8, tiny_inputs, 256)
+        assert summary["count"] == 1
+        assert summary["all_reduce_count"] == 1
+        assert summary["non_reduction_ops"] == []
+
+        payload = expected_gradient_payload(L, Q)
+        # scalar NLL + (Lq, Lq_aug) gradient block, nothing else
+        assert summary["elements"] == payload["padded_elements"]
+        shapes = ops[0].shapes
+        assert ("f32", ()) in shapes
+        assert ("f32", (LQ, payload["lq_aug"])) in shapes
+
+    def test_communication_is_n_independent(self, mesh8, tiny_inputs):
+        """Same collective profile at 256 and 2048 rows: per-step
+        bytes on the wire do not grow with the sequence count."""
+        _, small = self._vg_profile(mesh8, tiny_inputs, 256)
+        _, large = self._vg_profile(mesh8, tiny_inputs, 2048)
+        assert small == large
+
+    def test_loss_eval_psums_one_scalar(self, mesh8, tiny_inputs):
+        """LBFGS linesearch objective evaluations cost one scalar
+        all-reduce each."""
+        from evcouplings_tpu.ops.plm import PlmConfig, make_plm_loss
+        from evcouplings_tpu.parallel.comm_accounting import (
+            collective_profile,
+        )
+
+        params, make = tiny_inputs
+        codes, w = make(256)
+        loss = make_plm_loss(L, Q, PlmConfig(block_size=32), mesh=mesh8)
+        ops, summary = collective_profile(loss, params, codes, w)
+        assert summary["all_reduce_count"] == summary["count"] == 1
+        assert summary["elements"] == 1
+
+    def test_autodiff_optimizer_step_moves_exact_gradient(
+            self, mesh8, tiny_inputs):
+        """The autodiff + optax path (what bench_scaling measures)
+        all-reduces exactly (Lq)^2 + Lq + 1 numbers per step — the
+        J gradient, the h gradient, and the loss — and nothing that
+        scales with N."""
+        import jax
+        import optax
+
+        from evcouplings_tpu.ops.plm import PlmConfig, make_plm_loss
+        from evcouplings_tpu.parallel.comm_accounting import (
+            collective_profile, expected_gradient_payload,
+        )
+
+        params, make = tiny_inputs
+        codes, w = make(256)
+        loss = make_plm_loss(L, Q, PlmConfig(block_size=32), mesh=mesh8)
+        opt = optax.adam(1e-3)
+        state = opt.init(params)
+
+        def step(params, state):
+            value, grad = jax.value_and_grad(loss)(params, codes, w)
+            updates, state = opt.update(grad, state, params)
+            return optax.apply_updates(params, updates), state, value
+
+        ops, summary = collective_profile(step, params, state)
+        assert summary["all_reduce_count"] == summary["count"] == 1
+        payload = expected_gradient_payload(L, Q)
+        assert summary["elements"] == payload["useful_elements"]
+
+    def test_fit_plm_on_mesh_matches_single_device(self, mesh8,
+                                                   tiny_inputs):
+        """The accounted program is the production one: a short
+        sharded fit reproduces the unsharded fit bitwise (same psum
+        reduction order at d=8 via deterministic all-reduce on CPU,
+        tolerance-checked to stay backend-honest)."""
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        _, make = tiny_inputs
+        codes, w = make(256)
+        cfg = PlmConfig(
+            block_size=32, solver="adam", max_iter=6, dtype="float32"
+        )
+        single = fit_plm(np.asarray(codes), np.asarray(w), Q, cfg)
+        sharded = fit_plm(np.asarray(codes), np.asarray(w), Q, cfg,
+                          mesh=mesh8)
+        np.testing.assert_allclose(
+            single.J_ij, sharded.J_ij, rtol=0, atol=5e-6,
+        )
+        np.testing.assert_allclose(
+            single.h_i, sharded.h_i, rtol=0, atol=5e-6,
+        )
+
+
+class TestAnalyticModel:
+    def test_headline_operating_point_clears_bar(self):
+        """At the shapes bench.py actually runs on one chip
+        (rows/device 262144, L=160, measured 475.8M seq*site/s), the
+        ring-all-reduce model predicts >= 0.8 efficiency out to 32
+        devices, with >= 2x margin at the default ICI assumption."""
+        from bench_scaling import (
+            DEFAULT_CHIP_RATE, DEFAULT_ICI_BYTES_PER_S,
+        )
+        from evcouplings_tpu.parallel.comm_accounting import (
+            analytic_efficiency,
+        )
+
+        for d in (2, 8, 32):
+            pred = analytic_efficiency(
+                262144, 160, 21, d,
+                DEFAULT_CHIP_RATE, DEFAULT_ICI_BYTES_PER_S,
+            )
+            assert pred["efficiency"] >= 0.8, pred
+
+    def test_bar_holds_under_pessimistic_ici(self):
+        """Halving the assumed ICI bandwidth twice (to 1.8e10 B/s)
+        must not break the bar at the headline operating point."""
+        from bench_scaling import DEFAULT_CHIP_RATE, ICI_SENSITIVITY
+        from evcouplings_tpu.parallel.comm_accounting import (
+            analytic_efficiency,
+        )
+
+        pred = analytic_efficiency(
+            262144, 160, 21, 32, DEFAULT_CHIP_RATE, min(ICI_SENSITIVITY)
+        )
+        assert pred["efficiency"] >= 0.8, pred
+
+    def test_min_rows_threshold_is_consistent(self):
+        """min_rows_for_efficiency is the true boundary: the model is
+        >= 0.8 at the threshold and < 0.8 just below it."""
+        from bench_scaling import (
+            DEFAULT_CHIP_RATE, DEFAULT_ICI_BYTES_PER_S,
+        )
+        from evcouplings_tpu.parallel.comm_accounting import (
+            analytic_efficiency, min_rows_for_efficiency,
+        )
+
+        rows = min_rows_for_efficiency(
+            0.8, 160, 21, 8, DEFAULT_CHIP_RATE, DEFAULT_ICI_BYTES_PER_S
+        )
+        at = analytic_efficiency(
+            rows, 160, 21, 8, DEFAULT_CHIP_RATE, DEFAULT_ICI_BYTES_PER_S
+        )["efficiency"]
+        below = analytic_efficiency(
+            max(1, rows - max(2, rows // 100)), 160, 21, 8,
+            DEFAULT_CHIP_RATE, DEFAULT_ICI_BYTES_PER_S,
+        )["efficiency"]
+        assert at >= 0.8 > below
+
+
+class TestCommittedArtifact:
+    @pytest.fixture(scope="class")
+    def artifact(self):
+        path = os.path.join(REPO_ROOT, "SCALING.json")
+        assert os.path.isfile(path), "SCALING.json missing at repo root"
+        with open(path) as f:
+            return json.load(f)
+
+    def test_schema_v2(self, artifact):
+        assert artifact["schema_version"] == 2
+        assert {"collective_accounting", "analytic_model",
+                "measurements"} <= set(artifact)
+
+    def test_accounting_section(self, artifact):
+        acc = artifact["collective_accounting"]
+        assert acc["all_reduce_count_per_step"] == 1
+        assert acc["non_reduction_collectives"] == []
+        assert acc["n_independent"] is True
+        assert acc["payload_elements"] == \
+            acc["expected_payload_elements"]
+        assert acc["loss_eval_payload_elements"] == 1
+
+    def test_predictions_reproduce_from_recorded_assumptions(
+            self, artifact):
+        """Every committed prediction recomputes exactly from the
+        assumptions stored next to it — the artifact cannot drift
+        from the model."""
+        from evcouplings_tpu.parallel.comm_accounting import (
+            analytic_efficiency,
+        )
+
+        model = artifact["analytic_model"]
+        ici = model["assumptions"]["ici_bytes_per_s"]
+        rates = model["assumptions"]["chip_rates_by_config"]
+        for pred in model["predictions"]:
+            rate = rates[pred["config"]]
+            fresh = analytic_efficiency(
+                pred["rows_per_device"], pred["sites"], pred["q"],
+                pred["devices"], rate, ici,
+            )
+            assert fresh["efficiency"] == pred["efficiency"], (
+                pred, fresh
+            )
+
+    def test_virtual_cpu_rows_are_labeled(self, artifact):
+        """No unlabeled shared-core wall-clock number: every
+        multi-device CPU record carries the host-load caveat, and no
+        record's efficiency is presented as the BASELINE claim."""
+        for rec in artifact["measurements"]:
+            if rec["backend"] == "cpu" and rec["devices"] > 1:
+                assert rec["note"], rec
+                assert "host" in rec["note"]
+
+    def test_model_clears_bar_at_headline_point(self, artifact):
+        preds = artifact["analytic_model"]["predictions"]
+        hits = [
+            p for p in preds
+            if p["config"] == "headline_L160"
+            and p["rows_per_device"] == 262144 and p["devices"] >= 2
+        ]
+        assert hits and all(p["efficiency"] >= 0.8 for p in hits)
+
+
+class TestGeneratorEndToEnd:
+    """bench_scaling.py still runs the sharded program at every mesh
+    size and writes the v2 artifact (subprocess, small shapes)."""
+
+    def test_generator(self, tmp_path):
+        out = str(tmp_path / "scaling.json")
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("JAX_PLATFORMS", None)
+        proc = subprocess.run(
+            [sys.executable, SCRIPT, "--virtual", "4",
+             "--rows-per-device", "256", "--sites", "16",
+             "--steps", "2", "--warmup", "1", "--mode", "strong",
+             "--out", out],
+            cwd=REPO_ROOT, env=env,
+            capture_output=True, timeout=540,
+        )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        with open(out) as f:
+            artifact = json.load(f)
+
+        assert artifact["schema_version"] == 2
+        devices = {
+            r["devices"] for r in artifact["measurements"]
             if r["metric"] == "plm_strong_scaling"
         }
-        assert set(strong) >= {1, 2, 4}
-        if strong[2]["efficiency"] >= 0.8:
-            return
-        scaling_records = _measure(tmp_path)
-    raise AssertionError(
-        "strong-scaling efficiency at 2 devices: {} (after retry)".format(
-            strong[2]["efficiency"])
-    )
-
-
-def test_weak_scaling_records_present(scaling_records):
-    weak = {
-        r["devices"]: r for r in scaling_records
-        if r["metric"] == "plm_weak_scaling"
-    }
-    assert set(weak) >= {1, 2, 4}
-    for d, r in weak.items():
-        assert r["value"] > 0
-        # on the CPU backend the shared-core caveat must be recorded
-        if r["backend"] == "cpu" and d > 1:
-            assert r["note"]
-
-
-def test_committed_artifact_is_current_schema():
-    """The committed repo-root SCALING.json parses and carries both
-    modes (the driver-visible artifact; regenerated by
-    `python bench_scaling.py --virtual 8 --mode both`)."""
-    path = os.path.join(REPO_ROOT, "SCALING.json")
-    assert os.path.isfile(path), "SCALING.json missing at repo root"
-    with open(path) as f:
-        records = json.load(f)["records"]
-    metrics = {r["metric"] for r in records}
-    assert metrics == {"plm_weak_scaling", "plm_strong_scaling"}
-    strong = [r for r in records if r["metric"] == "plm_strong_scaling"]
-    assert any(r["devices"] >= 2 and r["efficiency"] >= 0.8
-               for r in strong)
+        assert devices >= {1, 2, 4}
+        for rec in artifact["measurements"]:
+            assert rec["value"] > 0
+            if rec["backend"] == "cpu" and rec["devices"] > 1:
+                assert rec["note"] and "host" in rec["note"]
+        acc = artifact["collective_accounting"]
+        assert acc["all_reduce_count_per_step"] == 1
+        assert acc["n_independent"] is True
