@@ -191,6 +191,242 @@ def _large_l_throughput():
     return N_BIG * L_BIG * iters / warm
 
 
+def _bench_mi_apc():
+    """BASELINE config #1: MI+APC EC scoring on a small monomer MSA —
+    reweighting, weighted single/pair frequencies, mutual information,
+    APC correction (reference hot loops: align/alignment.py:1078-1233,
+    model.py:744-827)."""
+    from evcouplings_tpu.ops.frequencies import (
+        frequencies, pair_frequencies,
+    )
+    from evcouplings_tpu.ops.scores import apc, mi_scores
+    from evcouplings_tpu.ops.weights import num_cluster_members
+
+    n1, l1 = 4096, 96
+    rng = np.random.default_rng(1)
+    m = rng.integers(0, Q, size=(n1, l1)).astype(np.int8)
+
+    def run(codes):
+        w = 1.0 / np.asarray(num_cluster_members(codes, 0.8))
+        fi = np.asarray(frequencies(codes, w, Q))
+        fij = np.asarray(pair_frequencies(codes, w, Q, fi))
+        mi = mi_scores(fij, fi)
+        return apc(mi)
+
+    run(m)  # warm/compile
+    m[0, 0] = (m[0, 0] + 1) % Q  # avoid tunnel dispatch caching
+    t0 = time.perf_counter()
+    scored = run(m)
+    float(scored[0, 1])
+    dt = time.perf_counter() - t0
+    return {
+        "mi_apc_value": round(l1 * (l1 - 1) / 2 / dt, 1),
+        "mi_apc_unit": "scored pairs/s (N=4096, L=96)",
+        "mi_apc_ms": round(dt * 1e3, 2),
+    }
+
+
+def _bench_de_scan():
+    """BASELINE config #3: full single + double mutant Delta-E scan
+    from a coupled model (reference hot loops: model.py:63-109 singles,
+    :714-742 doubles)."""
+    from evcouplings_tpu.ops.hamiltonian import (
+        FULL, double_mutant_matrix, single_mutant_hamiltonians,
+    )
+
+    rng = np.random.default_rng(2)
+    J = rng.normal(scale=0.05, size=(L, L, Q, Q))
+    J = 0.5 * (J + J.transpose(1, 0, 3, 2))
+    h = rng.normal(scale=0.2, size=(L, Q))
+    target = rng.integers(0, Q, size=L)
+
+    single_mutant_hamiltonians(target, J, h)  # warm
+    t0 = time.perf_counter()
+    smm = single_mutant_hamiltonians(target, J, h)
+    dmm = double_mutant_matrix(smm[:, :, FULL], J, target)
+    dt = time.perf_counter() - t0
+    entries = smm.size + dmm.size
+    return {
+        "de_scan_value": round(entries / dt, 1),
+        "de_scan_unit": "dE entries/s (L=160 singles+doubles)",
+        "de_scan_ms": round(dt * 1e3, 2),
+    }
+
+
+def _bench_evcomplex():
+    """BASELINE config #4: EVcomplex scoring of a paired-alignment EC
+    table with the inter/intra-segment split (reference:
+    couplings/pairs.py:642-682, protocol complex path)."""
+    import pandas as pd
+
+    l1 = l2 = 150
+    total = l1 + l2
+    pos = np.arange(1, total + 1)
+    ii, jj = np.triu_indices(total, k=1)
+    rng = np.random.default_rng(3)
+    seg = np.where(pos <= l1, "A_1", "B_1")
+    ecs = pd.DataFrame({
+        "i": pos[ii], "j": pos[jj],
+        "segment_i": seg[ii], "segment_j": seg[jj],
+        "cn": rng.normal(scale=0.02, size=ii.size)
+             + 0.2 * (rng.random(ii.size) > 0.999),
+    })
+
+    from evcouplings_tpu.couplings.pairs import EVComplexScoreModel
+
+    t0 = time.perf_counter()
+    scored = ecs.assign(
+        probability=EVComplexScoreModel(ecs.cn.values).probability(
+            ecs.cn.values
+        )
+    )
+    inter = scored.query("segment_i != segment_j")
+    intra = scored.query("segment_i == segment_j")
+    dt = time.perf_counter() - t0
+    assert len(inter) + len(intra) == len(scored)
+    return {
+        "evcomplex_value": round(len(scored) / dt, 1),
+        "evcomplex_unit": "EC pairs scored+split/s (two 150-res "
+                          "segments)",
+        "evcomplex_ms": round(dt * 1e3, 2),
+    }
+
+
+def _bench_fold_prep():
+    """BASELINE config #5: fold-stage preparation — CNS distance
+    restraints from the top ECs plus the contact-map comparison table
+    against a structure distance map (reference: fold/restraints.py,
+    compare/ecs.py:43-152)."""
+    import pandas as pd
+
+    from evcouplings_tpu.compare.distances import DistanceMap
+    from evcouplings_tpu.compare.ecs import coupling_scores_compared
+    from evcouplings_tpu.fold.cns import cns_dist_restraint
+    from evcouplings_tpu.fold.restraints import ec_dist_restraints
+
+    l1 = 160
+    rng = np.random.default_rng(4)
+    pos = np.arange(1, l1 + 1)
+    ii, jj = np.triu_indices(l1, k=6)
+    ecs = pd.DataFrame({
+        "i": pos[ii], "A_i": "A", "j": pos[jj], "A_j": "V",
+        "cn": rng.random(ii.size),
+    }).sort_values("cn", ascending=False)
+
+    # synthetic symmetric distance map over the same positions
+    coords = rng.normal(scale=8.0, size=(l1, 3))
+    dmat = np.linalg.norm(
+        coords[:, None, :] - coords[None, :, :], axis=-1
+    )
+    residues = pd.DataFrame({"id": pos.astype(str)})
+    dist_map = DistanceMap(residues, residues, dmat, symmetric=True)
+
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "bench_restraints.tbl"
+    )
+    t0 = time.perf_counter()
+    ec_dist_restraints(ecs.head(2 * l1), out, cns_dist_restraint)
+    compared = coupling_scores_compared(
+        ecs, dist_map, dist_cutoff=5.0, min_sequence_dist=6,
+    )
+    dt = time.perf_counter() - t0
+    assert "precision" in compared.columns
+    return {
+        "fold_prep_value": round((2 * l1 + len(compared)) / dt, 1),
+        "fold_prep_unit": "restraints+compared EC rows/s (L=160)",
+        "fold_prep_ms": round(dt * 1e3, 2),
+    }
+
+
+def _bench_reweighting_512k():
+    """Certify the Pallas streaming reweighting kernel at the scale
+    that justifies it (VERDICT r3 item 7): N = 524288 int8 rows at
+    L = 160 — throughput and HBM footprint of the VMEM-expanding
+    kernel vs the XLA one-hot-GEMM path at the SAME shape. The
+    footprint numbers are the resident arrays of each path: the
+    Pallas kernel keeps only the int8 codes (+ counts) in HBM while
+    the XLA path materializes the (N, L*q) one-hot and a (B, N)
+    identity tile (reference O(N^2 L) loop being replaced:
+    align/alignment.py:1192-1233)."""
+    import jax
+
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return {"reweight_512k_skipped": "not on TPU"}
+
+    import jax.numpy as jnp
+
+    from evcouplings_tpu.ops.encode import pad_rows
+    from evcouplings_tpu.ops.weights import (
+        _identity_count_threshold, _neighbor_counts, _pick_block_size,
+    )
+    from evcouplings_tpu.ops.weights_pallas import (
+        _BLOCK, _L_CHUNK, _neighbor_counts_pallas,
+    )
+
+    n, l = 524288, 160
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, Q, size=(n, l)).astype(np.int8)
+    min_count = _identity_count_threshold(l, 0.8)
+
+    def timed(jitted, **kwargs):
+        # AOT-compile (no execution), then time ONE first execution:
+        # an N^2 pass at this scale is ~15-25 s, so the usual
+        # warm-run-then-timed-run discipline would double the bench's
+        # wall clock for no accuracy gain (and a first execution
+        # cannot be served from the tunnel's dispatch cache)
+        jitted.lower(**kwargs).compile()
+        t0 = time.perf_counter()
+        out = jitted(**kwargs)
+        float(np.asarray(out).ravel()[0])
+        return n * n / (time.perf_counter() - t0)
+
+    # pallas path: codes padded to block rows / l_chunk cols, -1 fill
+    p_codes, _ = pad_rows(codes, _BLOCK)
+    l_pad = (-l) % _L_CHUNK
+    if l_pad:
+        p_codes = np.pad(
+            p_codes, [(0, 0), (0, l_pad)], constant_values=-1
+        )
+    p_codes[n:] = -1
+    pallas_rate = timed(
+        _neighbor_counts_pallas, codes=jnp.asarray(p_codes),
+        num_symbols=Q, min_count=min_count, n_valid=n,
+        block=_BLOCK, l_chunk=_L_CHUNK, interpret=False,
+    )
+
+    block = _pick_block_size(n, l, Q)
+    x_codes, _ = pad_rows(codes, block)
+    xla_rate = timed(
+        _neighbor_counts, codes=jnp.asarray(x_codes),
+        min_identity_count=min_count, num_symbols=Q,
+        block_size=block, n_valid=n,
+    )
+
+    return {
+        "reweight_512k_rows": n,
+        "reweight_512k_pallas_pairs_per_s": round(pallas_rate, 1),
+        "reweight_512k_xla_pairs_per_s": round(xla_rate, 1),
+        # resident HBM per path (dominant arrays)
+        "reweight_512k_pallas_hbm_bytes": n * l + n * 4,
+        "reweight_512k_xla_hbm_bytes":
+            n * l + n * l * Q + block * n * 4,
+    }
+
+
+def _family_config_records():
+    """One-line records for BASELINE configs #1/#3/#4/#5 (config #2,
+    the PLM fit, is the headline above). Failures degrade to an error
+    string instead of killing the headline metric."""
+    out = {}
+    for fn in (_bench_mi_apc, _bench_de_scan, _bench_evcomplex,
+               _bench_fold_prep):
+        try:
+            out.update(fn())
+        except Exception as e:  # pragma: no cover - defensive
+            out[fn.__name__.lstrip("_") + "_error"] = repr(e)[:200]
+    return out
+
+
 def main():
     from evcouplings_tpu.ops.plm import PlmConfig
 
@@ -263,7 +499,21 @@ def main():
             round(large_l / PLMC_32T_BASELINE, 2)
             if large_l is not None else None
         ),
+        # BASELINE configs #1 (MI+APC), #3 (dE scan), #4 (EVcomplex
+        # inter/intra), #5 (restraints + contact-map comparison) —
+        # one record each so the whole family is driver-evidenced
+        **_family_config_records(),
+        # Pallas reweighting certification at N >= 512k (VERDICT r3
+        # item 7): throughput + HBM footprint vs the XLA path
+        **_reweighting_512k_records(),
     }))
+
+
+def _reweighting_512k_records():
+    try:
+        return _bench_reweighting_512k()
+    except Exception as e:  # pragma: no cover - defensive
+        return {"reweight_512k_error": repr(e)[:200]}
 
 
 def bench_reweighting():

@@ -62,7 +62,8 @@ def test_ec_table_matches_golden(refit):
     assert_exact_rank_order(got, want)
 
 
-def assert_exact_rank_order(got, want):
+def assert_exact_rank_order(got, want, max_exempt_frac=0.02,
+                            max_top_l_exempt=0):
     """Every pair of ECs whose golden scores are DISTINGUISHABLE
     (differ by more than the refit tolerance) must rank the same way
     in the refit.
@@ -71,19 +72,30 @@ def assert_exact_rank_order(got, want):
     whose golden cn values differ by ~1e-6 sit well inside the
     tolerated cross-XLA-version noise (RTOL), so a legitimate refit
     can swap them — the gate must ignore exactly those, and ONLY
-    those, orderings.
+    those, orderings. The carve-out is QUANTIFIED so it cannot widen
+    silently (VERDICT r3 item 5): at most `max_exempt_frac` of all
+    ordered comparisons may be exempt as indistinguishable, and none
+    of the comparisons among the top-L ranked ECs (the contact
+    predictions that matter downstream) may be — if tolerance drift
+    ever blurred the top of the ranking, this fails loudly instead of
+    weakening the "bit-equivalent EC ranks" claim (BASELINE.md).
     """
     key = list(zip(want.i.values, want.j.values))
     want_cn = dict(zip(key, want.cn.values))
     got_cn = dict(zip(zip(got.i.values, got.j.values), got.cn.values))
     assert set(got_cn) == set(want_cn)
 
+    n_sites = len(set(want.i.values) | set(want.j.values))
+
     # ALL ordered pairs, not just adjacent ones: a chain of
     # sub-tolerance adjacent gaps must not let two pairs that differ
     # beyond the tolerance swap unnoticed
     ranked = sorted(key, key=lambda k: -want_cn[k])
+    checked = exempt = top_l_exempt = 0
     for idx_a, a in enumerate(ranked):
-        for b in ranked[idx_a + 1:]:
+        for idx_b in range(idx_a + 1, len(ranked)):
+            b = ranked[idx_b]
+            checked += 1
             gap = want_cn[a] - want_cn[b]
             tol = RTOL * max(abs(want_cn[a]), abs(want_cn[b])) + ATOL
             if gap > tol:
@@ -92,6 +104,27 @@ def assert_exact_rank_order(got, want):
                     "rank swap of distinguishable pair: {} ({}) vs "
                     "{} ({})".format(a, got_cn[a], b, got_cn[b])
                 )
+            else:
+                exempt += 1
+                if idx_b < n_sites:  # both ranks within the top L
+                    top_l_exempt += 1
+
+    frac = exempt / checked
+    print(
+        "rank gate: {} comparisons, {} exempt as indistinguishable "
+        "({:.2%}), {} of them within the top L={}".format(
+            checked, exempt, frac, top_l_exempt, n_sites
+        )
+    )
+    assert frac <= max_exempt_frac, (
+        "near-tie carve-out grew to {:.2%} of comparisons (bound "
+        "{:.0%}) — the tolerance no longer distinguishes the "
+        "ranking".format(frac, max_exempt_frac)
+    )
+    assert top_l_exempt <= max_top_l_exempt, (
+        "{} indistinguishable orderings within the top L={} ECs "
+        "(bound {})".format(top_l_exempt, n_sites, max_top_l_exempt)
+    )
 
 
 def test_model_file_matches_golden(refit):
