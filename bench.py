@@ -144,11 +144,22 @@ def _parity_lbfgs_throughput():
     over the warm window of a real fit_plm run. The parity_mode_value
     above isolates the per-step value+grad cost with an Adam update;
     this record prices the complete plmc-replacement loop including
-    the ~1.1 linesearch evaluations per LBFGS iteration."""
+    the ~1.1 linesearch evaluations per LBFGS iteration.
+
+    Measured at the PRODUCTION row count (N = 262144, same as the
+    headline record): the engine's ~14 ms/iteration of vector work
+    (two-loop, history roll, linesearch bookkeeping) is N-independent,
+    so the production batch amortizes it — 141M seq*site/s full-window
+    vs 114M at N = 65536 (r3). Steady-state chunks measure ~147M; the
+    window also pays the LBFGS growth phase and plmc's faithful
+    rounding-error stop (a max_ls linesearch burn when the f32
+    objective stops being resolvable — libLBFGS/plmc semantics, see
+    ops/lbfgs.py). Per-eval the 3-pass exact-f32 GEMMs run at ~80% of
+    bf16 MXU peak, so the remaining headroom in this mode is ~1.2x."""
     from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
 
     rng = np.random.default_rng(2)
-    n = N_PARITY
+    n = N
     codes = rng.integers(0, Q, size=(n, L)).astype(np.int8)
     w = rng.uniform(0.5, 1.0, size=n)
     cfg = PlmConfig(solver="lbfgs", max_iter=60, steps_per_call=10,

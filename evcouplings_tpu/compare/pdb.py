@@ -231,48 +231,61 @@ class Chain:
             fileobj.write("END" + 77 * " " + "\n")
 
 
+def _bcif_columns(category, fields):
+    """{bcif column name: our column name} for one mmCIF category;
+    a bare field name keeps itself as the target name."""
+    out = {}
+    for field in fields:
+        if isinstance(field, tuple):
+            source, target = field
+        else:
+            source = target = field
+        out[category + "." + source] = target
+    return out
+
+
 # BinaryCIF _atom_site columns used by PDB.get_chain
-_ATOM_TARGET_COLS = {
-    "_atom_site.pdbx_PDB_model_num": "model_number",
-    "_atom_site.group_PDB": "record_type",
-    "_atom_site.id": "id",
-    "_atom_site.type_symbol": "type_symbol",
-    "_atom_site.label_atom_id": "label_atom_id",
-    "_atom_site.auth_atom_id": "auth_atom_id",
-    "_atom_site.label_alt_id": "label_alt_id",
-    "_atom_site.label_comp_id": "label_comp_id",
-    "_atom_site.auth_comp_id": "auth_comp_id",
-    "_atom_site.label_asym_id": "label_asym_id",
-    "_atom_site.auth_asym_id": "auth_asym_id",
-    "_atom_site.label_entity_id": "label_entity_id",
-    "_atom_site.label_seq_id": "label_seq_id",
-    "_atom_site.auth_seq_id": "auth_seq_id",
-    "_atom_site.pdbx_PDB_ins_code": "insertion_code",
-    "_atom_site.Cartn_x": "x",
-    "_atom_site.Cartn_y": "y",
-    "_atom_site.Cartn_z": "z",
-    "_atom_site.occupancy": "occupancy",
-    "_atom_site.B_iso_or_equiv": "b_factor",
-    "_atom_site.pdbx_formal_charge": "charge",
-}
+_ATOM_TARGET_COLS = _bcif_columns("_atom_site", (
+    ("pdbx_PDB_model_num", "model_number"),
+    ("group_PDB", "record_type"),
+    "id",
+    "type_symbol",
+    "label_atom_id",
+    "auth_atom_id",
+    "label_alt_id",
+    "label_comp_id",
+    "auth_comp_id",
+    "label_asym_id",
+    "auth_asym_id",
+    "label_entity_id",
+    "label_seq_id",
+    "auth_seq_id",
+    ("pdbx_PDB_ins_code", "insertion_code"),
+    ("Cartn_x", "x"),
+    ("Cartn_y", "y"),
+    ("Cartn_z", "z"),
+    "occupancy",
+    ("B_iso_or_equiv", "b_factor"),
+    ("pdbx_formal_charge", "charge"),
+))
 
-_CONF_TARGET_COLS = {
-    "_struct_conf.conf_type_id": "conformation_type",
-    "_struct_conf.id": "id",
-    "_struct_conf.beg_label_asym_id": "beg_label_asym_id",
-    "_struct_conf.beg_label_seq_id": "beg_label_seq_id",
-    "_struct_conf.end_label_asym_id": "end_label_asym_id",
-    "_struct_conf.end_label_seq_id": "end_label_seq_id",
-}
+# helix/sheet secondary-structure ranges share their field layout
+_SSE_RANGE_FIELDS = (
+    "id",
+    "beg_label_asym_id",
+    "beg_label_seq_id",
+    "end_label_asym_id",
+    "end_label_seq_id",
+)
 
-_SHEET_TARGET_COLS = {
-    "_struct_sheet_range.sheet_id": "sheet_id",
-    "_struct_sheet_range.id": "id",
-    "_struct_sheet_range.beg_label_asym_id": "beg_label_asym_id",
-    "_struct_sheet_range.beg_label_seq_id": "beg_label_seq_id",
-    "_struct_sheet_range.end_label_asym_id": "end_label_asym_id",
-    "_struct_sheet_range.end_label_seq_id": "end_label_seq_id",
-}
+_CONF_TARGET_COLS = _bcif_columns(
+    "_struct_conf",
+    (("conf_type_id", "conformation_type"),) + _SSE_RANGE_FIELDS,
+)
+
+_SHEET_TARGET_COLS = _bcif_columns(
+    "_struct_sheet_range", ("sheet_id",) + _SSE_RANGE_FIELDS,
+)
 
 
 class PDB:

@@ -888,63 +888,53 @@ def complex(**kwargs):
 
     ec_table = pd.read_csv(kwargs["ec_file"])
 
+    def _with_distances(subset, dm, dm_multi, seq_dist):
+        # a segment without any structure hit keeps its ECs with an
+        # undefined distance so the concatenated table stays complete
+        if dm is None:
+            return subset.assign(dist=np.nan)
+        return coupling_scores_compared(
+            subset, dm, dm_multi,
+            dist_cutoff=kwargs["distance_cutoff"],
+            output_file=None,
+            min_sequence_dist=seq_dist,
+        )
+
+    same_segment = ec_table.segment_i == ec_table.segment_j
+
     for out_file, min_seq_dist in [
         ("ec_compared_longrange_file", kwargs["min_sequence_distance"]),
         ("ec_compared_all_file", 0),
     ]:
-        if (d_intra_i is not None) or (d_intra_j is not None):
-            ecs_intra_i = ec_table.query(
-                "segment_i == segment_j == @first_segment_name"
-            )
-            if d_intra_i is not None:
-                ecs_intra_i_compared = coupling_scores_compared(
-                    ecs_intra_i, d_intra_i, d_multimer_i,
-                    dist_cutoff=kwargs["distance_cutoff"],
-                    output_file=None,
-                    min_sequence_dist=min_seq_dist,
-                )
-            else:
-                ecs_intra_i_compared = ecs_intra_i.assign(dist=np.nan)
+        if d_intra_i is None and d_intra_j is None:
+            continue
 
-            ecs_intra_j = ec_table.query(
-                "segment_i == segment_j == @second_segment_name"
-            )
-            if d_intra_j is not None:
-                ecs_intra_j_compared = coupling_scores_compared(
-                    ecs_intra_j, d_intra_j, d_multimer_j,
-                    dist_cutoff=kwargs["distance_cutoff"],
-                    output_file=None,
-                    min_sequence_dist=min_seq_dist,
-                )
-            else:
-                ecs_intra_j_compared = ecs_intra_j.assign(dist=np.nan)
+        # sequence distance does not apply between chains
+        compared_inter = _with_distances(
+            ec_table[~same_segment], d_inter, None, None
+        )
 
-            ecs_inter = ec_table.query("segment_i != segment_j")
-            if d_inter is not None:
-                ecs_inter_compared = coupling_scores_compared(
-                    ecs_inter, d_inter, dist_map_multimer=None,
-                    dist_cutoff=kwargs["distance_cutoff"],
-                    output_file=None,
-                    # does not apply to inter-protein ECs
-                    min_sequence_dist=None,
-                )
-            else:
-                ecs_inter_compared = ecs_inter.assign(dist=np.nan)
-
-            ec_table_compared = pd.concat([
-                ecs_inter_compared,
-                ecs_intra_i_compared,
-                ecs_intra_j_compared,
-            ]).rename(
-                columns={"precision": "segmentwise_precision"}
-            ).sort_values("cn", ascending=False)
-
-            ec_table_compared = add_precision(
-                ec_table_compared, dist_cutoff=kwargs["distance_cutoff"]
+        blocks = [compared_inter]
+        for seg_name, dm, dm_multi in (
+            (first_segment_name, d_intra_i, d_multimer_i),
+            (second_segment_name, d_intra_j, d_multimer_j),
+        ):
+            intra = ec_table[
+                same_segment & (ec_table.segment_i == seg_name)
+            ]
+            blocks.append(
+                _with_distances(intra, dm, dm_multi, min_seq_dist)
             )
 
-            ec_table_compared.to_csv(outcfg[out_file])
-            ecs_inter_compared.to_csv(outcfg["ec_compared_inter_file"])
+        combined = pd.concat(blocks).rename(
+            columns={"precision": "segmentwise_precision"}
+        ).sort_values("cn", ascending=False)
+        combined = add_precision(
+            combined, dist_cutoff=kwargs["distance_cutoff"]
+        )
+
+        combined.to_csv(outcfg[out_file])
+        compared_inter.to_csv(outcfg["ec_compared_inter_file"])
 
     if (outcfg["ec_compared_inter_file"] is not None
             and kwargs["plot_highest_count"] is not None):

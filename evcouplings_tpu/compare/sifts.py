@@ -34,7 +34,6 @@ from evcouplings_tpu.compare.mapping import map_indices
 from evcouplings_tpu.utils.config import (
     InvalidParameterError,
     check_required,
-    parse_config,
 )
 from evcouplings_tpu.utils.helpers import range_overlap
 from evcouplings_tpu.utils.system import (
@@ -56,32 +55,33 @@ SIFTS_REST_API = (
 )
 
 # default parametrization for homolog search against the PDB seqres
-# database (overridden by by_alignment kwargs)
-HMMER_CONFIG = """
-prefix:
-sequence_id:
-sequence_file:
-region:
-first_index: 1
-
-use_bitscores: True
-domain_threshold: 0.5
-sequence_threshold: 0.5
-iterations: 1
-database: sequence_database
-
-extract_annotation: False
-cpu: 1
-nobias: False
-reuse_alignment: False
-checkpoints_hmm: False
-checkpoints_ali: False
-
-# database
-jackhmmer: jackhmmer
-sequence_database:
-sequence_download_url: http://rest.uniprot.org/uniprot/{}.fasta
-"""
+# database (overridden by by_alignment kwargs); key set mirrors the
+# align-stage search protocols' config contract
+HMMER_CONFIG = {
+    "prefix": None,
+    "sequence_id": None,
+    "sequence_file": None,
+    "region": None,
+    "first_index": 1,
+    # search thresholds
+    "use_bitscores": True,
+    "domain_threshold": 0.5,
+    "sequence_threshold": 0.5,
+    "iterations": 1,
+    "database": "sequence_database",
+    # execution knobs
+    "extract_annotation": False,
+    "cpu": 1,
+    "nobias": False,
+    "reuse_alignment": False,
+    "checkpoints_hmm": False,
+    "checkpoints_ali": False,
+    # database wiring
+    "jackhmmer": "jackhmmer",
+    "sequence_database": None,
+    "sequence_download_url":
+        "http://rest.uniprot.org/uniprot/{}.fasta",
+}
 
 
 def fetch_uniprot_mapping(ids, from_db="UniProtKB_AC-ID",
@@ -193,8 +193,7 @@ def fetch_uniprot_mapping(ids, from_db="UniProtKB_AC-ID",
 def find_homologs(pdb_alignment_method="jackhmmer", **kwargs):
     """Find homologs of the query in a sequence database using
     jackhmmer or hmmbuild+hmmsearch; returns (alignment, hit table)."""
-    config = parse_config(HMMER_CONFIG)
-    config = {**config, **kwargs}
+    config = {**HMMER_CONFIG, **kwargs}
 
     if config["prefix"] is None:
         config["prefix"] = path.join(tempdir(), "compare")
@@ -371,32 +370,32 @@ class SIFTS:
     def by_pdb_id(self, pdb_id, pdb_chain=None, uniprot_id=None):
         """Hits + mappings for one PDB entry (optionally one chain /
         one UniProt entry to disambiguate chimeras)."""
-        pdb_id = pdb_id.lower()
-        query = "pdb_id == @pdb_id"
+        table = self.table
+        has_up_id = "uniprot_id" in table.columns
 
+        keep = table.pdb_id == pdb_id.lower()
         if pdb_chain is not None:
-            query += " and pdb_chain == @pdb_chain"
-
+            keep &= table.pdb_chain == pdb_chain
         if uniprot_id is not None:
-            if "uniprot_id" in self.table.columns:
-                query += (" and (uniprot_ac == @uniprot_id or "
-                          "uniprot_id == @uniprot_id)")
-            else:
-                query += " and uniprot_ac == @uniprot_id"
+            up_match = table.uniprot_ac == uniprot_id
+            if has_up_id:
+                up_match |= table.uniprot_id == uniprot_id
+            keep &= up_match
 
-        x = self.table.query(query)
+        hits = table[keep]
 
-        if len(x.uniprot_ac.unique()) > 1:
-            id_list = ", ".join(x.uniprot_ac.unique())
-            if "uniprot_id" in self.table.columns:
-                id_list += " or " + ", ".join(x.uniprot_id.unique())
+        distinct_acs = hits.uniprot_ac.unique()
+        if len(distinct_acs) > 1:
+            names = ", ".join(distinct_acs)
+            if has_up_id:
+                names += " or " + ", ".join(hits.uniprot_id.unique())
             raise ValueError(
                 "Multiple Uniprot sequences on chains, "
                 "please disambiguate using uniprot_id "
-                "parameter: {}".format(id_list)
+                "parameter: " + names
             )
 
-        return self._finalize_hits(x)
+        return self._finalize_hits(hits)
 
     def by_uniprot_id(self, uniprot_id, reduce_chains=False):
         """Hits + mappings for one UniProt AC (or ID when the sequence
@@ -498,30 +497,38 @@ class SIFTS:
             columns=hit_columns + ["mapping_index", "grouped_segments"],
         )
 
-        def _split_insertion_code(res):
+        def _residue_sort_key(res):
+            # PDB coordinate ids may carry a trailing insertion code
+            # letter; order numerically first, then by the letter
             res = str(res)
-            assert len(res) >= 1
             if res[-1].isalpha():
                 return int(res[:-1]), res[-1]
             return int(res), ""
 
-        def _agg_type(x):
-            if x == "overlap":
+        def _agg_rule(col):
+            # coordinate bounds respect insertion-code order; plain
+            # index bounds are numeric min/max; overlaps add up;
+            # anything else keeps the first segment's value
+            if col == "overlap":
                 return "sum"
-            elif x == "coord_start":
-                return lambda l: sorted(l, key=_split_insertion_code)[0]
-            elif x == "coord_end":
-                return lambda l: sorted(l, key=_split_insertion_code)[-1]
-            elif x.endswith("_start"):
+            if col == "coord_start":
+                return lambda vals: sorted(
+                    vals, key=_residue_sort_key
+                )[0]
+            if col == "coord_end":
+                return lambda vals: sorted(
+                    vals, key=_residue_sort_key
+                )[-1]
+            if col.endswith("_start"):
                 return "min"
-            elif x.endswith("_end"):
+            if col.endswith("_end"):
                 return "max"
             return "first"
 
-        agg_types = OrderedDict([
-            (c, _agg_type(c)) for c in hits.columns
+        agg_types = OrderedDict(
+            (c, _agg_rule(c)) for c in hits.columns
             if c not in hit_columns
-        ])
+        )
 
         if len(hits) > 0:
             hits_grouped = hits.groupby(hit_columns).agg(
