@@ -429,12 +429,16 @@ def _family_config_records():
     the PLM fit, is the headline above). Failures degrade to an error
     string instead of killing the headline metric."""
     out = {}
-    for fn in (_bench_mi_apc, _bench_de_scan, _bench_evcomplex,
-               _bench_fold_prep):
+    for name, fn in (
+        ("mi_apc", _bench_mi_apc),
+        ("de_scan", _bench_de_scan),
+        ("evcomplex", _bench_evcomplex),
+        ("fold_prep", _bench_fold_prep),
+    ):
         try:
             out.update(fn())
         except Exception as e:  # pragma: no cover - defensive
-            out[fn.__name__.lstrip("_") + "_error"] = repr(e)[:200]
+            out[name + "_error"] = repr(e)[:200]
     return out
 
 

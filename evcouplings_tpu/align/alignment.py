@@ -306,22 +306,25 @@ def parse_header(header):
 
 
 def sequences_to_matrix(sequences):
-    """Stack aligned sequence strings into an N x L character matrix."""
-    rows = [np.array(list(s)) for s in sequences]
-    if not rows:
+    """Stack aligned sequence strings into an N x L character matrix.
+
+    Validates and writes each row straight into the preallocated
+    matrix — no second copy of the alignment is ever held (matters
+    for UniRef-scale inputs on the Python parser path).
+    """
+    sequences = list(sequences)
+    if not sequences:
         raise ValueError("Need at least one sequence")
 
-    width = len(rows[0])
-    for k, row in enumerate(rows):
-        if len(row) != width:
+    width = len(sequences[0])
+    out = np.empty((len(sequences), width), dtype=str)
+    for k, seq in enumerate(sequences):
+        if len(seq) != width:
             raise ValueError(
                 "Sequences have differing lengths: i={} L_0={} "
-                "L_i={}".format(k, width, len(row))
+                "L_i={}".format(k, width, len(seq))
             )
-
-    out = np.empty((len(rows), width), dtype=str)
-    for k, row in enumerate(rows):
-        out[k] = row
+        out[k] = np.array(list(seq))
     return out
 
 

@@ -40,13 +40,20 @@ from dataclasses import dataclass
 import numpy as np
 
 # instructions that move data between devices, as they appear in
-# optimized HLO (the -start/-done forms cover async lowering)
+# optimized HLO (the -start/-done forms cover async lowering).
+# send/recv and collective-broadcast are included so a future XLA
+# lowering through point-to-point ops cannot make the accounting
+# pass vacuously (a send+recv pair double-counts its payload, which
+# only errs conservative — the gates require zero of them anyway)
 _COLLECTIVE_OPS = (
     "all-reduce",
     "all-gather",
     "reduce-scatter",
     "collective-permute",
+    "collective-broadcast",
     "all-to-all",
+    "send",
+    "recv",
 )
 
 _DTYPE_BYTES = {

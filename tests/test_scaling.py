@@ -37,6 +37,11 @@ import pytest
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO_ROOT, "bench_scaling.py")
 
+# the analytic-model tests import bench_scaling's committed constants;
+# make that independent of pytest's invocation directory
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
 L, Q = 8, 5
 LQ = L * Q
 

@@ -17,8 +17,10 @@ import sys
 import tokenize
 from pathlib import Path
 
-REPO = Path("/root/repo")
-REF = Path("/root/reference")
+import os
+
+REPO = Path(__file__).resolve().parents[1]
+REF = Path(os.environ.get("OVERLAPCHECK_REF", "/root/reference"))
 
 
 def normalized_lines(path):
