@@ -144,30 +144,16 @@ import matplotlib.pyplot as plt
 import numpy as np
 import pandas as pd
 
-STYLE_EC = {
-    "edgecolor": "none",
-    "c": "black",
-    "s": 80,
-}
+def _scatter_style(color, size, **extra):
+    """Edge-less scatter style for contact-map dots."""
+    return {"edgecolor": "none", "c": color, "s": size, **extra}
 
-STYLE_CONTACT = {
-    "edgecolor": "none",
-    "c": "#b6d4e9",
-    "s": 100,
-}
 
-STYLE_CONTACT_BRIGHT = {
-    "edgecolor": "none",
-    "c": "#d9e7f5",
-    "s": 100,
-}
-
-STYLE_CONTACT_MULTIMER = {
-    "edgecolor": "none",
-    "c": "#fc8c3b",
-    "alpha": 0.3,
-    "s": 100,
-}
+# rendering defaults mirror the reference's published figures
+STYLE_EC = _scatter_style("black", 80)
+STYLE_CONTACT = _scatter_style("#b6d4e9", 100)
+STYLE_CONTACT_BRIGHT = _scatter_style("#d9e7f5", 100)
+STYLE_CONTACT_MULTIMER = _scatter_style("#fc8c3b", 100, alpha=0.3)
 
 STYLE_SECSTRUCT = {
     "helix_turn_length": 2,
@@ -175,6 +161,7 @@ STYLE_SECSTRUCT = {
     "min_sse_length": 2,
     "width": 1,
     "line_width": 2,
+    # monochrome cartoons by default
     "helix_color": "k",
     "strand_color": "k",
     "coil_color": "k",

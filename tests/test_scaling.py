@@ -76,6 +76,76 @@ def tiny_inputs():
     return params, make
 
 
+class TestHloCollectiveParser:
+    """The accounting parser itself, on synthetic HLO lines — proves
+    the gate cannot pass vacuously if XLA lowers communication to
+    forms other than all-reduce."""
+
+    def test_counts_tuple_all_reduce(self):
+        from evcouplings_tpu.parallel.comm_accounting import (
+            collectives_in_hlo,
+        )
+
+        hlo = (
+            '  %all-reduce = (f32[], f32[40,128]{1,0}) all-reduce('
+            '%a, %b), replica_groups={{0,1}}, to_apply=%add\n'
+        )
+        ops = collectives_in_hlo(hlo)
+        assert len(ops) == 1
+        assert ops[0].op == "all-reduce"
+        assert ops[0].elements == 1 + 40 * 128
+        assert ops[0].bytes == 4 * (1 + 40 * 128)
+
+    def test_detects_non_reduction_forms(self):
+        from evcouplings_tpu.parallel.comm_accounting import (
+            collectives_in_hlo,
+        )
+
+        hlo = "\n".join([
+            '  %ag = bf16[8,256]{1,0} all-gather(%x), dimensions={0}',
+            '  %rs = f32[32]{0} reduce-scatter(%y), to_apply=%add',
+            '  %cp = f32[16]{0} collective-permute(%z)',
+            '  %s = (f32[64]{0}, u32[], token[]) send(%p, %tok)',
+            '  %r = (f32[64]{0}, u32[], token[]) recv(%tok2)',
+            '  %cb = s8[128]{0} collective-broadcast(%q)',
+            # -done halves must not double count
+            '  %sd = token[] send-done(%s)',
+        ])
+        ops = collectives_in_hlo(hlo)
+        names = sorted(o.op for o in ops)
+        assert names == sorted([
+            "all-gather", "reduce-scatter", "collective-permute",
+            "send", "recv", "collective-broadcast",
+        ])
+        by_name = {o.op: o for o in ops}
+        assert by_name["all-gather"].bytes == 2 * 8 * 256
+        assert by_name["send"].elements == 64 + 1  # token[] skipped
+
+    def test_async_start_counts_once(self):
+        from evcouplings_tpu.parallel.comm_accounting import (
+            collectives_in_hlo,
+        )
+
+        hlo = "\n".join([
+            '  %ar0 = (f32[8]{0}, f32[8]{0}) all-reduce-start(%x)',
+            '  %ar1 = f32[8]{0} all-reduce-done(%ar0)',
+        ])
+        ops = collectives_in_hlo(hlo)
+        assert len(ops) == 1
+
+    def test_plain_compute_ops_ignored(self):
+        from evcouplings_tpu.parallel.comm_accounting import (
+            collectives_in_hlo,
+        )
+
+        hlo = "\n".join([
+            '  %d = f32[40,128]{1,0} dot(%a, %b), metadata='
+            '{op_name="send_data"}',
+            '  %f = f32[8]{0} fusion(%c), kind=kLoop',
+        ])
+        assert collectives_in_hlo(hlo) == []
+
+
 class TestCollectiveAccounting:
     """The compiled sharded step's communication, from optimized HLO."""
 
