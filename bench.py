@@ -225,11 +225,16 @@ def _bench_mi_apc():
         return apc(mi)
 
     run(m)  # warm/compile
-    m[0, 0] = (m[0, 0] + 1) % Q  # avoid tunnel dispatch caching
-    t0 = time.perf_counter()
-    scored = run(m)
-    float(scored[0, 1])
-    dt = time.perf_counter() - t0
+    # best of 3: this path is a chain of small dispatches whose
+    # wall clock is dominated by tunnel round-trip latency, which is
+    # noisy — a single sample has measured 4x run-to-run swings
+    dt = float("inf")
+    for rep in range(3):
+        m[0, 0] = (m[0, 0] + 1) % Q  # avoid tunnel dispatch caching
+        t0 = time.perf_counter()
+        scored = run(m)
+        float(scored[0, 1])
+        dt = min(dt, time.perf_counter() - t0)
     return {
         "mi_apc_value": round(l1 * (l1 - 1) / 2 / dt, 1),
         "mi_apc_unit": "scored pairs/s (N=4096, L=96)",
