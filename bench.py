@@ -64,8 +64,8 @@ N_PARITY = 65536
 # (Lq)^2 layout would hold a 115M-parameter coupling matrix +
 # optimizer state here). Block sweep at L=512 on v5e: 1024 (118.8M
 # seq*site/s at N=8192) > 2048 (108.0M) > 4096 (99.2M) > 512 (96.5M);
-# N=16384 amortizes the per-step epilogue further (134.3M)
-L_BIG, N_BIG = 512, 16384
+# N amortizes the per-step epilogue: 16384 -> 134.3M, 32768 -> 144.2M
+L_BIG, N_BIG = 512, 32768
 STEPS_PER_CALL = 60
 WARMUP_CALLS = 2
 BENCH_CALLS = 3
