@@ -33,7 +33,15 @@ _C1 = 1e-4          # Armijo (sufficient decrease)
 _C2 = 0.9           # curvature, libLBFGS wolfe default for LBFGS
 _GROW = 2.1         # trial-step growth while curvature says "too short"
 _SHRINK = 0.5       # trial-step backtracking factor
-_MIN_CURVATURE = 1e-10   # skip history update if dot(s, y) below this
+# Skip the history update if dot(s, y) falls below this ABSOLUTE
+# threshold. Deliberate deviation from libLBFGS (which never skips and
+# would divide by a tiny/negative ys after an inexact linesearch): the
+# skip keeps rho finite, and empty/skipped slots vanish via rho == 0.
+# The absolute form is part of the pinned fit semantics (golden
+# fixtures + the f64 oracle share it); a problem scaled so that
+# healthy curvature pairs sit near 1e-10 would degrade to steepest
+# descent — at such scales rescale the objective, don't retune this.
+_MIN_CURVATURE = 1e-10
 
 
 def init_lbfgs_state(x, value, grad, m=5):

@@ -40,11 +40,13 @@ from dataclasses import dataclass
 import numpy as np
 
 # instructions that move data between devices, as they appear in
-# optimized HLO (the -start/-done forms cover async lowering).
-# send/recv and collective-broadcast are included so a future XLA
-# lowering through point-to-point ops cannot make the accounting
-# pass vacuously (a send+recv pair double-counts its payload, which
-# only errs conservative — the gates require zero of them anyway)
+# optimized HLO (the -start/-done forms cover async lowering; a
+# -start result tuple aliases its operands and is counted as one
+# payload half, see _async_payload_half). send/recv and
+# collective-broadcast are included so a future XLA lowering through
+# point-to-point ops cannot make the accounting pass vacuously (a
+# matched send+recv pair double-counts its payload, which only errs
+# conservative — the gates require zero of them anyway)
 _COLLECTIVE_OPS = (
     "all-reduce",
     "all-gather",
@@ -56,18 +58,30 @@ _COLLECTIVE_OPS = (
     "recv",
 )
 
-_DTYPE_BYTES = {
-    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
-    "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
-    "f64": 8, "c64": 8, "c128": 16,
+_DTYPE_BITS = {
+    "pred": 8, "s2": 2, "u2": 2, "s4": 4, "u4": 4, "s8": 8, "u8": 8,
+    "f8e5m2": 8, "f8e4m3": 8, "f8e4m3fn": 8, "f8e4m3b11fnuz": 8,
+    "f8e5m2fnuz": 8, "f8e4m3fnuz": 8, "f8e3m4": 8, "f4e2m1fn": 4,
+    "s16": 16, "u16": 16, "bf16": 16, "f16": 16,
+    "s32": 32, "u32": 32, "f32": 32, "tf32": 32,
+    "s64": 64, "u64": 64, "f64": 64, "c64": 64, "c128": 128,
 }
 
-# one typed array inside an HLO shape, e.g. f32[40,128]{1,0}
-_ARRAY_RE = re.compile(r"(\w+)\[([\d,]*)\](?:\{[^}]*\})?")
+# non-data shape elements that legitimately carry no payload
+_ZERO_BIT_DTYPES = ("token", "opaque", "tuple")
 
-# an HLO instruction line: "%name = <shape> <opcode>(...)"
+# one typed array inside an HLO shape, e.g. f32[40,128]{1,0} — the
+# (ignored) layout suffix may itself contain parentheses on TPU
+# (tiled layouts like {1,0:T(8,128)(4,1)})
+_ARRAY_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+# an HLO instruction line: "%name = <result shape> <opcode>(...)".
+# The result shape is taken as everything between the '=' and the
+# opcode token instead of a shape grammar, because TPU post-layout
+# printing nests parentheses inside tuple layouts, which a
+# "parenthesized blob" pattern cannot span.
 _INSTR_RE = re.compile(
-    r"=\s*((?:\([^)]*\))|(?:\S+?))\s+({})(?:-start|-done)?\("
+    r"=\s*(.*?)\s*\b({})(-start|-done)?\("
     .format("|".join(_COLLECTIVE_OPS))
 )
 
@@ -86,35 +100,66 @@ class CollectiveOp:
 
 
 def _parse_shape_list(shape_text):
-    """All typed arrays inside an HLO result shape (tuple or single)."""
+    """All typed arrays inside an HLO result shape (tuple or single).
+
+    Unknown dtypes (other than the zero-payload token/opaque/tuple
+    markers) are kept and priced at a conservative 32 bits so a new
+    XLA dtype can never silently UNDERcount a transfer.
+    """
     found = []
     for dtype, dims in _ARRAY_RE.findall(shape_text):
-        if dtype not in _DTYPE_BYTES:
-            continue  # e.g. token[] / opaque
+        if dtype in _ZERO_BIT_DTYPES:
+            continue
         sizes = tuple(int(d) for d in dims.split(",") if d)
         found.append((dtype, sizes))
     return found
+
+
+def _shape_measure(shapes):
+    """(elements, bytes) of a parsed shape list."""
+    elements = sum(int(np.prod(dims or (1,))) for _, dims in shapes)
+    bits = sum(
+        _DTYPE_BITS.get(dtype, 32) * int(np.prod(dims or (1,)))
+        for dtype, dims in shapes
+    )
+    return elements, (bits + 7) // 8
+
+
+def _async_payload_half(shapes):
+    """For `-start` forms the result tuple aliases the operands:
+    (operands..., results...[, u32 context scalars]) — the wire
+    payload is ONE of the two halves. When the shape list splits into
+    two identical halves after dropping trailing u32 scalars, return
+    that half; otherwise None (caller keeps the conservative whole)."""
+    trimmed = list(shapes)
+    while trimmed and trimmed[-1][0] == "u32" and trimmed[-1][1] == ():
+        trimmed.pop()
+    half, rem = divmod(len(trimmed), 2)
+    if rem == 0 and half and trimmed[:half] == trimmed[half:]:
+        return tuple(trimmed[:half])
+    return None
 
 
 def collectives_in_hlo(hlo_text):
     """Every collective instruction of an HLO module, with payloads.
 
     `-done` halves of async pairs are skipped so each transfer counts
-    once.
+    once, and a `-start` result tuple (which aliases its operands)
+    counts one payload half, not both.
     """
     ops = []
     for line in hlo_text.splitlines():
         m = _INSTR_RE.search(line)
         if m is None:
             continue
-        if "-done(" in line:
+        if m.group(3) == "-done":
             continue
         shapes = tuple(_parse_shape_list(m.group(1)))
-        elements = sum(int(np.prod(dims or (1,))) for _, dims in shapes)
-        nbytes = sum(
-            _DTYPE_BYTES[dtype] * int(np.prod(dims or (1,)))
-            for dtype, dims in shapes
-        )
+        if m.group(3) == "-start":
+            paired = _async_payload_half(shapes)
+            if paired is not None:
+                shapes = paired
+        elements, nbytes = _shape_measure(shapes)
         ops.append(CollectiveOp(m.group(2), shapes, elements, nbytes))
     return ops
 
@@ -188,6 +233,10 @@ def analytic_efficiency(rows_per_device, L, q, devices,
     t_comm = ring_all_reduce_seconds(
         payload["bytes"], devices, ici_bytes_per_s
     )
+    total = t_compute + t_comm
+    # no work and no communication (e.g. 0 rows on 1 device) is
+    # trivially efficient, not 0/0
+    efficiency = t_compute / total if total > 0 else 1.0
     return {
         "devices": devices,
         "rows_per_device": rows_per_device,
@@ -195,7 +244,7 @@ def analytic_efficiency(rows_per_device, L, q, devices,
         "q": q,
         "t_compute_ms": round(t_compute * 1e3, 4),
         "t_comm_ms": round(t_comm * 1e3, 4),
-        "efficiency": round(t_compute / (t_compute + t_comm), 4),
+        "efficiency": round(efficiency, 4),
         "payload_bytes": payload["bytes"],
     }
 
@@ -204,11 +253,19 @@ def min_rows_for_efficiency(target, L, q, devices,
                             chip_seq_sites_per_s,
                             ici_bytes_per_s, acc_bytes=4):
     """Smallest rows-per-device at which the model predicts at least
-    `target` weak-scaling efficiency."""
+    `target` weak-scaling efficiency (target in (0, 1); exactly 1.0
+    is only reachable with zero communication)."""
+    if not 0.0 < target < 1.0:
+        raise ValueError(
+            "target efficiency must be in (0, 1), got "
+            "{}".format(target)
+        )
     payload = expected_gradient_payload(L, q, acc_bytes)
     t_comm = ring_all_reduce_seconds(
         payload["bytes"], devices, ici_bytes_per_s
     )
+    if t_comm == 0.0:
+        return 1  # single device: any batch is 100% efficient
     # eff >= target  <=>  t_compute >= t_comm * target / (1 - target)
     t_compute = t_comm * target / (1.0 - target)
     return int(np.ceil(t_compute * chip_seq_sites_per_s / L))

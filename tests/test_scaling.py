@@ -122,6 +122,9 @@ class TestHloCollectiveParser:
         assert by_name["send"].elements == 64 + 1  # token[] skipped
 
     def test_async_start_counts_once(self):
+        """A -start result tuple aliases its operands: the payload is
+        one half, not the sum, and trailing u32 context scalars are
+        not wire bytes."""
         from evcouplings_tpu.parallel.comm_accounting import (
             collectives_in_hlo,
         )
@@ -132,6 +135,63 @@ class TestHloCollectiveParser:
         ])
         ops = collectives_in_hlo(hlo)
         assert len(ops) == 1
+        assert ops[0].elements == 8
+        assert ops[0].bytes == 32
+
+        hlo = (
+            '  %cp = (f32[16]{0}, f32[16]{0}, u32[], u32[]) '
+            'collective-permute-start(%p)'
+        )
+        (op,) = collectives_in_hlo(hlo)
+        assert op.elements == 16 and op.bytes == 64
+
+    def test_tpu_tiled_layouts_parse(self):
+        """Real-TPU post-layout HLO nests parentheses inside tuple
+        layouts ({1,0:T(8,128)}) — the accounting must not silently
+        drop such collectives (it did, before this test)."""
+        from evcouplings_tpu.parallel.comm_accounting import (
+            collectives_in_hlo,
+        )
+
+        hlo = (
+            '  %all-reduce = (f32[]{:T(256)}, '
+            'f32[420,512]{1,0:T(8,128)}) all-reduce(%a, %b), '
+            'channel_id=1, to_apply=%add\n'
+        )
+        (op,) = collectives_in_hlo(hlo)
+        assert op.op == "all-reduce"
+        assert op.elements == 1 + 420 * 512
+
+    def test_unknown_and_narrow_dtypes_never_undercount(self):
+        from evcouplings_tpu.parallel.comm_accounting import (
+            collectives_in_hlo,
+        )
+
+        # int4: 256 elements = 128 bytes
+        (op,) = collectives_in_hlo(
+            '  %ar = s4[256]{0} all-reduce(%x), to_apply=%add'
+        )
+        assert op.elements == 256 and op.bytes == 128
+
+        # a dtype the table does not know is priced at 32 bits,
+        # never dropped
+        (op,) = collectives_in_hlo(
+            '  %ar = f6e3m2[64]{0} all-reduce(%x), to_apply=%add'
+        )
+        assert op.elements == 64 and op.bytes == 256
+
+    def test_analytic_edge_cases(self):
+        from evcouplings_tpu.parallel.comm_accounting import (
+            analytic_efficiency, min_rows_for_efficiency,
+        )
+
+        # single device: no communication, trivially efficient
+        assert analytic_efficiency(
+            0, 16, 21, 1, 1e8, 4.5e10
+        )["efficiency"] == 1.0
+        assert min_rows_for_efficiency(0.8, 16, 21, 1, 1e8, 4.5e10) == 1
+        with pytest.raises(ValueError):
+            min_rows_for_efficiency(1.0, 16, 21, 8, 1e8, 4.5e10)
 
     def test_plain_compute_ops_ignored(self):
         from evcouplings_tpu.parallel.comm_accounting import (
