@@ -194,8 +194,16 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
     (one_hot of -1 is the zero vector, which simultaneously removes the
     site's conditional term and its context contribution — used for
     ignore_gaps mode and row padding).
+
+    The scalar accumulator carries in the f32-or-wider accumulation
+    dtype regardless of the compute dtype: at bf16 an 8-bit-mantissa
+    running sum of ~1e5-magnitude block NLLs loses ~3 significant
+    digits, which is enough to poison a backtracking acceptance test
+    that compares this loss against the closed-form vg path (whose
+    accumulator was always f32). For f32/f64 compute this is a no-op.
     """
     lq = L * q
+    acc = jnp.promote_types(dtype, jnp.float32)
 
     def local_nll(J_eff, h_flat, codes, weights):
         n_pad = codes.shape[0]
@@ -209,7 +217,7 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
             )
         num_blocks = n_pad // block_size
 
-        def body(acc, block_idx):
+        def body(carry, block_idx):
             start = block_idx * block_size
             c = jax.lax.dynamic_slice_in_dim(codes, start, block_size, 0)
             w = jax.lax.dynamic_slice_in_dim(weights, start, block_size, 0)
@@ -231,18 +239,21 @@ def _make_local_nll(L, q, block_size, prec, dtype, axis_name=None):
 
             # sum_r log P(x_sr | ...) as a masked gather via the one-hot
             per_seq = jnp.sum(oh * logp, axis=1)
-            return acc - jnp.dot(w.astype(dtype), per_seq,
-                                 precision=prec.base), None
+            block_nll = jnp.dot(
+                w.astype(dtype), per_seq, precision=prec.base,
+                preferred_element_type=acc,
+            )
+            return carry - block_nll, None
 
-        init = jnp.zeros((), dtype=dtype)
+        init = jnp.zeros((), dtype=acc)
         if axis_name is not None:
             # inside shard_map the carry becomes varying along the data
             # axis; mark the init accordingly
             init = _pvary(init, (axis_name,))
-        acc, _ = jax.lax.scan(
+        total, _ = jax.lax.scan(
             body, init, jnp.arange(num_blocks, dtype=jnp.int32),
         )
-        return acc
+        return total
 
     return local_nll
 
@@ -548,6 +559,10 @@ def fit_fingerprint(codes, weights, num_symbols, cfg):
         int(num_symbols), cfg.lambda_h, cfg.lambda_J, cfg.lambda_group,
         cfg.solver, cfg.adam_lr, cfg.block_size, cfg.dtype,
         cfg.precision, cfg.memory_size, cfg.conv_tol, cfg.grad_layout,
+        # the fused Pallas epilogue matches the unfused path only up
+        # to float rounding, so switching it mid-fit is a different
+        # trajectory
+        cfg.fused_update,
     ) + ((cfg.group_mode, cfg.group_eps)
          if cfg.lambda_group > 0 else ())).encode())
     return h.hexdigest()
@@ -683,10 +698,10 @@ def _build_j_aug(params, L, q, dtype, lq_aug, symmetric=False):
 def _resolve_fused_update(cfg, mesh, master_dtype):
     """Decide whether the fit uses the fused Pallas Adam epilogue.
 
-    Returns (enabled, interpret). "auto" engages only in the
-    production configuration (adam solver, bfloat16 compute, f32
-    masters, smooth regularizer, single device, real TPU); forcing
-    "on" outside TPU runs the kernel in interpret mode (tests).
+    Returns (enabled, interpret). "auto" always resolves to off (the
+    measured result below); forcing "on" requires the adam solver
+    with smooth regularizer, f32 masters, and a single device, and
+    runs the kernel in interpret mode off-TPU (tests).
     """
     if cfg.fused_update == "off":
         return False, False
@@ -694,12 +709,17 @@ def _resolve_fused_update(cfg, mesh, master_dtype):
         cfg.solver == "adam"
         and cfg.lambda_group == 0
         and master_dtype == jnp.float32
+        # the Pallas epilogue updates the replicated arrays outside
+        # shard_map; on a multi-device mesh that path is untested and
+        # would bypass the sharded gradient contract
+        and (mesh is None or mesh.devices.size == 1)
     )
     if cfg.fused_update == "on":
         if not eligible:
             raise ValueError(
                 "fused_update='on' requires the adam solver, "
-                "lambda_group=0, and float32 master parameters"
+                "lambda_group=0, float32 master parameters, and a "
+                "single-device (or absent) mesh"
             )
         try:
             platform = jax.devices()[0].platform
@@ -748,7 +768,14 @@ def make_plm_nll_vg(L, q, cfg: PlmConfig, mesh=None):
         L, q, cfg.block_size, prec, dtype, axis_name=axis_name,
         acc_dtype=acc,
     )
-    n_shards = 1 if mesh is None else mesh.devices.size
+    # rows shard over the "data" axis only; other mesh axes (e.g. a
+    # "model" axis on a 2D mesh) replicate them, so sizing local rows
+    # by devices.size would under-estimate by the model-axis factor
+    # and could route the two-phase layout past its HBM budget
+    n_shards = (
+        1 if mesh is None
+        else int(dict(mesh.shape).get("data", mesh.devices.size))
+    )
 
     def nll_vg(J_aug, codes, weights, oh_aug):
         layout = _resolve_grad_layout(
@@ -819,7 +846,6 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None,
     nll_vg = make_plm_nll_vg(L, q, cfg, mesh=mesh)
 
     def vg(params, codes, weights, oh_aug=None):
-        mask = _diag_block_mask(L, q, dtype)
         J_aug = _build_j_aug(
             params, L, q, dtype, lq_aug, symmetric=symmetric_params
         )
@@ -844,8 +870,9 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None,
         # * mask == lambda_J * J_eff
         P_f = params["J"].astype(acc)
         S = dJ_eff + cfg.lambda_J * P_f
+        mask_f = _diag_block_mask(L, q, acc)
         if cfg.lambda_group > 0:
-            J_eff_f = 0.5 * (P_f + P_f.T) * mask.astype(acc)
+            J_eff_f = 0.5 * (P_f + P_f.T) * mask_f
             blocks = J_eff_f.reshape(L, q, L, q)
             norms = jnp.sqrt(
                 jnp.sum(blocks ** 2, axis=(1, 3)) + cfg.group_eps
@@ -859,7 +886,6 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None,
                 cfg.lambda_group * 0.5
                 * blocks / norms[:, None, :, None]
             ).reshape(lq, lq)
-        mask_f = _diag_block_mask(L, q, acc)
         dP = 0.5 * (S + S.T) * mask_f
 
         value = nll + reg_value.astype(acc)
@@ -924,16 +950,20 @@ def make_plm_loss(L, q, cfg: PlmConfig, mesh=None,
 
         value = nll(J_eff, h_flat, codes, weights)
 
-        # l2 regularization; full-tensor sum counts each i<j pair twice
+        # l2 regularization; full-tensor sum counts each i<j pair
+        # twice. Accumulated in the f32-or-wider dtype like the
+        # closed-form vg path (a bf16 sum over (Lq)^2 squares would
+        # dominate the loss error) — no-op for f32/f64 compute.
+        acc = jnp.promote_types(dtype, jnp.float32)
         reg = (
-            cfg.lambda_h * jnp.sum(params["h"] ** 2)
-            + cfg.lambda_J * 0.5 * jnp.sum(J_eff ** 2)
+            cfg.lambda_h * jnp.sum(params["h"].astype(acc) ** 2)
+            + cfg.lambda_J * 0.5 * jnp.sum(J_eff.astype(acc) ** 2)
         )
 
         if cfg.lambda_group > 0:
             # smoothed group-L1 over pair blocks (see
             # PlmConfig.group_mode for the bound vs the exact penalty)
-            blocks = J_eff.reshape(L, q, L, q)
+            blocks = J_eff.astype(acc).reshape(L, q, L, q)
             norms = jnp.sqrt(
                 jnp.sum(blocks ** 2, axis=(1, 3)) + cfg.group_eps
             )
@@ -1016,6 +1046,11 @@ def _make_fused_step_chunk(L, q, cfg, mesh, steps_per_call,
             gnorm = jnp.sqrt(gsq[0, 0] + jnp.sum(g_h ** 2))
             xnorm = _tree_norm(params2)
 
+            # re-assemble the augmented matrix carried across scan
+            # iterations; the row layout (J_eff block, h row at index
+            # Lq, zero padding to lq_aug) MUST mirror _build_j_aug —
+            # a change there must land here too, or the fused and
+            # unfused paths silently diverge
             parts = [J_eff2, h2.astype(dtype).reshape(1, lq)]
             if lq_aug > lq + 1:
                 parts.append(
@@ -1129,12 +1164,21 @@ def _make_fista_step_chunk(L, q, cfg, mesh, steps_per_call,
             f_y = f_y.astype(acc)
             gJ, gh = grads["J"], grads["h"]
 
+            # acceptance slack scaled to the accumulation dtype's
+            # resolution: at f64 the historical 1e-12 dominates; at
+            # f32, f_t and f_y come from two differently-ordered
+            # reductions whose cross-implementation noise is
+            # O(eps * |f|), so a fixed 1e-12 would make the
+            # backtracker reject at the float floor and burn all
+            # max_backtracks evals per iteration there
+            bt_slack = max(1e-12, 64.0 * float(jnp.finfo(acc).eps))
+
             def try_step(s):
                 x_t = prox_from(y, gJ, gh, s)
                 f_t = loss(x_t, codes, weights).astype(acc)
                 inner, sqn = theta_terms(x_t, y, gJ, gh)
                 ok = f_t <= (f_y + inner + sqn / (2.0 * s)
-                             + 1e-12 * jnp.maximum(1.0, jnp.abs(f_y)))
+                             + bt_slack * jnp.maximum(1.0, jnp.abs(f_y)))
                 return x_t, f_t, sqn.astype(acc), ok
 
             # backtracking: shrink s until the prox point satisfies
@@ -1282,8 +1326,14 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     # late-stage updates to rounding)
     dtype = jnp.promote_types(jnp.dtype(cfg.dtype), jnp.float32)
 
-    # pad rows so the block scan (and even device sharding) has static shape
-    n_devices = 1 if mesh is None else mesh.devices.size
+    # pad rows so the block scan (and even device sharding) has static
+    # shape; rows shard over the "data" axis only (other mesh axes
+    # replicate them), so both the padding multiple and the
+    # local-row-count estimate below use the data-axis size
+    n_devices = (
+        1 if mesh is None
+        else int(dict(mesh.shape).get("data", mesh.devices.size))
+    )
     row_multiple = cfg.block_size * n_devices
     codes_p, _ = pad_rows(codes.astype(np.int8), row_multiple)
     w_p, _ = pad_rows(weights, row_multiple)
@@ -1619,6 +1669,24 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     it = start_iter
     last_ckpt = start_iter
 
+    # a resumed LBFGS state that already converged — by the device
+    # flag, or by the host-side libLBFGS criterion on the carried
+    # gradient (the host may stop a fit before the device flag trips,
+    # since the flag is set at the START of the following step) —
+    # must not dispatch another chunk: its steps would be frozen
+    # pass-throughs, and the host would append a duplicate row for
+    # the unchanged iterate and drift the checkpoint's iteration
+    # counter by one per resume
+    if cfg.solver == "lbfgs" and lbfgs_resume is not None:
+        x_r, ls_r = state
+        g_r = np.asarray(ls_r["grad"], dtype=np.float64)
+        x_flat = np.asarray(x_r, dtype=np.float64)
+        gnorm_r = float(np.sqrt(np.dot(g_r, g_r)))
+        xnorm_r = float(np.sqrt(np.dot(x_flat, x_flat)))
+        if (bool(ls_r["converged"])
+                or gnorm_r <= cfg.conv_tol * max(1.0, xnorm_r)):
+            converged = True
+
     while it < cfg.max_iter and not converged:
         n_steps = min(steps_per_call, cfg.max_iter - it)
         with annotate("plm_step_chunk"):
@@ -1693,6 +1761,12 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         # table row lags the returned parameters by one step; one
         # extra evaluation pins final_loss to the parameters actually
         # returned (LBFGS/FISTA already report the accepted iterate)
+        value = float(vg_fn(params, codes_d, w_d, oh_d)[0])
+    elif np.isnan(value):
+        # the loop never recorded a row — a resume landed at/past
+        # max_iter, or the resumed state was already converged — so
+        # no metrics row carried the objective; evaluate once at the
+        # returned parameters instead of reporting final_loss=NaN
         value = float(vg_fn(params, codes_d, w_d, oh_d)[0])
 
     # materialize the effective symmetric couplings

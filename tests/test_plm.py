@@ -508,6 +508,67 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(resumed.J_ij, ref.J_ij)
         np.testing.assert_array_equal(resumed.h_i, ref.h_i)
 
+    @pytest.mark.parametrize("solver", ["adam", "lbfgs", "fista"])
+    def test_resume_at_max_iter_reports_real_loss(self, tmp_path,
+                                                  solver):
+        """Re-running a fit whose checkpoint already sits at max_iter
+        must return the checkpointed parameters with a REAL objective
+        value, not final_loss=NaN from a never-entered loop, and must
+        not append duplicate iteration rows."""
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        lam = {"lambda_group": 0.3} if solver == "fista" else {}
+        cfg = PlmConfig(max_iter=8, block_size=16, solver=solver,
+                        conv_tol=0.0, **lam)
+
+        ckpt = str(tmp_path / "fit.ckpt.npz")
+        first = fit_plm(codes, w, 5, cfg, checkpoint_file=ckpt,
+                        checkpoint_every=4)
+        rerun = fit_plm(codes, w, 5, cfg, checkpoint_file=ckpt,
+                        checkpoint_every=4)
+
+        assert rerun.num_iter == 0          # nothing re-run
+        assert np.isfinite(rerun.final_loss)
+        np.testing.assert_allclose(
+            rerun.final_loss, first.final_loss, rtol=1e-5
+        )
+        if solver == "fista":
+            # the FISTA master can be infinitesimally asymmetric
+            # (per-block prox on f32), so the load-time
+            # resymmetrization rounds a handful of entries by one ulp
+            np.testing.assert_allclose(
+                rerun.J_ij, first.J_ij, rtol=0, atol=5e-7
+            )
+        else:
+            np.testing.assert_array_equal(rerun.J_ij, first.J_ij)
+
+    def test_converged_lbfgs_resume_does_not_drift(self, tmp_path):
+        """Resuming a CONVERGED LBFGS checkpoint below max_iter must
+        not dispatch a pass-through chunk that duplicates the final
+        iterate and bumps the iteration counter."""
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        # loose tolerance so the fit converges quickly
+        cfg = PlmConfig(max_iter=40, block_size=16, solver="lbfgs",
+                        conv_tol=0.5)
+
+        ckpt = str(tmp_path / "fit.ckpt.npz")
+        first = fit_plm(codes, w, 5, cfg, checkpoint_file=ckpt,
+                        checkpoint_every=1)
+        assert first.converged and first.num_iter < 40
+
+        rerun = fit_plm(codes, w, 5, cfg, checkpoint_file=ckpt,
+                        checkpoint_every=1)
+        assert rerun.converged
+        assert rerun.num_iter == 0
+        assert np.isfinite(rerun.final_loss)
+        np.testing.assert_array_equal(rerun.J_ij, first.J_ij)
+
+        # the checkpoint's iteration counter must not have drifted
+        assert int(np.load(ckpt)["iteration"]) == first.num_iter
+
     @pytest.mark.parametrize("solver", ["adam", "lbfgs"])
     def test_changed_configuration_rejects_stale_checkpoint(
             self, tmp_path, solver):
