@@ -305,7 +305,16 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         # 512 up to 8192 that divides the per-device 512-padded row
         # count, so the bigger block adds no extra padding waste.
         if compute_dtype == "bfloat16":
-            n_dev = 1 if mesh is None else mesh.devices.size
+            # rows shard over the "data" axis only — on a 2D
+            # data x model mesh, sizing by total device count would
+            # under-estimate local rows by the model-axis factor and
+            # pick a block that does not divide them (padding waste)
+            if mesh is None:
+                n_dev = 1
+            else:
+                n_dev = int(dict(zip(
+                    mesh.axis_names, mesh.devices.shape
+                )).get("data", mesh.devices.size))
             # derived from the BUCKETED row count: with pad_rows set,
             # families in one bucket must resolve the same block (and
             # so the same compiled program) — sizing from the raw N

@@ -1533,8 +1533,7 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 fista_step=np.asarray(state["step"]),
                 fista_fprev=np.asarray(state["f_prev"]),
             )
-        tmp = "{}.tmp.p{}.npz".format(
-            checkpoint_file, jax.process_index())
+        tmp = checkpoint_file + ".tmp.npz"
         np.savez(tmp, **arrays)
         os.replace(tmp, checkpoint_file)
 

@@ -252,7 +252,18 @@ def _make_local_step(L, L_pad, l_loc, q, cfg, manual_axes=(),
 
             J_loc, mu_J, nu_J = adam(J_loc, dJ, mu_J, nu_J)
             h_loc, mu_h, nu_h = adam(h_loc, dh, mu_h, nu_h)
-            rec = jnp.stack([value, jnp.sqrt(gsq), jnp.sqrt(xsq)])
+            # post-update field/coupling norms: the plmc iteration
+            # table's ||h|| / ||J|| columns (same trailing pair the
+            # symmetric fit emits)
+            hsq2 = jnp.sum(h_loc ** 2)
+            Jsq2 = jnp.sum(J_loc ** 2)
+            if has_data_axis:
+                hsq2 = lax.psum(hsq2, "model")
+                Jsq2 = lax.psum(Jsq2, "model")
+            rec = jnp.stack([
+                value, jnp.sqrt(gsq), jnp.sqrt(xsq),
+                jnp.sqrt(hsq2), jnp.sqrt(Jsq2),
+            ])
             return (J_loc, h_loc, mu_J, nu_J, mu_h, nu_h, cnt), rec
 
         carry = (J_loc, h_loc) + state
@@ -357,9 +368,9 @@ def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
     memory_size if HBM is tight.
 
     Returns chunk(J_loc, h_loc, state, codes, w, m_idx) ->
-    (J_loc, h_loc, state, metrics (steps, 5)) with metrics rows
-    [value, ||g||, ||x||, n_unfrozen_sites, n_failed_sites] aggregated
-    over all sites (psum over "model").
+    (J_loc, h_loc, state, metrics (steps, 7)) with metrics rows
+    [value, ||g||, ||x||, n_unfrozen_sites, n_failed_sites, ||h||,
+    ||J||] aggregated over all sites (psum over "model").
     """
     from evcouplings_tpu.ops.lbfgs import (
         _C1, _C2, _GROW, _SHRINK, _MIN_CURVATURE,
@@ -544,6 +555,11 @@ def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
             val = jnp.sum(st2["value"])
             gsq = jnp.sum(st2["grad"] ** 2)
             xsq = jnp.sum(x2 ** 2)
+            # split field/coupling norms for the plmc table's
+            # ||h|| / ||J|| columns (trailing pair, like the
+            # symmetric fit)
+            Jsq = jnp.sum(x2[:, :d_j] ** 2)
+            hsq = jnp.sum(x2[:, d_j:] ** 2)
             n_unfrozen = jnp.sum(
                 (~(st2["converged"] | st2["ls_failed"])).astype(f32))
             n_failed = jnp.sum(st2["ls_failed"].astype(f32))
@@ -551,11 +567,14 @@ def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
                 val = lax.psum(val, "model")
                 gsq = lax.psum(gsq, "model")
                 xsq = lax.psum(xsq, "model")
+                Jsq = lax.psum(Jsq, "model")
+                hsq = lax.psum(hsq, "model")
                 n_unfrozen = lax.psum(n_unfrozen, "model")
                 n_failed = lax.psum(n_failed, "model")
             rec = jnp.stack([
                 val, jnp.sqrt(gsq), jnp.sqrt(xsq),
                 n_unfrozen, n_failed,
+                jnp.sqrt(hsq), jnp.sqrt(Jsq),
             ])
             return (x2, st2), rec
 
@@ -957,14 +976,41 @@ def fit_plm_asym(codes, weights, num_symbols,
         # every process participates in the gathers above (they are
         # collectives), but only ONE writes: concurrent truncating
         # writes to the same path on a shared filesystem interleave
-        # and corrupt the checkpoint. A per-process tmp name guards
-        # against non-shared working directories too.
+        # and corrupt the checkpoint
         if jax.process_index() != 0:
             return
-        tmp = "{}.tmp.p{}.npz".format(
-            checkpoint_file, jax.process_index())
+        tmp = checkpoint_file + ".tmp.npz"
         np.savez(tmp, **arrays)
         os.replace(tmp, checkpoint_file)
+
+    def _objective_at(J_cur, h_cur):
+        """Total per-site objective at the given parameters (the
+        metrics fx convention: sum over all sites, regularizers
+        included). Compiled lazily — only the adam final-loss pin and
+        the never-ran-loop resume fallbacks need it."""
+        local_eval = _make_local_vg_site(
+            L, L_pad, l_loc, q, cfg, manual_axes=axes
+        )
+        if mesh is None:
+            @jax.jit
+            def total(J_cur, h_cur, c, w):
+                f, _, _ = local_eval(
+                    J_cur, h_cur, c, w, jnp.zeros((), jnp.int32)
+                )
+                return jnp.sum(f)
+        else:
+            def _eval_shard(J_cur, h_cur, c, w):
+                m_idx = lax.axis_index("model")
+                f, _, _ = local_eval(J_cur, h_cur, c, w, m_idx)
+                return lax.psum(jnp.sum(f), "model")
+
+            total = jax.jit(shard_map(
+                _eval_shard, mesh=mesh,
+                in_specs=(P("model", None), P("model", None),
+                          P("data", None), P("data")),
+                out_specs=P(),
+            ))
+        return float(np.asarray(total(J_cur, h_cur, codes_d, w_d)))
 
     import time
     t0 = time.time()
@@ -976,6 +1022,20 @@ def fit_plm_asym(codes, weights, num_symbols,
     it = start_iter
     last_ckpt = start_iter
     steps = max(1, int(cfg.steps_per_call))
+
+    # a resumed per-site LBFGS state with every site already frozen
+    # (converged or linesearch-failed) must not dispatch another
+    # chunk: its steps would be pass-throughs that duplicate the
+    # final iterate's row and drift the checkpoint iteration counter
+    # by one per resume (same guard as the symmetric fit)
+    if cfg.solver == "lbfgs" and start_iter > 0:
+        conv_h = np.asarray(_to_host(state["converged"]), dtype=bool)
+        fail_h = np.asarray(_to_host(state["ls_failed"]), dtype=bool)
+        if bool(np.all(conv_h | fail_h)):
+            stopped = True
+            ls_failed = bool(np.any(fail_h))
+            converged = not ls_failed
+
     while it < cfg.max_iter and not stopped:
         n_steps = min(steps, cfg.max_iter - it)
         J, h, state, metrics = chunk(J, h, state, codes_d, w_d, oh_d)
@@ -985,7 +1045,8 @@ def fit_plm_asym(codes, weights, num_symbols,
             it += 1
             value, gnorm, xnorm = metrics[k][:3]
             rec = {"iter": it, "fx": value, "gnorm": gnorm,
-                   "xnorm": xnorm, "time": now}
+                   "xnorm": xnorm, "hnorm": metrics[k][-2],
+                   "Jnorm": metrics[k][-1], "time": now}
             table.append(rec)
             if callback is not None:
                 callback(rec)
@@ -1011,6 +1072,21 @@ def fit_plm_asym(codes, weights, num_symbols,
 
     if checkpoint_file is not None and it > last_ckpt:
         save_checkpoint(J, h, state, it)
+
+    if cfg.solver == "adam":
+        # the adam chunk records fx at the PRE-update iterate, so the
+        # last row lags the returned parameters by up to
+        # steps_per_call updates (the chunk may overshoot max_iter or
+        # the convergence break); pin final_loss to the parameters
+        # actually returned, like the symmetric fit
+        value = _objective_at(J, h)
+    elif np.isnan(value):
+        # the loop never recorded a row (resume at/past max_iter, or
+        # an all-frozen resumed state): the per-site LBFGS state
+        # carries the objective of the current iterate
+        value = float(np.sum(np.asarray(
+            _to_host(state["value"]), dtype=np.float64
+        )))
 
     # directed couplings -> shared-parameter form, once
     J_dir = _to_host(J).astype(np.float64)

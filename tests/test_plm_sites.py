@@ -345,6 +345,61 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(resumed.J_ij, ref.J_ij)
         np.testing.assert_array_equal(resumed.h_i, ref.h_i)
 
+    @pytest.mark.parametrize("solver", ["adam", "lbfgs"])
+    def test_resume_at_max_iter_reports_real_loss(self, tmp_path,
+                                                  solver):
+        """Re-running an asym fit whose checkpoint already sits at
+        max_iter must return the checkpointed parameters with a real
+        objective value (not final_loss=NaN from a never-entered
+        loop) and no extra iteration rows."""
+        codes = make_coupled_msa(N=48)
+        w = np.ones(48)
+        cfg = PlmConfig(solver=solver, max_iter=6, block_size=16,
+                        conv_tol=0.0, lambda_J=0.1)
+
+        ckpt = str(tmp_path / "asym.ckpt.npz")
+        first = fit_plm_asym(codes, w, 4, cfg, checkpoint_file=ckpt,
+                             checkpoint_every=3)
+        rerun = fit_plm_asym(codes, w, 4, cfg, checkpoint_file=ckpt,
+                             checkpoint_every=3)
+
+        assert rerun.num_iter == 0
+        assert np.isfinite(rerun.final_loss)
+        np.testing.assert_allclose(
+            rerun.final_loss, first.final_loss, rtol=1e-4
+        )
+        np.testing.assert_array_equal(rerun.J_ij, first.J_ij)
+
+    def test_adam_final_loss_matches_returned_parameters(self):
+        """The adam chunks record fx at the pre-update iterate;
+        final_loss must nevertheless price the RETURNED parameters
+        (strictly below the last recorded pre-update fx on a
+        descending fit)."""
+        codes = make_coupled_msa(N=96)
+        w = np.ones(96)
+        cfg = PlmConfig(solver="adam", max_iter=12, block_size=16,
+                        steps_per_call=4, conv_tol=0.0, lambda_J=0.1)
+        res = fit_plm_asym(codes, w, 4, cfg)
+        assert np.isfinite(res.final_loss)
+        assert res.final_loss < res.iteration_table[-1]["fx"]
+
+    def test_iteration_table_carries_norm_columns(self):
+        """Both solvers' rows carry the plmc table's ||h|| / ||J||
+        columns, like the symmetric fit (schema-consistent CSVs under
+        auto-routing)."""
+        codes = make_coupled_msa(N=48)
+        w = np.ones(48)
+        for solver in ("adam", "lbfgs"):
+            res = fit_plm_asym(
+                codes, w, 4,
+                PlmConfig(solver=solver, max_iter=4, block_size=16,
+                          conv_tol=0.0, lambda_J=0.1),
+            )
+            row = res.iteration_table[-1]
+            assert row["Jnorm"] > 0
+            assert row["hnorm"] >= 0
+            assert np.isfinite(row["hnorm"])
+
     def test_symmetric_checkpoint_rejected_clearly(self, tmp_path):
         """A checkpoint written by the symmetric fitter must be
         rejected with a clear message, not a KeyError."""
