@@ -212,41 +212,33 @@ class MeanFieldCouplingsModel(CouplingsModel):
         # Note: also constructed by CouplingsModel.__read_plmc_v2 via a
         # __class__ swap + transform_from_plmc_model(), in which case
         # __init__ is never called (reference model.py:391-400).
-        self.L = alignment.L
-        self.num_symbols = alignment.num_symbols
-        self.N_valid = alignment.N
+        self.L, self.num_symbols = alignment.L, alignment.num_symbols
+        # only valid-sequence weights are stored, so the codec's
+        # N_valid + N_invalid weight read requires N_invalid = 0
+        self.N_valid, self.N_invalid = alignment.N, 0
 
-        if alignment.weights is None:
-            self.weights = np.ones((alignment.N))
-        else:
-            self.weights = alignment.weights
+        w = alignment.weights
+        self.weights = np.ones(alignment.N) if w is None else w
         self.N_eff = self.weights.sum()
 
         self.alphabet = np.array(list(alignment.alphabet))
-        self.alphabet_map = {s: i for i, s in enumerate(self.alphabet)}
+        self.alphabet_map = {s: k for k, s in enumerate(self.alphabet)}
 
         # set numbering before the target_seq setter creates the _ecs
         # cache slot, so no eager EC/DI computation is triggered here
         # (the reference's init order recomputes ECs during __init__;
-        # the results are identical, this just defers the work)
+        # the results are identical, this just defers the work).
+        # the target sequence is the focus alignment's first record
         self.index_list = index_list
-
-        # first record of a focus alignment is the target sequence
         self.target_seq = list(alignment.matrix[0])
 
-        self.f_i = alignment.frequencies
-        self.f_ij = alignment.pair_frequencies
+        self.f_i, self.f_ij = alignment.frequencies, \
+            alignment.pair_frequencies
         self.regularized_f_i = regularized_f_i
         self.regularized_f_ij = regularized_f_ij
 
-        self.h_i = h_i
-        self.J_ij = J_ij
-        self.theta = theta
-        self.pseudo_count = pseudo_count
-
-        # only valid-sequence weights are stored, so the codec's
-        # N_valid + N_invalid weight read requires N_invalid = 0
-        self.N_invalid = 0
+        self.h_i, self.J_ij = h_i, J_ij
+        self.theta, self.pseudo_count = theta, pseudo_count
 
         self._decode_unused_fields(save_pseudo_count=False)
         self._reset_precomputed()

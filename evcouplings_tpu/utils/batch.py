@@ -191,32 +191,32 @@ class AClusterSubmitter(ASubmitter):
     @property
     @abc.abstractmethod
     def submit_command(self):
-        raise NotImplementedError
+        """Shell template that enqueues a job (e.g. "bsub ...")."""
 
     @property
     @abc.abstractmethod
     def monitor_command(self):
-        raise NotImplementedError
+        """Shell template that queries a job's scheduler status."""
 
     @property
     @abc.abstractmethod
     def cancel_command(self):
-        raise NotImplementedError
+        """Shell template that removes a job from the queue."""
 
     @property
     @abc.abstractmethod
     def resource_flags(self):
-        raise NotImplementedError
+        """EResource -> scheduler flag mapping for _prepare_resources."""
 
     @property
     @abc.abstractmethod
     def db(self):
-        raise NotImplementedError
+        """Persistent command_id -> submission-record store (shelve)."""
 
     @property
     @abc.abstractmethod
     def job_id_pattern(self):
-        raise NotImplementedError
+        """Compiled regex capturing the job id in submit output."""
 
     def _get_job_id(self, output):
         m = self.job_id_pattern.search(output)
@@ -229,15 +229,15 @@ class AClusterSubmitter(ASubmitter):
 
     @abc.abstractmethod
     def _get_status(self, stdo):
-        raise NotImplementedError
+        """Parse monitor_command output into an EStatus value."""
 
     @abc.abstractmethod
     def _prepare_resources(self, resources):
-        raise NotImplementedError
+        """Render a resource dict into scheduler CLI flags."""
 
     @abc.abstractmethod
     def _prepare_dependencies(self, dependent):
-        raise NotImplementedError
+        """Render prerequisite job ids into dependency CLI flags."""
 
     # -- job database ----------------------------------------------------
 
