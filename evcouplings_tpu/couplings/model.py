@@ -250,15 +250,10 @@ class CouplingsModel:
         self.index_list = _read_array(f, "int32", self.L)
 
         # information missing from v1 files
-        self.N_valid = None
-        self.N_invalid = None
-        self.num_iter = None
-        self.theta = None
-        self.lambda_h = None
-        self.lambda_J = None
-        self.lambda_group = None
-        self.N_eff = None
-        self.weights = None
+        for absent in ("N_valid", "N_invalid", "num_iter", "theta",
+                       "lambda_h", "lambda_J", "lambda_group", "N_eff",
+                       "weights"):
+            setattr(self, absent, None)
 
         L, q = int(self.L), int(self.num_symbols)
         self.f_i = _read_array(f, precision, L * q).reshape(L, q).astype(
@@ -316,15 +311,15 @@ class CouplingsModel:
             target_bytes = self.target_seq.astype("S1")
             target_bytes[target_bytes != b""].tofile(f)
             np.asarray(self.index_list).astype("int32").tofile(f)
-            self.f_i.astype(precision).tofile(f)
-            self.h_i.astype(precision).tofile(f)
+            for site_arr in (self.f_i, self.h_i):
+                site_arr.astype(precision).tofile(f)
 
             if not new:
-                for i in range(L - 1):
-                    for j in range(i + 1, L):
-                        np.array([i + 1, j + 1], dtype="int32").tofile(f)
-                        self.f_ij[i, j].astype(precision).tofile(f)
-                        self.J_ij[i, j].astype(precision).tofile(f)
+                # v1 interleaves an int32 (i+1, j+1) header per pair
+                for i, j in zip(ii, jj):
+                    np.array([i + 1, j + 1], dtype="int32").tofile(f)
+                    self.f_ij[i, j].astype(precision).tofile(f)
+                    self.J_ij[i, j].astype(precision).tofile(f)
             else:
                 self.f_ij[ii, jj].astype(precision).tofile(f)
                 self.J_ij[ii, jj].astype(precision).tofile(f)
@@ -556,29 +551,27 @@ class CouplingsModel:
         """
         from scipy.optimize import fmin_bfgs
 
-        def _log_post(x, *args):
-            (fi, lambda_h, N) = args
-            logZ = np.log(np.exp(x).sum())
-            return N * (logZ - (fi * x).sum()) + lambda_h * ((x ** 2).sum())
+        lam, n_eff = self.lambda_h, self.N_eff
 
-        def _gradient(x, *args):
-            (fi, lambda_h, N) = args
-            Z = np.exp(x).sum()
-            P = np.exp(x) / Z
-            return N * (P - fi) + lambda_h * 2 * x
+        def _site_objective(x, fi):
+            ex = np.exp(x)
+            return (n_eff * (np.log(ex.sum()) - (fi * x).sum())
+                    + lam * (x ** 2).sum())
 
-        h_i = np.zeros((self.L, self.num_symbols))
-        for i in range(self.L):
-            x0 = np.zeros(self.num_symbols)
-            h_i[i] = fmin_bfgs(
-                _log_post, x0, _gradient,
-                args=(self.f_i[i], self.lambda_h, self.N_eff),
-                disp=False,
+        def _site_gradient(x, fi):
+            ex = np.exp(x)
+            return n_eff * (ex / ex.sum() - fi) + lam * 2 * x
+
+        h_i = np.stack([
+            fmin_bfgs(
+                _site_objective, np.zeros(self.num_symbols),
+                _site_gradient, args=(self.f_i[i],), disp=False,
             )
+            for i in range(self.L)
+        ])
 
         c0 = deepcopy(self)
-        c0.h_i = h_i
-        c0.J_ij.fill(0)
+        c0.h_i, c0.J_ij = h_i, np.zeros_like(self.J_ij)
         c0._reset_precomputed()
         return c0
 
@@ -587,31 +580,34 @@ class CouplingsModel:
     # ------------------------------------------------------------------
 
     def __map(self, indices, mapping):
-        is_sequence = (
-            isinstance(indices, Iterable)
-            and not isinstance(indices, str)
-            and not isinstance(indices, tuple)
-        )
-        if is_sequence:
-            return np.array([mapping[i] for i in indices])
+        # single indices may be tuples ((segment, pos) keys), so only
+        # non-tuple/non-string iterables are index sequences
+        if (isinstance(indices, Iterable)
+                and not isinstance(indices, (str, tuple))):
+            return np.array([mapping[k] for k in indices])
         return mapping[indices]
 
+    def __resolve(self, axes):
+        """(value, mapping) pairs -> index tuple (None -> full slice)."""
+        return tuple(
+            _SLICE if v is None else self.__map(v, m) for v, m in axes
+        )
+
     def __4d_access(self, matrix, i=None, j=None, A_i=None, A_j=None):
-        i = self.__map(i, self.index_map) if i is not None else _SLICE
-        j = self.__map(j, self.index_map) if j is not None else _SLICE
-        A_i = self.__map(A_i, self.alphabet_map) if A_i is not None else _SLICE
-        A_j = self.__map(A_j, self.alphabet_map) if A_j is not None else _SLICE
-        return matrix[i, j, A_i, A_j]
+        pos, sym = self.index_map, self.alphabet_map
+        return matrix[self.__resolve(
+            ((i, pos), (j, pos), (A_i, sym), (A_j, sym))
+        )]
 
     def __2d_access(self, matrix, i=None, A_i=None):
-        i = self.__map(i, self.index_map) if i is not None else _SLICE
-        A_i = self.__map(A_i, self.alphabet_map) if A_i is not None else _SLICE
-        return matrix[i, A_i]
+        return matrix[self.__resolve(
+            ((i, self.index_map), (A_i, self.alphabet_map))
+        )]
 
     def __2d_access_score_matrix(self, matrix, i=None, j=None):
-        i = self.__map(i, self.index_map) if i is not None else _SLICE
-        j = self.__map(j, self.index_map) if j is not None else _SLICE
-        return matrix[i, j]
+        return matrix[self.__resolve(
+            ((i, self.index_map), (j, self.index_map))
+        )]
 
     def Jij(self, i=None, j=None, A_i=None, A_j=None):
         """J_ij with index/symbol mapping applied."""
