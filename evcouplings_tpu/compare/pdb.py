@@ -211,24 +211,27 @@ class Chain:
 
             fileobj.write(PDB_FORMAT.format(
                 atom="HETATM" if r["hetatm"] else "ATOM",
-                atom_id=r["atom_id"],
-                atom_name=atom_name,
+                atom_id=r["atom_id"], atom_name=atom_name,
                 alt_loc_ind=str(r.get("alt_loc", "") or ""),
-                residue_name=r["three_letter_code"],
-                chain_id=chain_id,
-                residue_id=coord_id,
-                ins_code=ins_code,
-                x_coord=r["x"],
-                y_coord=r["y"],
-                z_coord=r["z"],
-                occupancy=r["occupancy"],
-                temp_factor=r["b_factor"],
-                element_symbol=element,
-                charge=charge_str,
+                residue_name=r["three_letter_code"], chain_id=chain_id,
+                residue_id=coord_id, ins_code=ins_code,
+                x_coord=r["x"], y_coord=r["y"], z_coord=r["z"],
+                occupancy=r["occupancy"], temp_factor=r["b_factor"],
+                element_symbol=element, charge=charge_str,
             ) + "\n")
 
         if end:
             fileobj.write("END" + 77 * " " + "\n")
+
+
+def _select_rename(df, spec):
+    """Project df onto spec's source columns (order-preserving);
+    tuple entries (source, target) rename, bare names keep
+    themselves."""
+    pairs = [(s, s) if isinstance(s, str) else s for s in spec]
+    return df.loc[:, [src for src, _ in pairs]].rename(
+        columns=dict(pairs)
+    )
 
 
 def _bcif_columns(category, fields):
@@ -489,39 +492,25 @@ class PDB:
             "sec_struct_3state",
         ] = "C"
 
-        RES_RENAME_MAP = {
-            "id": "id",
-            "seqres_id": "seqres_id",
-            "coord_id": "coord_id",
-            "one_letter_code": "one_letter_code",
-            "label_comp_id": "three_letter_code",
-            "auth_asym_id": "chain_id",
-            "label_asym_id": "asym_id",
-            "label_entity_id": "entity_id",
-            "sec_struct_3state": "sec_struct_3state",
-            "hetatm": "hetatm",
-        }
-        res_final = res_sse.loc[:, list(RES_RENAME_MAP)].rename(
-            columns=RES_RENAME_MAP
-        )
+        res_final = _select_rename(res_sse, (
+            "id", "seqres_id", "coord_id", "one_letter_code",
+            ("label_comp_id", "three_letter_code"),
+            ("auth_asym_id", "chain_id"),
+            ("label_asym_id", "asym_id"),
+            ("label_entity_id", "entity_id"),
+            "sec_struct_3state", "hetatm",
+        ))
 
-        ATOM_RENAME_MAP = {
-            "residue_index": "residue_index",
-            "id": "atom_id",
-            "label_atom_id": "atom_name",
-            "type_symbol": "element",
-            "charge": "charge",
-            "x": "x",
-            "y": "y",
-            "z": "z",
-            "occupancy": "occupancy",
-            "b_factor": "b_factor",
-            "label_alt_id": "alt_loc",
-        }
-        atoms_with_residue_idx = atoms.merge(
-            res.reset_index()[["coord_id", "residue_index"]],
-            on="coord_id",
-        ).loc[:, list(ATOM_RENAME_MAP)].rename(columns=ATOM_RENAME_MAP)
+        atoms_with_residue_idx = _select_rename(
+            atoms.merge(
+                res.reset_index()[["coord_id", "residue_index"]],
+                on="coord_id",
+            ),
+            ("residue_index", ("id", "atom_id"),
+             ("label_atom_id", "atom_name"), ("type_symbol", "element"),
+             "charge", "x", "y", "z", "occupancy", "b_factor",
+             ("label_alt_id", "alt_loc")),
+        )
         assert len(atoms_with_residue_idx) == len(atoms)
 
         return Chain(res_final, atoms_with_residue_idx)

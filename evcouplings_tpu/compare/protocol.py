@@ -184,16 +184,14 @@ def _make_contact_maps(ec_table, d_intra, d_multimer, sifts_map,
         with misc.plot_context("Arial"):
             fig = plt.figure(figsize=(10, 10))
             if kwargs["scale_sizes"]:
-                ecs = ecs.copy()
-                ecs.loc[:, "size"] = ecs.score.values / ecs.score.max()
-                ecs.loc[ecs["size"] < 0, "size"] = 0
+                rel = ecs.score.values / ecs.score.max()
+                ecs = ecs.assign(size=rel.clip(min=0))
 
             pairs.plot_contact_map(
-                ecs, d_intra, d_multimer,
+                ecs, d_intra, d_multimer, margin=5,
                 distance_cutoff=kwargs["distance_cutoff"],
-                show_secstruct=kwargs["draw_secondary_structure"],
                 boundaries=kwargs["boundaries"],
-                margin=5,
+                show_secstruct=kwargs["draw_secondary_structure"],
             )
 
             if (kwargs.get("print_pdb_information", True)
@@ -204,10 +202,8 @@ def _make_contact_maps(ec_table, d_intra, d_multimer, sifts_map,
                     header_text="PDB structures:",
                 )
 
-            plt.suptitle(
-                "{} evolutionary couplings".format(len(ecs)),
-                fontsize=14,
-            )
+            plt.suptitle("{} evolutionary couplings".format(len(ecs)),
+                         fontsize=14)
 
             if output_file is not None:
                 plt.savefig(output_file, bbox_inches="tight")
@@ -293,31 +289,27 @@ def _make_complex_contact_maps(ec_table, d_intra_i, d_multimer_i,
                     ecs_inter = None
 
             # need at least one monomer with ECs or distances
-            if ((ecs_i is None or len(ecs_i) == 0)
-                    and d_intra_i is None and d_multimer_i is None) \
-                    or ((ecs_j is None or len(ecs_j) == 0)
-                        and d_intra_j is None and d_multimer_j is None):
+            def _nothing_to_draw(ecs, d_int, d_mult):
+                no_ecs = ecs is None or len(ecs) == 0
+                return no_ecs and d_int is None and d_mult is None
+
+            if (_nothing_to_draw(ecs_i, d_intra_i, d_multimer_i)
+                    or _nothing_to_draw(ecs_j, d_intra_j, d_multimer_j)):
                 return False
 
             fig = plt.figure(figsize=(8, 8))
             pairs.complex_contact_map(
-                ecs_i, ecs_j, ecs_inter,
-                d_intra_i, d_multimer_i,
-                d_intra_j, d_multimer_j,
-                d_inter,
-                margin=5,
-                boundaries=kwargs["boundaries"],
+                ecs_i, ecs_j, ecs_inter, d_intra_i, d_multimer_i,
+                d_intra_j, d_multimer_j, d_inter, margin=5,
                 scale_sizes=kwargs["scale_sizes"],
+                boundaries=kwargs["boundaries"],
                 show_secstruct=kwargs["draw_secondary_structure"],
             )
 
-            ec_len = "0" if ecs_inter is None else len(ecs_inter)
+            n_inter = "0" if ecs_inter is None else len(ecs_inter)
             plt.suptitle(
-                "{} inter-molecule evolutionary couplings".format(
-                    ec_len
-                ),
-                fontsize=14,
-            )
+                "{} inter-molecule evolutionary couplings".format(n_inter),
+                fontsize=14)
 
             if output_file is not None:
                 plt.savefig(output_file, bbox_inches="tight")
@@ -463,24 +455,22 @@ def standard(**kwargs):
     }
 
     verify_resources("EC file does not exist", kwargs["ec_file"])
-    create_prefix_folders(prefix)
 
     # auxiliary outputs live in their own subdirectory
     aux_prefix = insert_dir(prefix, "aux", rootname_subdir=False)
-    create_prefix_folders(aux_prefix)
+    for p in (prefix, aux_prefix):
+        create_prefix_folders(p)
 
     # Step 1: identify structures
-    sifts_map, sifts_map_full = _identify_structures(**{
-        **kwargs,
-        "prefix": aux_prefix,
-    })
+    sifts_map, sifts_map_full = _identify_structures(
+        **dict(kwargs, prefix=aux_prefix)
+    )
 
-    sifts_map.hits.to_csv(
-        outcfg["pdb_structure_hits_file"], index=True
-    )
-    sifts_map_full.hits.to_csv(
-        outcfg["pdb_structure_hits_unfiltered_file"], index=True
-    )
+    for hits_map, key in (
+        (sifts_map, "pdb_structure_hits_file"),
+        (sifts_map_full, "pdb_structure_hits_unfiltered_file"),
+    ):
+        hits_map.hits.to_csv(outcfg[key], index=True)
 
     # Step 2: distance maps
     structures = load_structures(
@@ -591,33 +581,31 @@ def standard(**kwargs):
                 ).items()
             }
     else:
-        d_intra = None
-        d_multimer = None
-        outcfg["distmap_monomer"] = None
-        outcfg["distmap_multimer"] = None
-        outcfg["remapped_pdb_files"] = None
-        outcfg["renumbered_pdb_files"] = None
-        outcfg["distmap_monomer_residues_file"] = None
+        d_intra = d_multimer = None
+        for absent in ("distmap_monomer", "distmap_multimer",
+                       "remapped_pdb_files", "renumbered_pdb_files",
+                       "distmap_monomer_residues_file"):
+            outcfg[absent] = None
 
     # Step 3: compare ECs to distances
     ec_table = pd.read_csv(kwargs["ec_file"])
 
     num_sites = _covered_site_count(ec_table)
 
-    for out_file, min_seq_dist in [
+    comparisons = (
         ("ec_compared_longrange_file", kwargs["min_sequence_distance"]),
         ("ec_compared_all_file", 0),
-    ]:
-        if d_intra is not None:
-            coupling_scores_compared(
-                ec_table, d_intra, d_multimer,
-                dist_cutoff=kwargs["distance_cutoff"],
-                output_file=outcfg[out_file],
-                min_sequence_dist=min_seq_dist,
-                score="score",
-            )
-        else:
+    )
+    for out_file, min_seq_dist in comparisons:
+        if d_intra is None:
             outcfg[out_file] = None
+            continue
+        coupling_scores_compared(
+            ec_table, d_intra, d_multimer, score="score",
+            min_sequence_dist=min_seq_dist,
+            dist_cutoff=kwargs["distance_cutoff"],
+            output_file=outcfg[out_file],
+        )
 
     if outcfg["ec_compared_longrange_file"] is not None:
         ecs_longrange = pd.read_csv(

@@ -96,17 +96,18 @@ class LegacyScoreMixtureModel:
 
     @classmethod
     def _gaussian(cls, x, params):
-        mu, sigma, q, logmu, logsigma = params
+        mu, sigma, q = params[:3]
         return q * stats.norm.pdf(x, loc=mu, scale=sigma)
 
     @classmethod
     def _lognormal(cls, x, params):
-        mu, sigma, q, logmu, logsigma = params
+        q, logmu, logsigma = params[2:]
         prob = np.zeros(len(x))
         xpos = x > 0
-        prob[xpos] = (1 - q) * stats.norm.pdf(
+        tail = stats.norm.pdf(
             np.log(x[xpos]), loc=logmu, scale=logsigma
-        ) / x[xpos]
+        )
+        prob[xpos] = (1 - q) * tail / x[xpos]
         return prob
 
     @classmethod

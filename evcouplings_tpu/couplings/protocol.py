@@ -439,18 +439,14 @@ def standard(**kwargs):
     ecs, rescorer_outcfg_update = rescore_cn_score_ecs(
         ecs, segments, outcfg, kwargs, score="cn"
     )
+    outcfg.update(rescorer_outcfg_update)
 
-    is_single_segment = segments is None or len(segments) == 1
-    outcfg = {
-        **outcfg,
-        **rescorer_outcfg_update,
-        **_postprocess_inference(
-            ecs, kwargs, model, outcfg, prefix,
-            generate_enrichment=is_single_segment,
-            generate_line_plot=is_single_segment,
-            score="score",
-        ),
-    }
+    # enrichment + line plots only make sense for a single segment
+    single = segments is None or len(segments) == 1
+    outcfg.update(_postprocess_inference(
+        ecs, kwargs, model, outcfg, prefix, score="score",
+        generate_enrichment=single, generate_line_plot=single,
+    ))
 
     write_config_file(prefix + ".couplings_standard.outcfg", outcfg)
     return outcfg
@@ -691,36 +687,31 @@ def _postprocess_inference(ecs, kwargs, model, outcfg, prefix,
         ext_outcfg["enrichment_file"] = prefix + "_enrichment.csv"
 
         min_seqdist = kwargs["min_sequence_distance"]
-        if min_seqdist is None:
-            min_seqdist = 0
-
         ecs_enriched = pairs.enrichment(
-            ecs, score=score, min_seqdist=min_seqdist
+            ecs, score=score,
+            min_seqdist=0 if min_seqdist is None else min_seqdist,
         )
         ecs_enriched.to_csv(ext_outcfg["enrichment_file"], index=False)
 
-        ext_outcfg["enrichment_pml_files"] = []
-        for sphere_view, pml_suffix in [
+        pml_files = []
+        for sphere_view, pml_suffix in (
             (True, "_enrichment_spheres.pml"),
             (False, "_enrichment_sausage.pml"),
-        ]:
-            pml_file = prefix + pml_suffix
+        ):
+            pml_files.append(prefix + pml_suffix)
             enrichment_pymol_script(
-                ecs_enriched, pml_file, sphere_view=sphere_view
+                ecs_enriched, pml_files[-1], sphere_view=sphere_view
             )
-            ext_outcfg["enrichment_pml_files"].append(pml_file)
+        ext_outcfg["enrichment_pml_files"] = pml_files
 
     if outcfg.get("model_file", None) is not None:
         ext_outcfg["evzoom_file"] = prefix + "_evzoom.json"
 
         # EVzoom amino-acid reordering (proteins only)
-        alphabet = "".join(model.alphabet)
-        if alphabet == ALPHABET_PROTEIN_NOGAP:
-            reorder = ALPHABET_PROTEIN_NOGAP_ORDERED
-        elif alphabet == ALPHABET_PROTEIN:
-            reorder = ALPHABET_PROTEIN_ORDERED
-        else:
-            reorder = None
+        reorder = {
+            ALPHABET_PROTEIN_NOGAP: ALPHABET_PROTEIN_NOGAP_ORDERED,
+            ALPHABET_PROTEIN: ALPHABET_PROTEIN_ORDERED,
+        }.get("".join(model.alphabet))
 
         with open(ext_outcfg["evzoom_file"], "w") as f:
             f.write(evzoom_json(model, reorder=reorder) + "\n")

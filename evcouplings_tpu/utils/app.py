@@ -197,27 +197,24 @@ def unroll_config(config):
     entry for the master run.
     """
     prefix = config["global"]["prefix"]
-    configs = {}
-
     if config.get("batch", None) is None:
-        configs[prefix] = config
-    else:
-        for sub_id, delta_config in config["batch"].items():
-            sub_config = deepcopy(config)
-            sub_prefix = prefix + sub_id
+        return {prefix: config}
 
-            sub_config["batch"] = None
-            sub_config["global"]["prefix"] = sub_prefix
+    configs = {}
+    for sub_id, delta_config in config["batch"].items():
+        sub_config = deepcopy(config)
+        sub_config["batch"] = None
+        sub_config["global"]["prefix"] = prefix + sub_id
 
-            # apply the per-subjob config delta (two nesting levels)
-            for section in delta_config:
-                if isinstance(delta_config[section], Mapping):
-                    for param, value in delta_config[section].items():
-                        sub_config[section][param] = value
-                else:
-                    sub_config[section] = delta_config[section]
+        # apply the per-subjob config delta (two nesting levels:
+        # mapping sections merge per-key, scalars replace wholesale)
+        for section, delta in delta_config.items():
+            if isinstance(delta, Mapping):
+                sub_config[section].update(delta)
+            else:
+                sub_config[section] = delta
 
-            configs[sub_prefix] = sub_config
+        configs[prefix + sub_id] = sub_config
 
     return configs
 

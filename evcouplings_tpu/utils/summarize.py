@@ -28,6 +28,36 @@ from evcouplings_tpu.utils.system import valid_file
 CONTEXT_SETTINGS = dict(help_option_names=["-h", "--help"])
 
 
+def _load_subjob_state(cfg_file):
+    """(run config, final-state outcfg, pinned stats row) of one
+    finished sub-job, or None while it is still running / crashed /
+    missing its statistics file."""
+    if not valid_file(cfg_file):
+        return None
+    run_cfg = read_config_file(cfg_file)
+    state_file = run_cfg["global"]["prefix"] + FINAL_CONFIG_SUFFIX
+    if not valid_file(state_file):
+        return None
+    state = read_config_file(state_file)
+    if not valid_file(state["statistics_file"]):
+        return None
+    stat_df = pd.read_csv(state["statistics_file"])
+    if state["effective_sequences"] is not None:
+        stat_df.loc[0, "N_eff"] = state["effective_sequences"]
+    return run_cfg, state, stat_df
+
+
+def _configured_min_seqdist(run_cfg, default=6):
+    """min_sequence_distance from the compare stage, falling back to
+    the couplings stage, then to the given default."""
+    couplings_dist = (run_cfg.get("couplings") or {}).get(
+        "min_sequence_distance", default
+    )
+    return (run_cfg.get("compare") or {}).get(
+        "min_sequence_distance", couplings_dist
+    )
+
+
 def protein_monomer(prefix, configs):
     """Aggregate monomer sub-job results: alignment statistics table
     (threshold, N_eff, significant ECs, precision) + summary plot."""
@@ -38,55 +68,34 @@ def protein_monomer(prefix, configs):
 
     for cfg_file in configs:
         # sub-job may not have finished (or crashed) yet
-        if not valid_file(cfg_file):
+        loaded = _load_subjob_state(cfg_file)
+        if loaded is None:
             continue
+        C, R, stat_df = loaded
 
-        C = read_config_file(cfg_file)
-        sub_prefix = C["global"]["prefix"]
         # sweeps over the `existing` protocol have no search threshold
         domain_threshold = C["align"].get("domain_threshold")
-        sub_index = (domain_threshold, sub_prefix)
-
-        final_state_cfg = sub_prefix + FINAL_CONFIG_SUFFIX
-        if not valid_file(final_state_cfg):
-            continue
-
-        R = read_config_file(final_state_cfg)
-        data[sub_index]["identities"] = R["identities_file"]
-        data[sub_index]["frequencies"] = R["frequencies_file"]
-        data[sub_index]["minimum_column_coverage"] = (
-            C["align"]["minimum_column_coverage"]
+        sub_index = (domain_threshold, C["global"]["prefix"])
+        data[sub_index].update(
+            identities=R["identities_file"],
+            frequencies=R["frequencies_file"],
+            minimum_column_coverage=C["align"][
+                "minimum_column_coverage"],
         )
-
-        stat_file = R["statistics_file"]
-        ec_file = R.get("ec_file", "")
-        ec_comp_file = R.get("ec_compared_longrange_file", "")
-
-        if not valid_file(stat_file):
-            continue
-
-        stat_df = pd.read_csv(stat_file)
-        n_eff = R["effective_sequences"]
-        if n_eff is not None:
-            stat_df.loc[0, "N_eff"] = n_eff
 
         stat_df.loc[0, "domain_threshold"] = domain_threshold
         L = stat_df.loc[0, "num_cov"]
 
+        ec_file = R.get("ec_file", "")
         if valid_file(ec_file):
             ecs = pd.read_csv(ec_file)
-            min_seq_dist = (C.get("compare") or {}).get(
-                "min_sequence_distance",
-                (C.get("couplings") or {}).get(
-                    "min_sequence_distance", 6
-                ),
-            )
-            num_sig = len(ecs.query(
+            min_seq_dist = _configured_min_seqdist(C)
+            stat_df.loc[0, "num_significant"] = len(ecs.query(
                 "abs(i-j) >= @min_seq_dist and "
                 "probability >= @MIN_PROBABILITY"
             ))
-            stat_df.loc[0, "num_significant"] = num_sig
 
+        ec_comp_file = R.get("ec_compared_longrange_file", "")
         if valid_file(ec_comp_file):
             ec_comp = pd.read_csv(ec_comp_file)
             if len(ec_comp) > L:
@@ -219,61 +228,34 @@ def protein_complex(prefix, configs):
     ali_table = pd.DataFrame()
 
     for cfg_file in configs:
-        if not valid_file(cfg_file):
+        loaded = _load_subjob_state(cfg_file)
+        if loaded is None:
             continue
+        C, R, stat_df = loaded
 
-        C = read_config_file(cfg_file)
-        sub_prefix = C["global"]["prefix"]
-
-        final_state_cfg = sub_prefix + FINAL_CONFIG_SUFFIX
-        if not valid_file(final_state_cfg):
-            continue
-
-        R = read_config_file(final_state_cfg)
-
-        stat_file = R["statistics_file"]
         ec_file = R.get("ec_file", "")
         ec_comp_file = R.get("ec_compared_longrange_file", "")
-        concat_stat_file = R.get("concatentation_statistics_file", "")
         first_stat_file = R.get("first_statistics_file", "")
         second_stat_file = R.get("second_statistics_file", "")
 
-        if not valid_file(stat_file):
-            continue
-
-        stat_df = pd.read_csv(stat_file)
-        n_eff = R["effective_sequences"]
-        if n_eff is not None:
-            stat_df.loc[0, "N_eff"] = n_eff
-
+        concat_stat_file = R.get("concatentation_statistics_file", "")
         if valid_file(concat_stat_file):
-            concat_stat_df = pd.read_csv(concat_stat_file)
+            concat_row = pd.read_csv(concat_stat_file).loc[0]
             stat_df.loc[0, "first_n_seqs"] = int(
-                concat_stat_df.loc[0, "num_seqs_1"]
-            )
+                concat_row["num_seqs_1"])
             stat_df.loc[0, "second_n_seqs"] = int(
-                concat_stat_df.loc[0, "num_seqs_2"]
-            )
-            stat_df.loc[0, "median_num_per_species_1"] = (
-                concat_stat_df.loc[0, "median_num_per_species_1"]
-            )
-            stat_df.loc[0, "median_num_per_species_2"] = (
-                concat_stat_df.loc[0, "median_num_per_species_2"]
-            )
+                concat_row["num_seqs_2"])
+            for med_col in ("median_num_per_species_1",
+                            "median_num_per_species_2"):
+                stat_df.loc[0, med_col] = concat_row[med_col]
 
         if valid_file(ec_file):
             ecs = pd.read_csv(ec_file)
-            min_seq_dist = (C.get("compare") or {}).get(
-                "min_sequence_distance",
-                (C.get("couplings") or {}).get(
-                    "min_sequence_distance", 6
-                ),
-            )
-            num_sig = len(ecs.query(
+            min_seq_dist = _configured_min_seqdist(C)
+            stat_df.loc[0, "num_significant"] = int(len(ecs.query(
                 "abs(i-j) >= @min_seq_dist and "
                 "probability >= @MIN_PROBABILITY"
-            ))
-            stat_df.loc[0, "num_significant"] = int(num_sig)
+            )))
 
             inter_ecs = ecs.query("segment_i != segment_j")
             if len(inter_ecs) > 0:
