@@ -297,6 +297,13 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     # the static one-hot + residuals resident) — that the fit will
     # use. The two paths prefer OPPOSITE block regimes, so each gets
     # its own default and the routing picks the winner's.
+    # mesh axis sizes: rows shard over "data" only, sites over "model"
+    n_data_shards, n_model_shards = 1, 1
+    if mesh is not None:
+        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        n_data_shards = int(shape.get("data", 1))
+        n_model_shards = int(shape.get("model", 1))
+
     if block_size is None:
         # symmetric — parity (float32) mode: small blocks keep the
         # carried f32 accumulator VMEM-friendly (block sweep in
@@ -304,22 +311,15 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         # layout wants LARGE blocks — pick the largest multiple of
         # 512 up to 8192 that divides the per-device 512-padded row
         # count, so the bigger block adds no extra padding waste.
+        # (on a 2D data x model mesh, sizing by total device count
+        # would under-estimate local rows by the model-axis factor
+        # and pick a block that does not divide them)
         if compute_dtype == "bfloat16":
-            # rows shard over the "data" axis only — on a 2D
-            # data x model mesh, sizing by total device count would
-            # under-estimate local rows by the model-axis factor and
-            # pick a block that does not divide them (padding waste)
-            if mesh is None:
-                n_dev = 1
-            else:
-                n_dev = int(dict(zip(
-                    mesh.axis_names, mesh.devices.shape
-                )).get("data", mesh.devices.size))
             # derived from the BUCKETED row count: with pad_rows set,
             # families in one bucket must resolve the same block (and
             # so the same compiled program) — sizing from the raw N
             # would defeat the bucketing
-            k = max(1, -(-N_fit // (512 * n_dev)))  # local 512-blocks
+            k = max(1, -(-N_fit // (512 * n_data_shards)))
             d = max(d for d in range(1, 17) if k % d == 0)
             sym_block = 512 * d
         else:
@@ -331,13 +331,6 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
         asym_block = 1024
     else:
         sym_block = asym_block = int(block_size)
-
-    # mesh axis sizes for the per-device estimate
-    n_data_shards, n_model_shards = 1, 1
-    if mesh is not None:
-        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
-        n_data_shards = shape.get("data", 1)
-        n_model_shards = shape.get("model", 1)
 
     if parametrization not in ("auto", "symmetric", "asymmetric"):
         raise ValueError(

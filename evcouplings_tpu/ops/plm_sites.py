@@ -347,6 +347,56 @@ def _make_local_vg_site(L, L_pad, l_loc, q, cfg, manual_axes=()):
     return local_vg
 
 
+def _make_local_value_site(L, L_pad, l_loc, q, cfg, manual_axes=()):
+    """Value-only variant of _make_local_vg_site (same per-site f
+    convention, regularizers included). Used for final-loss pinning,
+    where the gradient accumulators of the full kernel would double
+    the cost of the evaluation only to be discarded."""
+    dtype = jnp.dtype(cfg.dtype)
+    f32 = jnp.float32
+    prec = _precision(cfg.precision)
+    lq_pad = L_pad * q
+    block = cfg.block_size
+    has_data = "data" in manual_axes
+    block_residual = _make_block_residual(l_loc, q, block, prec)
+
+    def local_value(J_loc, h_loc, codes, w, m_idx):
+        mask = _site_mask(l_loc, L_pad, q, m_idx, dtype)
+        J_eff = J_loc.astype(dtype) * mask
+        h_c = h_loc.astype(dtype)
+        n_blocks = max(1, codes.shape[0] // block)
+
+        def body(nll_acc, blk):
+            rows = lax.dynamic_slice_in_dim(codes, blk * block, block)
+            wb = lax.dynamic_slice_in_dim(w, blk * block, block)
+            oh = jax.nn.one_hot(rows, q, dtype=dtype).reshape(
+                block, lq_pad)
+            # the unused residual (and its upstream work) is dead code
+            # XLA eliminates; only the nll pass remains
+            nll_b, _ = block_residual(J_eff, h_c, rows, wb, oh, m_idx)
+            return nll_acc + nll_b, None
+
+        init = jnp.zeros((l_loc,), f32)
+        if manual_axes:
+            init = _pvary(init, manual_axes)
+        nll, _ = lax.scan(body, init, jnp.arange(n_blocks))
+        if has_data:
+            nll = lax.psum(nll, "data")
+
+        J_rows = J_loc.reshape(l_loc, q * lq_pad)
+        f = (nll
+             + cfg.lambda_J * jnp.sum(J_rows ** 2, axis=1)
+             + cfg.lambda_h * jnp.sum(h_loc ** 2, axis=1))
+        if cfg.lambda_group > 0:
+            blocks = J_loc.reshape(l_loc, q, L_pad, q)
+            norms = jnp.sqrt(
+                jnp.sum(blocks ** 2, axis=(1, 3)) + cfg.group_eps)
+            f = f + cfg.lambda_group * 0.5 * jnp.sum(norms, axis=1)
+        return f
+
+    return local_value
+
+
 def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
     """Batched per-site LBFGS for the asymmetric fit.
 
@@ -987,21 +1037,22 @@ def fit_plm_asym(codes, weights, num_symbols,
         """Total per-site objective at the given parameters (the
         metrics fx convention: sum over all sites, regularizers
         included). Compiled lazily — only the adam final-loss pin and
-        the never-ran-loop resume fallbacks need it."""
-        local_eval = _make_local_vg_site(
+        the never-ran-loop resume fallbacks need it — and value-only
+        (no gradient accumulators)."""
+        local_eval = _make_local_value_site(
             L, L_pad, l_loc, q, cfg, manual_axes=axes
         )
         if mesh is None:
             @jax.jit
             def total(J_cur, h_cur, c, w):
-                f, _, _ = local_eval(
+                f = local_eval(
                     J_cur, h_cur, c, w, jnp.zeros((), jnp.int32)
                 )
                 return jnp.sum(f)
         else:
             def _eval_shard(J_cur, h_cur, c, w):
                 m_idx = lax.axis_index("model")
-                f, _, _ = local_eval(J_cur, h_cur, c, w, m_idx)
+                f = local_eval(J_cur, h_cur, c, w, m_idx)
                 return lax.psum(jnp.sum(f), "model")
 
             total = jax.jit(shard_map(

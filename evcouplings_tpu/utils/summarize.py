@@ -30,8 +30,9 @@ CONTEXT_SETTINGS = dict(help_option_names=["-h", "--help"])
 
 def _load_subjob_state(cfg_file):
     """(run config, final-state outcfg, pinned stats row) of one
-    finished sub-job, or None while it is still running / crashed /
-    missing its statistics file."""
+    finished sub-job, or None while it is still running / crashed.
+    stat_df is None when the statistics file itself is absent (the
+    sub-job's other artifacts may still be summarizable)."""
     if not valid_file(cfg_file):
         return None
     run_cfg = read_config_file(cfg_file)
@@ -39,11 +40,11 @@ def _load_subjob_state(cfg_file):
     if not valid_file(state_file):
         return None
     state = read_config_file(state_file)
-    if not valid_file(state["statistics_file"]):
-        return None
-    stat_df = pd.read_csv(state["statistics_file"])
-    if state["effective_sequences"] is not None:
-        stat_df.loc[0, "N_eff"] = state["effective_sequences"]
+    stat_df = None
+    if valid_file(state["statistics_file"]):
+        stat_df = pd.read_csv(state["statistics_file"])
+        if state["effective_sequences"] is not None:
+            stat_df.loc[0, "N_eff"] = state["effective_sequences"]
     return run_cfg, state, stat_df
 
 
@@ -82,6 +83,10 @@ def protein_monomer(prefix, configs):
             minimum_column_coverage=C["align"][
                 "minimum_column_coverage"],
         )
+
+        # identity/gap panels still render above without a stats row
+        if stat_df is None:
+            continue
 
         stat_df.loc[0, "domain_threshold"] = domain_threshold
         L = stat_df.loc[0, "num_cov"]
@@ -229,7 +234,7 @@ def protein_complex(prefix, configs):
 
     for cfg_file in configs:
         loaded = _load_subjob_state(cfg_file)
-        if loaded is None:
+        if loaded is None or loaded[2] is None:
             continue
         C, R, stat_df = loaded
 
