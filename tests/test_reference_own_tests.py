@@ -30,9 +30,8 @@ REFERENCE_TESTS = "/root/reference/test"
 HERMETIC_MODULES = [
     ("TestUtilsApp", []),
     ("TestUtilsBatch", []),
-    ("TestUtilsCalculate", [
-        "test_entropy_map",        # needs the fixture tarball
-    ]),
+    # TestUtilsCalculate runs fully (incl. test_entropy_map, which
+    # needs a .model fixture) in the TestMutation runner below
     ("TestUtilsConfig", []),
     ("TestUtilsHelpers", []),
     ("TestUtilsSystem", [
@@ -276,7 +275,10 @@ def test_reference_mutation_tests_pass_against_this_framework(tmp_path):
         "import pandas as _pd\n"
         "_pd.set_option('future.infer_string', False)\n"
     ) + RUNNER.format(
-        ref_tests=REFERENCE_TESTS, modules=[("TestMutation", [])]
+        ref_tests=REFERENCE_TESTS,
+        # TestUtilsCalculate's test_entropy_map reads the same
+        # monomer .model fixture, so the module runs here in full
+        modules=[("TestMutation", []), ("TestUtilsCalculate", [])],
     )
     env = dict(
         os.environ,
@@ -294,7 +296,8 @@ def test_reference_mutation_tests_pass_against_this_framework(tmp_path):
     assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-2000:]
     assert "REFERENCE-TESTS-PASS" in r.stdout
     n = int(r.stdout.split("REFERENCE-TESTS-RUN")[1].split()[0])
-    assert n == 9, n  # 7 monomer + 2 complex-segment tests
+    # 7 monomer + 2 complex-segment + 4 UtilsCalculate tests
+    assert n == 13, n
 
 
 @pytest.mark.skipif(
@@ -602,4 +605,4 @@ def test_reference_unit_tests_pass_against_this_framework(tmp_path):
     assert "REFERENCE-TESTS-PASS" in r.stdout
     # the hermetic subset is substantial, not a token handful
     n = int(r.stdout.split("REFERENCE-TESTS-RUN")[1].split()[0])
-    assert n >= 45, n
+    assert n >= 42, n
