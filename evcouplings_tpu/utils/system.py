@@ -154,7 +154,17 @@ def get(url, output_path=None, allow_redirects=False):
     try:
         import requests
 
-        r = requests.get(url, allow_redirects=allow_redirects, stream=True)
+        try:
+            r = requests.get(
+                url, allow_redirects=allow_redirects, stream=True
+            )
+        except requests.exceptions.RequestException as e:
+            # transport failures (bad URL, DNS, refused connection)
+            # surface as the ResourceError contract callers retry on
+            # (reference utils/system.py:281-282)
+            raise ResourceError(
+                "Could not fetch URL: {}".format(url)
+            ) from e
         if r.status_code != requests.codes.ok:
             raise ResourceError(
                 "Invalid status code ({}) for URL: {}".format(r.status_code, url)

@@ -3,15 +3,14 @@ framework through the import alias (evcouplings_tpu.compat): the
 strongest drop-in-compatibility statement available — the reference's
 tests exercise our implementations of its API.
 
-All ten reference test modules run. Seven are hermetic as-is (minus a
-handful of individual tests that need live network — the reference's
-own CI has the identical constraints). The three golden-data modules
-(TestFold / TestMutation / TestComplex) normally need the reference's
-downloadable fixture tarball, but none of their runnable assertions
-depend on irreplaceable data: every golden table is the output of a
-function the module also calls, so the fixture trees are synthesized
-here with this framework's own implementations and the modules run
-against them (round-trip / API-surface / protocol-contract checks).
+All ten reference test modules run, with NO tests excluded. Seven are
+hermetic as-is. The three golden-data modules (TestFold / TestMutation
+/ TestComplex) normally need the reference's downloadable fixture
+tarball, but none of their runnable assertions depend on irreplaceable
+data: every golden table is the output of a function the module also
+calls, so the fixture trees are synthesized here with this framework's
+own implementations and the modules run against them (round-trip /
+API-surface / protocol-contract checks).
 
 Everything runs in a subprocess so the alias and the reference test
 modules never leak into this suite's process (which imports the REAL
@@ -34,12 +33,11 @@ HERMETIC_MODULES = [
     # needs a .model fixture) in the TestMutation runner below
     ("TestUtilsConfig", []),
     ("TestUtilsHelpers", []),
-    ("TestUtilsSystem", [
-        # live-network tests (zero-egress container)
-        "test_get_Error",
-        "test_get_InvalidStatusCodeError",
-        "test_get_NoOutputFileError",
-    ]),
+    # the three get() tests assert ResourceError on failing fetches;
+    # in this zero-egress container the fetch fails at the transport
+    # layer instead of with a 4xx, which the reference's get() (and
+    # ours, matching it) also wraps into ResourceError — so they run
+    ("TestUtilsSystem", []),
     ("TestUtilsUpdateDatabase", []),
 ]
 
