@@ -156,7 +156,7 @@ _PrecTriple = namedtuple("_PrecTriple", "base exact_lhs exact_rhs")
 
 def _precision(name):
     P = jax.lax.Precision
-    base = {
+    table = {
         "highest": P.HIGHEST,
         "high": P.HIGH,
         "default": P.DEFAULT,
@@ -164,7 +164,14 @@ def _precision(name):
         # (A/B references for the structured defaults below)
         "highest_unstructured": P.HIGHEST,
         "high_unstructured": P.HIGH,
-    }[name]
+    }
+    if name not in table:
+        raise ValueError(
+            "Unknown precision: {!r} (valid: {})".format(
+                name, ", ".join(table)
+            )
+        )
+    base = table[name]
     if name == "highest":
         return _PrecTriple(
             base, (P.DEFAULT, P.HIGHEST), (P.HIGHEST, P.DEFAULT)
@@ -688,8 +695,16 @@ def _build_j_aug(params, L, q, dtype, lq_aug, symmetric=False):
         J_eff = P_c * mask
     else:
         J_eff = 0.5 * (P_c + P_c.T) * mask
-    h_c = params["h"].astype(dtype)
-    parts = [J_eff, h_c.reshape(1, lq)]
+    return _assemble_aug_rows(
+        J_eff, params["h"].astype(dtype), lq, lq_aug, dtype
+    )
+
+
+def _assemble_aug_rows(J_eff, h_row, lq, lq_aug, dtype):
+    """Stack the augmented-matrix row layout shared by every builder:
+    J_eff rows, the fields as row Lq, zero MXU-padding rows up to
+    lq_aug."""
+    parts = [J_eff, h_row.reshape(1, lq)]
     if lq_aug > lq + 1:
         parts.append(jnp.zeros((lq_aug - lq - 1, lq), dtype=dtype))
     return jnp.concatenate(parts, axis=0)
@@ -872,13 +887,20 @@ def make_plm_value_and_grad(L, q, cfg: PlmConfig, mesh=None,
         S = dJ_eff + cfg.lambda_J * P_f
         mask_f = _diag_block_mask(L, q, acc)
         if cfg.lambda_group > 0:
-            J_eff_f = 0.5 * (P_f + P_f.T) * mask_f
-            blocks = J_eff_f.reshape(L, q, L, q)
+            # VALUE from the materialized compute-dtype couplings —
+            # the same rounding as make_plm_loss / the autodiff path
+            # (the l2 term above already follows this convention;
+            # bitwise no-op in f32, where J_eff == 0.5*(P+P^T)*mask)
+            blocks_v = J_eff.astype(acc).reshape(L, q, L, q)
+            reg_value = reg_value + cfg.lambda_group * 0.5 * jnp.sum(
+                jnp.sqrt(
+                    jnp.sum(blocks_v ** 2, axis=(1, 3)) + cfg.group_eps
+                )
+            )
+            # GRADIENT in f32 closed form from the master parameters
+            blocks = (0.5 * (P_f + P_f.T) * mask_f).reshape(L, q, L, q)
             norms = jnp.sqrt(
                 jnp.sum(blocks ** 2, axis=(1, 3)) + cfg.group_eps
-            )
-            reg_value = (
-                reg_value + cfg.lambda_group * 0.5 * jnp.sum(norms)
             )
             # d/dJ_eff of 0.5*lambda_g*sum(norms); symmetric + masked,
             # so it passes through the gauge chain rule unchanged
@@ -1047,16 +1069,11 @@ def _make_fused_step_chunk(L, q, cfg, mesh, steps_per_call,
             xnorm = _tree_norm(params2)
 
             # re-assemble the augmented matrix carried across scan
-            # iterations; the row layout (J_eff block, h row at index
-            # Lq, zero padding to lq_aug) MUST mirror _build_j_aug —
-            # a change there must land here too, or the fused and
-            # unfused paths silently diverge
-            parts = [J_eff2, h2.astype(dtype).reshape(1, lq)]
-            if lq_aug > lq + 1:
-                parts.append(
-                    jnp.zeros((lq_aug - lq - 1, lq), dtype=dtype)
-                )
-            J_aug2 = jnp.concatenate(parts, axis=0)
+            # iterations (same row layout as _build_j_aug, via the
+            # shared assembler)
+            J_aug2 = _assemble_aug_rows(
+                J_eff2, h2.astype(dtype), lq, lq_aug, dtype
+            )
             return (params2, state2, J_aug2), jnp.stack(
                 [value.astype(f32), gnorm.astype(f32),
                  xnorm.astype(f32),
@@ -1409,7 +1426,26 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
     )
     lbfgs_resume = None     # raw checkpoint arrays, consumed below
     fista_resume = None
-    if checkpoint_file is not None and os.path.exists(checkpoint_file):
+    have_ckpt = (checkpoint_file is not None
+                 and os.path.exists(checkpoint_file))
+    if checkpoint_file is not None and jax.process_count() > 1:
+        # only process 0 writes checkpoints, but every process makes
+        # its own resume decision from the filesystem; if they
+        # disagree (checkpoint on host-local disk), the processes
+        # run different iteration counts and the next data-axis psum
+        # deadlocks — fail loudly instead
+        from jax.experimental import multihost_utils
+        views = np.asarray(multihost_utils.process_allgather(
+            np.asarray([1.0 if have_ckpt else 0.0])
+        ))
+        if float(views.min()) != float(views.max()):
+            raise ValueError(
+                "checkpoint_file {!r} is visible on some processes "
+                "but not others: mid-fit checkpointing in "
+                "multi-process runs requires a filesystem shared by "
+                "all processes".format(checkpoint_file)
+            )
+    if have_ckpt:
         ckpt = np.load(checkpoint_file)
         if (ckpt["J"].shape != (L * q, L * q)
                 or ckpt["h"].shape != (L, q)):
@@ -1486,6 +1522,17 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
                 ),
             }
         start_iter = int(ckpt["iteration"])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            its = np.asarray(multihost_utils.process_allgather(
+                np.asarray([float(start_iter)])
+            ))
+            if float(its.min()) != float(its.max()):
+                raise ValueError(
+                    "checkpoint {!r} iteration differs across "
+                    "processes ({}) — stale per-host copies?".format(
+                        checkpoint_file, sorted(set(its.ravel())))
+                )
         if mesh is not None:
             params = jax.device_put(params, replicated)
             if state is not None:
@@ -1682,17 +1729,23 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         x_flat = np.asarray(x_r, dtype=np.float64)
         gnorm_r = float(np.sqrt(np.dot(g_r, g_r)))
         xnorm_r = float(np.sqrt(np.dot(x_flat, x_flat)))
-        if (bool(ls_r["converged"])
+        if bool(ls_r["ls_failed"]):
+            # frozen at float resolution: a chunk would be all
+            # pass-throughs — skip the compile + dispatch entirely
+            ls_failed = True
+        elif (bool(ls_r["converged"])
                 or gnorm_r <= cfg.conv_tol * max(1.0, xnorm_r)):
             converged = True
 
-    while it < cfg.max_iter and not converged:
+    last_metrics = None
+    while it < cfg.max_iter and not converged and not ls_failed:
         n_steps = min(steps_per_call, cfg.max_iter - it)
         with annotate("plm_step_chunk"):
             params, state, metrics = step_chunk(
                 params, state, codes_d, w_d, oh_d
             )
         metrics = np.asarray(metrics, dtype=np.float64)
+        last_metrics = metrics
         now = time.time() - t0
         # LBFGS rows carry the linesearch-failure flag in column 3;
         # every solver's rows end with the per-step [||h||, ||J||]
@@ -1759,14 +1812,30 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         # gradient evaluation doubles as the metric), so the last
         # table row lags the returned parameters by one step; one
         # extra evaluation pins final_loss to the parameters actually
-        # returned (LBFGS/FISTA already report the accepted iterate)
+        # returned
         value = float(vg_fn(params, codes_d, w_d, oh_d)[0])
+    elif last_metrics is not None:
+        # LBFGS/FISTA record fx at the ACCEPTED iterate, but a chunk
+        # may overshoot max_iter with live steps the truncated table
+        # does not record (FISTA also overshoots the convergence
+        # break — it has no device-side freeze): the final metrics
+        # row prices the parameters actually returned. Frozen LBFGS
+        # pass-through rows repeat the frozen iterate's record, so
+        # this is bitwise the recorded value when nothing overshot
+        value = float(last_metrics[-1][0])
     elif np.isnan(value):
-        # the loop never recorded a row — a resume landed at/past
-        # max_iter, or the resumed state was already converged — so
-        # no metrics row carried the objective; evaluate once at the
-        # returned parameters instead of reporting final_loss=NaN
-        value = float(vg_fn(params, codes_d, w_d, oh_d)[0])
+        # the loop never dispatched — a resume landed at/past
+        # max_iter, or the resumed state was already converged /
+        # frozen — so no metrics row carried the objective
+        if cfg.solver == "fista" and np.isfinite(
+            float(np.asarray(state["f_prev"]))
+        ):
+            # the FISTA state carries the full nonsmooth objective of
+            # the last accepted iterate; vg_fn would substitute the
+            # smoothed group term
+            value = float(np.asarray(state["f_prev"]))
+        else:
+            value = float(vg_fn(params, codes_d, w_d, oh_d)[0])
 
     # materialize the effective symmetric couplings
     from evcouplings_tpu.ops.encode import unflatten_J
@@ -1778,7 +1847,10 @@ def fit_plm(codes, weights, num_symbols, cfg: PlmConfig = PlmConfig(),
         J_ij=J_ij,
         h_i=np.asarray(params["h"], dtype=np.float64),
         iteration_table=table,
-        num_iter=len(table),
+        # TOTAL iterations the returned parameters received (resume-
+        # aware: the model artifact's num_iter must count the whole
+        # optimization, not just the rows recorded after a resume)
+        num_iter=it,
         converged=converged,
         final_loss=value,
         ls_failed=ls_failed,

@@ -943,7 +943,25 @@ def fit_plm_asym(codes, weights, num_symbols,
         if checkpoint_file is not None else None
     )
     needs_init_eval = cfg.solver == "lbfgs"
-    if checkpoint_file is not None and os.path.exists(checkpoint_file):
+    have_ckpt = (checkpoint_file is not None
+                 and os.path.exists(checkpoint_file))
+    if checkpoint_file is not None and jax.process_count() > 1:
+        # only process 0 writes checkpoints, but every process makes
+        # its own resume decision from the filesystem; divergent
+        # decisions desynchronize the collectives (deadlock) — fail
+        # loudly instead (same guard as the symmetric fit)
+        from jax.experimental import multihost_utils
+        views = np.asarray(multihost_utils.process_allgather(
+            np.asarray([1.0 if have_ckpt else 0.0])
+        ))
+        if float(views.min()) != float(views.max()):
+            raise ValueError(
+                "checkpoint_file {!r} is visible on some processes "
+                "but not others: mid-fit checkpointing in "
+                "multi-process runs requires a filesystem shared by "
+                "all processes".format(checkpoint_file)
+            )
+    if have_ckpt:
         ckpt = np.load(checkpoint_file)
         _check_ckpt_fingerprint(ckpt, fingerprint, checkpoint_file)
         if ckpt["J"].shape != (lq_pad, lq_pad):
@@ -1001,6 +1019,17 @@ def fit_plm_asym(codes, weights, num_symbols,
             # re-evaluation needed
             needs_init_eval = False
         start_iter = int(ckpt["iteration"])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            its = np.asarray(multihost_utils.process_allgather(
+                np.asarray([float(start_iter)])
+            ))
+            if float(its.min()) != float(its.max()):
+                raise ValueError(
+                    "checkpoint {!r} iteration differs across "
+                    "processes ({}) — stale per-host copies?".format(
+                        checkpoint_file, sorted(set(its.ravel())))
+                )
 
     if needs_init_eval:
         # per-site LBFGS carries (value, grad) of the current iterate
@@ -1087,10 +1116,12 @@ def fit_plm_asym(codes, weights, num_symbols,
             ls_failed = bool(np.any(fail_h))
             converged = not ls_failed
 
+    last_metrics = None
     while it < cfg.max_iter and not stopped:
         n_steps = min(steps, cfg.max_iter - it)
         J, h, state, metrics = chunk(J, h, state, codes_d, w_d, oh_d)
         metrics = np.asarray(metrics, dtype=np.float64)
+        last_metrics = metrics
         now = time.time() - t0
         for k in range(n_steps):
             it += 1
@@ -1131,10 +1162,17 @@ def fit_plm_asym(codes, weights, num_symbols,
         # the convergence break); pin final_loss to the parameters
         # actually returned, like the symmetric fit
         value = _objective_at(J, h)
+    elif last_metrics is not None:
+        # per-site LBFGS records fx at the accepted iterates, but a
+        # chunk may overshoot max_iter with live steps for unfrozen
+        # sites; the final metrics row prices the parameters actually
+        # returned (all-frozen rows repeat the frozen objective, so
+        # this matches the recorded value when nothing overshot)
+        value = float(last_metrics[-1][0])
     elif np.isnan(value):
-        # the loop never recorded a row (resume at/past max_iter, or
-        # an all-frozen resumed state): the per-site LBFGS state
-        # carries the objective of the current iterate
+        # the loop never dispatched (resume at/past max_iter, or an
+        # all-frozen resumed state): the per-site LBFGS state carries
+        # the objective of the current iterate
         value = float(np.sum(np.asarray(
             _to_host(state["value"]), dtype=np.float64
         )))
@@ -1151,6 +1189,8 @@ def fit_plm_asym(codes, weights, num_symbols,
 
     return PlmFitResult(
         J_ij=J_ij, h_i=h_i, iteration_table=table,
-        num_iter=len(table), converged=converged, final_loss=value,
+        # TOTAL iterations the returned parameters received (resume-
+        # aware, like the symmetric fit)
+        num_iter=it, converged=converged, final_loss=value,
         ls_failed=ls_failed,
     )

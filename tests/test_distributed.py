@@ -340,3 +340,84 @@ def test_2d_mesh_across_processes_matches_single_device(tmp_path):
                                atol=2e-5)
     np.testing.assert_allclose(dist["h"], ref.h_i, rtol=1e-3,
                                atol=2e-5)
+
+
+WORKER_CKPT_GUARD = r"""
+import os, sys
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+out_file = sys.argv[3]
+ckpt_dir = sys.argv[4]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:" + port,
+    num_processes=2,
+    process_id=proc_id,
+)
+
+import numpy as np
+from jax.sharding import Mesh
+
+from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+rng = np.random.default_rng(0)
+codes = rng.integers(0, 5, size=(64, 6)).astype(np.int8)
+weights = np.ones(64)
+mesh = Mesh(np.array(jax.devices()), ("data",))
+cfg = PlmConfig(max_iter=4, block_size=32, solver="adam")
+
+# the checkpoint path resolves to a PER-PROCESS directory (a stand-in
+# for host-local disk): the file exists only on process 0, so the fit
+# must refuse loudly on every process instead of desynchronizing
+ckpt = os.path.join(ckpt_dir, "fit.ckpt.npz")
+try:
+    fit_plm(codes, weights, 5, cfg, mesh=mesh, checkpoint_file=ckpt)
+    outcome = "NO-ERROR"
+except ValueError as e:
+    outcome = "GUARD " + str(e)[:200]
+with open(out_file + ".p{}".format(proc_id), "w") as f:
+    f.write(outcome)
+jax.distributed.shutdown()
+"""
+
+
+@pytest.mark.slow
+def test_checkpoint_on_non_shared_filesystem_refuses(tmp_path):
+    """A checkpoint visible to only SOME processes (host-local disk)
+    must raise an actionable error on every process — the alternative
+    is divergent resume decisions and a collective deadlock."""
+    out_file = str(tmp_path / "outcome")
+    port = str(_free_port())
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs = []
+    for i in range(2):
+        d = tmp_path / "host{}".format(i)
+        d.mkdir()
+        if i == 0:
+            # only "host 0" carries a prior checkpoint file
+            (d / "fit.ckpt.npz").write_bytes(b"prior")
+        worker_py = tmp_path / "worker{}.py".format(i)
+        worker_py.write_text(WORKER_CKPT_GUARD)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py), str(i), port, out_file,
+             str(d)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outputs.append(out.decode())
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out
+
+    for i in range(2):
+        text = open(out_file + ".p{}".format(i)).read()
+        assert text.startswith("GUARD"), (i, text, outputs)
+        assert "shared" in text, text

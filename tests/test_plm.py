@@ -508,6 +508,24 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(resumed.J_ij, ref.J_ij)
         np.testing.assert_array_equal(resumed.h_i, ref.h_i)
 
+    def test_final_loss_prices_returned_parameters_on_overshoot(self):
+        """With steps_per_call > 1 and max_iter not a chunk multiple,
+        the device overshoots max_iter with live steps (documented:
+        the parameters keep the extra descent); final_loss must price
+        the RETURNED parameters, strictly below the last recorded
+        table row on a monotone LBFGS descent."""
+        from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
+
+        codes, w = self._data()
+        res = fit_plm(
+            codes, w, 5,
+            PlmConfig(max_iter=5, block_size=16, solver="lbfgs",
+                      conv_tol=0.0, steps_per_call=4),
+        )
+        assert len(res.iteration_table) == 5
+        assert np.isfinite(res.final_loss)
+        assert res.final_loss < res.iteration_table[-1]["fx"]
+
     @pytest.mark.parametrize("solver", ["adam", "lbfgs", "fista"])
     def test_resume_at_max_iter_reports_real_loss(self, tmp_path,
                                                   solver):
@@ -528,7 +546,10 @@ class TestCheckpointResume:
         rerun = fit_plm(codes, w, 5, cfg, checkpoint_file=ckpt,
                         checkpoint_every=4)
 
-        assert rerun.num_iter == 0          # nothing re-run
+        # nothing re-run: no new rows, num_iter still the TOTAL the
+        # returned parameters received (what the model artifact needs)
+        assert len(rerun.iteration_table) == 0
+        assert rerun.num_iter == first.num_iter
         assert np.isfinite(rerun.final_loss)
         np.testing.assert_allclose(
             rerun.final_loss, first.final_loss, rtol=1e-5
@@ -562,7 +583,8 @@ class TestCheckpointResume:
         rerun = fit_plm(codes, w, 5, cfg, checkpoint_file=ckpt,
                         checkpoint_every=1)
         assert rerun.converged
-        assert rerun.num_iter == 0
+        assert len(rerun.iteration_table) == 0
+        assert rerun.num_iter == first.num_iter
         assert np.isfinite(rerun.final_loss)
         np.testing.assert_array_equal(rerun.J_ij, first.J_ij)
 

@@ -363,7 +363,8 @@ class TestCheckpointResume:
         rerun = fit_plm_asym(codes, w, 4, cfg, checkpoint_file=ckpt,
                              checkpoint_every=3)
 
-        assert rerun.num_iter == 0
+        assert len(rerun.iteration_table) == 0
+        assert rerun.num_iter == first.num_iter
         assert np.isfinite(rerun.final_loss)
         np.testing.assert_allclose(
             rerun.final_loss, first.final_loss, rtol=1e-4
