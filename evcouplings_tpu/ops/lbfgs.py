@@ -28,7 +28,11 @@ on v5e versus optax's ~30 ms.
 import jax.numpy as jnp
 from jax import lax
 
-# libLBFGS-compatible linesearch constants (strong Wolfe)
+# libLBFGS-compatible linesearch constants (strong Wolfe).
+# CROSS-MODULE CONTRACT: ops/plm_sites.py imports these for its
+# batched per-site engine, which must stay semantics-identical to this
+# scalar engine (and to the f64 oracle in tests/oracle_plm.py) — treat
+# them as pinned public values despite the underscore names.
 _C1 = 1e-4          # Armijo (sufficient decrease)
 _C2 = 0.9           # curvature, libLBFGS wolfe default for LBFGS
 _GROW = 2.1         # trial-step growth while curvature says "too short"
@@ -100,7 +104,14 @@ def _two_loop_direction(state, m):
     return -qv
 
 
-def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
+# libLBFGS's max_linesearch default — the oracle (tests/oracle_plm.py
+# :173) and plmc share it; a step that needs more trials than this
+# freezes the fit permanently, so undershooting the reference's budget
+# would end fits the reference completes
+_MAX_LS = 40
+
+
+def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=_MAX_LS,
                      conv_tol=1e-5, norm_split=None):
     """Build chunk(x, state, *extra) -> (x, state, metrics).
 
@@ -138,7 +149,12 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
 
         # libLBFGS seeds the very first iteration (no history, raw
         # gradient direction) with t = 1/||d||; with history the unit
-        # Newton-like step is almost always accepted on trial one
+        # Newton-like step is almost always accepted on trial one.
+        # Deliberately keyed on the FIRST ITERATION (count == 0), not
+        # on "history empty": a curvature-skipped first update leaves
+        # the history empty at count >= 1, and both libLBFGS and the
+        # f64 oracle (tests/oracle_plm.py:246-247) take the unit step
+        # there too
         dnorm = jnp.sqrt(jnp.dot(d, d))
         t0 = jnp.where(
             state["count"] == 0, 1.0 / jnp.maximum(dnorm, 1e-30), 1.0
@@ -176,11 +192,13 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
             tiny = t * jnp.abs(dphi0) <= eps_f * jnp.abs(value0)
             ok = armijo & (~too_short & ~overshoot | tiny)
             fail = tiny & ~armijo
+            # (no ok-override needed on t_next: ok implies done, so
+            # the while_loop exits before slot 0 is read again — the
+            # accepted step is read from slot 1, t_eval)
             t_next = jnp.where(
                 ~armijo | overshoot, t * _SHRINK,
                 jnp.where(too_short, t * _GROW, t),
             )
-            t_next = jnp.where(ok, t, t_next)
             return t_next, t, value_t, grad_t, ok, ok | fail, n + 1
 
         _, t, value_t, grad_t, ok, _, n_ls = lax.while_loop(
@@ -234,7 +252,9 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
             "y_hist": y_hist,
             "rho": rho,
             "gamma": gamma,
-            "count": state["count"] + 1,
+            # a linesearch-failed step does not move x and is not an
+            # accepted iteration (the fit freezes after it anyway)
+            "count": state["count"] + ok.astype(jnp.int32),
             "nevals": state["nevals"] + n_ls,
             "value": value_t.astype(f),
             "grad": grad_t.astype(f),
@@ -267,6 +287,15 @@ def make_lbfgs_chunk(vg, *, m=5, steps_per_call=1, max_ls=20,
             # 4th column flags a linesearch failure so the host can
             # truncate the table at the failing step.
             gnorm2, xnorm2 = _norms(x2, state2)
+            # fold convergence at the POST-step iterate too: without
+            # this, a chunk whose LAST step converges returns
+            # converged=False and the host dispatches one more chunk
+            # of frozen pass-throughs (recorded as duplicate rows).
+            # Bitwise no-op on the trajectory — the next step's
+            # pre-step fold would reach the same verdict from the
+            # same carried gradient
+            conv2 = gnorm2 <= conv_tol * jnp.maximum(1.0, xnorm2)
+            state2 = dict(state2, converged=state2["converged"] | conv2)
             cols = [
                 state2["value"].astype(jnp.float32),
                 gnorm2.astype(jnp.float32),

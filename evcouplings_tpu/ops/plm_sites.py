@@ -423,12 +423,12 @@ def _make_lbfgs_site_chunk(L, L_pad, l_loc, q, cfg, manual_axes=()):
     ||J||] aggregated over all sites (psum over "model").
     """
     from evcouplings_tpu.ops.lbfgs import (
-        _C1, _C2, _GROW, _SHRINK, _MIN_CURVATURE,
+        _C1, _C2, _GROW, _SHRINK, _MAX_LS, _MIN_CURVATURE,
     )
 
     f32 = jnp.float32
     m = cfg.memory_size
-    max_ls = 20
+    max_ls = _MAX_LS
     lq_pad = L_pad * q
     d_j = q * lq_pad
     d_site = d_j + q
