@@ -396,14 +396,10 @@ def _bench_reweighting_512k():
         float(np.asarray(out).ravel()[0])
         return n * n / (time.perf_counter() - t0)
 
-    # pallas path: codes padded to block rows / l_chunk cols, -1 fill
-    p_codes, _ = pad_rows(codes, _BLOCK)
-    l_pad = (-l) % _L_CHUNK
-    if l_pad:
-        p_codes = np.pad(
-            p_codes, [(0, 0), (0, l_pad)], constant_values=-1
-        )
-    p_codes[n:] = -1
+    # pallas path: the kernel's own contract padding
+    from evcouplings_tpu.ops.weights_pallas import pad_codes_for_kernel
+
+    p_codes = pad_codes_for_kernel(codes, _BLOCK, _L_CHUNK)
     pallas_rate = timed(
         _neighbor_counts_pallas, codes=jnp.asarray(p_codes),
         num_symbols=Q, min_count=min_count, n_valid=n,

@@ -132,21 +132,16 @@ def _use_pallas_path(n, L, num_symbols):
         return False
     if platform not in ("tpu", "axon") or n < 4096:
         return False
+    if num_symbols > 127:
+        # the kernel's int8 code cast cannot represent larger codes
+        return False
 
-    from evcouplings_tpu.ops.weights_pallas import _BLOCK, _L_CHUNK
-
-    l_padded = ((L + _L_CHUNK - 1) // _L_CHUNK) * _L_CHUNK
-    vmem_bytes = (
-        # pipelined input code tiles are DOUBLE-buffered by Pallas
-        2 * (2 * _BLOCK * l_padded)                 # code tiles (int8)
-        + 2 * _BLOCK * _L_CHUNK * num_symbols       # one-hot (int8)
-        + _BLOCK * _BLOCK * 4                       # ids tile (int32)
-        + _BLOCK * 4                                # counts
+    # tile feasibility lives next to the kernel (shared formula)
+    from evcouplings_tpu.ops.weights_pallas import (
+        _VMEM_BUDGET, kernel_vmem_bytes,
     )
-    # 13.5 MB against the ~16 MB scoped-VMEM limit: headroom for
-    # iota/cast intermediates the estimate does not model (the
-    # measured-good headline shape L=160, q=21 sits at ~13.0 MB)
-    return vmem_bytes <= int(13.5 * 1024 * 1024)
+
+    return kernel_vmem_bytes(L, num_symbols) <= _VMEM_BUDGET
 
 
 def num_cluster_members(matrix_mapped, identity_threshold):
@@ -169,15 +164,17 @@ def num_cluster_members(matrix_mapped, identity_threshold):
     n, L = matrix_mapped.shape
     num_symbols = int(matrix_mapped.max()) + 1
 
+    min_count = _identity_count_threshold(L, identity_threshold)
+
     if _use_pallas_path(n, L, num_symbols):
         from evcouplings_tpu.ops.weights_pallas import (
             num_cluster_members_pallas,
         )
 
         return num_cluster_members_pallas(
-            matrix_mapped, identity_threshold
+            matrix_mapped, identity_threshold,
+            num_symbols=num_symbols, min_count=min_count,
         )
-    min_count = _identity_count_threshold(L, identity_threshold)
 
     block = _pick_block_size(n, L, num_symbols)
     padded, _ = pad_rows(matrix_mapped.astype(np.int8), block)

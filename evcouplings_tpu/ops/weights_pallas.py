@@ -34,6 +34,43 @@ _BLOCK = 1024
 # columns expanded per inner step: one-hot width = _L_CHUNK * q
 _L_CHUNK = 192
 
+# feasibility budget: 13.5 MB against the ~16 MB scoped-VMEM limit —
+# headroom for iota/cast intermediates the estimate does not model
+# (the measured-good headline shape L=160, q=21 sits at ~13.0 MB)
+_VMEM_BUDGET = int(13.5 * 1024 * 1024)
+
+
+def kernel_vmem_bytes(L, num_symbols, block=_BLOCK, l_chunk=_L_CHUNK):
+    """Approximate scoped-VMEM footprint of one grid step, for tile
+    feasibility checks (the dispatch in ops/weights.py and the wrapper
+    below both test it against _VMEM_BUDGET)."""
+    l_padded = ((L + l_chunk - 1) // l_chunk) * l_chunk
+    return (
+        # pipelined input code tiles are DOUBLE-buffered by Pallas
+        2 * (2 * block * l_padded)                # code tiles (int8)
+        + 2 * block * l_chunk * num_symbols       # one-hot (int8)
+        + block * block * 4                       # ids tile (int32)
+        + block * 4                               # counts
+    )
+
+
+def pad_codes_for_kernel(matrix_mapped, block=_BLOCK, l_chunk=_L_CHUNK):
+    """Kernel-contract input layout: rows padded to a block multiple,
+    columns padded to the chunk width, padding code -1 everywhere (it
+    one-hot-expands to all-zero, contributing no identity counts).
+    Shared by the wrapper below and the benchmark harness — the kernel
+    REJECTS misaligned shapes rather than truncating them."""
+    matrix_mapped = np.asarray(matrix_mapped)
+    n, L = matrix_mapped.shape
+    codes, _ = pad_rows(matrix_mapped.astype(np.int8), block)
+    l_extra = (-L) % l_chunk
+    if l_extra:
+        codes = np.pad(
+            codes, [(0, 0), (0, l_extra)], constant_values=-1
+        )
+    codes[n:] = -1
+    return codes
+
 
 def _reweight_kernel(ci_ref, cj_ref, out_ref, *, num_symbols,
                      min_count, n_valid, num_l_chunks, block,
@@ -115,6 +152,17 @@ def _neighbor_counts_pallas(codes, num_symbols, min_count, n_valid,
     """codes: (N_pad, L_pad) int8, N_pad % block == 0,
     L_pad % l_chunk == 0. Returns (N_pad, 1) int32 neighbor counts."""
     n_pad, l_pad = codes.shape
+    if n_pad % block or l_pad % l_chunk:
+        # floor-dividing the grid would silently DROP the remainder
+        # rows/columns from both operand sides (wrong counts, garbage
+        # tail rows) — reject instead
+        raise ValueError(
+            "codes shape ({}, {}) violates the kernel contract "
+            "N_pad % block == 0 and L_pad % l_chunk == 0 (block={}, "
+            "l_chunk={}); pad inputs with pad_codes_for_kernel".format(
+                n_pad, l_pad, block, l_chunk
+            )
+        )
     num_blocks = n_pad // block
     num_l_chunks = l_pad // l_chunk
 
@@ -149,7 +197,10 @@ def _neighbor_counts_pallas(codes, num_symbols, min_count, n_valid,
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=2 * n_pad * l_pad + 4 * n_pad,
+            # the grid re-fetches the full j code matrix once per
+            # i-block (plus the i tiles and the counts output)
+            bytes_accessed=(num_blocks + 1) * n_pad * l_pad
+            + 4 * n_pad,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -158,24 +209,43 @@ def _neighbor_counts_pallas(codes, num_symbols, min_count, n_valid,
 
 def num_cluster_members_pallas(matrix_mapped, identity_threshold,
                                block=_BLOCK, l_chunk=_L_CHUNK,
-                               interpret=False):
+                               interpret=False, num_symbols=None,
+                               min_count=None):
     """Cluster sizes (inverse sequence weights) via the Pallas kernel;
-    same contract as ops.weights.num_cluster_members."""
+    same contract as ops.weights.num_cluster_members. num_symbols /
+    min_count may be passed through by a dispatcher that already
+    derived them (saves a second host scan of the code matrix)."""
     from evcouplings_tpu.ops.weights import _identity_count_threshold
 
     matrix_mapped = np.asarray(matrix_mapped)
     n, L = matrix_mapped.shape
-    num_symbols = int(matrix_mapped.max()) + 1
-    min_count = _identity_count_threshold(L, identity_threshold)
+    if num_symbols is None:
+        num_symbols = int(matrix_mapped.max()) + 1
+    if num_symbols > 127:
+        # the int8 cast below would wrap codes >= 128 negative, where
+        # they silently match nothing (undercounted identities)
+        raise ValueError(
+            "Pallas reweighting kernel supports at most 127 symbol "
+            "codes (got num_symbols={}); use the XLA path".format(
+                num_symbols
+            )
+        )
+    if min_count is None:
+        min_count = _identity_count_threshold(L, identity_threshold)
+    if (not interpret
+            and kernel_vmem_bytes(L, num_symbols, block, l_chunk)
+            > _VMEM_BUDGET):
+        raise ValueError(
+            "Pallas reweighting tiles (block={}, l_chunk={}) exceed "
+            "the VMEM budget at L={}, q={} ({} > {} bytes); shrink "
+            "the tiles or use the XLA path".format(
+                block, l_chunk, L, num_symbols,
+                kernel_vmem_bytes(L, num_symbols, block, l_chunk),
+                _VMEM_BUDGET,
+            )
+        )
 
-    # pad rows to a block multiple and columns to the chunk width;
-    # code -1 one-hot-expands to all-zero (no identity contribution)
-    codes, _ = pad_rows(matrix_mapped.astype(np.int8), block)
-    l_pad = (-L) % l_chunk
-    if l_pad:
-        codes = np.pad(codes, [(0, 0), (0, l_pad)], constant_values=-1)
-    codes[n:] = -1
-
+    codes = pad_codes_for_kernel(matrix_mapped, block, l_chunk)
     counts = _neighbor_counts_pallas(
         jnp.asarray(codes), num_symbols, min_count, n,
         block=block, l_chunk=l_chunk, interpret=interpret,

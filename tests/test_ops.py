@@ -201,6 +201,52 @@ class TestPallasReweighting:
             got = num_cluster_members_pallas(m, theta, interpret=True)
             assert np.array_equal(ref, got), (n, L, q, theta)
 
+    def test_misaligned_shapes_rejected(self):
+        """The raw kernel must REJECT inputs violating its alignment
+        contract: floor-dividing the grid would silently drop the
+        remainder rows/columns (wrong counts, garbage tail)."""
+        import jax.numpy as jnp
+        import pytest
+
+        from evcouplings_tpu.ops.weights_pallas import (
+            _neighbor_counts_pallas,
+        )
+
+        with pytest.raises(ValueError, match="contract"):
+            _neighbor_counts_pallas(
+                jnp.zeros((96, 12), jnp.int8), 4, 10, 96,
+                block=64, l_chunk=8, interpret=True,
+            )
+
+    def test_padding_helper_feeds_kernel_correctly(self):
+        """pad_codes_for_kernel + custom tiles: 96 identical rows of a
+        (96, 12) matrix (neither dimension tile-aligned) must all
+        count 96 neighbors."""
+        from evcouplings_tpu.ops.weights_pallas import (
+            num_cluster_members_pallas,
+        )
+
+        out = num_cluster_members_pallas(
+            np.zeros((96, 12), dtype=np.int8), 0.8,
+            block=64, l_chunk=8, interpret=True,
+        )
+        assert out.shape == (96,) and np.all(out == 96)
+
+    def test_symbol_codes_beyond_int8_rejected(self):
+        """Codes >= 128 would wrap negative in the int8 cast and
+        silently match nothing — reject them."""
+        import pytest
+
+        from evcouplings_tpu.ops.weights_pallas import (
+            num_cluster_members_pallas,
+        )
+
+        with pytest.raises(ValueError, match="127"):
+            num_cluster_members_pallas(
+                np.full((8, 4), 130, dtype=np.int16), 0.8,
+                interpret=True,
+            )
+
 
 def test_frequencies_f64_mode_is_bit_level():
     """dtype=jnp.float64 must carry the WEIGHTS in f64 too: cluster
