@@ -17,3 +17,8 @@ AA1_to_AA3 = dict(
 
 # amino acid three-letter code to one-letter code
 AA3_to_AA1 = {three: one for one, three in AA1_to_AA3.items()}
+
+# suffix of the run-level final output-state file written by the
+# pipeline runtime (lives here so lightweight consumers like the
+# summarizer need not import the full pipeline/protocol stack)
+FINAL_CONFIG_SUFFIX = "_final.outcfg"

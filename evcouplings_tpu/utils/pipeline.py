@@ -72,7 +72,9 @@ PIPELINES = {
     ],
 }
 
-FINAL_CONFIG_SUFFIX = "_final.outcfg"
+from evcouplings_tpu.utils.constants import (  # noqa: F401
+    FINAL_CONFIG_SUFFIX,  # canonical home; re-exported for compat
+)
 
 # flag files documenting how the run ended
 EXTENSION_TERMINATED = ".terminated"
@@ -92,19 +94,41 @@ def execute(**config):
             "Valid choices are:\n{}".format(", ".join(PIPELINES.keys()))
         )
 
+    pipeline = PIPELINES[config["pipeline"]]
+
     stages = config["stages"]
     if stages is None:
         raise InvalidParameterError("No stages defined, need at least one.")
+    if isinstance(stages, str):
+        # a bare YAML scalar (stages: align) would otherwise do
+        # substring membership and count characters as stages
+        stages = [stages]
+    known = [name for name, _, _ in pipeline]
+    unknown = [s for s in stages if s not in known]
+    if unknown:
+        raise InvalidParameterError(
+            "Unknown stage(s) {} for pipeline '{}'. Valid stages "
+            "are: {}".format(
+                ", ".join(unknown), config["pipeline"], ", ".join(known)
+            )
+        )
 
-    pipeline = PIPELINES[config["pipeline"]]
-    prefix = config["global"]["prefix"]
+    # an empty `global:` YAML section parses as None — surface the
+    # missing prefix as the configuration error it is
+    global_section = config["global"] or {}
+    prefix = global_section.get("prefix")
+    if prefix is None:
+        raise InvalidParameterError(
+            "Configuration does not include 'prefix' setting in "
+            "'global' section"
+        )
     create_prefix_folders(prefix)
 
     # fresh span registry per job (several jobs may share a process)
     clear_spans()
 
     # results accumulated while moving through the stages
-    global_state = config["global"]
+    global_state = global_section
     num_stages_to_run = len(stages)
 
     tracker = get_result_tracker(config)
@@ -171,14 +195,8 @@ def execute(**config):
         tracker.update(results=outcfg)
 
     archive_file = create_archive(config, global_state, prefix)
-
     if archive_file is not None:
         global_state["archive_file"] = archive_file
-        tracker_archive_update = {"archive_file": archive_file}
-    else:
-        tracker_archive_update = None
-
-    tracker.update(status=EStatus.DONE, results=tracker_archive_update)
 
     global_state = delete_outputs(config, global_state)
 
@@ -189,6 +207,16 @@ def execute(**config):
         global_state["runtime_file"] = runtime_file
 
     write_config_file(prefix + FINAL_CONFIG_SUFFIX, global_state)
+
+    # DONE is recorded LAST (reference ordering): a tracker consumer
+    # observing DONE can rely on the final outcfg existing and the
+    # archive/delete cleanup having completed; the late-added keys
+    # ride along so the tracker's results match the final outcfg
+    late_keys = {
+        k: global_state[k]
+        for k in ("archive_file", "runtime_file") if k in global_state
+    }
+    tracker.update(status=EStatus.DONE, results=late_keys or None)
     return global_state
 
 
@@ -197,10 +225,9 @@ def create_archive(config, outcfg, prefix):
     prefix.tar.gz (default) or prefix.zip."""
     ALLOWED_FORMATS = ["targz", "zip"]
 
-    archive_format = (config.get("management") or {}).get(
-        "archive_format", "targz"
-    )
-    archive_keys = (config.get("management") or {}).get("archive", None)
+    management = config.get("management") or {}
+    archive_format = management.get("archive_format", "targz")
+    archive_keys = management.get("archive", None)
     if archive_keys is None:
         return None
 
@@ -261,7 +288,8 @@ def verify_prefix(verify_subdir=True, **config):
     """Check that the configured prefix is present and writable."""
     try:
         prefix = config["global"]["prefix"]
-    except KeyError:
+    except (KeyError, TypeError):
+        # TypeError: an empty `global:` YAML section parses as None
         raise InvalidParameterError(
             "Configuration does not include 'prefix' setting in "
             "'global' section"
@@ -324,9 +352,14 @@ def execute_wrapped(**config):
         )
         sys.exit(1)
 
-    for sig in [
+    # handlers are restored on the way out: several jobs may share one
+    # process, and a signal arriving BETWEEN jobs must not write this
+    # (finished) job's .terminated flag or flip its tracker row
+    handled = [
         signal.SIGINT, signal.SIGTERM, signal.SIGUSR1, signal.SIGUSR2
-    ]:
+    ]
+    previous = {sig: signal.getsignal(sig) for sig in handled}
+    for sig in handled:
         signal.signal(sig, _handler)
 
     try:
@@ -358,6 +391,9 @@ def execute_wrapped(**config):
             message="{}: {}".format(what, trace_text),
         )
         raise
+    finally:
+        for sig, old in previous.items():
+            signal.signal(sig, old)
 
 
 def run(**kwargs):

@@ -22,7 +22,7 @@ from evcouplings_tpu.utils.config import (
     InvalidParameterError,
     read_config_file,
 )
-from evcouplings_tpu.utils.pipeline import FINAL_CONFIG_SUFFIX
+from evcouplings_tpu.utils.constants import FINAL_CONFIG_SUFFIX
 from evcouplings_tpu.utils.system import valid_file
 
 CONTEXT_SETTINGS = dict(help_option_names=["-h", "--help"])

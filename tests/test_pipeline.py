@@ -149,6 +149,37 @@ class TestConfigRobustness:
         outcfg = pipeline.execute(**config)
         assert "ec_file" in outcfg
 
+    def test_unknown_stage_names_rejected(self, tmp_path):
+        """A typo in the stages list must be diagnosed up front, not
+        surface later as a misleading skip-verification failure."""
+        from evcouplings_tpu.utils.config import InvalidParameterError
+
+        config = make_config(tmp_path)
+        config["stages"] = ["algin"]
+        with pytest.raises(InvalidParameterError, match="algin"):
+            pipeline.execute(**config)
+
+    def test_string_stages_treated_as_single_stage(self, tmp_path):
+        """`stages: align` (a bare YAML scalar) must mean the one
+        stage, not a five-character substring-membership set."""
+        config = make_config(tmp_path)
+        config["stages"] = "align"
+        outcfg = pipeline.execute(**config)
+        # only the align stage ran: alignment outputs present, no ECs
+        assert "alignment_file" in outcfg
+        assert "ec_file" not in outcfg
+
+    def test_empty_global_section_raises_actionable_error(
+            self, tmp_path):
+        """A bare `global:` section (parses as None) must surface the
+        missing prefix as a configuration error, not a TypeError."""
+        from evcouplings_tpu.utils.config import InvalidParameterError
+
+        config = make_config(tmp_path)
+        config["global"] = None
+        with pytest.raises(InvalidParameterError, match="prefix"):
+            pipeline.execute(**config)
+
     def test_yaml_merge_keys_supported(self):
         from evcouplings_tpu.utils.config import parse_config
 
