@@ -66,6 +66,13 @@ def enrichment(ecs, num_pairs=1.0, score="cn", min_seqdist=6):
         .sort_values(by=score, ascending=False)
         .iloc[0:num_pairs]
     )
+    if len(top_ecs) == 0:
+        raise ValueError(
+            "No EC pairs at sequence separation >= {} — cannot "
+            "compute enrichment (table covers {} pairs)".format(
+                min_seqdist, len(ecs)
+            )
+        )
 
     # count each pair in both directions so the groupby sums the full
     # EC degree of every position
@@ -214,6 +221,14 @@ class ScoreMixtureModel:
 
     @classmethod
     def _learn_params(cls, x, max_iter=200, tolerance=1e-4):
+        if len(x) == 0 or np.max(x) <= 0:
+            # the lognormal tail needs positive mass: np.log(max(x))
+            # would crash on empty input and degenerate to NaN
+            # parameters on all-nonpositive scores
+            raise ValueError(
+                "Cannot fit the score mixture model: need at least "
+                "one positive score (got {} scores)".format(len(x))
+            )
         # (mixing fraction p, sn scale, sn skew, ln mean, ln stddev)
         theta = np.array([0.5, np.std(x), 0.0, np.log(np.max(x)), 0.1])
 
@@ -330,7 +345,14 @@ def add_freqs_to_ec_table(ecs, freqs):
     merged = ecs.merge(freqs_i, on=["i", "A_i"]).merge(
         freqs_j, on=["j", "A_j"]
     )
-    assert len(merged) == len(ecs)
+    if len(merged) != len(ecs):
+        # an assert would vanish under python -O and silently drop
+        # the unmatched EC rows from every downstream count
+        raise ValueError(
+            "Frequency annotation dropped {} of {} EC rows: the EC "
+            "table references positions absent from the frequencies "
+            "table".format(len(ecs) - len(merged), len(ecs))
+        )
     return merged
 
 
@@ -355,9 +377,23 @@ class LinearLogisticModel:
 
     def __init__(self, coef, intercept, classes=(0, 1),
                  classifier_settings=None, n_iter=None):
-        self.coef = np.asarray(coef, dtype=float).reshape(-1)
-        self.intercept = float(np.asarray(intercept).reshape(-1)[0])
-        self.classes = list(classes)
+        coef_arr = np.asarray(coef, dtype=float)
+        intercept_arr = np.asarray(intercept, dtype=float).reshape(-1)
+        classes = list(classes)
+        # flattening a multi-class model's coef_/intercept_ would
+        # silently compute garbage — fail at construction instead
+        if ((coef_arr.ndim == 2 and coef_arr.shape[0] != 1)
+                or intercept_arr.size != 1 or len(classes) != 2):
+            raise ValueError(
+                "Only binary single-row logistic models are "
+                "supported (coef_ shape {}, {} intercept(s), "
+                "classes {})".format(
+                    coef_arr.shape, intercept_arr.size, classes
+                )
+            )
+        self.coef = coef_arr.reshape(-1)
+        self.intercept = float(intercept_arr[0])
+        self.classes = classes
         self.classifier_settings = classifier_settings or {}
         # sklearn training metadata, carried so serialize(deserialize)
         # is lossless on the reference schema
@@ -397,7 +433,11 @@ class LinearLogisticModel:
         return np.asarray(X, dtype=float) @ self.coef + self.intercept
 
     def predict_proba_true(self, X):
-        return 1.0 / (1.0 + np.exp(-self.decision_function(X)))
+        # expit is the overflow-safe sigmoid (exp(-d) overflows a
+        # float64 for strongly negative decisions)
+        from scipy.special import expit
+
+        return expit(self.decision_function(X))
 
 
 def logreg_classifier_to_dict(classifier, feature_names=None):
@@ -486,7 +526,20 @@ class LogisticRegressionScorer:
             ecs, freqs, theta, effective_sequences, num_sites
         )
 
-        X = ecs_full.reindex(self.feature_names, axis=1).values
+        missing = [
+            f for f in self.feature_names if f not in ecs_full.columns
+        ]
+        if missing:
+            # reindex would insert all-NaN columns and the native
+            # matmul would propagate them into every probability
+            # (sklearn raised here; match that loudly)
+            raise ValueError(
+                "Scoring model requires feature(s) [{}] absent from "
+                "the computed feature table (available: {})".format(
+                    ", ".join(missing), ", ".join(ecs_full.columns)
+                )
+            )
+        X = ecs_full.loc[:, list(self.feature_names)].values
         ecs_final = ecs_full.assign(
             score=self.classifier.decision_function(X),
             probability=self.classifier.predict_proba_true(X),

@@ -258,3 +258,87 @@ def test_linear_logistic_model_round_trips_n_iter():
     assert out["model_settings"]["n_iter_"] == [37]
     assert out["model_settings"]["coef_"] == [[1.0, -2.0]]
     assert out["feature_names"] == ["a", "b"]
+
+
+class TestScoringGuards:
+    """Loud-failure guards added after self-review: silently-NaN or
+    silently-truncated scoring paths must raise instead."""
+
+    def test_mixture_model_requires_positive_scores(self):
+        import pytest
+
+        from evcouplings_tpu.couplings.pairs import ScoreMixtureModel
+
+        with pytest.raises(ValueError, match="positive score"):
+            ScoreMixtureModel(np.array([]))
+        with pytest.raises(ValueError, match="positive score"):
+            ScoreMixtureModel(np.array([-1.0, -0.5, 0.0]))
+
+    def test_enrichment_requires_longrange_pairs(self):
+        import pytest
+
+        from evcouplings_tpu.couplings.pairs import enrichment
+
+        ecs = pd.DataFrame({
+            "i": [1, 2], "A_i": ["A", "C"],
+            "j": [2, 3], "A_j": ["C", "D"],
+            "cn": [0.5, 0.4],
+        })
+        with pytest.raises(ValueError, match="separation"):
+            enrichment(ecs, min_seqdist=6)
+
+    def test_multiclass_logistic_model_rejected(self):
+        import pytest
+
+        from evcouplings_tpu.couplings.pairs import LinearLogisticModel
+
+        with pytest.raises(ValueError, match="binary"):
+            LinearLogisticModel(
+                coef=[[1.0, 2.0], [0.5, 0.1], [0.2, 0.3]],
+                intercept=[0.1, 0.2, 0.3],
+                classes=(0, 1, 2),
+            )
+
+    def test_missing_model_feature_raises_not_nan(self, tmp_path):
+        import pytest
+        import yaml
+
+        from evcouplings_tpu.couplings.pairs import (
+            LogisticRegressionScorer,
+        )
+
+        # load the shipped model, corrupt one feature name
+        scorer = LogisticRegressionScorer()
+        params = scorer.classifier.to_dict(
+            feature_names=list(scorer.feature_names)
+        )
+        params["feature_names"][0] = "no_such_feature"
+        bad = tmp_path / "bad_model.yml"
+        bad.write_text(yaml.safe_dump(params))
+        bad_scorer = LogisticRegressionScorer(str(bad))
+
+        L = 8
+        ii, jj = np.triu_indices(L, k=1)
+        rng = np.random.default_rng(0)
+        ecs = pd.DataFrame({
+            "i": ii + 1, "A_i": "A", "j": jj + 1, "A_j": "A",
+            "cn": rng.normal(size=len(ii)),
+        })
+        freqs = pd.DataFrame({
+            "i": np.arange(1, L + 1), "A_i": "A",
+            "A": 0.3, "C": 0.2, "-": 0.1,
+            "conservation": 0.5,
+        })
+        with pytest.raises(ValueError, match="no_such_feature"):
+            bad_scorer.score(
+                ecs, freqs=freqs, theta=0.8,
+                effective_sequences=1000.0, num_sites=L,
+            )
+
+    def test_sigmoid_stable_for_extreme_decisions(self):
+        from evcouplings_tpu.couplings.pairs import LinearLogisticModel
+
+        m = LinearLogisticModel(coef=[1.0], intercept=0.0)
+        with np.errstate(over="raise"):
+            p = m.predict_proba_true(np.array([[-1e4], [1e4]]))
+        assert p[0] == 0.0 and p[1] == 1.0
