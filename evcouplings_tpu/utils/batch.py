@@ -172,15 +172,51 @@ class ASubmitter(metaclass=APluginRegister):
 
 
 def _run_shell(cmd, workdir=None):
-    """Run a shell command, returning (returncode, stdout, stderr)."""
-    p = subprocess.Popen(
-        cmd, shell=True,
-        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE, universal_newlines=True,
-        cwd=workdir,
-    )
-    stdo, stde = p.communicate()
+    """Run a shell command, returning (returncode, stdout, stderr).
+
+    OS-level launch failures (missing workdir, unlaunchable shell)
+    surface as RuntimeError — the same contract callers already handle
+    for non-zero scheduler exits — instead of leaking raw OSErrors
+    past app.py's per-job error handling."""
+    try:
+        p = subprocess.Popen(
+            cmd, shell=True,
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, universal_newlines=True,
+            cwd=workdir,
+        )
+        stdo, stde = p.communicate()
+    except OSError as e:
+        raise RuntimeError(
+            "Could not launch {!r} (workdir={!r}): {}".format(
+                cmd, workdir, e
+            )
+        ) from e
     return p.returncode, stdo, stde
+
+
+def _open_job_db(db_path):
+    """(PersistentDict, path, is_temp) for a submitter job database;
+    a None path creates a throwaway file in the working directory."""
+    if db_path is None:
+        tmp_db = NamedTemporaryFile(
+            delete=False, dir=os.getcwd(), suffix=".db"
+        )
+        tmp_db.close()
+        return PersistentDict(tmp_db.name), tmp_db.name, True
+    return PersistentDict(db_path), db_path, False
+
+
+def _close_job_db(db, db_path, is_temp):
+    try:
+        db.close()
+        if is_temp:
+            os.remove(db_path)
+    except (AttributeError, OSError, TypeError):
+        # TypeError: module globals (os/tempfile helpers inside
+        # PersistentDict.sync) may already be torn down when the
+        # interpreter exits and __del__ fires during shutdown
+        pass
 
 
 class AClusterSubmitter(ASubmitter):
@@ -265,6 +301,12 @@ class AClusterSubmitter(ASubmitter):
             "environment": command.environment,
         })
         self._db_set(command.command_id, entry)
+        # join() polls only this session's submissions (the shared
+        # persistent db may hold prior runs' entries)
+        if not hasattr(self, "_session_ids"):
+            self._session_ids = []
+        if command.command_id not in self._session_ids:
+            self._session_ids.append(command.command_id)
 
     # -- operations ------------------------------------------------------
 
@@ -272,8 +314,14 @@ class AClusterSubmitter(ASubmitter):
         dep = self._prepare_dependencies(dependent)
         resources = self._prepare_resources(command.resources or {})
 
+        # every template single-quotes {cmd}; escape embedded single
+        # quotes so an apostrophe in a path or environment line cannot
+        # terminate the quoting early (shell=True interpolation)
+        safe_cmd = command.full_command_string().replace(
+            "'", "'\"'\"'"
+        )
         submit = self.submit_command.format(
-            cmd=command.full_command_string(),
+            cmd=safe_cmd,
             resources=resources,
             dependent=dep,
             name=command.command_id,
@@ -293,49 +341,70 @@ class AClusterSubmitter(ASubmitter):
     def monitor(self, command):
         return self._internal_monitor(command.command_id)
 
+    # scheduler replies meaning "the job is no longer known" — LSF
+    # purges finished jobs after CLEAN_PERIOD, Slurm after MinJobAge —
+    # which is completion, not a monitoring failure
+    _GONE_MARKERS = (
+        "is not found", "not found", "invalid job id",
+        "has already finished", "unknown job", "no unfinished job",
+    )
+
     def _internal_monitor(self, command_id):
         try:
-            job_id = self._db_get(command_id)["job_id"]
+            entry = self._db_get(command_id)
         except KeyError:
             raise ValueError(
                 "Command " + repr(command_id)
                 + " has not been submitted yet."
             )
+        job_id = entry["job_id"]
 
         cmd = self.monitor_command.format(job_id=job_id)
         returncode, stdo, stde = _run_shell(cmd)
         if returncode != 0:
-            raise RuntimeError(
-                "Unsuccessful monitoring of " + repr(command_id)
-                + " (EXIT!=0) with error: " + stde
-            )
+            reply = (stdo + stde).lower()
+            if any(tok in reply for tok in self._GONE_MARKERS):
+                # a completed job aged out of the scheduler's view:
+                # same semantics as the SGE monitor's missing row
+                status = EStatus.DONE
+            else:
+                raise RuntimeError(
+                    "Unsuccessful monitoring of " + repr(command_id)
+                    + " (EXIT!=0) with error: " + stde
+                )
+        else:
+            status = self._get_status(stdo)
 
-        status = self._get_status(stdo)
-
-        entry = self._db_get(command_id)
         entry["status"] = status
         self._db_set(command_id, entry)
         return status
 
     def cancel(self, command):
         try:
-            entry = self._db_get(command.command_id)
+            self._db_get(command.command_id)
         except KeyError:
             raise ValueError(
                 "Command " + repr(command)
                 + " has not been submitted yet."
             )
 
-        if entry["status"] in (EStatus.DONE, EStatus.EXIT):
+        # refresh first: the stored status may be stale (the job can
+        # have finished since the last monitor), and cancelling a
+        # finished job would raise on the scheduler error
+        status = self._internal_monitor(command.command_id)
+        if status in (EStatus.DONE, EStatus.EXIT):
             return True
 
+        entry = self._db_get(command.command_id)
         cmd = self.cancel_command.format(job_id=entry["job_id"])
         returncode, stdo, stde = _run_shell(cmd)
         if returncode != 0:
-            raise RuntimeError(
-                "Unsuccessful cancellation of " + repr(command)
-                + " (EXIT!=0) with error: " + stde
-            )
+            reply = (stdo + stde).lower()
+            if not any(tok in reply for tok in self._GONE_MARKERS):
+                raise RuntimeError(
+                    "Unsuccessful cancellation of " + repr(command)
+                    + " (EXIT!=0) with error: " + stde
+                )
 
         entry["status"] = EStatus.EXIT
         self._db_set(command.command_id, entry)
@@ -347,45 +416,40 @@ class AClusterSubmitter(ASubmitter):
         if not self.isBlocking:
             return
 
-        unfinished = list(self.db.keys())
+        # only jobs submitted through THIS submitter instance: the
+        # persistent db may carry entries from previous runs sharing
+        # the same db_path, whose purged job ids must not be polled
+        # (rerunning a prefix would crash or wait on recycled ids)
+        unfinished = list(getattr(self, "_session_ids", []) or [])
         while unfinished:
             unfinished = [
                 k for k in unfinished
                 if self._internal_monitor(k)
-                in (EStatus.PEND, EStatus.RUN)
+                in (EStatus.PEND, EStatus.RUN, EStatus.SUSP)
             ]
             if unfinished:
                 time.sleep(1)
 
 
 class _ClusterSubmitterBase(AClusterSubmitter):
-    """Shared constructor/state for the concrete cluster submitters."""
+    """Shared constructor/state for the concrete cluster submitters;
+    the template/regex accessors read the per-class attributes, so a
+    concrete submitter only declares _registry_name, _submit,
+    _monitor, _cancel, _resources_flag, and _job_id_re."""
 
     def __init__(self, blocking=False, db_path=None):
         self._blocking = blocking
-        if db_path is None:
-            tmp_db = NamedTemporaryFile(
-                delete=False, dir=os.getcwd(), suffix=".db"
-            )
-            tmp_db.close()
-            self._is_temp_db = True
-            self._db_path = tmp_db.name
-        else:
-            self._is_temp_db = False
-            self._db_path = db_path
-
-        self._db = PersistentDict(self._db_path)
+        self._db, self._db_path, self._is_temp_db = _open_job_db(
+            db_path
+        )
+        self._session_ids = []
 
     def __del__(self):
-        try:
-            self._db.close()
-            if self._is_temp_db:
-                os.remove(self._db_path)
-        except (AttributeError, OSError, TypeError):
-            # TypeError: module globals (os/tempfile helpers inside
-            # PersistentDict.sync) may already be torn down when the
-            # interpreter exits and __del__ fires during shutdown
-            pass
+        _close_job_db(
+            getattr(self, "_db", None),
+            getattr(self, "_db_path", None),
+            getattr(self, "_is_temp_db", False),
+        )
 
     @property
     def isBlocking(self):
@@ -395,28 +459,9 @@ class _ClusterSubmitterBase(AClusterSubmitter):
     def db(self):
         return self._db
 
-
-class LSFSubmitter(_ClusterSubmitterBase):
-    """IBM LSF (bsub/bjobs/bkill)."""
-
-    _registry_name = "lsf"
-
-    _submit = "bsub -J {name} {dependent} {resources} '{cmd}'"
-    _monitor = "bjobs {job_id}"
-    _cancel = "bkill {job_id}"
-    _resources_flag = {
-        EResource.queue: "-q",
-        EResource.time: "-W",
-        EResource.mem: "-R",
-        EResource.nodes: "-n",
-        EResource.error: "-e",
-        EResource.out: "-o",
-    }
-    _job_id_re = re.compile(r"Job <([0-9]*)>")
-
     @property
     def name(self):
-        return "lsf"
+        return self._registry_name
 
     @property
     def submit_command(self):
@@ -438,8 +483,32 @@ class LSFSubmitter(_ClusterSubmitterBase):
     def job_id_pattern(self):
         return self._job_id_re
 
+
+class LSFSubmitter(_ClusterSubmitterBase):
+    """IBM LSF (bsub/bjobs/bkill)."""
+
+    _registry_name = "lsf"
+
+    _submit = "bsub -J {name} {dependent} {resources} '{cmd}'"
+    _monitor = "bjobs {job_id}"
+    _cancel = "bkill {job_id}"
+    _resources_flag = {
+        EResource.queue: "-q",
+        EResource.time: "-W",
+        EResource.mem: "-R",
+        EResource.nodes: "-n",
+        EResource.error: "-e",
+        EResource.out: "-o",
+    }
+    _job_id_re = re.compile(r"Job <([0-9]*)>")
+
     def _get_status(self, stdo):
-        st = stdo.split("\n")[1].split()[2].strip()
+        lines = [ln for ln in stdo.split("\n") if ln.split()]
+        if len(lines) < 2:
+            # finished jobs age out of bjobs view (CLEAN_PERIOD):
+            # an empty listing means completed, like the SGE monitor
+            return EStatus.DONE
+        st = lines[1].split()[2].strip()
         return {
             "PEND": EStatus.PEND,
             "RUN": EStatus.RUN,
@@ -500,32 +569,13 @@ class SlurmSubmitter(_ClusterSubmitterBase):
     }
     _job_id_re = re.compile(r"Submitted batch job ([0-9]*)")
 
-    @property
-    def name(self):
-        return "slurm"
-
-    @property
-    def submit_command(self):
-        return self._submit
-
-    @property
-    def monitor_command(self):
-        return self._monitor
-
-    @property
-    def cancel_command(self):
-        return self._cancel
-
-    @property
-    def resource_flags(self):
-        return self._resources_flag
-
-    @property
-    def job_id_pattern(self):
-        return self._job_id_re
-
     def _get_status(self, stdo):
-        st = stdo.split("\n")[1].split()[4].strip()
+        lines = [ln for ln in stdo.split("\n") if ln.split()]
+        if len(lines) < 2:
+            # finished jobs age out of squeue view (MinJobAge): an
+            # empty listing means completed, like the SGE monitor
+            return EStatus.DONE
+        st = lines[1].split()[4].strip()
         if st in ("PD", "CF"):
             return EStatus.PEND
         if st in ("R", "CG"):
@@ -581,30 +631,6 @@ class SGESubmitter(_ClusterSubmitterBase):
     }
     _job_id_re = re.compile(r"Your job ([0-9]+) ")
 
-    @property
-    def name(self):
-        return "sge"
-
-    @property
-    def submit_command(self):
-        return self._submit
-
-    @property
-    def monitor_command(self):
-        return self._monitor
-
-    @property
-    def cancel_command(self):
-        return self._cancel
-
-    @property
-    def resource_flags(self):
-        return self._resources_flag
-
-    @property
-    def job_id_pattern(self):
-        return self._job_id_re
-
     @staticmethod
     def _map_state(st):
         """Map one exact qstat state code to an EStatus.
@@ -617,7 +643,8 @@ class SGESubmitter(_ClusterSubmitterBase):
             return EStatus.RUN
         if st in ("qw", "hqw", "hRwq"):
             return EStatus.PEND
-        if st in ("s", "ts", "S", "tS", "T", "tT", "Rs", "RS", "RT"):
+        if st in ("s", "ts", "S", "tS", "T", "tT",
+                  "Rs", "RS", "RT", "Rts", "RtS", "RtT"):
             return EStatus.SUSP
         # error/deletion states (Eqw, EhRqw, dr, dt, ...) and anything
         # unrecognized: terminal
@@ -709,18 +736,9 @@ class LocalSubmitter(ASubmitter):
         self._max_retries = max(0, int(max_retries))
         self._cancelled = set()
 
-        if db_path is None:
-            tmp_db = NamedTemporaryFile(
-                delete=False, dir=os.getcwd(), suffix=".db"
-            )
-            tmp_db.close()
-            self._is_temp_db = True
-            self._db_path = tmp_db.name
-        else:
-            self._is_temp_db = False
-            self._db_path = db_path
-
-        self._db = PersistentDict(self._db_path)
+        self._db, self._db_path, self._is_temp_db = _open_job_db(
+            db_path
+        )
 
         self._lock = threading.RLock()
         self._semaphore = threading.Semaphore(self._ncpu)
@@ -741,14 +759,13 @@ class LocalSubmitter(ASubmitter):
                         os.killpg(os.getpgid(p.pid), signal.SIGKILL)
                     except (ProcessLookupError, PermissionError):
                         pass
-            self._db.close()
-            if self._is_temp_db:
-                os.remove(self._db_path)
-        except (AttributeError, OSError, TypeError):
-            # TypeError: module globals (os/tempfile helpers inside
-            # PersistentDict.sync) may already be torn down when the
-            # interpreter exits and __del__ fires during shutdown
+        except (AttributeError, TypeError):
             pass
+        _close_job_db(
+            getattr(self, "_db", None),
+            getattr(self, "_db_path", None),
+            getattr(self, "_is_temp_db", False),
+        )
 
     @property
     def isBlocking(self):

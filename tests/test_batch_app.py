@@ -633,3 +633,124 @@ class TestRoundThreeInfraFixes:
             # port 9 (discard) on localhost: refused without egress
             get("http://127.0.0.1:9/x",
                 output_path=str(tmp_path / "o"))
+
+
+class TestClusterSubmitterRobustness:
+    """Round-4 review findings: stale-db join, aged-out jobs, and
+    cancel-after-completion, exercised via stub command templates."""
+
+    class _FakeScheduler(SlurmSubmitter):
+        """Slurm-semantics submitter whose shell commands are local
+        stubs; the monitor's reply is controlled via a state file."""
+        _registry_name = "fake_sched"
+        _submit = "echo 'Submitted batch job 777' # {name}{dependent}{resources}{cmd}"
+        _cancel = "true # {job_id}"
+
+        def __init__(self, state_file, **kw):
+            super().__init__(**kw)
+            # monitor replays whatever the state file holds; an
+            # 'exit N' first line simulates the scheduler's own exit
+            self._monitor = "cat {}  # {{job_id}}".format(state_file)
+
+    def _submitter(self, tmp_path, name="jobs.db"):
+        state = tmp_path / "monitor_reply.txt"
+        state.write_text("HEADER\n1 x y z R\n")
+        sub = self._FakeScheduler(
+            str(state), blocking=True, db_path=str(tmp_path / name)
+        )
+        return sub, state
+
+    def test_join_ignores_prior_runs_entries(self, tmp_path):
+        """Entries already in the shared persistent db (a previous
+        run) must not be polled by join() — their purged job ids
+        crashed reruns."""
+        db_path = tmp_path / "shared.db"
+        sub1, _ = self._submitter(tmp_path)
+        sub1._db_path = str(db_path)
+        # seed a stale entry directly in the db
+        import yaml as _yaml
+
+        sub1.db["stale-cmd"] = _yaml.safe_dump(
+            {"job_id": "999", "status": EStatus.RUN}
+        )
+        # no submissions this session: join returns immediately even
+        # though the db holds a RUN entry with an unknown job id
+        sub1.join()
+
+    def test_monitor_maps_aged_out_job_to_done(self, tmp_path):
+        """A finished job purged from squeue view (empty listing, or
+        an 'Invalid job id' non-zero reply) is DONE, not a crash."""
+        sub, state = self._submitter(tmp_path)
+        cmd = Command("true")
+        sub.submit(cmd)
+        assert sub.monitor(cmd) == EStatus.RUN
+
+        state.write_text("HEADER ROW ONLY\n")   # empty listing
+        assert sub.monitor(cmd) == EStatus.DONE
+
+        state.write_text("")                     # fully empty
+        assert sub.monitor(cmd) == EStatus.DONE
+
+    def test_monitor_gone_marker_on_nonzero_exit(self, tmp_path):
+        sub, state = self._submitter(tmp_path)
+        cmd = Command("true")
+        sub.submit(cmd)
+        # monitor command exits non-zero with the scheduler's
+        # unknown-job message
+        state_sh = tmp_path / "reply.sh"
+        sub._monitor = (
+            "echo 'slurm_load_jobs error: Invalid job id specified'"
+            " >&2; false # {job_id}"
+        )
+        assert sub.monitor(cmd) == EStatus.DONE
+
+        # a genuinely broken monitor command still raises
+        sub._monitor = "echo 'command not executable' >&2; false"
+        with pytest.raises(RuntimeError):
+            sub.monitor(cmd)
+
+    def test_cancel_of_finished_job_returns_true(self, tmp_path):
+        """cancel() refreshes the status first: a job that finished
+        since the last monitor is reported cancelled-ok instead of
+        raising on the scheduler error."""
+        sub, state = self._submitter(tmp_path)
+        cmd = Command("true")
+        sub.submit(cmd)
+        state.write_text("HEADER\n")             # job completed
+        assert sub.cancel(cmd) is True
+
+    def test_join_waits_on_suspended_jobs(self, tmp_path):
+        """SUSP is not terminal: join() keeps polling a suspended job
+        until it leaves the queue."""
+        import threading
+        import time
+
+        sub, state = self._submitter(tmp_path)
+        cmd = Command("true")
+        sub.submit(cmd)
+        state.write_text("HEADER\n1 x y z S\n")  # suspended
+
+        done = threading.Event()
+
+        def _join():
+            sub.join()
+            done.set()
+
+        t = threading.Thread(target=_join, daemon=True)
+        t.start()
+        time.sleep(1.5)
+        assert not done.is_set(), "join returned on a suspended job"
+        state.write_text("HEADER\n")             # job finished
+        t.join(timeout=10)
+        assert done.is_set()
+
+    def test_single_quotes_in_command_survive(self, tmp_path):
+        """An apostrophe in the command must not terminate the
+        template's quoting early."""
+        sub, _ = self._submitter(tmp_path)
+        # template echoes the job id; if quoting broke, the shell
+        # would error and submit() would raise
+        sub._submit = "echo 'Submitted batch job 778' '{cmd}'"
+        cmd = Command("echo 'it''s fine'")
+        job_id = sub.submit(cmd)
+        assert job_id == "778"
