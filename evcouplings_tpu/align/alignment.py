@@ -107,8 +107,9 @@ def read_fasta(fileobj):
 def write_fasta(sequences, fileobj, width=80):
     """Write (id, sequence) tuples in FASTA format."""
     for seq_id, seq in sequences:
+        # ids may be non-str (e.g. integer keys from from_dict)
         fileobj.write(
-            ">" + seq_id + "\n" + wrap(seq, width=width) + "\n"
+            ">" + str(seq_id) + "\n" + wrap(seq, width=width) + "\n"
         )
 
 
@@ -140,7 +141,9 @@ class _StockholmBlock:
         self.per_file = DefaultOrderedDict(list)
         self.per_column = DefaultOrderedDict(str)
         self.per_seq = DefaultOrderedDict(
-            lambda: DefaultOrderedDict(list)
+            # single value per (row, tag): repeated #=GS tags
+            # overwrite (assignment below), they do not accumulate
+            lambda: DefaultOrderedDict(str)
         )
         self.per_residue = DefaultOrderedDict(
             lambda: DefaultOrderedDict(str)
@@ -249,6 +252,11 @@ def read_a3m(fileobj, inserts="first"):
             expanded[seq_id] = seq
         else:
             if len(match_states) != len(match_positions):
+                # deliberate deviation from the reference: its numpy
+                # fancy-assignment BROADCASTS a single match state
+                # across every template column (garbage rows from a
+                # malformed file); any other mismatch crashed there
+                # too, just with an opaque shape error
                 raise ValueError(
                     "a3m row {!r} has {} match states, template "
                     "expects {}".format(
@@ -268,7 +276,8 @@ def write_a3m(sequences, fileobj, insert_gap=INSERT_GAP, width=80):
     """Write sequences in a3m format (insert gaps removed)."""
     for seq_id, seq in sequences:
         fileobj.write(
-            ">" + seq_id + "\n" + seq.replace(insert_gap, "") + "\n"
+            ">" + str(seq_id) + "\n"
+            + seq.replace(insert_gap, "") + "\n"
         )
 
 
@@ -542,7 +551,10 @@ class Alignment:
 
         ctor_kwargs = {
             k: v for k, v in kwargs.items()
-            if k not in _PARSER_ONLY_KWARGS
+            # the parsed annotation wins, like the Python
+            # from_file path (which overwrites a user-passed
+            # annotation kwarg) — keeping both paths identical
+            if k not in _PARSER_ONLY_KWARGS and k != "annotation"
         }
         return cls(matrix, ids, annotation=annotation, **ctor_kwargs)
 
