@@ -212,9 +212,20 @@ class DistanceMap:
             return cls(residues, residues, matrix, True)
 
         on_i = residues.axis == "i"
+        on_j = residues.axis == "j"
+        if not (on_i | on_j).all():
+            # malformed table: rows with neither axis marker must not
+            # silently land in residues_j and desync the matrix shape
+            raise ValueError(
+                "Residue table {} carries axis values other than "
+                "'i'/'j': {}".format(
+                    residue_table_file,
+                    sorted(set(residues.axis[~(on_i | on_j)])),
+                )
+            )
         return cls(
             residues[on_i].drop("axis", axis=1),
-            residues[~on_i].drop("axis", axis=1),
+            residues[on_j].drop("axis", axis=1),
             matrix, False,
         )
 
@@ -305,6 +316,12 @@ class DistanceMap:
         res_j, maps_j = _aggregate_axis(matrices, "residues_j",
                                         intersect)
 
+        if len(res_i) == 0 or len(res_j) == 0:
+            raise ValueError(
+                "Trying to aggregate distance matrices on empty "
+                "set of positions."
+            )
+
         stack = np.full(
             (len(matrices), len(res_i), len(res_j)), np.nan
         )
@@ -312,10 +329,10 @@ class DistanceMap:
             rows_agg, rows_src = maps_i[k]
             cols_agg, cols_src = maps_j[k]
             if not (len(rows_agg) and len(cols_agg)):
-                raise ValueError(
-                    "Trying to aggregate distance matrices on empty "
-                    "set of positions."
-                )
+                # this map covers none of the aggregated positions on
+                # one axis: it contributes all-NaN (ignored by the
+                # nan-min), same as the pre-refactor meshgrid path
+                continue
             stack[k][np.ix_(rows_agg, cols_agg)] = \
                 m.dist_matrix[np.ix_(rows_src, cols_src)]
 
@@ -685,10 +702,10 @@ def remap_complex_chains(sifts_result_i, sifts_result_j,
             continue
 
         halves = []
-        for side, sequence in (("i", sequence_i), ("j", sequence_j)):
-            result = (
-                sifts_result_i if side == "i" else sifts_result_j
-            )
+        for side, sequence, result in (
+            ("i", sequence_i, sifts_result_i),
+            ("j", sequence_j, sifts_result_j),
+        ):
             chain = _prepare_chain(
                 structures, pair["pdb_id"],
                 pair["pdb_chain_" + side],
