@@ -18,6 +18,8 @@ for bit-stable parity; `direct_information_device` provides the jitted
 JAX variant for on-device scoring.
 """
 
+import functools
+
 import numpy as np
 
 import jax
@@ -96,7 +98,11 @@ def tilde_fields(J_ij, f_i, f_j, epsilon=1e-4):
     h_j = np.full((1, q), 1.0 / q)
 
     diff = np.inf
-    while diff > epsilon:
+    sweeps = 0
+    # same termination guard as direct_information: pathological
+    # fixed points must not spin forever
+    max_sweeps = 10000
+    while diff > epsilon and sweeps < max_sweeps:
         h_i_new = f_i / (h_j @ W_ij.T)
         h_i_new /= h_i_new.sum()
         h_j_new = f_j / (h_i @ W_ij)
@@ -105,6 +111,18 @@ def tilde_fields(J_ij, f_i, f_j, epsilon=1e-4):
             np.abs(h_i_new - h_i).max(), np.abs(h_j_new - h_j).max()
         )
         h_i, h_j = h_i_new, h_j_new
+        sweeps += 1
+
+    if diff > epsilon:
+        import warnings
+
+        warnings.warn(
+            "tilde_fields did not reach the epsilon={} fixed-point "
+            "criterion within {} sweeps (last update {})".format(
+                epsilon, max_sweeps, diff
+            ),
+            RuntimeWarning,
+        )
 
     return h_i, h_j
 
@@ -137,9 +155,14 @@ def direct_information(J_ij, f_i, epsilon=1e-4, max_sweeps=10000):
     active = np.ones(P, dtype=bool)
 
     for _ in range(max_sweeps):
-        idx = np.flatnonzero(active)
-        if idx.size == 0:
-            break
+        if active.all():
+            # fast path for the (typical) early sweeps: slices are
+            # views, so no per-sweep gather copy of W/f/h
+            idx = slice(None)
+        else:
+            idx = np.flatnonzero(active)
+            if idx.size == 0:
+                break
         # batched row-vector @ matrix: (P_a, q) x (P_a, q, q)
         tmp1 = np.einsum("pq,prq->pr", h_j[idx], W[idx])   # h_j @ W^T
         tmp2 = np.einsum("pq,pqr->pr", h_i[idx], W[idx])   # h_i @ W
@@ -181,10 +204,30 @@ def direct_information(J_ij, f_i, epsilon=1e-4, max_sweeps=10000):
     prod = fi[:, :, None] * fj[:, None, :]
     di_pairs = np.sum(p * np.log((p + _TINY) / (prod + _TINY)), axis=(1, 2))
 
+    _warn_nan_di(di_pairs, ii, jj)
+
     di = np.zeros((L, L))
     di[ii, jj] = di_pairs
     di[jj, ii] = di_pairs
     return di
+
+
+def _warn_nan_di(di_pairs, ii, jj):
+    """NaN DI pairs (e.g. exp-underflowed coupling rows) freeze as
+    'converged' in the sweep loop (NaN > eps is False) and would slip
+    into the EC table unnoticed — surface them."""
+    bad = np.flatnonzero(np.isnan(np.asarray(di_pairs)))
+    if bad.size:
+        import warnings
+
+        warnings.warn(
+            "direct_information produced NaN for {} pair(s) "
+            "(e.g. pair ({}, {})) — degenerate two-site "
+            "distributions (underflowed couplings?)".format(
+                bad.size, ii[bad[0]], jj[bad[0]]
+            ),
+            RuntimeWarning,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -216,45 +259,53 @@ def invert_covariance_sharded(C, mesh, axis="data"):
     one (D, D) copy — the win is time, not memory.
     """
     from evcouplings_tpu.ops._jax_compat import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     C = jnp.asarray(C)
     D = C.shape[0]
     n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
 
-    # pad identity COLUMNS to a multiple of the shard count; the
-    # padded zero columns solve to zero and are sliced off
+    # identity COLUMNS padded to a multiple of the shard count; each
+    # shard builds ONLY its own identity block on device (iota
+    # compare), so no (D, D) dense identity is ever materialized on
+    # the host or transferred — the padded zero columns solve to zero
+    # and are sliced off
     pad = (-D) % n_shards
-    eye = np.eye(D, dtype=C.dtype)
-    if pad:
-        eye = np.pad(eye, [(0, 0), (0, pad)])
-    eye = jax.device_put(
-        jnp.asarray(eye), NamedSharding(mesh, P(None, axis))
-    )
+    blk = (D + pad) // n_shards
 
-    def shard_fn(C_full, I_blk):
+    def shard_fn(C_full):
+        col0 = jax.lax.axis_index(axis) * blk
+        rows = jax.lax.broadcasted_iota(jnp.int32, (D, blk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (D, blk), 1) + col0
+        I_blk = (rows == cols).astype(C_full.dtype)
         return -jnp.linalg.solve(C_full, I_blk)
 
     X = jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(None, axis)),
+        in_specs=(P(),),
         out_specs=P(None, axis),
-    ))(C, eye)
+    ))(C)
     return X[:, :D]
 
 
-@jax.jit
-def _di_device_kernel(W, fi, fj, epsilon):
+@functools.partial(jax.jit, static_argnames=("max_sweeps",))
+def _di_device_kernel(W, fi, fj, epsilon, max_sweeps=10000):
     P, q, _ = W.shape
+    # f32 matmuls must not silently drop to bf16 operand precision on
+    # TPU: the per-sweep rounding noise (~2e-4 at h ~ 1/q) sits above
+    # the 1e-4 convergence threshold and the loop would never settle
+    hi_prec = jax.lax.Precision.HIGHEST
 
     def cond(state):
-        h_i, h_j, active = state
-        return jnp.any(active)
+        h_i, h_j, active, sweep = state
+        # bounded like the host path: pathological fixed points must
+        # not hang the jitted kernel
+        return jnp.any(active) & (sweep < max_sweeps)
 
     def body(state):
-        h_i, h_j, active = state
-        tmp1 = jnp.einsum("pq,prq->pr", h_j, W)
-        tmp2 = jnp.einsum("pq,pqr->pr", h_i, W)
+        h_i, h_j, active, sweep = state
+        tmp1 = jnp.einsum("pq,prq->pr", h_j, W, precision=hi_prec)
+        tmp2 = jnp.einsum("pq,pqr->pr", h_i, W, precision=hi_prec)
         h_i_new = fi / tmp1
         h_i_new = h_i_new / jnp.sum(h_i_new, axis=1, keepdims=True)
         h_j_new = fj / tmp2
@@ -267,18 +318,21 @@ def _di_device_kernel(W, fi, fj, epsilon):
         h_i = jnp.where(m, h_i_new, h_i)
         h_j = jnp.where(m, h_j_new, h_j)
         active = active & (diff > epsilon)
-        return h_i, h_j, active
+        return h_i, h_j, active, sweep + 1
 
     h_i = jnp.full((P, q), 1.0 / q, dtype=W.dtype)
     h_j = jnp.full((P, q), 1.0 / q, dtype=W.dtype)
     active = jnp.ones((P,), dtype=bool)
-    h_i, h_j, _ = jax.lax.while_loop(cond, body, (h_i, h_j, active))
+    h_i, h_j, active, _ = jax.lax.while_loop(
+        cond, body, (h_i, h_j, active, jnp.zeros((), jnp.int32))
+    )
 
     p = W * h_i[:, :, None] * h_j[:, None, :]
     p = p / jnp.sum(p, axis=(1, 2), keepdims=True)
     prod = fi[:, :, None] * fj[:, None, :]
     tiny = jnp.asarray(1e-30, dtype=W.dtype)
-    return jnp.sum(p * jnp.log((p + tiny) / (prod + tiny)), axis=(1, 2))
+    di = jnp.sum(p * jnp.log((p + tiny) / (prod + tiny)), axis=(1, 2))
+    return di, active
 
 
 def direct_information_device(J_ij, f_i, epsilon=1e-4):
@@ -287,10 +341,24 @@ def direct_information_device(J_ij, f_i, epsilon=1e-4):
     L, q = f_i.shape
     ii, jj = np.triu_indices(L, k=1)
     W = jnp.exp(jnp.asarray(np.asarray(J_ij)[ii, jj]))
-    di_pairs = np.asarray(_di_device_kernel(
+    di_pairs, still_active = _di_device_kernel(
         W, jnp.asarray(f_i[ii]), jnp.asarray(f_i[jj]),
         jnp.asarray(epsilon, dtype=W.dtype),
-    ))
+    )
+    di_pairs = np.asarray(di_pairs)
+    still_active = np.asarray(still_active)
+    if still_active.any():
+        import warnings
+
+        bad = np.flatnonzero(still_active)
+        warnings.warn(
+            "direct_information_device: {} pair(s) did not converge "
+            "within the sweep budget (e.g. pair ({}, {}))".format(
+                bad.size, ii[bad[0]], jj[bad[0]]
+            ),
+            RuntimeWarning,
+        )
+    _warn_nan_di(di_pairs, ii, jj)
     di = np.zeros((L, L))
     di[ii, jj] = di_pairs
     di[jj, ii] = di_pairs
