@@ -23,7 +23,6 @@ from evcouplings_tpu.align.alignment import (
     Alignment,
     parse_header,
     read_fasta,
-    write_fasta,
 )
 from evcouplings_tpu.align.protocol import (
     hmmbuild_and_search,
@@ -38,7 +37,6 @@ from evcouplings_tpu.utils.config import (
 from evcouplings_tpu.utils.helpers import range_overlap
 from evcouplings_tpu.utils.system import (
     ResourceError,
-    get,
     get_urllib,
     temp,
     tempdir,
@@ -76,8 +74,12 @@ HMMER_CONFIG = {
     "reuse_alignment": False,
     "checkpoints_hmm": False,
     "checkpoints_ali": False,
-    # database wiring
+    # database wiring (hmmbuild/hmmsearch defaults make the
+    # pdb_alignment_method="hmmsearch" path usable without explicit
+    # binary kwargs, mirroring the jackhmmer default)
     "jackhmmer": "jackhmmer",
+    "hmmbuild": "hmmbuild",
+    "hmmsearch": "hmmsearch",
     "sequence_database": None,
     "sequence_download_url":
         "http://rest.uniprot.org/uniprot/{}.fasta",
@@ -273,7 +275,14 @@ class SIFTS:
         if not valid_file(sifts_table_file):
             self._create_mapping_table(sifts_table_file)
 
-        self.table = pd.read_csv(sifts_table_file, comment="#")
+        # default NA handling would turn a chain literally named
+        # "NA" into NaN, silently dropping it from every groupby —
+        # keep "NA" as a string while still recognizing missing values
+        self.table = pd.read_csv(
+            sifts_table_file, comment="#", keep_default_na=False,
+            na_values=["", "nan", "NaN", "None", "null", "NULL",
+                       "N/A", "n/a"],
+        )
 
         # drop entries with inconsistent segment lengths
         self.table = self.table.query(
@@ -344,6 +353,11 @@ class SIFTS:
                         time.sleep(5)
 
         self.sequence_file = output_file
+        # attach ID-based lookups immediately (the reference's
+        # create_sequence_file ends the same way) — without this,
+        # by_uniprot_id on a freshly built sequence file silently
+        # returned nothing
+        self._add_uniprot_ids()
 
     def _finalize_hits(self, hit_segments):
         """Collapse SIFTS segments per (pdb_id, chain) into hit rows +
@@ -388,7 +402,10 @@ class SIFTS:
         if len(distinct_acs) > 1:
             names = ", ".join(distinct_acs)
             if has_up_id:
-                names += " or " + ", ".join(hits.uniprot_id.unique())
+                # ACs absent from the sequence file map to NaN ids
+                names += " or " + ", ".join(
+                    str(u) for u in hits.uniprot_id.dropna().unique()
+                )
             raise ValueError(
                 "Multiple Uniprot sequences on chains, "
                 "please disambiguate using uniprot_id "
@@ -456,7 +473,12 @@ class SIFTS:
 
         hits = hits.merge(self.table, on="uniprot_ac", suffixes=("", "_"))
 
-        # +1: range_overlap treats ends as exclusive
+        # +1: range_overlap treats ends as exclusive. Deliberate
+        # deviation from the reference, which feeds inclusive ends
+        # straight in — undercounting every overlap by one residue
+        # (a hit whose true overlap EQUALS min_overlap passes here
+        # but is dropped there) and crashing on single-residue
+        # segments
         hits = hits.assign(overlap=[
             range_overlap(
                 (r["uniprot_start"], r["uniprot_end"] + 1),
@@ -499,11 +521,21 @@ class SIFTS:
 
         def _residue_sort_key(res):
             # PDB coordinate ids may carry a trailing insertion code
-            # letter; order numerically first, then by the letter
-            res = str(res)
-            if res[-1].isalpha():
-                return int(res[:-1]), res[-1]
-            return int(res), ""
+            # letter; order numerically first, then by the letter.
+            # Missing ("nan") and float-formatted values (the SIFTS
+            # table stores None for unobserved coordinates) sort last
+            # instead of crashing the whole by_alignment call
+            text = str(res)
+            if text in ("", "nan", "None"):
+                return float("inf"), ""
+            if text[-1].isalpha():
+                num, ins = text[:-1], text[-1]
+            else:
+                num, ins = text, ""
+            try:
+                return float(num), ins
+            except ValueError:
+                return float("inf"), text
 
         def _agg_rule(col):
             # coordinate bounds respect insertion-code order; plain
