@@ -185,6 +185,7 @@ def compare_models_maxcluster(experiments, predictions,
     _, pred_positions = _load_single_chain(predictions[0])
 
     per_experiment = {}
+    blocks = []
     for exp_file in experiments:
         chain, exp_positions = _load_single_chain(exp_file)
         cleaned = _dedup_atom_locations(chain)
@@ -208,10 +209,11 @@ def compare_models_maxcluster(experiments, predictions,
         ).sort_values("tm", ascending=False)
 
         per_experiment[exp_file] = table
+        # the combined table keeps one block PER LIST ENTRY (the dict
+        # would collapse duplicate experiment paths)
+        blocks.append(table)
 
-    combined = pd.concat(
-        per_experiment.values()
-    ) if per_experiment else pd.DataFrame()
+    combined = pd.concat(blocks) if blocks else pd.DataFrame()
 
     return combined, per_experiment
 
@@ -313,6 +315,7 @@ def standard(**kwargs):
             "segments",
             "folding_config_file",
             "cut_to_alignment_region",
+            "cns", "maxcluster",
             "sec_struct_method",
             "reuse_sec_struct",
             "sec_struct_file",
@@ -374,11 +377,22 @@ def standard(**kwargs):
     if kwargs["cut_to_alignment_region"]:
         segments = kwargs["segments"]
         if segments is not None:
-            covered = Segment.from_list(segments[0]).positions
+            seg = Segment.from_list(segments[0])
+            # config entries may omit the explicit position list
+            covered = seg.positions if seg.positions is not None else (
+                range(seg.region_start, seg.region_end + 1)
+            )
         else:
             # fall back to EC positions (may under-cover when the EC
             # list is truncated, hence only the fallback)
             covered = set(longrange.i) | set(longrange.j)
+        if not covered:
+            raise InvalidParameterError(
+                "cut_to_alignment_region=True, but no segments are "
+                "configured and no EC pair passes the long-range "
+                "min_sequence_distance filter — cannot determine the "
+                "modeled region"
+            )
         ss_table["in_model"] = ss_table.i.between(
             min(covered), max(covered)
         )
@@ -424,7 +438,13 @@ def standard(**kwargs):
     # parallelize over PROCESSES (reference: billiard pool,
     # fold/protocol.py:495-502): cns_dgsa_fold chdirs, and os.chdir
     # is process-global, so threads would race
-    workers = kwargs["cpu"] or 1
+    workers = 1 if kwargs["cpu"] is None else int(kwargs["cpu"])
+    if workers < 1:
+        # `or 1` would silently serialize a misconfigured cpu: 0
+        raise InvalidParameterError(
+            "cpu must be >= 1 for the folding pool "
+            "(got {})".format(kwargs["cpu"])
+        )
     with ProcessPoolExecutor(max_workers=workers) as pool:
         futures = [
             pool.submit(fold_one, subset, aux_prefix + suffix)
@@ -498,7 +518,10 @@ def complex_dock(**kwargs):
         kwargs["dock_lowest_count"],
         kwargs["dock_highest_count"],
         kwargs["dock_increase"],
-        inter.i.nunique() + inter.j.nunique(),
+        # set() keeps a NaN entry like the reference's
+        # len(set(unique())) does; nunique() would drop it and shift
+        # the fractional ramp bounds
+        len(set(inter.i)) + len(set(inter.j)),
         "_{}_restraints.tbl",
     )
 
