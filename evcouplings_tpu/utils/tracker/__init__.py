@@ -58,7 +58,8 @@ def get_result_tracker(config):
 
     connection_string = management.get("connection_string")
     job_id = management.get("job_id", None)
-    prefix = config.get("global", {}).get("prefix", None)
+    # an empty "global:" YAML section parses as None too
+    prefix = (config.get("global") or {}).get("prefix", None)
     pipeline = config.get("pipeline")
     file_list = management.get("tracker_file_list", None)
     delete_list = management.get("delete", [])

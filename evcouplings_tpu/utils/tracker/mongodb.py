@@ -54,7 +54,9 @@ try:
         _mongo_errors.ConnectionFailure,
         _mongo_errors.ServerSelectionTimeoutError,
         _mongo_errors.ExecutionTimeout,
-        _mongo_errors.OperationFailure,
+        # NOT OperationFailure: that is what the server raises for
+        # malformed queries — a bug in query construction must raise,
+        # not loop through the retry budget
     )
 except ImportError:       # pymongo optional; tracker errors at init
     CATCH_MONGODB_EXCEPTIONS = ()
@@ -239,7 +241,12 @@ class MongoDBTracker(ResultTracker):
                 {"filename": None, "fs_id": fs_id}, current_state["_id"]
             )
 
-        return ({**plain_entries, **stored},
+        # file keys explicitly updated to None: their old blob was
+        # dropped above, so the document entry must be cleared too —
+        # otherwise it dangles on a deleted fs_id
+        cleared = {k: None for k, v in to_store.items() if v is None}
+
+        return ({**plain_entries, **stored, **cleared},
                 ["file_ids." + k for k in legacy])
 
     # -- the update entry point ------------------------------------
@@ -262,7 +269,10 @@ class MongoDBTracker(ResultTracker):
                     "$set": {"time_updated": _now()},
                 },
                 upsert=True,
-                new=True,
+                # pymongo's ReturnDocument.AFTER is literally True;
+                # the legacy raw-command kwarg new=True only worked by
+                # accident of kwarg passthrough
+                return_document=True,
             )
 
         current_state = self._retry(upsert)
@@ -271,7 +281,11 @@ class MongoDBTracker(ResultTracker):
         if status is not None:
             sets["status"] = status
             if status == EStatus.RUN:
-                sets["time_started"] = _now()
+                # first RUN only (like `location` below, and like the
+                # SQL backend): a rerun must not erase the original
+                # start time
+                if current_state.get("time_started") is None:
+                    sets["time_started"] = _now()
                 # the pipeline runner is the only process whose cwd IS
                 # the job location; fill it in on first entering RUN
                 # (reference :373-379)

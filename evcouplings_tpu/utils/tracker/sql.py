@@ -63,10 +63,13 @@ class SQLTracker(ResultTracker):
         super().__init__(**kwargs)
 
         cs = self.connection_string
-        if cs is None or not cs.startswith("sqlite"):
+        if cs is None or not cs.startswith("sqlite://"):
+            # startswith("sqlite") alone let typos like
+            # "sqlite:memory" through to a bare IndexError below
             raise InvalidParameterError(
                 "SQLTracker currently supports sqlite connection strings "
-                "(sqlite:///path/to.db); got: {}".format(cs)
+                "(sqlite:///path/to.db or sqlite://:memory:); "
+                "got: {}".format(cs)
             )
 
         # sqlite:///relative.db | sqlite:////abs/path.db | sqlite://:memory:
@@ -77,13 +80,22 @@ class SQLTracker(ResultTracker):
             path = path[1:]
         self.db_path = path if path else ":memory:"
 
-        if self.db_path != ":memory:":
-            parent = os.path.dirname(os.path.abspath(self.db_path))
-            os.makedirs(parent, exist_ok=True)
+        self._memory_conn = None
+        if self.db_path == ":memory:":
+            # every new sqlite connection to :memory: is a fresh empty
+            # database — the job table must live on ONE shared
+            # connection or the first update() would see no table
+            self._memory_conn = self._new_conn()
+        else:
+            # pin the ABSOLUTE path: stages chdir (fold's CNS runs),
+            # and a relative path re-resolved at connect time would
+            # hit a different (table-less) file mid-run
+            self.db_path = os.path.abspath(self.db_path)
+            os.makedirs(os.path.dirname(self.db_path), exist_ok=True)
 
         self._execute(lambda conn: conn.execute(_CREATE_TABLE))
 
-    def _connect(self):
+    def _new_conn(self):
         conn = sqlite3.connect(self.db_path, timeout=60)
         conn.row_factory = sqlite3.Row
         # autocommit mode: transactions are controlled explicitly.
@@ -98,6 +110,11 @@ class SQLTracker(ResultTracker):
         conn.isolation_level = None
         return conn
 
+    def _connect(self):
+        if self._memory_conn is not None:
+            return self._memory_conn
+        return self._new_conn()
+
     def _execute(self, func):
         def attempt():
             conn = self._connect()
@@ -106,7 +123,8 @@ class SQLTracker(ResultTracker):
                 conn.commit()
                 return result
             finally:
-                conn.close()
+                if conn is not self._memory_conn:
+                    conn.close()
 
         return retry(
             attempt,
@@ -123,8 +141,10 @@ class SQLTracker(ResultTracker):
         (reference utils/tracker/sql.py:98-110, which wraps a
         SQLAlchemy session; here a sqlite3 connection with the same
         commit/rollback contract)."""
-        conn = sqlite3.connect(self.db_path)
-        conn.row_factory = sqlite3.Row
+        # same connection settings as the tracker's own operations
+        # (60 s busy timeout — an external reader must wait out a
+        # concurrent writer's lock, not crash at sqlite's 5 s default)
+        conn = self._connect()
         try:
             yield conn
             conn.commit()
@@ -132,7 +152,8 @@ class SQLTracker(ResultTracker):
             conn.rollback()
             raise
         finally:
-            conn.close()
+            if conn is not self._memory_conn:
+                conn.close()
 
     def get(self):
         """Return the current job row as a dict (or None)."""
@@ -196,9 +217,11 @@ class SQLTracker(ResultTracker):
             sets, args = ["time_updated = ?"], [now]
 
             if status is not None:
+                from evcouplings_tpu.utils.tracker import EStatus
+
                 sets.append("status = ?")
                 args.append(status)
-                if status == "running" and time_started is None:
+                if status == EStatus.RUN and time_started is None:
                     sets.append("time_started = ?")
                     args.append(now)
             if message is not None:

@@ -68,7 +68,9 @@ class _FakeCollection:
         return doc
 
     def find_one_and_update(self, filt, update, upsert=False,
-                            new=False, **_):
+                            return_document=False, **_):
+        import copy
+
         matched = self._match(filt)
         if matched:
             doc = matched[0]
@@ -76,8 +78,12 @@ class _FakeCollection:
             doc = self._insert_from(update)
         else:
             return None
+        # pymongo semantics: ReturnDocument.BEFORE (False, default)
+        # returns the pre-image, AFTER (True) the post-image — the
+        # tracker relies on AFTER
+        before = copy.deepcopy(doc)
         self._apply(doc, update)
-        return doc
+        return doc if return_document else before
 
     def update_one(self, filt, update, upsert=False):
         matched = self._match(filt)
