@@ -83,11 +83,18 @@ def _write_aligned(path, alignment, format="fasta"):
         alignment.write(handle, format)
 
 
-def _load_autodetected(path, label="Input alignment"):
-    """Open an alignment of unknown on-disk format."""
+def _load_autodetected(path, label="Input alignment",
+                       filename_hint=True):
+    """Open an alignment of unknown on-disk format.
+
+    filename_hint=False matches the reference's hmmbuild_and_search,
+    which detects from CONTENT only (its detect_format call passes no
+    filepath, protocol.py:1211) — an .a3m-named aligned-FASTA input
+    must not be reshaped by the a3m parser there."""
     verify_resources("{} does not exist".format(label), path)
     with open(path) as handle:
-        fmt = detect_format(handle, filepath=path)
+        fmt = detect_format(handle, filepath=path if filename_hint
+                            else "")
     if fmt is None:
         raise InvalidParameterError(
             "Format of input alignment {} could not be "
@@ -328,7 +335,8 @@ def extract_header_annotation(alignment, from_annotation=True):
             per_seq = alignment.annotation.get("GS", {}).get(header, {})
             return header, per_seq.get("DE")
         parts = header.split(maxsplit=1)
-        if len(parts) == 1:
+        if len(parts) < 2:
+            # empty headers (a bare ">") yield no parts at all
             return header, None
         return parts[0], parts[1]
 
@@ -376,13 +384,19 @@ def describe_frequencies(alignment, first_index, target_seq_index=None):
     table.insert(0, "conservation", alignment.conservation())
     table.insert(
         0, "A_i",
-        np.full(alignment.L, np.nan) if target_seq_index is None
+        # no target row: empty strings, NOT float NaN — the lowercase
+        # mask below needs the .str accessor to work (and "" is not
+        # its own lowercase-able letter, so no row masks out)
+        np.full(alignment.L, "", dtype=object)
+        if target_seq_index is None
         else alignment[target_seq_index],
     )
     table.insert(0, "i", np.arange(alignment.L) + first_index)
 
     stat_columns = ["conservation"] + symbols
-    lowercase_rows = table.A_i.str.lower() == table.A_i
+    lowercase_rows = (
+        (table.A_i.str.lower() == table.A_i) & (table.A_i != "")
+    )
     table.loc[lowercase_rows, stat_columns] = np.nan
     return table
 
@@ -405,15 +419,26 @@ def describe_coverage(alignment, prefix, first_index,
 
     rows = []
     for raw_threshold in thresholds:
+        # None = column-coverage filtering disabled: every column
+        # counts as covered
         threshold = _as_fraction(raw_threshold)
-        covered = gap_freq <= 1 - threshold
+        covered = (
+            np.ones(alignment.L, dtype=bool) if threshold is None
+            else gap_freq <= 1 - threshold
+        )
         where_covered = np.flatnonzero(covered)
 
-        span_lo = int(where_covered[0])
-        span_hi = int(where_covered[-1])
-        holes_in_span = int(
-            np.count_nonzero(~covered[span_lo:span_hi + 1])
-        )
+        if where_covered.size:
+            span_lo = int(where_covered[0])
+            span_hi = int(where_covered[-1])
+            holes_in_span = int(
+                np.count_nonzero(~covered[span_lo:span_hi + 1])
+            )
+        else:
+            # nothing meets the threshold: empty span, no holes —
+            # not an IndexError
+            span_lo = span_hi = 0
+            holes_in_span = 0
         n_covered = int(covered.sum())
 
         rows.append({
@@ -753,7 +778,7 @@ def hmmbuild_and_search(**kwargs):
             "prefix", "sequence_id", "alignment_file",
             "use_bitscores", "domain_threshold", "sequence_threshold",
             "database", "cpu", "nobias", "reuse_alignment",
-            "hmmbuild", "hmmsearch",
+            "hmmbuild", "hmmsearch", "first_index",
         ],
     )
     prefix = kwargs["prefix"]
@@ -761,7 +786,9 @@ def hmmbuild_and_search(**kwargs):
     create_prefix_folders(prefix)
 
     # --- focus the input alignment on the target sequence ---
-    ali_raw, _fmt = _load_autodetected(kwargs["alignment_file"])
+    ali_raw, _fmt = _load_autodetected(
+        kwargs["alignment_file"], filename_hint=False
+    )
 
     focus_index = _locate_row(ali_raw, kwargs["sequence_id"])
     target = _focus_on_target(
