@@ -193,7 +193,7 @@ def run_hmmsearch(hmmfile, database, prefix, use_bitscores,
 
 def run_hmmscan(query, database, prefix, use_model_threshold=True,
                 threshold_type="cut_ga", use_bitscores=True,
-                domain_threshold=10, seq_threshold=10, nobias=False,
+                domain_threshold=None, seq_threshold=None, nobias=False,
                 cpu=None, stdout_redirect=None, binary="hmmscan"):
     """Scan query sequence(s) against a profile HMM database (e.g. Pfam).
 
@@ -220,8 +220,8 @@ def run_hmmscan(query, database, prefix, use_model_threshold=True,
         "--tblout", result.tblout,
         "--domtblout", result.domtblout,
         "--pfamtblout", result.pfamtblout,
-        "--noali",
         "--notextw",
+        "--acc",
     ]
 
     if use_model_threshold:
@@ -232,9 +232,22 @@ def run_hmmscan(query, database, prefix, use_model_threshold=True,
             )
         cmd += ["--" + threshold_type]
     else:
-        cmd += _threshold_flags(
-            use_bitscores, seq_threshold, domain_threshold
-        )
+        # reference parity (tools.py:478-493): explicit thresholds are
+        # REQUIRED here, and only REPORTING flags are passed — hmmscan
+        # keeps its default inclusion thresholds, unlike the search
+        # tools' shared flag builder
+        if domain_threshold is None or seq_threshold is None:
+            raise ValueError(
+                "Must define sequence- and domain-level reporting "
+                "thresholds (domain_threshold / seq_threshold) when "
+                "not using the model-specific cutoffs"
+            )
+        if use_bitscores:
+            cmd += ["-T", str(seq_threshold),
+                    "--domT", str(domain_threshold)]
+        else:
+            cmd += ["-E", str(seq_threshold),
+                    "--domE", str(domain_threshold)]
 
     if cpu is not None:
         cmd += ["--cpu", str(cpu)]
@@ -247,9 +260,10 @@ def run_hmmscan(query, database, prefix, use_model_threshold=True,
     verify_resources(
         "hmmscan returned empty results: "
         "stdout={} stderr={} file={}".format(
-            stdout, stderr, result.tblout
+            stdout, stderr, result.domtblout
         ),
-        result.tblout,
+        # the domain table is what pfam_hits consumes
+        result.domtblout,
     )
     return result
 
@@ -267,12 +281,18 @@ def _read_hmmer_table(filename, column_names):
         for line in f:
             if line.startswith("#"):
                 continue
-            rows.append(line.rstrip().split(maxsplit=num_splits))
+            fields = line.rstrip().split(maxsplit=num_splits)
+            if len(fields) == num_splits:
+                # HMMER may print an EMPTY description (not "-");
+                # pad so the frame build cannot fail on short rows
+                fields.append("")
+            rows.append(fields)
 
     buf = io.StringIO()
     pd.DataFrame(rows, columns=column_names).to_csv(buf, index=False)
     buf.seek(0)
-    return pd.read_csv(buf)
+    # identifiers literally named "NA"/"None" must stay strings
+    return pd.read_csv(buf, keep_default_na=False, na_values=[""])
 
 
 TBL_COLUMNS = [
