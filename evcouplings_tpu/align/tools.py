@@ -291,8 +291,9 @@ def _read_hmmer_table(filename, column_names):
     buf = io.StringIO()
     pd.DataFrame(rows, columns=column_names).to_csv(buf, index=False)
     buf.seek(0)
-    # identifiers literally named "NA"/"None" must stay strings
-    return pd.read_csv(buf, keep_default_na=False, na_values=[""])
+    # identifiers literally named "NA"/"None" must stay strings,
+    # and empty descriptions stay empty strings
+    return pd.read_csv(buf, keep_default_na=False)
 
 
 TBL_COLUMNS = [
