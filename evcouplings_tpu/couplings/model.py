@@ -153,6 +153,7 @@ class CouplingsModel:
         """Drop precomputed mutation matrices and scores."""
         self._single_mut_mat_full = None
         self._double_mut_mat = None
+        self._coupling_field_cache = None
         self._cn_scores = None
         self._fn_scores = None
         self._mi_scores_raw = None
@@ -451,8 +452,16 @@ class CouplingsModel:
                 )
             )
 
+        # the coupling field depends only on (J_ij, target_seq):
+        # computed once, it turns the per-mutant cost of large
+        # mutation-table scans from O(L^2 q) into O(M L)
+        if self._coupling_field_cache is None:
+            self._coupling_field_cache = _ham._coupling_field(
+                self.J_ij, self.target_seq_mapped
+            )
         return _ham.delta_hamiltonian(
-            pos, subs, self.target_seq_mapped, self.J_ij, self.h_i
+            pos, subs, self.target_seq_mapped, self.J_ij, self.h_i,
+            coupling_field=self._coupling_field_cache,
         )
 
     @property

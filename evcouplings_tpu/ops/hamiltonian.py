@@ -40,19 +40,29 @@ def hamiltonians(sequences, J_ij, h_i):
     sequences = np.asarray(sequences)
     N, L = sequences.shape
 
-    # fields: gather h_i[i, A_i] for every sequence
-    hi_sum = h_i[np.arange(L)[None, :], sequences].sum(axis=1)
-
-    # couplings: sum over the upper triangle i < j of J[i, j, A_i, A_j]
     ii, jj = np.triu_indices(L, k=1)
-    Jij_sum = J_ij[
-        ii[None, :], jj[None, :], sequences[:, ii], sequences[:, jj]
-    ].sum(axis=1)
-
     H = np.empty((N, NUM_COMPONENTS))
-    H[:, FULL] = Jij_sum + hi_sum
-    H[:, COUPLINGS] = Jij_sum
-    H[:, FIELDS] = hi_sum
+
+    # chunk over N: the coupling gather materializes three
+    # (chunk, L(L-1)/2) temporaries; bound them to ~64 MB each
+    # instead of letting a large batch allocate tens of GB at once
+    n_pairs = max(1, len(ii))
+    chunk = max(1, min(N, (1 << 23) // n_pairs))
+    for start in range(0, N, chunk):
+        seq_c = sequences[start:start + chunk]
+
+        # fields: gather h_i[i, A_i] for every sequence
+        hi_sum = h_i[np.arange(L)[None, :], seq_c].sum(axis=1)
+
+        # couplings: sum over the triangle i < j of J[i, j, A_i, A_j]
+        Jij_sum = J_ij[
+            ii[None, :], jj[None, :], seq_c[:, ii], seq_c[:, jj]
+        ].sum(axis=1)
+
+        sl = slice(start, start + len(seq_c))
+        H[sl, FULL] = Jij_sum + hi_sum
+        H[sl, COUPLINGS] = Jij_sum
+        H[sl, FIELDS] = hi_sum
     return H
 
 
@@ -91,7 +101,8 @@ def single_mutant_hamiltonians(target_seq, J_ij, h_i):
     return H
 
 
-def delta_hamiltonian(pos, subs, target_seq, J_ij, h_i):
+def delta_hamiltonian(pos, subs, target_seq, J_ij, h_i,
+                      coupling_field=None):
     """Delta Hamiltonian for a multi-substitution, returns (3,).
 
     pos/subs: int vectors of substituted positions and new symbols.
@@ -99,6 +110,12 @@ def delta_hamiltonian(pos, subs, target_seq, J_ij, h_i):
     wild-type background, plus pairwise corrections among the substituted
     positions so each mutated pair's coupling is counted once in the new
     background).
+
+    coupling_field: optional precomputed _coupling_field(J_ij,
+    target_seq). It depends only on the model + target, so per-mutant
+    loops (predict_mutation_table scores one mutant per table row)
+    should compute it ONCE — recomputing the O(L^2 q) gather per
+    mutant dominated large mutational scans.
     """
     pos = np.asarray(pos)
     subs = np.asarray(subs)
@@ -109,7 +126,10 @@ def delta_hamiltonian(pos, subs, target_seq, J_ij, h_i):
         h_i[pos, subs] - h_i[pos, target_seq[pos]]
     ).sum()
 
-    Jsel = _coupling_field(J_ij, target_seq)
+    Jsel = (
+        coupling_field if coupling_field is not None
+        else _coupling_field(J_ij, target_seq)
+    )
     delta_Jij = (
         Jsel[pos, subs] - Jsel[pos, target_seq[pos]]
     ).sum()
@@ -147,14 +167,16 @@ def double_mutant_matrix(single_mut_mat, J_ij, target_seq):
     a = np.arange(q)[None, None, :, None]
     b = np.arange(q)[None, None, None, :]
 
-    dmm = (
-        single_mut_mat[:, None, :, None]
-        + single_mut_mat[None, :, None, :]
-        + J_ij
-        - J_ij[li, lj, a, s_j]
-        - J_ij[li, lj, s_i, b]
-        + J_ij[li, lj, s_i, s_j]
-    )
+    # in-place accumulation: the chained expression held ~5 full
+    # (L, L, q, q) float64 temporaries live at once
+    dmm = np.broadcast_to(
+        single_mut_mat[:, None, :, None], J_ij.shape
+    ).copy()
+    dmm += single_mut_mat[None, :, None, :]
+    dmm += J_ij
+    dmm -= J_ij[li, lj, a, s_j]
+    dmm -= J_ij[li, lj, s_i, b]
+    dmm += J_ij[li, lj, s_i, s_j]
     dmm[np.arange(L), np.arange(L)] = 0.0
     return dmm
 
@@ -195,16 +217,42 @@ def hamiltonians_device(sequences, J_ij, h_i, dtype=jnp.float32):
     """Batch Hamiltonians on the accelerator; same contract as
     `hamiltonians` but runs (N, Lq) @ (Lq, Lq) matmuls on the MXU.
     Intended for very large N (mutant libraries, alignment-wide scans)."""
-    from evcouplings_tpu.ops.encode import pad_rows
+    from evcouplings_tpu.ops.encode import flatten_J, pad_rows
 
     sequences = np.asarray(sequences)
     L, q = h_i.shape
-    block = min(4096, max(8, ((sequences.shape[0] + 7) // 8) * 8))
+    if sequences.shape[1] != L:
+        raise ValueError(
+            "sequences have {} columns, model expects L={}".format(
+                sequences.shape[1], L
+            )
+        )
+    if sequences.size and (
+        sequences.min() < 0 or sequences.max() >= q
+    ):
+        # one_hot would silently drop such sites (all-zero rows),
+        # diverging from the host path without any error
+        raise ValueError(
+            "sequence codes must lie in [0, {}) for the device "
+            "path (got range [{}, {}])".format(
+                q, sequences.min(), sequences.max()
+            )
+        )
+    # pad to the next power of two (capped): deriving the block from
+    # the exact batch size compiled a fresh XLA program per distinct N
+    n_in = max(1, sequences.shape[0])
+    block = min(4096, max(8, 1 << (n_in - 1).bit_length()))
     codes, n = pad_rows(sequences.astype(np.int8), block)
 
-    from evcouplings_tpu.ops.encode import flatten_J
-
-    J_flat = flatten_J(np.asarray(J_ij)).astype(dtype)
+    # the 0.5 * quadratic form counts diagonal blocks the host path's
+    # strict triangle never sees: enforce the documented zero-diagonal
+    # convention so both paths agree on any input
+    J_in = np.asarray(J_ij)
+    L_arange = np.arange(L)
+    if np.any(J_in[L_arange, L_arange]):
+        J_in = J_in.copy()
+        J_in[L_arange, L_arange] = 0.0
+    J_flat = flatten_J(J_in).astype(dtype)
     H = _hamiltonians_device(
         jnp.asarray(codes), J_flat, jnp.asarray(h_i, dtype=dtype), block
     )
