@@ -34,6 +34,7 @@ from evcouplings_tpu.utils.system import (
     create_prefix_folders,
     temp,
     valid_file,
+    verify_resources,
 )
 
 _PACKAGED_TEMPLATE_DIR = path.join(
@@ -73,12 +74,23 @@ def _cns_template_file(template_name, template_dir=None):
         _PACKAGED_TEMPLATE_DIR,
     ]
 
-    for d in search_dirs:
+    for rank, d in enumerate(search_dirs):
         if d is None:
             continue
         candidate = path.join(d, "{}.inp".format(template_name))
         if valid_file(candidate):
             return candidate
+        if rank == 0:
+            # an EXPLICIT template_dir without this template silently
+            # running the packaged default would mislead the user
+            # into believing their override is active
+            import warnings
+
+            warnings.warn(
+                "template_dir {} has no usable {}.inp — falling back "
+                "to the packaged template".format(d, template_name),
+                RuntimeWarning,
+            )
 
     raise ResourceError(
         "CNS template '{}.inp' not found. The CNS protocol input "
@@ -254,12 +266,24 @@ def cns_dgsa_fold(residues, ec_pairs, prefix, config_file=None,
         with open(output_prefix + ".inp", "w") as f:
             f.write(inp_str)
 
-        log_file = (
-            output_prefix + ".log" if log_level is not None else None
+        # the per-step .log is always written (the only diagnosable
+        # artifact when CNS aborts a protocol script yet exits 0);
+        # log_level only controls CNS verbosity
+        run_cns(
+            inp_str, log_file=output_prefix + ".log", binary=binary
         )
-        run_cns(inp_str, log_file=log_file, binary=binary)
 
     create_prefix_folders(prefix)
+
+    # caller-supplied paths must be pinned BEFORE the chdir below, or
+    # relative config/binary/template paths resolve against the fold
+    # directory instead of the launch directory
+    if config_file is not None:
+        config_file = path.abspath(config_file)
+    if template_dir is not None:
+        template_dir = path.abspath(template_dir)
+    if binary is not None and os.sep in binary:
+        binary = path.abspath(binary)
 
     # CNS cannot handle long paths: run inside the working directory
     # with short relative file names
@@ -298,6 +322,13 @@ def cns_dgsa_fold(residues, ec_pairs, prefix, config_file=None,
             ),
             mtf_file,
         )
+        # CNS exits 0 even when a protocol script aborts: verify each
+        # intermediate product so a broken setup fails HERE with the
+        # step's .log at hand, not as a silent zero-model fold
+        verify_resources(
+            "CNS topology generation produced no output "
+            "(see {}.log)".format(mtf_file), mtf_file,
+        )
 
         extended_file = rootname + "_extended.pdb"
         _run_inp(
@@ -305,6 +336,10 @@ def cns_dgsa_fold(residues, ec_pairs, prefix, config_file=None,
                 mtf_file, extended_file, template_dir=template_dir
             ),
             extended_file,
+        )
+        verify_resources(
+            "CNS extended-structure generation produced no output "
+            "(see {}.log)".format(extended_file), extended_file,
         )
 
         dgsa_log_level = log_level if log_level is not None else "quiet"

@@ -43,7 +43,7 @@ def run_cns(inp_script=None, inp_file=None, log_file=None, binary="cns"):
     env["CNS_SOLVE"] = cns_main_dir
     env["CNS_LIB"] = library_dir
     env["CNS_MODULE"] = module_dir
-    env["CNS_HELPLIB"] = path.join(cns_main_dir, "helplip")
+    env["CNS_HELPLIB"] = path.join(cns_main_dir, "helplib")
 
     for var, subdir in [
         ("CNS_TOPPAR", "toppar"),
