@@ -187,7 +187,8 @@ def find_secondary_structure_segments(sse_string, offset=0):
 
     Parity: reference pairs.py:1225-1272.
     """
-    sse_string = ["C" if x in ("-", "C") else x for x in sse_string]
+    # "-" (no data) stays distinct: the cartoon SKIPS those spans
+    # instead of drawing a coil line across numbering gaps
 
     segments = []
     seg_start = 0
@@ -220,13 +221,27 @@ def secondary_structure_cartoon(sse, ax=None, sequence_start=0,
     if ax is None:
         ax = plt.gca()
 
+    def _pos(p):
+        # full mirror of the sequence axis when flip_direction is set
+        # (negating only the arrow direction drew strands OUTSIDE
+        # their segments and left helices/coils unflipped)
+        if flip_direction and sequence_end is not None:
+            return sequence_end - (p - sequence_start)
+        return p
+
     def _xy(pos, offset):
         # place along the sequence axis, offset on the other axis
+        pos = _pos(pos)
         return (pos, center + offset) if horizontal else \
             (center + offset, pos)
 
+    # cartoons sit OUTSIDE the axis limits (plot_secondary_structure
+    # places them at max(range) + margin): default clipping would
+    # silently erase every artist
+    clip = bool(clipping)
+
     for state, start, end in sse:
-        if end - start + 1 < min_sse_length and state != "C":
+        if end - start + 1 < min_sse_length and state not in ("C", "-"):
             state = "C"
 
         if state == "H":
@@ -235,35 +250,44 @@ def secondary_structure_cartoon(sse, ax=None, sequence_start=0,
             ys = np.empty_like(xs)
             ys[0::2] = center - width / 2
             ys[1::2] = center + width / 2
+            xs = np.array([_pos(x) for x in xs])
             pts = np.stack([xs, ys] if horizontal else [ys, xs]).T
             ax.plot(
                 pts[:, 0], pts[:, 1], color=helix_color,
                 linewidth=line_width, solid_capstyle="round",
+                clip_on=clip,
             )
         elif state == "E":
-            # strand: arrow along the sequence direction
-            d = -1 if flip_direction else 1
+            # strand: arrow along the (possibly mirrored) sequence
+            # direction
+            x0, x1 = _pos(start), _pos(end)
             if horizontal:
                 ax.arrow(
-                    start, center, (end - start) * d, 0,
+                    x0, center, x1 - x0, 0,
                     width=width * strand_width_factor,
-                    head_length=min(1.5, end - start),
+                    head_length=min(1.5, abs(end - start)),
                     length_includes_head=True,
                     facecolor=strand_color, edgecolor="none",
+                    clip_on=clip,
                 )
             else:
                 ax.arrow(
-                    center, start, 0, (end - start) * d,
+                    center, x0, 0, x1 - x0,
                     width=width * strand_width_factor,
-                    head_length=min(1.5, end - start),
+                    head_length=min(1.5, abs(end - start)),
                     length_includes_head=True,
                     facecolor=strand_color, edgecolor="none",
+                    clip_on=clip,
                 )
+        elif state == "-":
+            # no data: draw nothing across the gap
+            continue
         elif draw_coils:
             pts = [_xy(start, 0), _xy(end, 0)]
             ax.plot(
                 [pts[0][0], pts[1][0]], [pts[0][1], pts[1][1]],
                 color=coil_color, linewidth=line_width / 2,
+                clip_on=clip,
             )
 
 
@@ -299,18 +323,25 @@ def find_boundaries(boundaries, ecs, monomer, multimer, symmetric):
         )
 
     def _axis_extent(axis):
+        def _nums(values):
+            # ids may carry insertion codes / NaN — coerce like
+            # _axis_ids, do not crash the whole plot
+            return set(pd.to_numeric(
+                pd.Series(list(values)), errors="coerce"
+            ).dropna().astype(int))
+
         ec_pos = set()
         if ecs is not None and len(ecs) > 0:
             if symmetric:
-                ec_pos = set(ecs.i.astype(int)) | set(ecs.j.astype(int))
+                ec_pos = _nums(ecs.i) | _nums(ecs.j)
             else:
-                ec_pos = set(getattr(ecs, axis).astype(int))
+                ec_pos = _nums(getattr(ecs, axis))
 
         structure_pos = set()
         for dm in (monomer, multimer):
             if dm is not None:
-                structure_pos |= set(
-                    getattr(dm, "residues_" + axis).id.astype(int)
+                structure_pos |= _nums(
+                    getattr(dm, "residues_" + axis).id
                 )
 
         # whichever set is empty falls back to the other, making
@@ -676,24 +707,27 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
         monomer_style = scale(monomer_style, ax=ax)
         multimer_style = scale(multimer_style, ax=ax)
         secstruct_style = scale(secstruct_style, ax=ax)
+        ec_coverage_style = scale(ec_coverage_style, ax=ax)
 
     # background: structural coverage shading, then contacts
-    if show_structure_coverage and monomer is not None:
-        plot_structure_coverage(
-            monomer.structure_coverage(),
-            style=structure_coverage_style, ax=ax,
-        )
+    if show_structure_coverage:
+        coverage_src = monomer if monomer is not None else multimer
+        if coverage_src is not None:
+            plot_structure_coverage(
+                coverage_src.structure_coverage(),
+                style=structure_coverage_style, ax=ax,
+            )
+    # contacts() already emits BOTH (i, j) and (j, i) for symmetric
+    # maps — re-mirroring in plot_pairs double-composited every disc
     if monomer is not None:
         contacts = monomer.contacts(max_dist=distance_cutoff)
         plot_pairs(
-            contacts, symmetric=monomer.symmetric, ax=ax,
-            style=monomer_style,
+            contacts, symmetric=False, ax=ax, style=monomer_style,
         )
     if multimer is not None:
         contacts = multimer.contacts(max_dist=distance_cutoff)
         plot_pairs(
-            contacts, symmetric=multimer.symmetric, ax=ax,
-            style=multimer_style,
+            contacts, symmetric=False, ax=ax, style=multimer_style,
         )
 
     # coverage bars of the full EC table alongside the axes
@@ -726,11 +760,28 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
     if show_secstruct:
         if secondary_structure is not None:
             # accept a Chain (use its residue table), a residue
-            # DataFrame, or a position -> state dict
-            ss = getattr(
-                secondary_structure, "residues", secondary_structure
-            )
-            plot_secondary_structure(ss, ax=ax, style=secstruct_style)
+            # DataFrame, a position -> state dict, or — for
+            # asymmetric maps — a (ss_i, ss_j) pair
+            if isinstance(secondary_structure, tuple):
+                ss_i, ss_j = secondary_structure
+                plot_secondary_structure(
+                    getattr(ss_i, "residues", ss_i),
+                    getattr(ss_j, "residues", ss_j),
+                    ax=ax, style=secstruct_style,
+                )
+            elif not symmetric:
+                raise ValueError(
+                    "Need one secondary structure per axis for an "
+                    "asymmetric map: pass a (ss_i, ss_j) tuple"
+                )
+            else:
+                ss = getattr(
+                    secondary_structure, "residues",
+                    secondary_structure,
+                )
+                plot_secondary_structure(
+                    ss, ax=ax, style=secstruct_style
+                )
         elif monomer is not None:
             plot_secondary_structure(
                 monomer.residues_i, monomer.residues_j,
@@ -757,17 +808,54 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
     if ax is None:
         ax = plt.gca()
 
-    # determine extents of both monomers
-    ids_1 = _axis_ids(intra1_ecs, [d_intra_i, d_multimer_i], "i")
-    ids_2 = _axis_ids(intra2_ecs, [d_intra_j, d_multimer_j], "i")
-    if inter_ecs is not None and len(inter_ecs) > 0:
-        ids_1 |= set(pd.to_numeric(inter_ecs.i, errors="coerce").dropna())
-        ids_2 |= set(pd.to_numeric(inter_ecs.j, errors="coerce").dropna())
+    # determine extents of both monomers, honoring the boundaries
+    # mode (previously accepted and silently ignored)
+    def _ec_ids(ecs_m, inter_col):
+        ids = _axis_ids(ecs_m, [], "i")
+        if inter_ecs is not None and len(inter_ecs) > 0:
+            ids |= set(pd.to_numeric(
+                getattr(inter_ecs, inter_col), errors="coerce"
+            ).dropna())
+        return ids
 
-    min_1 = min(ids_1) if ids_1 else 0
-    max_1 = max(ids_1) if ids_1 else 1
-    min_2 = min(ids_2) if ids_2 else 0
-    max_2 = max(ids_2) if ids_2 else 1
+    def _extent(ids_ec, ids_st, k):
+        if not ids_ec and not ids_st:
+            return 0, 1
+        ec_rng = (
+            (min(ids_ec), max(ids_ec)) if ids_ec
+            else (min(ids_st), max(ids_st))
+        )
+        st_rng = (
+            (min(ids_st), max(ids_st)) if ids_st
+            else (min(ids_ec), max(ids_ec))
+        )
+        if isinstance(boundaries, tuple):
+            return boundaries
+        if isinstance(boundaries, list):
+            return tuple(boundaries[k])
+        if boundaries not in (
+                "union", "intersection", "ecs", "structure"):
+            raise ValueError(
+                "Not a valid value for boundaries: {}".format(
+                    boundaries)
+            )
+        return {
+            "union": (min(ec_rng[0], st_rng[0]),
+                      max(ec_rng[1], st_rng[1])),
+            "intersection": (max(ec_rng[0], st_rng[0]),
+                             min(ec_rng[1], st_rng[1])),
+            "ecs": ec_rng,
+            "structure": st_rng,
+        }[boundaries]
+
+    min_1, max_1 = _extent(
+        _ec_ids(intra1_ecs, "i"),
+        _axis_ids(None, [d_intra_i, d_multimer_i], "i"), 0,
+    )
+    min_2, max_2 = _extent(
+        _ec_ids(intra2_ecs, "j"),
+        _axis_ids(None, [d_intra_j, d_multimer_j], "i"), 1,
+    )
 
     # second monomer drawn offset after the first
     offset_2 = max_1 + 2 * margin - min_2
@@ -816,14 +904,17 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
 
     # monomer 2 block (shifted): intra + multimer contacts, then ECs
     if d_intra_j is not None:
-        contacts = d_intra_j.contacts()
-        contacts = _shift(contacts, ["i", "j"], offset_2)
-        plot_pairs(contacts, symmetric=True, ax=ax, style=contact_style)
-    if d_multimer_j is not None:
-        contacts = d_multimer_j.contacts()
-        contacts = _shift(contacts, ["i", "j"], offset_2)
+        # contacts() already carries both orientations
+        contacts = _shift(d_intra_j.contacts(), ["i", "j"], offset_2)
         plot_pairs(
-            contacts, symmetric=True, ax=ax, style=multimer_style
+            contacts, symmetric=False, ax=ax, style=contact_style
+        )
+    if d_multimer_j is not None:
+        contacts = _shift(
+            d_multimer_j.contacts(), ["i", "j"], offset_2
+        )
+        plot_pairs(
+            contacts, symmetric=False, ax=ax, style=multimer_style
         )
     plot_pairs(
         _shift(intra2_ecs, ["i", "j"], offset_2),

@@ -240,8 +240,11 @@ class TestSecondaryStructurePlot:
             "HHHH--EEE", offset=5
         )
         assert (start, end) == (5, 13)
+        # "-" (no data) stays a distinct state: the cartoon skips
+        # those spans instead of drawing coil across numbering gaps
+        # (reference behavior)
         assert segments == [
-            ("H", 5, 8), ("C", 9, 10), ("E", 11, 13)
+            ("H", 5, 8), ("-", 9, 10), ("E", 11, 13)
         ]
 
 
