@@ -503,22 +503,25 @@ class Alignment:
         except ValueError:
             return None  # ragged (a3m-style): Python fallback
 
-        if split_header:
-            ids = [i.split()[0] for i in ids]
-
-        # duplicate headers: the Python path builds an OrderedDict —
-        # first occurrence keeps its position, last occurrence
-        # supplies the sequence — replicate that so results do not
-        # depend on whether the C extension is built
-        if len(set(ids)) != len(ids):
-            last = {id_: k for k, id_ in enumerate(ids)}
+        # duplicate headers: the Python path dedups FULL headers
+        # first (OrderedDict — first occurrence keeps its position,
+        # last supplies the sequence), THEN splits, then dedups the
+        # split ids the same way. Replicate BOTH stages so the picked
+        # sequence does not depend on whether the extension is built
+        def _dedup(names, mat):
+            if len(set(names)) == len(names):
+                return names, mat
+            last = {n: k for k, n in enumerate(names)}
             seen = set()
             order = [
-                id_ for id_ in ids
-                if not (id_ in seen or seen.add(id_))
+                n for n in names if not (n in seen or seen.add(n))
             ]
-            matrix = matrix[[last[i] for i in order]]
-            ids = order
+            return order, mat[[last[n] for n in order]]
+
+        ids, matrix = _dedup(ids, matrix)
+        if split_header:
+            ids = [i.split()[0] for i in ids]
+            ids, matrix = _dedup(ids, matrix)
 
         ctor_kwargs = {
             k: v for k, v in kwargs.items()

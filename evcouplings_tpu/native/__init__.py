@@ -123,7 +123,9 @@ def parse_stockholm_native(path, read_annotation=True,
 
     gf = DefaultOrderedDict(list)
     gc = DefaultOrderedDict(str)
-    gs = DefaultOrderedDict(lambda: DefaultOrderedDict(list))
+    # single value per (row, tag), like the Python reader's per_seq
+    # (missing-key reads must default to "" on both paths)
+    gs = DefaultOrderedDict(lambda: DefaultOrderedDict(str))
     gr = DefaultOrderedDict(lambda: DefaultOrderedDict(str))
 
     for line in markup:

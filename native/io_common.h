@@ -21,9 +21,11 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <errno.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <sys/types.h>
 
 /* Read a whole file into a NUL-terminated malloc'd buffer.
  * On success returns the buffer and stores its length; on failure
@@ -36,17 +38,31 @@ evc_slurp_file(const char *path, long *size_out)
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
         return NULL;
     }
-    if (fseek(fp, 0, SEEK_END) != 0) {
+    /* fseeko/ftello: off_t stays 64-bit where long may be 32
+     * (production alignments reach gigabytes); errno is captured
+     * BEFORE fclose, which may clobber it */
+    if (fseeko(fp, 0, SEEK_END) != 0) {
+        int saved = errno;
         fclose(fp);
+        errno = saved;
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
         return NULL;
     }
-    long fsize = ftell(fp);
-    if (fsize < 0) {
+    off_t fsize_off = ftello(fp);
+    if (fsize_off < 0) {
+        int saved = errno;
         fclose(fp);
+        errno = saved;
         PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
         return NULL;
     }
+    if ((unsigned long long)fsize_off
+            > (unsigned long long)PY_SSIZE_T_MAX) {
+        fclose(fp);
+        PyErr_SetString(PyExc_OSError, "file too large");
+        return NULL;
+    }
+    long fsize = (long)fsize_off;
     rewind(fp);
 
     char *buf = (char *)malloc((size_t)fsize + 1);
@@ -92,11 +108,14 @@ evc_ascii_clean(const char *buf, size_t n)
                 return 0;
             }
             i++;  /* part of CRLF: fine */
-        } else if (c == '\f' || c == '\v') {
+        } else if (c == '\f' || c == '\v'
+                   || (c >= 0x1c && c <= 0x1e) || c == 0x1f) {
+            /* \x1c-\x1f (FS/GS/RS/US) are whitespace to Python's
+             * str.split()/rstrip() too */
             PyErr_SetString(
                 PyExc_ValueError,
-                "form-feed/vertical-tab byte: Python's str.split() "
-                "treats it as whitespace, this tokenizer does not");
+                "whitespace control byte: Python's str.split() "
+                "treats it as a separator, this tokenizer does not");
             return 0;
         }
     }
