@@ -8,6 +8,8 @@ Parity target: reference evcouplings/utils/helpers.py:20-324 (same API).
 import csv
 import json
 import os
+import stat as _stat
+import tempfile
 import pickle
 import reprlib as _reprlib
 import time
@@ -67,6 +69,14 @@ class PersistentDict(dict):
         self.mode = mode            # None or an octal triple like 0644
         self.format = format       # 'csv', 'json', or 'pickle'
         self.filename = filename
+        if flag == "n" and os.path.exists(filename):
+            # "n" = always a NEW empty db: drop stale on-disk contents
+            # now (empty dicts deliberately never sync — see sync() —
+            # so the old file would be resurrected by the next open)
+            try:
+                os.remove(filename)
+            except OSError:
+                pass
         if flag != "n" and os.access(filename, os.R_OK):
             with open(filename,
                       "rb" if format == "pickle" else "r") as fileobj:
@@ -88,11 +98,26 @@ class PersistentDict(dict):
         # "<file>.tmp" lets one writer's os.replace steal another's
         # temp file (FileNotFoundError); mkstemp + atomic replace makes
         # concurrent syncs safe with last-writer-wins semantics.
-        import tempfile
         dirname = os.path.dirname(os.path.abspath(self.filename))
         fd, tempname = tempfile.mkstemp(
             prefix=os.path.basename(self.filename) + ".tmp",
             dir=dirname)
+        # permissions are fixed on the TEMP fd, BEFORE the atomic
+        # replace publishes it: a post-replace chmod left a window in
+        # which concurrent readers of a shared job db saw mkstemp's
+        # 0600. An existing db keeps its (possibly operator-tightened)
+        # mode — like a plain open() rewrite would — and a fresh db
+        # gets the umask default (re-read per sync on Linux).
+        if self.mode is not None:
+            target_mode = self.mode
+        else:
+            try:
+                target_mode = _stat.S_IMODE(
+                    os.stat(self.filename).st_mode
+                )
+            except OSError:
+                target_mode = 0o666 & ~_current_umask()
+        os.fchmod(fd, target_mode)
         fileobj = os.fdopen(
             fd, "wb" if self.format == "pickle" else "w")
         try:
@@ -103,14 +128,6 @@ class PersistentDict(dict):
             raise
         fileobj.close()
         os.replace(tempname, self.filename)
-        if self.mode is not None:
-            os.chmod(self.filename, self.mode)
-        else:
-            # mkstemp created the temp 0600; restore the umask-default
-            # permissions a plain open() would have given the db, so
-            # other processes watching a shared job db keep read access
-            # (umask re-read per sync on Linux — see _current_umask)
-            os.chmod(self.filename, 0o666 & ~_current_umask())
 
     def close(self):
         self.sync()
@@ -142,8 +159,6 @@ class PersistentDict(dict):
         for loader in (pickle.load, self._load_json, csv.reader):
             try:
                 fileobj.seek(0)
-                if loader is csv.reader:
-                    return self.update(loader(fileobj))
                 return self.update(loader(fileobj))
             except Exception:
                 pass
@@ -172,6 +187,17 @@ class DefaultOrderedDict(OrderedDict):
             raise KeyError(key)
         result = self[key] = self.default_factory()
         return result
+
+    def copy(self):
+        return self.__copy__()
+
+    def __copy__(self):
+        # OrderedDict.copy() would silently DROP default_factory,
+        # leaving a copy that raises KeyError where the original
+        # auto-creates
+        new = type(self)(self.default_factory)
+        new.update(self)
+        return new
 
     @_reprlib.recursive_repr()
     def __repr__(self):
@@ -306,6 +332,12 @@ def retry(func, retry_max_number=None, retry_wait=None,
     if exceptions is None:
         exceptions = (Exception,)
 
+    if retry_max_number is not None and retry_max_number < 0:
+        raise ValueError(
+            "retry_max_number must be >= 0 (got {})".format(
+                retry_max_number
+            )
+        )
     attempts = 1 if retry_max_number is None else retry_max_number + 1
 
     last_exc = None

@@ -19,8 +19,11 @@ from evcouplings_tpu.utils.tracker.base import (  # noqa: F401
 TRACKER_USERNAME_KEY = "EVCOUPLINGS_TRACKER_USERNAME"
 TRACKER_PASSWORD_KEY = "EVCOUPLINGS_TRACKER_PASSWORD"
 
-# default retry policy: one attempt (no retry), 60 s between retries
-TRACKER_MAX_NUM_RETRIES = None
+# default retry policy: 5 retries 60 s apart — bounded, unlike the
+# reference's retry-FOREVER None default (an unreachable tracker DB
+# must eventually fail a job loudly), yet resilient to transient
+# lock/network errors, which a single-attempt default was not
+TRACKER_MAX_NUM_RETRIES = 5
 TRACKER_RETRY_WAIT = 60
 
 
