@@ -46,15 +46,25 @@ def resolve_app_commands():
     EVCOUPLINGS_SUMMARIZE_APP env vars override both.
     """
     python = shlex.quote(sys.executable)
+
+    def _own_script(name):
+        # only trust a console script living next to THIS interpreter:
+        # the reference package registers scripts with IDENTICAL names,
+        # and a foreign environment earlier on PATH would silently run
+        # the wrong pipeline
+        found = shutil.which(name)
+        if found and os.path.dirname(os.path.abspath(found)) == \
+                os.path.dirname(os.path.abspath(sys.executable)):
+            return name
+        return None
+
     cmd_base = environ.get("EVCOUPLINGS_RUNCFG_APP") or (
-        "evcouplings_runcfg"
-        if shutil.which("evcouplings_runcfg")
-        else "{} -m evcouplings_tpu.utils.pipeline".format(python)
+        _own_script("evcouplings_runcfg")
+        or "{} -m evcouplings_tpu.utils.pipeline".format(python)
     )
     summ_base = environ.get("EVCOUPLINGS_SUMMARIZE_APP") or (
-        "evcouplings_summarize"
-        if shutil.which("evcouplings_summarize")
-        else "{} -m evcouplings_tpu.utils.summarize".format(python)
+        _own_script("evcouplings_summarize")
+        or "{} -m evcouplings_tpu.utils.summarize".format(python)
     )
     if "-m evcouplings_tpu" in cmd_base or "-m evcouplings_tpu" in summ_base:
         # `python -m` sub-jobs run via shell with cwd=workdir, so the
@@ -117,13 +127,20 @@ def substitute_config(**kwargs):
 
     config = read_config_file(config_file, preserve_order=True)
 
+    def _section(name):
+        # absent or empty YAML sections (parse as None) become dicts
+        # so flag substitution cannot crash with KeyError/TypeError
+        if config.get(name) is None:
+            config[name] = {}
+        return config[name]
+
     for flag, section, option in _FLAG_TO_CONFIG:
         if kwargs.get(flag) is not None:
-            config[section][option] = kwargs[flag]
+            _section(section)[option] = kwargs[flag]
 
     # per-job CPU budget tracks the environment core request
-    if config["environment"]["cores"] is not None:
-        config["global"]["cpu"] = config["environment"]["cores"]
+    if _section("environment").get("cores") is not None:
+        _section("global")["cpu"] = config["environment"]["cores"]
 
     # a user-supplied alignment implies the "existing" align protocol
     if kwargs.get("alignment") is not None:
@@ -132,15 +149,18 @@ def substitute_config(**kwargs):
     # subregion of the protein, as a "start-end" string
     region = kwargs.get("region")
     if region is not None:
-        bounds = re.search(r"(\d+)-(\d+)", region)
+        bounds = re.fullmatch(r"(\d+)-(\d+)", region.strip())
         if bounds is None:
             raise InvalidParameterError(
                 "Region string does not have format "
                 "start-end (e.g. 5-123): {}".format(region)
             )
-        config["global"]["region"] = [
-            int(bounds.group(1)), int(bounds.group(2))
-        ]
+        start, end = int(bounds.group(1)), int(bounds.group(2))
+        if start > end:
+            raise InvalidParameterError(
+                "Region start must not exceed end: {}".format(region)
+            )
+        config["global"]["region"] = [start, end]
 
     # pipeline stages to run
     if kwargs.get("stages") is not None:
@@ -206,11 +226,30 @@ def unroll_config(config):
         sub_config["batch"] = None
         sub_config["global"]["prefix"] = prefix + sub_id
 
+        # each sub-job needs its OWN tracker identity: a shared
+        # job_id would collapse the whole sweep onto one DB row
+        # (sql.py declares job_id UNIQUE), last writer winning
+        mgmt = sub_config.get("management")
+        if isinstance(mgmt, Mapping) and mgmt.get("job_id"):
+            mgmt["job_id"] = "{}{}".format(mgmt["job_id"], sub_id)
+
         # apply the per-subjob config delta (two nesting levels:
         # mapping sections merge per-key, scalars replace wholesale)
         for section, delta in delta_config.items():
             if isinstance(delta, Mapping):
-                sub_config[section].update(delta)
+                current = sub_config.get(section)
+                if current is None:
+                    # absent / empty-YAML section
+                    sub_config[section] = dict(delta)
+                elif isinstance(current, Mapping):
+                    current.update(delta)
+                else:
+                    raise InvalidParameterError(
+                        "Batch delta for section {!r} is a mapping "
+                        "but the config value is {!r}".format(
+                            section, current
+                        )
+                    )
             else:
                 sub_config[section] = delta
 
@@ -259,11 +298,13 @@ def run_jobs(configs, global_config, overwrite=False, workdir=None,
         CONFIG_NAME.format(subjob_prefix) for subjob_prefix in configs
     ]
 
+    # all interpolated paths are shell-quoted: prefixes with spaces
+    # or shell metacharacters must survive the shell=True submitters
     summ_cmd = "{} {} {} {}".format(
         summ_base,
-        global_config["pipeline"],
-        global_config["global"]["prefix"],
-        " ".join(config_files),
+        shlex.quote(str(global_config["pipeline"])),
+        shlex.quote(global_config["global"]["prefix"]),
+        " ".join(shlex.quote(c) for c in config_files),
     )
 
     submitter_cfg = global_config["environment"]
@@ -295,6 +336,7 @@ def run_jobs(configs, global_config, overwrite=False, workdir=None,
     )
 
     job_ids = {}
+    submitted = {}
 
     for job, job_cfg in configs.items():
         job_prefix = job_cfg["global"]["prefix"]
@@ -303,11 +345,14 @@ def run_jobs(configs, global_config, overwrite=False, workdir=None,
         env = job_cfg["environment"]
         cmd = utils.batch.Command(
             [
-                "{} {}".format(cmd_base, job_cfg_file),
+                "{} {}".format(cmd_base, shlex.quote(job_cfg_file)),
                 summ_cmd,
             ],
             name=job_prefix,
-            environment=environment or env["configuration"],
+            environment=(
+                env["configuration"] if environment is None
+                else environment
+            ),
             workdir=workdir,
             resources={
                 utils.batch.EResource.queue: env["queue"],
@@ -321,9 +366,13 @@ def run_jobs(configs, global_config, overwrite=False, workdir=None,
 
         tracker = get_result_tracker(job_cfg)
 
+        # PEND is written BEFORE submit: a fast local job may write
+        # RUN/DONE/FAIL immediately, and a late parent PEND would
+        # regress the record
+        tracker.update(status=EStatus.PEND)
         try:
             job_ids[job] = submitter.submit(cmd)
-            tracker.update(status=EStatus.PEND)
+            submitted[job] = cmd
         except RuntimeError as e:
             tracker.update(status=EStatus.FAIL, message=str(e))
             if abort_on_error:
@@ -331,6 +380,24 @@ def run_jobs(configs, global_config, overwrite=False, workdir=None,
 
     # wait for all runs to finish (blocking submitters only)
     submitter.join()
+
+    if submitter.isBlocking and submitted:
+        # surface failed sub-jobs: a batch sweep with crashed members
+        # must not report success (exit code 0) to wrapping scripts
+        failed = [
+            job for job, cmd in submitted.items()
+            if submitter.monitor(cmd) == utils.batch.EStatus.EXIT
+        ]
+        if failed:
+            message = "{} of {} sub-job(s) failed: {}".format(
+                len(failed), len(submitted), ", ".join(failed)
+            )
+            if abort_on_error:
+                raise RuntimeError(message)
+            import warnings
+
+            warnings.warn(message, RuntimeWarning)
+
     return job_ids
 
 

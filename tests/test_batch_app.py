@@ -360,13 +360,28 @@ class TestRuncfgCommandResolution:
 
         monkeypatch.delenv("EVCOUPLINGS_RUNCFG_APP", raising=False)
         monkeypatch.delenv("EVCOUPLINGS_SUMMARIZE_APP", raising=False)
+
+        import os as _os
+        import sys as _sys
+
+        own_dir = _os.path.dirname(_os.path.abspath(_sys.executable))
         monkeypatch.setattr(
-            app_mod.shutil, "which", lambda name: "/usr/bin/" + name
+            app_mod.shutil, "which",
+            lambda name: _os.path.join(own_dir, name),
         )
 
         assert app_mod.resolve_app_commands() == (
             "evcouplings_runcfg", "evcouplings_summarize"
         )
+
+        # a console script from a FOREIGN environment (the reference
+        # package registers identical names) must NOT be trusted
+        monkeypatch.setattr(
+            app_mod.shutil, "which", lambda name: "/usr/bin/" + name
+        )
+        cmd, summ = app_mod.resolve_app_commands()
+        assert "-m evcouplings_tpu" in cmd
+        assert "-m evcouplings_tpu" in summ
 
     def test_env_override_wins(self, monkeypatch):
         from evcouplings_tpu.utils import app as app_mod
