@@ -9,7 +9,7 @@ reimplementation of make_alpha_beta_score_table.m.
 """
 
 from collections import defaultdict
-from itertools import combinations, product
+from itertools import combinations
 
 import numpy as np
 import pandas as pd
@@ -21,166 +21,9 @@ from evcouplings_tpu.visualize.pairs import (
     find_secondary_structure_segments,
 )
 
-
-def _alpha_dihedrals(coords, segments):
-    """CA-dihedral angles inside helical segments (segment end
-    exclusive); returns DataFrame (helix, i, dihedral)."""
-    def has(pos):
-        return pos in coords.i.values
-
-    def xyz(pos):
-        return coords.loc[
-            coords.i == pos, ["x", "y", "z"]
-        ].iloc[0].values
-
-    res = []
-    for helix_idx, (start, end) in enumerate(segments):
-        for i in range(start, end):
-            # need CA atoms at i-1 .. i+2
-            if has(i - 1) and has(i) and has(i + 1) and has(i + 2):
-                angle = dihedral_angle(
-                    xyz(i - 1), xyz(i), xyz(i + 1), xyz(i + 2)
-                )
-                res.append((helix_idx, i, angle))
-
-    return pd.DataFrame(res, columns=["helix", "i", "dihedral"])
-
-
-def _beta_dihedrals(coords, segments, max_strand_distance=7,
-                    original=True):
-    """Inter-strand CA-dihedral angles for proximal strand pairs
-    (parallel/antiparallel determined by majority vote); returns
-    DataFrame (i, j, strand_i, strand_j, dihedral).
-
-    original=True reproduces the exact residue selections of the 2011
-    ranking protocol (which are inconsistent between orientation vote
-    and angle computation); False uses the consistent variant.
-    """
-    coords = dict(
-        zip(coords.i, coords.loc[:, ["x", "y", "z"]].values)
-    )
-
-    def has(pos):
-        return pos in coords
-
-    def xyz(pos):
-        return coords[pos]
-
-    def _orientation(pairs):
-        # vote parallel vs antiparallel over residue pairs
-        par, total = 0, 0
-        for _, r in pairs.iterrows():
-            i, j = r["pos_i"], r["pos_j"]
-            if has(i - 2) and has(i + 2) and has(j + 2):
-                d_par = np.linalg.norm(xyz(i + 2) - xyz(j + 2))
-                if original:
-                    d_anti = np.linalg.norm(xyz(i - 2) - xyz(j + 2))
-                else:
-                    d_anti = np.linalg.norm(xyz(i + 2) - xyz(j - 2))
-
-                total += 1
-                if d_par <= d_anti:
-                    par += 1
-
-        if total == 0:
-            return 0
-        return par / total * 2 - 1
-
-    def _compute_dihedral(pairs, strands_parallel):
-        # offset of the second anchor on strand j: +2 along a parallel
-        # partner, -2 along an antiparallel one
-        j_step = 2 if strands_parallel else -2
-
-        res = []
-        for _, r in pairs.iterrows():
-            i, j = r["pos_i"], r["pos_j"]
-            # both anchor residues two positions along each strand
-            # must be resolved; the "original" scoring variant anchors
-            # the required-coordinate checks differently
-            if original:
-                needed = (j + 2, i + 2 if strands_parallel else i - 2)
-            else:
-                needed = (i + 2, j + j_step)
-            if not all(has(p) for p in needed):
-                continue
-
-            angle = dihedral_angle(
-                xyz(i), xyz(i + 2), xyz(j + j_step), xyz(j)
-            )
-            res.append(
-                (i, j, int(r["strand_i"]), int(r["strand_j"]), angle)
-            )
-
-        return pd.DataFrame(
-            res,
-            columns=["i", "j", "strand_i", "strand_j", "dihedral"],
-        )
-
-    # enumerate proximal strand pairs in 3D
-    strand_partners = defaultdict(list)
-
-    for (strand_i, seg_i), (strand_j, seg_j) in combinations(
-        enumerate(segments), 2
-    ):
-        pair_dists = pd.DataFrame(
-            [
-                (
-                    strand_i, strand_j, pos_i, pos_j,
-                    np.linalg.norm(xyz(pos_i) - xyz(pos_j)),
-                )
-                for (pos_i, pos_j) in product(
-                    range(*seg_i), range(*seg_j)
-                )
-                if has(pos_i) and has(pos_j)
-            ],
-            columns=["strand_i", "strand_j", "pos_i", "pos_j", "dist"],
-        )
-        if len(pair_dists) == 0 or (
-            pair_dists.dist.min() > max_strand_distance
-        ):
-            continue
-
-        # nearest residue in strand j per residue of strand i
-        nearest = pair_dists.sort_values(
-            by=["pos_i", "dist"]
-        ).groupby(["pos_i"]).first().reset_index()
-
-        close = nearest.loc[nearest.dist <= max_strand_distance]
-        strand_dist = close.dist.min()
-
-        # restrict to the span between first and last close pair
-        first_good, last_good = close.index.min(), close.index.max()
-        dihedral_pairs = nearest.loc[first_good:last_good]
-
-        orientation_vote = _orientation(dihedral_pairs)
-        strands_parallel = orientation_vote > 0
-
-        dihedrals = _compute_dihedral(dihedral_pairs, strands_parallel)
-
-        strand_partners[strand_i].append(
-            (strand_dist, strand_j, dihedrals)
-        )
-
-    # at most two pairings per strand; closest in 3D win
-    all_dihedrals = []
-    num_partners = defaultdict(int)
-    for strand_i, partners in strand_partners.items():
-        for dist, strand_j, dihedrals in sorted(
-            partners, key=lambda x: x[0]
-        ):
-            if num_partners[strand_i] < 2 and num_partners[strand_j] < 2:
-                all_dihedrals.append(dihedrals)
-                num_partners[strand_i] += 1
-                num_partners[strand_j] += 1
-
-    if len(all_dihedrals) == 0:
-        return pd.DataFrame(
-            columns=["i", "j", "strand_i", "strand_j", "dihedral"]
-        )
-    return pd.concat(all_dihedrals, ignore_index=True)
-
-
-# dihedral-angle windows (radians) and their score weights
+# dihedral-angle windows (radians) and their score weights; the alpha
+# windows count with left-open/right-closed bounds, the beta windows
+# with left-closed/right-open bounds (make_alpha_beta_score_table.m)
 _ALPHA_WEIGHTS = [
     (0.2, 0.44, 0.52),
     (0.4, 0.52, 0.61),
@@ -205,6 +48,185 @@ _BETA_WEIGHTS = [
     (0.2, -1.2, -1.1),
 ]
 
+_BETA_COLUMNS = ("i", "j", "strand_i", "strand_j", "dihedral")
+
+
+def _ca_trace(coords, keep="first"):
+    """{position: CA xyz vector} from a coordinate table. With
+    duplicate positions (alternate locations surviving upstream
+    filters), keep="first" retains the first occurrence — matching the
+    reference's row-lookup semantics in the helix path — while
+    keep="last" retains the last, matching its dict(zip(...)) in the
+    strand path."""
+    trace = {}
+    for pos, vec in zip(coords.i, coords.loc[:, ["x", "y", "z"]].values):
+        if keep == "last" or pos not in trace:
+            trace[pos] = vec
+    return trace
+
+
+def _alpha_dihedrals(coords, segments):
+    """CA-dihedral angles inside helical segments (segment end
+    exclusive); returns DataFrame (helix, i, dihedral)."""
+    trace = _ca_trace(coords, keep="first")
+
+    rows = []
+    for helix, (seg_start, seg_end) in enumerate(segments):
+        for pos in range(seg_start, seg_end):
+            # the dihedral at pos needs the CA window pos-1 .. pos+2
+            window = (pos - 1, pos, pos + 1, pos + 2)
+            if all(p in trace for p in window):
+                rows.append((
+                    helix, pos,
+                    dihedral_angle(*(trace[p] for p in window)),
+                ))
+
+    return pd.DataFrame(rows, columns=["helix", "i", "dihedral"])
+
+
+def _vote_strand_orientation(trace, pair_rows, original):
+    """+1 .. -1 parallel-vs-antiparallel vote over paired residues.
+
+    Votes compare the distance of the two strands' +2 anchors against
+    an antiparallel alternative; original=True anchors that
+    alternative at i-2 (2011 protocol), original=False at j-2 (which
+    the 2011 residue-presence checks do not guard — a missing j-2
+    raises, faithfully to the reference)."""
+    agree = voted = 0
+    for i, j in pair_rows:
+        if not ((i - 2) in trace and (i + 2) in trace
+                and (j + 2) in trace):
+            continue
+        d_parallel = np.linalg.norm(trace[i + 2] - trace[j + 2])
+        if original:
+            d_opposite = np.linalg.norm(trace[i - 2] - trace[j + 2])
+        else:
+            d_opposite = np.linalg.norm(trace[i + 2] - trace[j - 2])
+        voted += 1
+        agree += d_parallel <= d_opposite
+
+    return 0 if voted == 0 else agree / voted * 2 - 1
+
+
+def _strand_pair_dihedrals(trace, pair_rows, strand_i, strand_j,
+                           parallel, original):
+    """Dihedral rows (i, j, strand_i, strand_j, angle) for one
+    strand pairing. The +-2 offset on strand j follows its
+    orientation; which residues must be present differs between the
+    2011 (original) and the consistent variant — the 2011 checks do
+    not cover the i+2 anchor the angle itself uses."""
+    j_offset = 2 if parallel else -2
+
+    rows = []
+    for i, j in pair_rows:
+        if original:
+            required = (j + 2, i + j_offset)
+        else:
+            required = (i + 2, j + j_offset)
+        if not all(p in trace for p in required):
+            continue
+        rows.append((
+            i, j, strand_i, strand_j,
+            dihedral_angle(
+                trace[i], trace[i + 2], trace[j + j_offset], trace[j]
+            ),
+        ))
+
+    return pd.DataFrame(rows, columns=_BETA_COLUMNS)
+
+
+def _nearest_partner_span(trace, seg_i, seg_j, max_strand_distance):
+    """For two strand segments: the per-residue nearest-partner pairs
+    (pos_i, pos_j) restricted to the span between the first and last
+    close pair, plus the minimal close distance. Returns (None, None)
+    when the strands never come within max_strand_distance."""
+    pos_i = [p for p in range(*seg_i) if p in trace]
+    pos_j = [p for p in range(*seg_j) if p in trace]
+    if not pos_i or not pos_j:
+        return None, None
+
+    gap = np.linalg.norm(
+        np.asarray([trace[p] for p in pos_i])[:, None, :]
+        - np.asarray([trace[p] for p in pos_j])[None, :, :],
+        axis=-1,
+    )
+
+    # nearest pos_j per pos_i; distance ties resolve to the smaller
+    # pos_j (argmin takes the first hit over the ascending pos_j axis)
+    best = gap.argmin(axis=1)
+    best_dist = gap[np.arange(len(pos_i)), best]
+
+    close = (best_dist <= max_strand_distance).nonzero()[0]
+    if close.size == 0:
+        return None, None
+
+    span = range(close[0], close[-1] + 1)
+    pairs = [(pos_i[k], pos_j[best[k]]) for k in span]
+    return pairs, best_dist[close].min()
+
+
+def _beta_dihedrals(coords, segments, max_strand_distance=7,
+                    original=True):
+    """Inter-strand CA-dihedral angles for proximal strand pairs
+    (parallel/antiparallel determined by majority vote); returns
+    DataFrame (i, j, strand_i, strand_j, dihedral).
+
+    original=True reproduces the exact residue selections of the 2011
+    ranking protocol (which are inconsistent between orientation vote
+    and angle computation); False uses the consistent variant.
+    """
+    trace = _ca_trace(coords, keep="last")
+
+    # candidate pairings per strand, found by 3D proximity
+    pairings = defaultdict(list)
+    for (strand_i, seg_i), (strand_j, seg_j) in combinations(
+        enumerate(segments), 2
+    ):
+        pairs, pair_gap = _nearest_partner_span(
+            trace, seg_i, seg_j, max_strand_distance
+        )
+        if pairs is None:
+            continue
+
+        parallel = _vote_strand_orientation(trace, pairs, original) > 0
+        pairings[strand_i].append((
+            pair_gap, strand_j,
+            _strand_pair_dihedrals(
+                trace, pairs, strand_i, strand_j, parallel, original
+            ),
+        ))
+
+    # each strand participates in at most two pairings, closest first
+    tables = []
+    links = defaultdict(int)
+    for strand_i, candidates in pairings.items():
+        candidates.sort(key=lambda entry: entry[0])
+        for _, strand_j, dihedrals in candidates:
+            if links[strand_i] < 2 and links[strand_j] < 2:
+                tables.append(dihedrals)
+                links[strand_i] += 1
+                links[strand_j] += 1
+
+    if not tables:
+        return pd.DataFrame(columns=list(_BETA_COLUMNS))
+    return pd.concat(tables, ignore_index=True)
+
+
+def _windowed_score(angles, windows, left_open):
+    """Sum of weight * (number of angles inside each window); the
+    alpha table counts lo < angle <= hi, the beta table
+    lo <= angle < hi."""
+    if angles.size == 0:
+        return 0
+    total = 0.0
+    for weight, lo, hi in windows:
+        if left_open:
+            inside = (lo < angles) & (angles <= hi)
+        else:
+            inside = (lo <= angles) & (angles < hi)
+        total += weight * np.count_nonzero(inside)
+    return total
+
 
 def dihedral_ranking_score(structure, residues,
                            sec_struct_column="sec_struct_3state",
@@ -214,58 +236,37 @@ def dihedral_ranking_score(structure, residues,
     Returns (num alpha dihedrals, alpha score, num beta dihedrals,
     beta score).
     """
-    structure = structure.filter_atoms(atom_name="CA")
-
-    x = structure.residues.merge(
-        structure.coords, left_index=True, right_on="residue_index"
+    ca_only = structure.filter_atoms(atom_name="CA")
+    placed = ca_only.residues.merge(
+        ca_only.coords, left_index=True, right_on="residue_index"
     )
 
-    # join secondary-structure prediction (PDB residue ids are strings)
-    residues = residues.copy()
-    residues.loc[:, "id"] = residues.i.astype(str)
-    x = residues.merge(x, on="id", how="left", suffixes=("", "_"))
+    # attach the 3D coordinates to the secondary-structure prediction
+    # rows (PDB residue identifiers are strings)
+    annotated = residues.assign(id=residues.i.astype(str)).merge(
+        placed, on="id", how="left", suffixes=("", "_")
+    )
 
     _, _, segments = find_secondary_structure_segments(
-        "".join(x.loc[:, sec_struct_column]), offset=x.i.min()
+        "".join(annotated.loc[:, sec_struct_column]),
+        offset=annotated.i.min(),
     )
+    spans = defaultdict(list)
+    for seg_type, seg_start, seg_end in segments:
+        spans[seg_type].append((seg_start, seg_end))
 
-    def _get_segments(seg_type):
-        return [
-            (start, end) for (type_, start, end) in segments
-            if type_ == seg_type
-        ]
-
-    segs_alpha = _get_segments("H")
-    segs_beta = _get_segments("E")
-
-    x_valid = x.dropna(subset=["x", "y", "z"])
-
-    d_alpha = _alpha_dihedrals(x_valid, segs_alpha)
-    d_beta = _beta_dihedrals(x_valid, segs_beta, original=original)
-
-    if len(d_alpha) > 0:
-        alpha_dihedral_score = sum(
-            weight * len(d_alpha.query(
-                "@lower < dihedral and dihedral <= @upper"
-            ))
-            for weight, lower, upper in _ALPHA_WEIGHTS
-        )
-    else:
-        alpha_dihedral_score = 0
-
-    if len(d_beta) > 0:
-        beta_dihedral_score = sum(
-            weight * len(d_beta.query(
-                "@lower <= dihedral and dihedral < @upper"
-            ))
-            for weight, lower, upper in _BETA_WEIGHTS
-        )
-    else:
-        beta_dihedral_score = 0
+    resolved = annotated.dropna(subset=["x", "y", "z"])
+    helix_table = _alpha_dihedrals(resolved, spans["H"])
+    sheet_table = _beta_dihedrals(resolved, spans["E"],
+                                  original=original)
 
     return (
-        len(d_alpha), alpha_dihedral_score,
-        len(d_beta), beta_dihedral_score,
+        len(helix_table),
+        _windowed_score(helix_table.dihedral.values, _ALPHA_WEIGHTS,
+                        left_open=True),
+        len(sheet_table),
+        _windowed_score(sheet_table.dihedral.values, _BETA_WEIGHTS,
+                        left_open=False),
     )
 
 
@@ -273,41 +274,39 @@ def dihedral_ranking(structure_files, residues, chain=None,
                      sec_struct_column="sec_struct_3state", model=0):
     """Rank a set of PDB structure models by their combined helix +
     sheet dihedral scores (column ranking_score)."""
-    res = []
+    rows = []
     for filename in structure_files:
-        struc = ClassicPDB.from_file(filename)
+        structure = ClassicPDB.from_file(filename)
 
         if chain is None:
-            chains = struc.model_to_chains[model]
-            if len(chains) != 1:
+            candidates = structure.model_to_chains[model]
+            if len(candidates) != 1:
                 raise InvalidParameterError(
                     "Model has more than one chain, need to "
                     "specify chain parameter to disambiguate."
                 )
-            chain = chains[0]
+            chain = candidates[0]
 
-        sel_chain = struc.get_chain(chain, model)
-
-        x = dihedral_ranking_score(
-            sel_chain, residues, sec_struct_column, original=False
+        scores = dihedral_ranking_score(
+            structure.get_chain(chain, model), residues,
+            sec_struct_column, original=False,
         )
-        res.append((filename, *x))
+        rows.append((filename, *scores))
 
-    r = pd.DataFrame(
-        res, columns=[
-            "filename", "num_alpha_dihedrals", "alpha_dihedral_score",
-            "num_beta_dihedrals", "beta_dihedral_score",
-        ],
+    ranking = pd.DataFrame(rows, columns=[
+        "filename", "num_alpha_dihedrals", "alpha_dihedral_score",
+        "num_beta_dihedrals", "beta_dihedral_score",
+    ])
+
+    # normalize by the best-case dihedral count over the model set
+    # (beta counts depend on strand contacts actually made in 3D);
+    # floor of 1 so a set with no dihedrals at all stays defined
+    denominator = max(
+        1,
+        ranking.num_alpha_dihedrals.max()
+        + ranking.num_beta_dihedrals.max(),
     )
-
-    max_alpha = r.num_alpha_dihedrals.max()
-    # beta dihedrals depend on strand contacts actually made in 3D
-    max_beta = r.num_beta_dihedrals.max()
-
-    # avoid division by zero when no dihedrals were counted at all
-    max_val = max(1, max_alpha + max_beta)
-
-    r.loc[:, "ranking_score"] = (
-        (r.alpha_dihedral_score + r.beta_dihedral_score) / max_val
-    )
-    return r
+    ranking["ranking_score"] = (
+        ranking.alpha_dihedral_score + ranking.beta_dihedral_score
+    ) / denominator
+    return ranking
