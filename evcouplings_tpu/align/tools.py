@@ -41,23 +41,52 @@ HmmscanResult = namedtuple(
 )
 
 
+def _prepare(prefix, *input_files):
+    """Shared pre-flight of every tool wrapper: inputs must exist and
+    be non-empty, and the prefix directory must exist."""
+    verify_resources(
+        "Input file does not exist or is empty", *input_files
+    )
+    create_prefix_folders(prefix)
+
+
+def _stdout_target(prefix, stdout_redirect):
+    """Where the tool's -o stdout goes: an explicit redirect if the
+    caller gave one, else <prefix>.output."""
+    return stdout_redirect if stdout_redirect is not None \
+        else prefix + ".output"
+
+
+def _expect_output(tool, kind, stdout, stderr, filename):
+    """Fail with the tool's stdout/stderr attached when an expected
+    output file came back missing or empty."""
+    verify_resources(
+        "{} returned empty {}: stdout={} stderr={} file={}".format(
+            tool, kind, stdout, stderr, filename
+        ),
+        filename,
+    )
+
+
 def _threshold_flags(use_bitscores, seq_threshold, domain_threshold):
     """Reporting + inclusion threshold flags shared by the HMMER search
     tools (reporting thresholds track inclusion thresholds to bound
     output size)."""
-    if use_bitscores:
-        return [
-            "-T", str(seq_threshold),
-            "--domT", str(domain_threshold),
-            "--incT", str(seq_threshold),
-            "--incdomT", str(domain_threshold),
-        ]
+    seq_report, dom_report, seq_inc, dom_inc = (
+        ("-T", "--domT", "--incT", "--incdomT") if use_bitscores
+        else ("-E", "--domE", "--incE", "--incdomE")
+    )
     return [
-        "-E", str(seq_threshold),
-        "--domE", str(domain_threshold),
-        "--incE", str(seq_threshold),
-        "--incdomE", str(domain_threshold),
+        seq_report, str(seq_threshold),
+        dom_report, str(domain_threshold),
+        seq_inc, str(seq_threshold),
+        dom_inc, str(domain_threshold),
     ]
+
+
+def _performance_flags(cpu, nobias):
+    flags = [] if cpu is None else ["--cpu", str(cpu)]
+    return flags + (["--nobias"] if nobias else [])
 
 
 def run_jackhmmer(query, database, prefix, use_bitscores, domain_threshold,
@@ -69,49 +98,38 @@ def run_jackhmmer(query, database, prefix, use_bitscores, domain_threshold,
     Returns a JackhmmerResult namedtuple of output file paths
     (alignment = Stockholm .sto). Parity: reference tools.py:241-367.
     """
-    verify_resources(
-        "Input file does not exist or is empty", query, database
-    )
-    create_prefix_folders(prefix)
+    _prepare(prefix, query, database)
 
     result = JackhmmerResult(
         prefix,
-        prefix + ".sto",
-        prefix + ".output" if stdout_redirect is None else stdout_redirect,
-        prefix + ".tblout",
-        prefix + ".domtblout",
+        alignment=prefix + ".sto",
+        output=_stdout_target(prefix, stdout_redirect),
+        tblout=prefix + ".tblout",
+        domtblout=prefix + ".domtblout",
     )
 
-    cmd = [
-        binary,
-        "-N", str(iterations),
-        "-o", result.output,
-        "-A", result.alignment,
-        "--tblout", result.tblout,
-        "--domtblout", result.domtblout,
-        "--noali",
-        "--notextw",
-    ]
-    cmd += _threshold_flags(use_bitscores, seq_threshold, domain_threshold)
-    if cpu is not None:
-        cmd += ["--cpu", str(cpu)]
-    if nobias:
-        cmd += ["--nobias"]
+    checkpoint_flags = []
     if checkpoints_ali:
-        cmd += ["--chkali", prefix]
+        checkpoint_flags += ["--chkali", prefix]
     if checkpoints_hmm:
-        cmd += ["--chkhmm", prefix]
-    cmd += [query, database]
+        checkpoint_flags += ["--chkhmm", prefix]
 
-    return_code, stdout, stderr = run(cmd)
-
-    verify_resources(
-        "jackhmmer returned empty alignment: "
-        "stdout={} stderr={} file={}".format(
-            stdout, stderr, result.alignment
-        ),
-        result.alignment,
+    _, stdout, stderr = run(
+        [binary, "-N", str(iterations),
+         "-o", result.output,
+         "-A", result.alignment,
+         "--tblout", result.tblout,
+         "--domtblout", result.domtblout,
+         "--noali", "--notextw"]
+        + _threshold_flags(use_bitscores, seq_threshold,
+                           domain_threshold)
+        + _performance_flags(cpu, nobias)
+        + checkpoint_flags
+        + [query, database]
     )
+
+    _expect_output("jackhmmer", "alignment", stdout, stderr,
+                   result.alignment)
     return result
 
 
@@ -121,33 +139,26 @@ def run_hmmbuild(alignment_file, prefix, cpu=None, stdout_redirect=None,
 
     Parity: reference tools.py:26-117.
     """
-    verify_resources(
-        "Input file does not exist or is empty", alignment_file
-    )
-    create_prefix_folders(prefix)
+    _prepare(prefix, alignment_file)
 
     result = HmmbuildResult(
         prefix,
-        prefix + ".hmm",
-        prefix + ".output" if stdout_redirect is None else stdout_redirect,
+        hmmfile=prefix + ".hmm",
+        output=_stdout_target(prefix, stdout_redirect),
     )
 
-    cmd = [binary, "-o", result.output]
-    if cpu is not None:
-        cmd += ["--cpu", str(cpu)]
-    if symfrac is not None:
-        cmd += ["--symfrac", str(symfrac)]
-    cmd += [result.hmmfile, alignment_file]
-
-    return_code, stdout, stderr = run(cmd)
-
-    verify_resources(
-        "hmmbuild returned empty HMM profile: "
-        "stdout={} stderr={} file={}".format(
-            stdout, stderr, result.hmmfile
-        ),
-        result.hmmfile,
+    symfrac_flags = (
+        [] if symfrac is None else ["--symfrac", str(symfrac)]
     )
+    _, stdout, stderr = run(
+        [binary, "-o", result.output]
+        + _performance_flags(cpu, nobias=False)
+        + symfrac_flags
+        + [result.hmmfile, alignment_file]
+    )
+
+    _expect_output("hmmbuild", "HMM profile", stdout, stderr,
+                   result.hmmfile)
     return result
 
 
@@ -158,37 +169,61 @@ def run_hmmsearch(hmmfile, database, prefix, use_bitscores,
 
     Parity: reference tools.py:125-233.
     """
-    verify_resources(
-        "Input file does not exist or is empty", hmmfile, database
-    )
-    create_prefix_folders(prefix)
+    _prepare(prefix, hmmfile, database)
 
     result = HmmsearchResult(
         prefix,
-        prefix + ".sto",
-        prefix + ".output" if stdout_redirect is None else stdout_redirect,
-        prefix + ".tblout",
-        prefix + ".domtblout",
+        alignment=prefix + ".sto",
+        output=_stdout_target(prefix, stdout_redirect),
+        tblout=prefix + ".tblout",
+        domtblout=prefix + ".domtblout",
     )
 
-    cmd = [
-        binary,
-        "-o", result.output,
-        "-A", result.alignment,
-        "--tblout", result.tblout,
-        "--domtblout", result.domtblout,
-        "--noali",
-        "--notextw",
-    ]
-    cmd += _threshold_flags(use_bitscores, seq_threshold, domain_threshold)
-    if cpu is not None:
-        cmd += ["--cpu", str(cpu)]
-    if nobias:
-        cmd += ["--nobias"]
-    cmd += [hmmfile, database]
-
-    return_code, stdout, stderr = run(cmd)
+    run(
+        [binary,
+         "-o", result.output,
+         "-A", result.alignment,
+         "--tblout", result.tblout,
+         "--domtblout", result.domtblout,
+         "--noali", "--notextw"]
+        + _threshold_flags(use_bitscores, seq_threshold,
+                           domain_threshold)
+        + _performance_flags(cpu, nobias)
+        + [hmmfile, database]
+    )
     return result
+
+
+# model-stored cutoff sets hmmscan understands (gathering / noise /
+# trusted, in Pfam terminology)
+_MODEL_CUTOFFS = ("cut_ga", "cut_nc", "cut_tc")
+
+
+def _hmmscan_threshold_flags(use_model_threshold, threshold_type,
+                             use_bitscores, seq_threshold,
+                             domain_threshold):
+    """hmmscan threshold selection. Reference parity
+    (tools.py:478-493): with explicit thresholds only REPORTING flags
+    are passed — hmmscan keeps its default inclusion thresholds,
+    unlike the search tools' shared flag builder."""
+    if use_model_threshold:
+        if threshold_type not in _MODEL_CUTOFFS:
+            raise ValueError(
+                "Invalid model threshold, valid choices are: "
+                + ", ".join(_MODEL_CUTOFFS)
+            )
+        return ["--" + threshold_type]
+
+    if domain_threshold is None or seq_threshold is None:
+        raise ValueError(
+            "Must define sequence- and domain-level reporting "
+            "thresholds (domain_threshold / seq_threshold) when "
+            "not using the model-specific cutoffs"
+        )
+    seq_flag, dom_flag = ("-T", "--domT") if use_bitscores \
+        else ("-E", "--domE")
+    return [seq_flag, str(seq_threshold),
+            dom_flag, str(domain_threshold)]
 
 
 def run_hmmscan(query, database, prefix, use_model_threshold=True,
@@ -201,70 +236,34 @@ def run_hmmscan(query, database, prefix, use_model_threshold=True,
     specific gathering/noise/trusted cutoffs stored in the HMM database
     (threshold_type in {cut_ga, cut_nc, cut_tc}).
     """
-    verify_resources(
-        "Input file does not exist or is empty", query, database
-    )
-    create_prefix_folders(prefix)
+    _prepare(prefix, query, database)
 
     result = HmmscanResult(
         prefix,
-        prefix + ".output" if stdout_redirect is None else stdout_redirect,
-        prefix + ".tblout",
-        prefix + ".domtblout",
-        prefix + ".pfamtblout",
+        output=_stdout_target(prefix, stdout_redirect),
+        tblout=prefix + ".tblout",
+        domtblout=prefix + ".domtblout",
+        pfamtblout=prefix + ".pfamtblout",
     )
 
-    cmd = [
-        binary,
-        "-o", result.output,
-        "--tblout", result.tblout,
-        "--domtblout", result.domtblout,
-        "--pfamtblout", result.pfamtblout,
-        "--notextw",
-        "--acc",
-    ]
-
-    if use_model_threshold:
-        if threshold_type not in ("cut_ga", "cut_nc", "cut_tc"):
-            raise ValueError(
-                "Invalid model threshold, valid choices are: "
-                "cut_ga, cut_nc, cut_tc"
-            )
-        cmd += ["--" + threshold_type]
-    else:
-        # reference parity (tools.py:478-493): explicit thresholds are
-        # REQUIRED here, and only REPORTING flags are passed — hmmscan
-        # keeps its default inclusion thresholds, unlike the search
-        # tools' shared flag builder
-        if domain_threshold is None or seq_threshold is None:
-            raise ValueError(
-                "Must define sequence- and domain-level reporting "
-                "thresholds (domain_threshold / seq_threshold) when "
-                "not using the model-specific cutoffs"
-            )
-        if use_bitscores:
-            cmd += ["-T", str(seq_threshold),
-                    "--domT", str(domain_threshold)]
-        else:
-            cmd += ["-E", str(seq_threshold),
-                    "--domE", str(domain_threshold)]
-
-    if cpu is not None:
-        cmd += ["--cpu", str(cpu)]
-    if nobias:
-        cmd += ["--nobias"]
-    cmd += [database, query]
-
-    return_code, stdout, stderr = run(cmd)
-
-    verify_resources(
-        "hmmscan returned empty results: "
-        "stdout={} stderr={} file={}".format(
-            stdout, stderr, result.domtblout
-        ),
-        # the domain table is what pfam_hits consumes
-        result.domtblout,
+    _, stdout, stderr = run(
+        [binary,
+         "-o", result.output,
+         "--tblout", result.tblout,
+         "--domtblout", result.domtblout,
+         "--pfamtblout", result.pfamtblout,
+         "--notextw", "--acc"]
+        + _hmmscan_threshold_flags(
+            use_model_threshold, threshold_type, use_bitscores,
+            seq_threshold, domain_threshold,
+        )
+        + _performance_flags(cpu, nobias)
+        + [database, query]
     )
+
+    # the domain table is what pfam_hits consumes
+    _expect_output("hmmscan", "results", stdout, stderr,
+                   result.domtblout)
     return result
 
 
@@ -296,29 +295,25 @@ def _read_hmmer_table(filename, column_names):
     return pd.read_csv(buf, keep_default_na=False)
 
 
-TBL_COLUMNS = [
-    "target_name", "target_accession",
-    "query_name", "query_accession",
-    "full_Evalue", "full_score", "full_bias",
-    "best_domain_Evalue", "best_domain_score", "best_domain_bias",
-    "domain_exp", "domain_reg", "domain_clu",
-    "domain_ov", "domain_env", "domain_dom",
-    "domain_rep", "domain_inc",
-    "description",
-]
+# column schemas of HMMER's per-sequence (tblout) and per-domain
+# (domtblout) hit tables — the names downstream protocols key on
+TBL_COLUMNS = (
+    "target_name target_accession query_name query_accession "
+    "full_Evalue full_score full_bias "
+    "best_domain_Evalue best_domain_score best_domain_bias "
+    "domain_exp domain_reg domain_clu domain_ov domain_env "
+    "domain_dom domain_rep domain_inc description"
+).split()
 
-DOMTBL_COLUMNS = [
-    "target_name", "target_accession", "target_len",
-    "query_name", "query_accession", "query_len",
-    "full_Evalue", "full_score", "full_bias",
-    "hit_number", "total_hit_number",
-    "domain_c_Evalue", "domain_i_Evalue",
-    "domain_score", "domain_bias",
-    "hmm_from", "hmm_to",
-    "ali_from", "ali_to",
-    "env_from", "env_to",
-    "acc", "description",
-]
+DOMTBL_COLUMNS = (
+    "target_name target_accession target_len "
+    "query_name query_accession query_len "
+    "full_Evalue full_score full_bias "
+    "hit_number total_hit_number "
+    "domain_c_Evalue domain_i_Evalue domain_score domain_bias "
+    "hmm_from hmm_to ali_from ali_to env_from env_to "
+    "acc description"
+).split()
 
 
 def read_hmmer_tbl(filename):
@@ -345,21 +340,14 @@ def run_hhfilter(input_file, output_file, threshold=95, columns="a2m",
     )
     create_prefix_folders(output_file)
 
-    cmd = [
+    _, stdout, stderr = run([
         binary,
         "-i", input_file,
         "-o", output_file,
         "-id", str(threshold),
         "-M", columns,
-        "-v", str(2),
-    ]
-    return_code, stdout, stderr = run(cmd)
+        "-v", "2",
+    ])
 
-    verify_resources(
-        "hhfilter returned empty alignment: "
-        "stdout={} stderr={} file={}".format(
-            stdout, stderr, output_file
-        ),
-        output_file,
-    )
+    _expect_output("hhfilter", "alignment", stdout, stderr, output_file)
     return output_file
