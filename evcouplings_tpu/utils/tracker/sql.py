@@ -146,6 +146,12 @@ class SQLTracker(ResultTracker):
         # concurrent writer's lock, not crash at sqlite's 5 s default)
         conn = self._connect()
         try:
+            # the connections run in autocommit mode (_new_conn), so a
+            # transaction must be opened explicitly — without it every
+            # statement inside the scope commits immediately and the
+            # rollback below is a silent no-op. IMMEDIATE for the same
+            # writer serialization as update()'s read-merge-write.
+            conn.execute("BEGIN IMMEDIATE")
             yield conn
             conn.commit()
         except Exception:
