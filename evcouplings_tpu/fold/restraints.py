@@ -16,12 +16,18 @@ from evcouplings_tpu.utils.system import verify_resources
 
 _TEMPLATE_DIR = Path(__file__).parent / "cns_templates"
 
+# packaged default parametrization per restraint family
+_DEFAULT_CONFIG = {
+    "folding": "restraints.yml",
+    "docking": "haddock_restraints.yml",
+}
 
-def _folding_config(config_file=None):
-    """Load the folding restraint configuration (packaged default if
-    no file is given)."""
+
+def _restraint_config(kind, config_file):
+    """The restraint parametrization for `kind` ("folding"/"docking"):
+    the caller's file if given, else the packaged default."""
     if config_file is None:
-        config_file = str(_TEMPLATE_DIR / "restraints.yml")
+        config_file = str(_TEMPLATE_DIR / _DEFAULT_CONFIG[kind])
 
     verify_resources(
         "Folding config file does not exist or is empty", config_file
@@ -29,16 +35,14 @@ def _folding_config(config_file=None):
     return read_config_file(config_file)
 
 
-def _docking_config(config_file=None):
-    """Load the docking restraint configuration (packaged default if
-    no file is given)."""
-    if config_file is None:
-        config_file = str(_TEMPLATE_DIR / "haddock_restraints.yml")
+def _pair_label(aa_i, aa_j):
+    """Three-letter comment tag for a residue pair ("ALA VAL")."""
+    return AA1_to_AA3[aa_i] + " " + AA1_to_AA3[aa_j]
 
-    verify_resources(
-        "Folding config file does not exist or is empty", config_file
-    )
-    return read_config_file(config_file)
+
+def _missing_cb(aa, atom):
+    """Glycine has no CB, so a CB restraint on it must be dropped."""
+    return atom == "CB" and aa == "G"
 
 
 def secstruct_dist_restraints(residues, output_file, restraint_formatter,
@@ -50,50 +54,50 @@ def secstruct_dist_restraints(residues, output_file, restraint_formatter,
     residues must contain columns i, A_i, and the secondary-structure
     column (H/E/C).
     """
-    def _range_equal(start, end, char):
-        range_str = "".join(
-            secstruct[pos] for pos in range(start, end + 1)
-        )
-        return range_str == len(range_str) * char
+    params = _restraint_config("folding", config_file)[
+        "secstruct_distance_restraints"
+    ]
+    weight = params["weight"]
 
-    cfg = _folding_config(config_file)["secstruct_distance_restraints"]
+    state = dict(zip(residues.i, residues[secstruct_column]))
+    amino = dict(zip(residues.i, residues.A_i))
+    first, last = residues.i.min(), residues.i.max()
 
-    secstruct = dict(zip(residues.i, residues[secstruct_column]))
-    aa = dict(zip(residues.i, residues.A_i))
+    def stretch_is(char, lo, hi):
+        # the whole (inclusive) position range carries the same state
+        return all(state[p] == char for p in range(lo, hi + 1))
 
-    i_min = residues.i.min()
-    i_max = residues.i.max()
-    weight = cfg["weight"]
-
-    with open(output_file, "w") as f:
-        for sse, name in [("E", "strand"), ("H", "helix")]:
-            sse_cfg = cfg[name]
-
-            # restraints defined per sequence separation; apply where
-            # the whole stretch has the same secondary structure
-            for seq_dist, atoms in sorted(sse_cfg.items()):
-                for i in range(i_min, i_max - seq_dist + 1):
-                    j = i + seq_dist
-                    if not _range_equal(i, j, sse):
+    lines = []
+    # strand restraints first, then helix, each ordered by separation —
+    # the reference's file layout
+    for char, name in [("E", "strand"), ("H", "helix")]:
+        for separation, atom_pairs in sorted(params[name].items()):
+            for i in range(first, last - separation + 1):
+                j = i + separation
+                if not stretch_is(char, i, j):
+                    continue
+                for (atom_i, atom_j), (dist, spread) in \
+                        atom_pairs.items():
+                    if _missing_cb(amino[i], atom_i) or \
+                            _missing_cb(amino[j], atom_j):
                         continue
+                    lines.append(restraint_formatter(
+                        i, atom_i, j, atom_j,
+                        dist=dist, lower=spread, upper=spread,
+                        weight=weight,
+                        comment=_pair_label(amino[i], amino[j]),
+                    ))
 
-                    for (atom1, atom2), (dist, range_) in atoms.items():
-                        # glycine has no CB
-                        if ((atom1 == "CB" and aa[i] == "G")
-                                or (atom2 == "CB" and aa[j] == "G")):
-                            continue
+    with open(output_file, "w") as handle:
+        handle.write("".join(line + "\n" for line in lines))
 
-                        f.write(restraint_formatter(
-                            i, atom1, j, atom2,
-                            dist=dist,
-                            lower=range_,
-                            upper=range_,
-                            weight=weight,
-                            comment=(
-                                AA1_to_AA3[aa[i]] + " "
-                                + AA1_to_AA3[aa[j]]
-                            ),
-                        ) + "\n")
+
+# backbone atom sequences defining the phi/psi dihedrals at position i
+# (offset relative to i, atom name)
+_DIHEDRAL_ATOMS = {
+    "phi": ((0, "C"), (1, "N"), (1, "CA"), (1, "C")),
+    "psi": ((0, "N"), (0, "CA"), (0, "C"), (1, "N")),
+}
 
 
 def secstruct_angle_restraints(residues, output_file,
@@ -101,107 +105,98 @@ def secstruct_angle_restraints(residues, output_file,
                                secstruct_column="sec_struct_3state"):
     """Write .tbl phi/psi dihedral restraints for consecutive
     identical helix/strand states."""
-    def _phi(pos, sse):
-        return restraint_formatter(
-            pos, "C",
-            pos + 1, "N",
-            pos + 1, "CA",
-            pos + 1, "C",
-            **cfg[sse]["phi"],
-        )
+    params = _restraint_config("folding", config_file)[
+        "secstruct_angle_restraints"
+    ]
+    state = dict(zip(residues.i, residues[secstruct_column]))
+    first, last = residues.i.min(), residues.i.max()
 
-    def _psi(pos, sse):
-        return restraint_formatter(
-            pos, "N",
-            pos, "CA",
-            pos, "C",
-            pos + 1, "N",
-            **cfg[sse]["psi"],
-        )
+    def dihedral(pos, angle, element):
+        spec = [
+            part
+            for offset, atom in _DIHEDRAL_ATOMS[angle]
+            for part in (pos + offset, atom)
+        ]
+        return restraint_formatter(*spec, **params[element][angle])
 
-    cfg = _folding_config(config_file)["secstruct_angle_restraints"]
+    lines = []
+    # upper bound last - 1 (exclusive) skips the final adjacent pair
+    # (last-1, last); kept deliberately — exact restraint-file parity
+    # with the reference, whose loop has the same bound (reference
+    # fold/restraints.py:222)
+    for i in range(first, last - 1):
+        element = {"H": "helix", "E": "strand"}.get(state[i])
+        if element is not None and state[i + 1] == state[i]:
+            lines.append(dihedral(i, "phi", element))
+            lines.append(dihedral(i, "psi", element))
 
-    secstruct = dict(zip(residues.i, residues[secstruct_column]))
+    with open(output_file, "w") as handle:
+        handle.write("".join(line + "\n" for line in lines))
 
-    i_min = residues.i.min()
-    i_max = residues.i.max()
 
-    with open(output_file, "w") as f:
-        # upper bound i_max - 1 (exclusive) skips the final adjacent
-        # pair (i_max-1, i_max); kept deliberately — exact restraint-
-        # file parity with the reference, whose loop has the same
-        # bound (reference fold/restraints.py:222)
-        for i in range(i_min, i_max - 1):
-            if secstruct[i] == "H" and secstruct[i + 1] == "H":
-                f.write(_phi(i, "helix") + "\n")
-                f.write(_psi(i, "helix") + "\n")
-            elif secstruct[i] == "E" and secstruct[i + 1] == "E":
-                f.write(_phi(i, "strand") + "\n")
-                f.write(_psi(i, "strand") + "\n")
+# EC pair restraint families, in emission order
+_EC_RESTRAINT_TYPES = ("c_alpha", "c_beta", "tertiary_atom")
 
 
 def ec_dist_restraints(ec_pairs, output_file, restraint_formatter,
                        config_file=None):
     """Write .tbl distance restraints for EC pairs (columns i, j, A_i,
     A_j), one per enabled restraint type (CA / CB / side-chain atom)."""
-    cfg = _folding_config(config_file)["pair_distance_restraints"]
+    params = _restraint_config("folding", config_file)[
+        "pair_distance_restraints"
+    ]
 
-    with open(output_file, "w") as f:
-        for _, ec in ec_pairs.iterrows():
-            i, j, aa_i, aa_j = ec["i"], ec["j"], ec["A_i"], ec["A_j"]
+    lines = []
+    for ec in ec_pairs.itertuples(index=False):
+        for family in _EC_RESTRAINT_TYPES:
+            fam = params[family]
+            if not fam["use"]:
+                continue
 
-            for type_ in ["c_alpha", "c_beta", "tertiary_atom"]:
-                tcfg = cfg[type_]
-                if not tcfg["use"]:
-                    continue
+            if isinstance(fam["weight"], str):
+                raise NotImplementedError(
+                    "Restraint weighting functions not yet "
+                    "implemented: " + fam["weight"]
+                )
 
-                if isinstance(tcfg["weight"], str):
-                    raise NotImplementedError(
-                        "Restraint weighting functions not yet "
-                        "implemented: " + tcfg["weight"]
-                    )
-                weight = tcfg["weight"]
+            # atom selection: a per-residue-type map, or one fixed
+            # atom name for both partners
+            atoms = fam["atoms"]
+            if isinstance(atoms, dict):
+                atom_i, atom_j = atoms[ec.A_i], atoms[ec.A_j]
+            else:
+                atom_i = atom_j = atoms
 
-                # atoms: residue-type-specific map or fixed atom name
-                atoms = tcfg["atoms"]
-                if isinstance(atoms, dict):
-                    atom_i = atoms[aa_i]
-                    atom_j = atoms[aa_j]
-                else:
-                    atom_i = atoms
-                    atom_j = atoms
+            if _missing_cb(ec.A_i, atom_i) or \
+                    _missing_cb(ec.A_j, atom_j):
+                continue
 
-                # glycine has no CB
-                if ((aa_i == "G" and atom_i == "CB")
-                        or (aa_j == "G" and atom_j == "CB")):
-                    continue
+            lines.append(restraint_formatter(
+                ec.i, atom_i, ec.j, atom_j,
+                dist=fam["dist"], lower=fam["lower"],
+                upper=fam["upper"], weight=fam["weight"],
+                comment=_pair_label(ec.A_i, ec.A_j),
+            ))
 
-                f.write(restraint_formatter(
-                    i, atom_i, j, atom_j,
-                    dist=tcfg["dist"],
-                    lower=tcfg["lower"],
-                    upper=tcfg["upper"],
-                    weight=weight,
-                    comment=(
-                        AA1_to_AA3[aa_i] + " " + AA1_to_AA3[aa_j]
-                    ),
-                ) + "\n")
+    with open(output_file, "w") as handle:
+        handle.write("".join(line + "\n" for line in lines))
 
 
 def docking_restraints(ec_pairs, output_file, restraint_formatter,
                        config_file=None):
     """Write docking restraints for inter-segment EC pairs (columns i,
     j, A_i, A_j, segment_i, segment_j); segment A_1 -> chain A etc."""
-    cfg = _docking_config(config_file)["docking_restraints"]
+    params = _restraint_config("docking", config_file)[
+        "docking_restraints"
+    ]
 
-    with open(output_file, "w") as f:
-        for _, ec in ec_pairs.iterrows():
-            chain_i = ec["segment_i"][0]
-            chain_j = ec["segment_j"][0]
-
-            f.write(restraint_formatter(
-                ec["i"], chain_i, ec["j"], chain_j,
-                dist=cfg["dist"],
-                lower=cfg["lower"],
-                upper=cfg["upper"],
-            ) + "\n")
+    lines = [
+        restraint_formatter(
+            ec.i, ec.segment_i[0], ec.j, ec.segment_j[0],
+            dist=params["dist"], lower=params["lower"],
+            upper=params["upper"],
+        )
+        for ec in ec_pairs.itertuples(index=False)
+    ]
+    with open(output_file, "w") as handle:
+        handle.write("".join(line + "\n" for line in lines))
