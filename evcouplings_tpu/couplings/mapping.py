@@ -19,39 +19,43 @@ class Segment:
     """A continuous stretch of sequence in an alignment (a domain, or one
     monomer of a concatenated complex alignment)."""
 
+    # config list-representation field order ([segment_id, type, id,
+    # start, end, positions])
+    _LIST_FIELDS = ("segment_id", "segment_type", "sequence_id",
+                    "region_start", "region_end", "positions")
+
     def __init__(self, segment_type, sequence_id, region_start, region_end,
                  positions=None, segment_id="A"):
         self.segment_type = segment_type
         self.sequence_id = sequence_id
         self.region_start = region_start
         self.region_end = region_end
-        if positions is not None:
-            self.positions = list(map(int, positions))
-        else:
-            self.positions = None
+        self.positions = (
+            None if positions is None else [int(p) for p in positions]
+        )
         self.segment_id = segment_id
 
     @classmethod
     def from_list(cls, segment):
         """Create from list representation [segment_id, segment_type,
         sequence_id, region_start, region_end, positions] (config format)."""
-        (segment_id, segment_type, sequence_id,
-         region_start, region_end, positions) = segment
-        return cls(
-            segment_type, sequence_id, region_start, region_end,
-            positions, segment_id
-        )
+        return cls(**dict(zip(cls._LIST_FIELDS, segment)))
 
     def to_list(self):
         """List representation for storing in configs."""
-        return [
-            self.segment_id, self.segment_type, self.sequence_id,
-            self.region_start, self.region_end, self.positions,
-        ]
+        return [getattr(self, field) for field in self._LIST_FIELDS]
 
     def default_chain_name(self):
         """Default PDB chain identifier (part of segment_id before "_")."""
-        return self.segment_id.split("_")[0]
+        return self.segment_id.partition("_")[0]
+
+    def model_positions(self, focus_mode):
+        """The position labels this segment contributes to the model:
+        the continuous region range in focus mode, the explicit
+        (possibly discontinuous) position list otherwise."""
+        if focus_mode:
+            return range(self.region_start, self.region_end + 1)
+        return self.positions
 
 
 class SegmentIndexMapper:
@@ -60,26 +64,19 @@ class SegmentIndexMapper:
     def __init__(self, focus_mode, first_index, *segments):
         self.segments = deepcopy(segments)
 
-        # build target indices: (segment_id, position) tuples
-        self.target_pos = []
-        for s in segments:
-            if focus_mode:
-                # model numbering is continuous in focus mode
-                cur_target = range(s.region_start, s.region_end + 1)
-            else:
-                # non-focus: numbering may be discontinuous, use explicit
-                # model positions
-                cur_target = s.positions
-
-            self.target_pos += list(zip(
-                [s.segment_id] * len(cur_target), cur_target
-            ))
-
-        # corresponding continuous model positions (some may not exist in
-        # the model if they map to lowercase columns)
-        self.model_pos = list(range(
-            first_index, first_index + len(self.target_pos)
-        ))
+        # target side: (segment_id, position) labels, concatenated in
+        # segment order; model side: continuous ints from first_index.
+        # (Some model positions may not exist in a fitted model if they
+        # correspond to lowercase alignment columns.)
+        self.target_pos = [
+            (seg.segment_id, pos)
+            for seg in segments
+            for pos in seg.model_positions(focus_mode)
+        ]
+        self.model_pos = [
+            first_index + offset
+            for offset in range(len(self.target_pos))
+        ]
 
         self.target_to_model = dict(zip(self.target_pos, self.model_pos))
         self.model_to_target = dict(zip(self.model_pos, self.target_pos))
@@ -90,7 +87,7 @@ class SegmentIndexMapper:
             model = deepcopy(model)
 
         try:
-            mapped = [
+            model.index_list = [
                 self.model_to_target[pos] for pos in model.index_list
             ]
         except KeyError:
@@ -98,44 +95,40 @@ class SegmentIndexMapper:
                 "Mapping from target to model positions does not contain "
                 "all positions of internal model numbering"
             )
-
-        model.index_list = mapped
         return model
 
-    def __map(self, indices, mapping_dict):
-        if isinstance(indices, Iterable) and not isinstance(indices, tuple):
-            return [mapping_dict[x] for x in indices]
-        return mapping_dict[indices]
+    @staticmethod
+    def _lookup(mapping, key_or_keys):
+        # a tuple is ONE (segment_id, pos) key, not a key sequence
+        if isinstance(key_or_keys, Iterable) and \
+                not isinstance(key_or_keys, tuple):
+            return [mapping[key] for key in key_or_keys]
+        return mapping[key_or_keys]
 
     def __call__(self, segment_id, pos):
         return self.to_model((segment_id, pos))
 
     def to_target(self, x):
         """Model index (int) -> target index ((segment_id, pos))."""
-        return self.__map(x, self.model_to_target)
+        return self._lookup(self.model_to_target, x)
 
     def to_model(self, x):
         """Target index ((segment_id, pos)) -> model index (int)."""
-        return self.__map(x, self.target_to_model)
+        return self._lookup(self.target_to_model, x)
 
 
 def segment_map_ecs(ecs, mapper):
     """Map an EC table's i/j columns from model numbering to segment
     numbering, adding segment_i/segment_j columns."""
-    ecs = deepcopy(ecs)
+    remapped = deepcopy(ecs)
 
-    def _map_column(col):
-        seg_col = "segment_" + col
-        col_m = pd.DataFrame(
-            mapper.to_target(ecs.loc[:, col]),
-            columns=[seg_col, col],
-        )
-        ecs.loc[:, col] = col_m.loc[:, col].values
-        ecs.loc[:, seg_col] = col_m.loc[:, seg_col].values
+    for column in ("i", "j"):
+        pairs = mapper.to_target(remapped.loc[:, column])
+        segments, positions = zip(*pairs) if pairs else ((), ())
+        remapped.loc[:, column] = list(positions)
+        remapped.loc[:, "segment_" + column] = list(segments)
 
-    _map_column("i")
-    _map_column("j")
-    return ecs
+    return remapped
 
 
 class MultiSegmentCouplingsModel(CouplingsModel):
@@ -147,29 +140,28 @@ class MultiSegmentCouplingsModel(CouplingsModel):
                  file_format="plmc_v2", **kwargs):
         super().__init__(filename, precision, file_format, **kwargs)
 
-        if len(segments) == 0:
+        if not segments:
             raise ValueError(
                 "Must provide at least one segment for "
                 "MultiSegmentCouplingsModel"
             )
 
-        first_segment = segments[0]
-        index_start = first_segment.region_start
-        r = SegmentIndexMapper(True, index_start, *segments)
-        r.patch_model(model=self)
+        SegmentIndexMapper(
+            True, segments[0].region_start, *segments
+        ).patch_model(model=self)
 
     def to_inter_segment_model(self):
         """Copy of the model with h_i = 0 and only inter-segment J_ij kept
         (intra-segment couplings zeroed)."""
-        h_i = np.zeros((self.L, self.num_symbols))
+        # segment id per model position; a coupling survives only when
+        # its two positions live on different segments
+        owner = np.array([seg_id for seg_id, _ in self.index_list])
+        crosses = owner[:, None] != owner[None, :]
 
-        # segment id per position; keep J only where segments differ
-        seg_ids = np.array([i[0] for i in self.index_list])
-        inter = (seg_ids[:, None] != seg_ids[None, :])
-        J_ij = np.where(inter[:, :, None, None], self.J_ij, 0.0)
-
-        ci = deepcopy(self)
-        ci.h_i = h_i
-        ci.J_ij = J_ij
-        ci._reset_precomputed()
-        return ci
+        reduced = deepcopy(self)
+        reduced.h_i = np.zeros((self.L, self.num_symbols))
+        reduced.J_ij = np.where(
+            crosses[:, :, None, None], self.J_ij, 0.0
+        )
+        reduced._reset_precomputed()
+        return reduced
