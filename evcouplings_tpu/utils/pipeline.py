@@ -83,19 +83,20 @@ EXTENSION_BAILOUT = ".bailout"
 EXTENSION_DONE = ".done"
 
 
-def execute(**config):
-    """Execute a pipeline configuration; returns the final global
-    output state."""
-    check_required(config, ["pipeline", "stages", "global"])
-
-    if config["pipeline"] not in PIPELINES:
+def _resolve_pipeline(config):
+    """The (stage, runner, key_prefix) list for config["pipeline"],
+    rejecting unknown pipeline names."""
+    try:
+        return PIPELINES[config["pipeline"]]
+    except KeyError:
         raise InvalidParameterError(
             "Not a valid pipeline selection. "
             "Valid choices are:\n{}".format(", ".join(PIPELINES.keys()))
-        )
+        ) from None
 
-    pipeline = PIPELINES[config["pipeline"]]
 
+def _requested_stages(config, pipeline):
+    """The validated list of stage names this run should execute."""
     stages = config["stages"]
     if stages is None:
         raise InvalidParameterError("No stages defined, need at least one.")
@@ -103,6 +104,7 @@ def execute(**config):
         # a bare YAML scalar (stages: align) would otherwise do
         # substring membership and count characters as stages
         stages = [stages]
+
     known = [name for name, _, _ in pipeline]
     unknown = [s for s in stages if s not in known]
     if unknown:
@@ -112,31 +114,94 @@ def execute(**config):
                 ", ".join(unknown), config["pipeline"], ", ".join(known)
             )
         )
+    return stages
 
+
+def _require_prefix(global_section):
+    prefix = (global_section or {}).get("prefix")
     # an empty `global:` YAML section parses as None — surface the
     # missing prefix as the configuration error it is
-    global_section = config["global"] or {}
-    prefix = global_section.get("prefix")
     if prefix is None:
         raise InvalidParameterError(
             "Configuration does not include 'prefix' setting in "
             "'global' section"
         )
+    return prefix
+
+
+def _execute_stage(config, stage, runner, key_prefix, global_state,
+                   stage_prefix, incfg_file, outcfg_file):
+    """Run one stage fresh: compose its input config (global state
+    last — it overrides stage settings), persist incfg/outcfg, and
+    return the stage's (possibly key-prefixed) outputs."""
+    # empty YAML sections parse as None — treat them as {} instead of
+    # crashing the unpack with a TypeError
+    incfg = {
+        **(config["tools"] or {}),
+        **(config["databases"] or {}),
+        **(config[stage] or {}),
+        **global_state,
+        "prefix": stage_prefix,
+    }
+    write_config_file(incfg_file, incfg)
+
+    with stage_timer(stage):
+        outcfg = runner(**incfg)
+
+    # avoid key collisions when a stage runs twice (complexes)
+    if key_prefix is not None:
+        outcfg = {key_prefix + k: v for k, v in outcfg.items()}
+
+    write_config_file(outcfg_file, outcfg)
+    return outcfg
+
+
+def _reuse_stage(stage, outcfg_file):
+    """Skipped stage: load its previous outputs, verifying the outcfg
+    and every *_file product still exist."""
+    verify_resources(
+        "Trying to skip, but output configuration "
+        "for stage '{}' does not exist. Has it already "
+        "been run?".format(stage),
+        outcfg_file,
+    )
+    outcfg = read_config_file(outcfg_file)
+
+    products = [
+        location for key, location in outcfg.items()
+        if key.endswith("_file") and location is not None
+    ]
+    verify_resources(
+        "Output files from stage '{}' missing".format(stage),
+        *products,
+    )
+    return outcfg
+
+
+def execute(**config):
+    """Execute a pipeline configuration; returns the final global
+    output state."""
+    check_required(config, ["pipeline", "stages", "global"])
+
+    pipeline = _resolve_pipeline(config)
+    stages = _requested_stages(config, pipeline)
+
+    prefix = _require_prefix(config["global"])
     create_prefix_folders(prefix)
 
     # fresh span registry per job (several jobs may share a process)
     clear_spans()
 
     # results accumulated while moving through the stages
-    global_state = global_section
-    num_stages_to_run = len(stages)
+    global_state = config["global"] or {}
+    remaining = len(stages)
 
     tracker = get_result_tracker(config)
     tracker.update(status=EStatus.RUN, results=global_state)
 
-    for (stage, runner, key_prefix) in pipeline:
+    for stage, runner, key_prefix in pipeline:
         # everything requested has run; trailing stages are skipped
-        if num_stages_to_run == 0:
+        if remaining == 0:
             break
 
         check_required(config, [stage])
@@ -144,52 +209,19 @@ def execute(**config):
         # each stage writes into its own subdirectory
         stage_prefix = insert_dir(prefix, stage)
         create_prefix_folders(stage_prefix)
-
-        stage_incfg = "{}_{}.incfg".format(stage_prefix, stage)
-        stage_outcfg = "{}_{}.outcfg".format(stage_prefix, stage)
+        incfg_file = "{}_{}.incfg".format(stage_prefix, stage)
+        outcfg_file = "{}_{}.outcfg".format(stage_prefix, stage)
 
         tracker.update(stage=stage)
 
         if stage in stages:
-            # global state comes last: it overrides stage settings.
-            # Empty YAML sections parse as None — treat them as {}
-            # instead of crashing the unpack with a TypeError
-            incfg = {
-                **(config["tools"] or {}),
-                **(config["databases"] or {}),
-                **(config[stage] or {}),
-                **global_state,
-                "prefix": stage_prefix,
-            }
-            write_config_file(stage_incfg, incfg)
-
-            with stage_timer(stage):
-                outcfg = runner(**incfg)
-
-            # avoid key collisions when a stage runs twice (complexes)
-            if key_prefix is not None:
-                outcfg = {key_prefix + k: v for k, v in outcfg.items()}
-
-            write_config_file(stage_outcfg, outcfg)
-            num_stages_to_run -= 1
+            outcfg = _execute_stage(
+                config, stage, runner, key_prefix, global_state,
+                stage_prefix, incfg_file, outcfg_file,
+            )
+            remaining -= 1
         else:
-            # skipped stage: reuse previous results after verifying them
-            verify_resources(
-                "Trying to skip, but output configuration "
-                "for stage '{}' does not exist. Has it already "
-                "been run?".format(stage),
-                stage_outcfg,
-            )
-            outcfg = read_config_file(stage_outcfg)
-
-            outfiles = [
-                filepath for f, filepath in outcfg.items()
-                if f.endswith("_file") and filepath is not None
-            ]
-            verify_resources(
-                "Output files from stage '{}' missing".format(stage),
-                *outfiles,
-            )
+            outcfg = _reuse_stage(stage, outcfg_file)
 
         global_state = {**global_state, **outcfg}
         tracker.update(results=outcfg)
@@ -220,46 +252,54 @@ def execute(**config):
     return global_state
 
 
+def _write_targz(archive_file, members):
+    with tarfile.open(archive_file, "w:gz") as bundle:
+        for member in members:
+            bundle.add(member)
+
+
+def _write_zip(archive_file, members):
+    with zipfile.ZipFile(
+        archive_file, "w", zipfile.ZIP_DEFLATED
+    ) as bundle:
+        for member in members:
+            bundle.write(member)
+
+
+# archive_format -> (file suffix, writer)
+_ARCHIVE_FORMATS = {
+    "targz": (".tar.gz", _write_targz),
+    "zip": (".zip", _write_zip),
+}
+
+
 def create_archive(config, outcfg, prefix):
     """Archive the output files selected by management.archive into
     prefix.tar.gz (default) or prefix.zip."""
-    ALLOWED_FORMATS = ["targz", "zip"]
-
     management = config.get("management") or {}
-    archive_format = management.get("archive_format", "targz")
     archive_keys = management.get("archive", None)
     if archive_keys is None:
         return None
 
-    if archive_format not in ALLOWED_FORMATS:
+    archive_format = management.get("archive_format", "targz")
+    if archive_format not in _ARCHIVE_FORMATS:
         raise InvalidParameterError(
             "Invalid format for output archive: {}. ".format(archive_format)
-            + "Valid options are: " + ", ".join(ALLOWED_FORMATS)
+            + "Valid options are: " + ", ".join(_ARCHIVE_FORMATS)
         )
 
-    archive_files = [
-        (file_path, file_key, idx)
-        for (file_path, file_key, idx)
-        in iterate_files(outcfg, subset=archive_keys)
-        if valid_file(file_path)
+    members = [
+        location
+        for location, _, _ in iterate_files(outcfg, subset=archive_keys)
+        if valid_file(location)
     ]
-    if len(archive_files) == 0:
+    if not members:
         return None
 
-    if archive_format == "targz":
-        final_archive_file = prefix + ".tar.gz"
-        with tarfile.open(final_archive_file, "w:gz") as tar:
-            for (file_path, file_key, idx) in archive_files:
-                tar.add(file_path)
-    else:
-        final_archive_file = prefix + ".zip"
-        with zipfile.ZipFile(
-            final_archive_file, "w", zipfile.ZIP_DEFLATED
-        ) as zip_:
-            for (file_path, file_key, idx) in archive_files:
-                zip_.write(file_path)
-
-    return final_archive_file
+    suffix, writer = _ARCHIVE_FORMATS[archive_format]
+    archive_file = prefix + suffix
+    writer(archive_file, members)
+    return archive_file
 
 
 def delete_outputs(config, outcfg):
@@ -269,19 +309,15 @@ def delete_outputs(config, outcfg):
     if delete_keys is None:
         return outcfg
 
-    outcfg_cleaned = deepcopy(outcfg)
-
-    for (file_path, file_key, idx) in iterate_files(
-        outcfg, subset=delete_keys
-    ):
+    survivors = deepcopy(outcfg)
+    for location, key, _ in iterate_files(outcfg, subset=delete_keys):
         try:
-            os.remove(file_path)
+            os.remove(location)
         except OSError:
             pass
-        if file_key in outcfg_cleaned:
-            del outcfg_cleaned[file_key]
+        survivors.pop(key, None)
 
-    return outcfg_cleaned
+    return survivors
 
 
 def verify_prefix(verify_subdir=True, **config):
@@ -303,10 +339,13 @@ def verify_prefix(verify_subdir=True, **config):
     try:
         create_prefix_folders(prefix)
 
-        with open(prefix + ".test__", "w"):
+        # probe writability of the prefix directory itself...
+        probe = prefix + ".test__"
+        with open(probe, "w"):
             pass
-        os.remove(prefix + ".test__")
+        os.remove(probe)
 
+        # ...and, for pipelines, of a freshly created stage subdirectory
         if verify_subdir:
             sub_prefix = insert_dir(prefix, "test__")
             create_prefix_folders(sub_prefix)
@@ -317,6 +356,23 @@ def verify_prefix(verify_subdir=True, **config):
         ) from e
 
     return prefix
+
+
+def _clear_flag_files(prefix):
+    """Remove flag files left behind by previous executions."""
+    for ext in (
+        EXTENSION_FAILED, EXTENSION_TERMINATED,
+        EXTENSION_DONE, EXTENSION_BAILOUT,
+    ):
+        try:
+            os.remove(prefix + ext)
+        except OSError:
+            pass
+
+
+def _write_flag(prefix, extension, content):
+    with open(prefix + extension, "w") as handle:
+        handle.write(content)
 
 
 def execute_wrapped(**config):
@@ -333,19 +389,13 @@ def execute_wrapped(**config):
         )
         raise
 
-    # clear flags from previous executions
-    for ext in [
-        EXTENSION_FAILED, EXTENSION_TERMINATED,
-        EXTENSION_DONE, EXTENSION_BAILOUT,
-    ]:
-        try:
-            os.remove(prefix + ext)
-        except OSError:
-            pass
+    _clear_flag_files(prefix)
 
     def _handler(signal_, frame):
-        with open(prefix + EXTENSION_TERMINATED, "w") as f:
-            f.write("SIGNAL: {}\n".format(signal_))
+        _write_flag(
+            prefix, EXTENSION_TERMINATED,
+            "SIGNAL: {}\n".format(signal_),
+        )
         tracker.update(
             status=EStatus.TERM,
             message="Terminated with signal: {}\n".format(signal_),
@@ -364,9 +414,7 @@ def execute_wrapped(**config):
 
     try:
         outcfg = execute(**config)
-
-        with open(prefix + EXTENSION_DONE, "w") as f:
-            f.write(repr(outcfg))
+        _write_flag(prefix, EXTENSION_DONE, repr(outcfg))
         return outcfg
 
     except Exception as e:
@@ -383,9 +431,7 @@ def execute_wrapped(**config):
              "Crashed during job execution")
         )
 
-        with open(prefix + extension, "w") as f:
-            f.write(trace_text)
-
+        _write_flag(prefix, extension, trace_text)
         tracker.update(
             status=status,
             message="{}: {}".format(what, trace_text),
