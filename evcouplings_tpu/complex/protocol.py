@@ -40,16 +40,29 @@ from evcouplings_tpu.utils.system import (
 def modify_complex_segments(outcfg, **kwargs):
     """Rename the monomer segments of the concatenated alignment to
     A_1, A_2, ..., B_1, ... (first/second monomer prefixes)."""
-    def _modify_segments(seg_list, seg_prefix):
-        segs = [Segment.from_list(s) for s in seg_list]
-        for i, s in enumerate(segs, start=1):
-            s.segment_id = "{}_{}".format(seg_prefix, i)
-        return segs
+    def _relabel(config_key, letter):
+        renamed = []
+        for number, entry in enumerate(kwargs[config_key], start=1):
+            segment = Segment.from_list(entry)
+            segment.segment_id = "{}_{}".format(letter, number)
+            renamed.append(segment.to_list())
+        return renamed
 
-    segments_1 = _modify_segments(kwargs["first_segments"], "A")
-    segments_2 = _modify_segments(kwargs["second_segments"], "B")
-    outcfg["segments"] = [s.to_list() for s in segments_1 + segments_2]
+    outcfg["segments"] = (
+        _relabel("first_segments", "A") + _relabel("second_segments", "B")
+    )
     return outcfg
+
+
+def _count_embl_cds(genome_location_filename):
+    """Distinct uniprot ACs with a genome location, or NaN when the
+    table is absent or carries no uniprot_ac column."""
+    if genome_location_filename is None:
+        return np.nan
+    locations = pd.read_csv(genome_location_filename)
+    if "uniprot_ac" not in locations.columns:
+        return np.nan
+    return len(set(locations.uniprot_ac))
 
 
 def describe_concatenation(annotation_file_1, annotation_file_2,
@@ -57,55 +70,51 @@ def describe_concatenation(annotation_file_1, annotation_file_2,
                            genome_location_filename_2, outfile):
     """Write summary statistics of the two monomer alignments and their
     species overlap (one-row CSV, column layout as in the reference)."""
-    annotations_1 = read_species_annotation_table(annotation_file_1)
-    annotations_2 = read_species_annotation_table(annotation_file_2)
-    species_1 = annotations_1.species.values
-    species_2 = annotations_2.species.values
+    species_1 = read_species_annotation_table(
+        annotation_file_1
+    ).species.values
+    species_2 = read_species_annotation_table(
+        annotation_file_2
+    ).species.values
 
-    embl_cds1 = np.nan
-    embl_cds2 = np.nan
-    if (genome_location_filename_1 is not None
-            and genome_location_filename_2 is not None):
-        genome_location_table_1 = pd.read_csv(genome_location_filename_1)
-        genome_location_table_2 = pd.read_csv(genome_location_filename_2)
-        if "uniprot_ac" in genome_location_table_1.columns:
-            embl_cds1 = len(set(genome_location_table_1.uniprot_ac))
-        if "uniprot_ac" in genome_location_table_2.columns:
-            embl_cds2 = len(set(genome_location_table_2.uniprot_ac))
+    # CDS counts only when BOTH genome tables exist (reference layout)
+    both_present = (genome_location_filename_1 is not None
+                    and genome_location_filename_2 is not None)
+    embl_cds1 = _count_embl_cds(
+        genome_location_filename_1 if both_present else None
+    )
+    embl_cds2 = _count_embl_cds(
+        genome_location_filename_2 if both_present else None
+    )
 
-    data = [
-        len(annotations_1),
-        len(annotations_2),
-        len(set(species_1)),
-        len(set(species_2)),
-        len(set(species_1) & set(species_2)),
-        float(np.median(list(Counter(species_1).values()))),
-        float(np.median(list(Counter(species_2).values()))),
-        embl_cds1,
-        embl_cds2,
-    ]
-    cols = [
-        "num_seqs_1", "num_seqs_2",
-        "num_nonred_species_1", "num_nonred_species_2",
-        "num_species_overlap",
-        "median_num_per_species_1", "median_num_per_species_2",
-        "num_with_embl_cds_1", "num_with_embl_cds_2",
-    ]
-    pd.DataFrame([data], columns=cols).to_csv(outfile)
+    def median_copies(species):
+        return float(np.median(list(Counter(species).values())))
+
+    statistics = {
+        "num_seqs_1": len(species_1),
+        "num_seqs_2": len(species_2),
+        "num_nonred_species_1": len(set(species_1)),
+        "num_nonred_species_2": len(set(species_2)),
+        "num_species_overlap": len(set(species_1) & set(species_2)),
+        "median_num_per_species_1": median_copies(species_1),
+        "median_num_per_species_2": median_copies(species_2),
+        "num_with_embl_cds_1": embl_cds1,
+        "num_with_embl_cds_2": embl_cds2,
+    }
+    pd.DataFrame([statistics]).to_csv(outfile)
 
 
 def _run_describe_concatenation(outcfg, **kwargs):
-    prefix = kwargs["prefix"]
-    outcfg["concatentation_statistics_file"] = (
-        prefix + "_concatenation_statistics.csv"
-    )
+    stats_file = kwargs["prefix"] + "_concatenation_statistics.csv"
     describe_concatenation(
         kwargs["first_annotation_file"],
         kwargs["second_annotation_file"],
         kwargs.get("first_genome_location_file"),
         kwargs.get("second_genome_location_file"),
-        outcfg["concatentation_statistics_file"],
+        stats_file,
     )
+    # key spelled as in the reference (including its typo)
+    outcfg["concatentation_statistics_file"] = stats_file
     return outcfg
 
 
@@ -122,39 +131,43 @@ def _write_and_filter_concatenated(id_pairing, kwargs):
             kwargs["second_focus_sequence"],
         )
 
-    raw_alignment_file = prefix + "_raw.fasta"
-    with open(raw_alignment_file, "w") as of:
-        raw_ali.write(of)
+    def save(alignment, tag):
+        filename = prefix + tag + ".fasta"
+        with open(filename, "w") as handle:
+            alignment.write(handle)
+        return filename
 
-    mon_alignment_file_1 = prefix + "_monomer_1.fasta"
-    with open(mon_alignment_file_1, "w") as of:
-        mon_ali_1.write(of)
+    raw_alignment_file = save(raw_ali, "_raw")
 
-    mon_alignment_file_2 = prefix + "_monomer_2.fasta"
-    with open(mon_alignment_file_2, "w") as of:
-        mon_ali_2.write(of)
-
-    aln_outcfg, _ = modify_alignment(
+    outcfg, _ = modify_alignment(
         raw_ali,
         target_seq_index,
         target_seq_id,
         kwargs["first_region_start"],
         **kwargs,
     )
-
-    outcfg = aln_outcfg
-    outcfg["raw_alignment_file"] = raw_alignment_file
-    outcfg["first_concatenated_monomer_alignment_file"] = (
-        mon_alignment_file_1
-    )
-    outcfg["second_concatenated_monomer_alignment_file"] = (
-        mon_alignment_file_2
-    )
-    outcfg["focus_sequence"] = target_seq_id
+    outcfg.update({
+        "raw_alignment_file": raw_alignment_file,
+        "first_concatenated_monomer_alignment_file":
+            save(mon_ali_1, "_monomer_1"),
+        "second_concatenated_monomer_alignment_file":
+            save(mon_ali_2, "_monomer_2"),
+        "focus_sequence": target_seq_id,
+    })
 
     outcfg = modify_complex_segments(outcfg, **kwargs)
-    outcfg = _run_describe_concatenation(outcfg, **kwargs)
-    return outcfg
+    return _run_describe_concatenation(outcfg, **kwargs)
+
+
+# configuration keys shared by both concatenation protocols
+_COMMON_REQUIRED = [
+    "prefix",
+    "first_alignment_file", "second_alignment_file",
+    "first_focus_sequence", "second_focus_sequence",
+    "first_focus_mode", "second_focus_mode",
+    "first_segments", "second_segments",
+    "first_annotation_file", "second_annotation_file",
+]
 
 
 def genome_distance(**kwargs):
@@ -162,20 +175,12 @@ def genome_distance(**kwargs):
     closest on the same genome (operon-based pairing)."""
     check_required(
         kwargs,
-        [
-            "prefix",
-            "first_alignment_file", "second_alignment_file",
-            "first_focus_sequence", "second_focus_sequence",
-            "first_focus_mode", "second_focus_mode",
+        _COMMON_REQUIRED + [
             "first_region_start", "second_region_start",
-            "first_segments", "second_segments",
             "genome_distance_threshold",
             "first_genome_location_file", "second_genome_location_file",
-            "first_annotation_file", "second_annotation_file",
         ],
     )
-
-    prefix = kwargs["prefix"]
 
     verify_resources(
         "Input alignment does not exist",
@@ -186,39 +191,54 @@ def genome_distance(**kwargs):
         kwargs["first_genome_location_file"],
         kwargs["second_genome_location_file"],
     )
-    create_prefix_folders(prefix)
+    create_prefix_folders(kwargs["prefix"])
 
-    gene_location_table_1 = pd.read_csv(
-        kwargs["first_genome_location_file"], header=0
+    candidates = find_possible_partners(
+        pd.read_csv(kwargs["first_genome_location_file"], header=0),
+        pd.read_csv(kwargs["second_genome_location_file"], header=0),
     )
-    gene_location_table_2 = pd.read_csv(
-        kwargs["second_genome_location_file"], header=0
-    )
+    reciprocal_best = best_reciprocal_matching(candidates)
 
-    possible_partners = find_possible_partners(
-        gene_location_table_1, gene_location_table_2
-    )
-    id_pairing_unfiltered = best_reciprocal_matching(possible_partners)
-
-    if kwargs["genome_distance_threshold"]:
-        distance_threshold = kwargs["genome_distance_threshold"]
-        id_pairing = id_pairing_unfiltered.query(
-            "distance < @distance_threshold"
-        )
+    threshold = kwargs["genome_distance_threshold"]
+    if threshold:
+        paired = reciprocal_best[reciprocal_best.distance < threshold]
     else:
-        id_pairing = id_pairing_unfiltered
+        paired = reciprocal_best
 
-    id_pairing = id_pairing.assign(
-        id_1=id_pairing.uniprot_id_1, id_2=id_pairing.uniprot_id_2
+    paired = paired.assign(
+        id_1=paired.uniprot_id_1, id_2=paired.uniprot_id_2
     )
 
-    outcfg = _write_and_filter_concatenated(id_pairing, kwargs)
+    outcfg = _write_and_filter_concatenated(paired, kwargs)
 
-    outcfg["distance_plot_file"] = prefix + "_distplot.pdf"
+    outcfg["distance_plot_file"] = kwargs["prefix"] + "_distplot.pdf"
     plot_distance_distribution(
-        id_pairing_unfiltered, outcfg["distance_plot_file"]
+        reciprocal_best, outcfg["distance_plot_file"]
     )
     return outcfg
+
+
+def _best_hits_per_species(kwargs, side):
+    """Per-species most-similar hits for one monomer ("first"/
+    "second"), optionally restricted to best-reciprocal hits with
+    paralog filtering."""
+    def cfg(name):
+        return kwargs["{}_{}".format(side, name)]
+
+    annotations = read_species_annotation_table(cfg("annotation_file"))
+    similarities = pd.read_csv(cfg("identities_file"))
+
+    hits = most_similar_by_organism(similarities, annotations)
+    if kwargs["use_best_reciprocal"]:
+        hits = filter_best_reciprocal(
+            cfg("alignment_file"),
+            find_paralogs(
+                cfg("focus_sequence"), annotations, similarities,
+                kwargs["paralog_identity_threshold"],
+            ),
+            hits,
+        )
+    return hits
 
 
 def best_hit(**kwargs):
@@ -226,65 +246,21 @@ def best_hit(**kwargs):
     hits to the two target sequences."""
     check_required(
         kwargs,
-        [
-            "prefix",
-            "first_alignment_file", "second_alignment_file",
-            "first_focus_sequence", "second_focus_sequence",
-            "first_focus_mode", "second_focus_mode",
-            "first_segments", "second_segments",
+        _COMMON_REQUIRED + [
             "first_identities_file", "second_identities_file",
-            "first_annotation_file", "second_annotation_file",
             "use_best_reciprocal", "paralog_identity_threshold",
         ],
     )
-
-    prefix = kwargs["prefix"]
 
     verify_resources(
         "Input alignment does not exist",
         kwargs["first_alignment_file"], kwargs["second_alignment_file"],
     )
-    create_prefix_folders(prefix)
-
-    def _load_monomer_info(annotations_file, identities_file,
-                           target_sequence, alignment_file,
-                           use_best_reciprocal, identity_threshold):
-        annotation_table = read_species_annotation_table(annotations_file)
-        similarities = pd.read_csv(identities_file)
-
-        most_similar_in_species = most_similar_by_organism(
-            similarities, annotation_table
-        )
-        if use_best_reciprocal:
-            paralogs = find_paralogs(
-                target_sequence, annotation_table, similarities,
-                identity_threshold,
-            )
-            most_similar_in_species = filter_best_reciprocal(
-                alignment_file, paralogs, most_similar_in_species
-            )
-        return most_similar_in_species
-
-    most_similar_in_species_1 = _load_monomer_info(
-        kwargs["first_annotation_file"],
-        kwargs["first_identities_file"],
-        kwargs["first_focus_sequence"],
-        kwargs["first_alignment_file"],
-        kwargs["use_best_reciprocal"],
-        kwargs["paralog_identity_threshold"],
-    )
-    most_similar_in_species_2 = _load_monomer_info(
-        kwargs["second_annotation_file"],
-        kwargs["second_identities_file"],
-        kwargs["second_focus_sequence"],
-        kwargs["second_alignment_file"],
-        kwargs["use_best_reciprocal"],
-        kwargs["paralog_identity_threshold"],
-    )
+    create_prefix_folders(kwargs["prefix"])
 
     # per-species pairing: intersection of species in both alignments
-    species_intersection = most_similar_in_species_1.merge(
-        most_similar_in_species_2,
+    species_intersection = _best_hits_per_species(kwargs, "first").merge(
+        _best_hits_per_species(kwargs, "second"),
         how="inner",
         on="species",
         suffixes=("_1", "_2"),
