@@ -61,64 +61,93 @@ def _plot_models(models_and_types, prefix, outcfg):
         outcfg["mutation_matrix_plot_files"].append(filename + ".pdf")
 
 
+def _begin_stage(kwargs):
+    """Shared protocol entry: model file check, prefix folders, and the
+    base output state."""
+    verify_resources(
+        "Model parameter file does not exist", kwargs["model_file"]
+    )
+    prefix = kwargs["prefix"]
+    create_prefix_folders(prefix)
+    return {
+        "mutation_matrix_file": prefix + "_single_mutant_matrix.csv",
+        "mutation_matrix_plot_files": [],
+    }
+
+
+def _single_mutant_table(tagged_models, matrix_file):
+    """Full single-mutant landscape: the scan runs on the first model,
+    every further model adds its prediction_<tag> column; the table is
+    persisted to matrix_file."""
+    (lead_tag, lead_model), *others = tagged_models
+    table = single_mutant_matrix(
+        lead_model, output_column="prediction_" + lead_tag
+    )
+    for tag, model in others:
+        table = predict_mutation_table(
+            model, table, "prediction_" + tag
+        )
+    table.to_csv(matrix_file, index=False)
+    return table
+
+
+def _write_pymol_scripts(singles, tagged_models, prefix, outcfg,
+                         **script_kwargs):
+    """One .pml effect-visualization script per model tag."""
+    outcfg["mutations_epistatic_pml_files"] = []
+    for tag, _ in tagged_models:
+        script_file = prefix + "_{}_model.pml".format(tag)
+        vis_mutations.mutation_pymol_script(
+            singles, script_file,
+            effect_column="prediction_" + tag,
+            **script_kwargs,
+        )
+        outcfg["mutations_epistatic_pml_files"].append(script_file)
+
+
+def _score_dataset(data, scorers, out_file):
+    """Add one prediction column per (model, column) pair to an
+    experimental mutation dataset and persist it."""
+    for model, column in scorers:
+        data = predict_mutation_table(model, data, column)
+    data.to_csv(out_file, index=False)
+
+
 def standard(**kwargs):
     """Protocol: mutation-effect calculation for protein monomers
     (epistatic + independent model)."""
     check_required(
         kwargs, ["prefix", "model_file", "mutation_dataset_file"]
     )
-
     prefix = kwargs["prefix"]
+    outcfg = _begin_stage(kwargs)
 
-    outcfg = {
-        "mutation_matrix_file": prefix + "_single_mutant_matrix.csv",
-        "mutation_matrix_plot_files": [],
-    }
+    epistatic = CouplingsModel(kwargs["model_file"])
+    independent = epistatic.to_independent_model()
+    tagged = [("epistatic", epistatic), ("independent", independent)]
 
-    verify_resources(
-        "Model parameter file does not exist", kwargs["model_file"]
+    _plot_models(
+        [(epistatic, "Epistatic"), (independent, "Independent")],
+        prefix, outcfg,
     )
-    create_prefix_folders(prefix)
 
-    c = CouplingsModel(kwargs["model_file"])
-    c0 = c.to_independent_model()
-
-    _plot_models([(c, "Epistatic"), (c0, "Independent")], prefix, outcfg)
-
-    singles = single_mutant_matrix(
-        c, output_column="prediction_epistatic"
+    singles = _single_mutant_table(
+        tagged, outcfg["mutation_matrix_file"]
     )
-    singles = predict_mutation_table(
-        c0, singles, "prediction_independent"
-    )
-    singles.to_csv(outcfg["mutation_matrix_file"], index=False)
-
-    outcfg["mutations_epistatic_pml_files"] = []
-    for model in ["epistatic", "independent"]:
-        pml_filename = prefix + "_{}_model.pml".format(model)
-        vis_mutations.mutation_pymol_script(
-            singles, pml_filename, effect_column="prediction_" + model
-        )
-        outcfg["mutations_epistatic_pml_files"].append(pml_filename)
+    _write_pymol_scripts(singles, tagged, prefix, outcfg)
 
     # score an experimental dataset if given
     dataset_file = kwargs["mutation_dataset_file"]
     if dataset_file is not None:
         verify_resources("Dataset file does not exist", dataset_file)
-        data = pd.read_csv(dataset_file, comment="#")
-
-        data_pred = predict_mutation_table(
-            c, data, "prediction_epistatic"
-        )
-        data_pred = predict_mutation_table(
-            c0, data_pred, "prediction_independent"
-        )
-
         outcfg["mutation_dataset_predicted_file"] = (
             prefix + "_dataset_predicted.csv"
         )
-        data_pred.to_csv(
-            outcfg["mutation_dataset_predicted_file"], index=False
+        _score_dataset(
+            pd.read_csv(dataset_file, comment="#"),
+            [(epistatic, "prediction_epistatic"),
+             (independent, "prediction_independent")],
+            outcfg["mutation_dataset_predicted_file"],
         )
 
     return outcfg
@@ -131,59 +160,40 @@ def complex(**kwargs):
         kwargs,
         ["prefix", "model_file", "mutation_dataset_file", "segments"],
     )
-
     prefix = kwargs["prefix"]
+    outcfg = _begin_stage(kwargs)
 
-    outcfg = {
-        "mutation_matrix_file": prefix + "_single_mutant_matrix.csv",
-        "mutation_matrix_plot_files": [],
-    }
+    segments = [Segment.from_list(s) for s in kwargs["segments"]]
 
-    verify_resources(
-        "Model parameter file does not exist", kwargs["model_file"]
+    epistatic = MultiSegmentCouplingsModel(
+        kwargs["model_file"], *segments
     )
-    create_prefix_folders(prefix)
-
-    segment_objects = [
-        Segment.from_list(s) for s in kwargs["segments"]
+    independent = epistatic.to_independent_model()
+    inter_only = epistatic.to_inter_segment_model()
+    tagged = [
+        ("epistatic", epistatic),
+        ("independent", independent),
+        ("inter_segment", inter_only),
     ]
-    first_segment = segment_objects[0]
-    second_segment = segment_objects[1]
-
-    c = MultiSegmentCouplingsModel(kwargs["model_file"], *segment_objects)
-    c0 = c.to_independent_model()
-    ci = c.to_inter_segment_model()
 
     _plot_models(
-        [(c, "Epistatic"), (c0, "Independent"), (ci, "Inter_segment")],
+        [(epistatic, "Epistatic"), (independent, "Independent"),
+         (inter_only, "Inter_segment")],
         prefix, outcfg,
     )
 
-    singles = single_mutant_matrix(
-        c, output_column="prediction_epistatic"
+    singles = _single_mutant_table(
+        tagged, outcfg["mutation_matrix_file"]
     )
-    singles = predict_mutation_table(
-        c0, singles, "prediction_independent"
-    )
-    singles = predict_mutation_table(
-        ci, singles, "prediction_inter_segment"
-    )
-    singles.to_csv(outcfg["mutation_matrix_file"], index=False)
 
     segment_to_chain = {
-        first_segment.segment_id: first_segment.default_chain_name(),
-        second_segment.segment_id: second_segment.default_chain_name(),
+        seg.segment_id: seg.default_chain_name()
+        for seg in segments[:2]
     }
-
-    outcfg["mutations_epistatic_pml_files"] = []
-    for model in ["epistatic", "independent", "inter_segment"]:
-        pml_filename = prefix + "_{}_model.pml".format(model)
-        vis_mutations.mutation_pymol_script(
-            singles, pml_filename,
-            effect_column="prediction_" + model,
-            segment_to_chain_mapping=segment_to_chain,
-        )
-        outcfg["mutations_epistatic_pml_files"].append(pml_filename)
+    _write_pymol_scripts(
+        singles, tagged, prefix, outcfg,
+        segment_to_chain_mapping=segment_to_chain,
+    )
 
     dataset_file = kwargs["mutation_dataset_file"]
     if dataset_file is not None:
@@ -197,25 +207,19 @@ def complex(**kwargs):
                 "protein of origin for each mutation"
             )
 
-        data_pred = predict_mutation_table(
-            c, data, "prediction_epistatic"
-        )
-        data_pred = predict_mutation_table(
-            c0, data_pred, "prediction_independent"
-        )
-        # column deliberately named "inter_segment" (not
-        # "prediction_inter_segment" like the matrix file): exact
-        # artifact parity with the reference, which uses this name in
-        # the dataset output (reference mutate/protocol.py:278-281)
-        data_pred = predict_mutation_table(
-            ci, data_pred, "inter_segment"
-        )
-
         outcfg["mutation_dataset_predicted_file"] = (
             prefix + "_dataset_predicted.csv"
         )
-        data_pred.to_csv(
-            outcfg["mutation_dataset_predicted_file"], index=False
+        # the third column is deliberately named "inter_segment" (not
+        # "prediction_inter_segment" like the matrix file): exact
+        # artifact parity with the reference, which uses this name in
+        # the dataset output (reference mutate/protocol.py:278-281)
+        _score_dataset(
+            data,
+            [(epistatic, "prediction_epistatic"),
+             (independent, "prediction_independent"),
+             (inter_only, "inter_segment")],
+            outcfg["mutation_dataset_predicted_file"],
         )
 
     return outcfg
