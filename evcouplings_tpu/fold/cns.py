@@ -48,19 +48,17 @@ def cns_seq_file(sequence, output_file=None, residues_per_line=16):
     if output_file is None:
         output_file = temp()
 
+    try:
+        three_letter = [AA1_to_AA3[aa] for aa in sequence]
+    except KeyError as e:
+        raise InvalidParameterError(
+            "Invalid amino acid could not be mapped"
+        ) from e
+
     with open(output_file, "w") as f:
-        lines = [
-            sequence[i: i + residues_per_line]
-            for i in range(0, len(sequence), residues_per_line)
-        ]
-        for line in lines:
-            try:
-                l3 = " ".join(AA1_to_AA3[aa] for aa in line)
-            except KeyError as e:
-                raise InvalidParameterError(
-                    "Invalid amino acid could not be mapped"
-                ) from e
-            f.write(l3 + "\n")
+        for start in range(0, len(three_letter), residues_per_line):
+            chunk = three_letter[start: start + residues_per_line]
+            f.write(" ".join(chunk) + "\n")
 
     return output_file
 
@@ -102,10 +100,10 @@ def _cns_template_file(template_name, template_dir=None):
     )
 
 
-def _cns_render_template(template_name, mapping, template_dir=None):
+def _cns_render_template(template_name, template_dir=None, **variables):
     """Render a CNS .inp template with the given variable mapping."""
     return render_template(
-        _cns_template_file(template_name, template_dir), mapping
+        _cns_template_file(template_name, template_dir), variables
     )
 
 
@@ -118,28 +116,26 @@ def cns_mtf_inp(seq_infile, mtf_outfile, first_index=1,
         disulfides = []
     else:
         if isinstance(disulfide_bridges, pd.DataFrame):
-            cys_pairs = disulfide_bridges.query(
-                "A_i == 'C' and A_j == 'C'"
-            )
-            pair_list = zip(cys_pairs.i, cys_pairs.j)
+            cys_rows = disulfide_bridges[
+                (disulfide_bridges.A_i == "C")
+                & (disulfide_bridges.A_j == "C")
+            ]
+            pair_list = zip(cys_rows.i, cys_rows.j)
         else:
             pair_list = disulfide_bridges
 
         # template needs a running index per disulfide entry
         disulfides = [
-            (idx, i, j)
-            for idx, (i, j) in enumerate(pair_list, start=1)
+            (number, i, j)
+            for number, (i, j) in enumerate(pair_list, start=1)
         ]
 
     return _cns_render_template(
-        "generate_seq",
-        {
-            "renumber_index": first_index,
-            "sequence_infile": seq_infile,
-            "mtf_outfile": mtf_outfile,
-            "disulfide_list": disulfides,
-        },
-        template_dir,
+        "generate_seq", template_dir,
+        renumber_index=first_index,
+        sequence_infile=seq_infile,
+        mtf_outfile=mtf_outfile,
+        disulfide_list=disulfides,
     )
 
 
@@ -147,12 +143,9 @@ def cns_extended_inp(mtf_infile, pdb_outfile, template_dir=None):
     """Input script generating an extended-conformation PDB from a
     topology file."""
     return _cns_render_template(
-        "generate_extended",
-        {
-            "mtf_infile": mtf_infile,
-            "pdb_outfile": pdb_outfile,
-        },
-        template_dir,
+        "generate_extended", template_dir,
+        mtf_infile=mtf_infile,
+        pdb_outfile=pdb_outfile,
     )
 
 
@@ -164,22 +157,19 @@ def cns_dgsa_inp(pdb_infile, mtf_infile, outfile_prefix,
     + simulated annealing under EC and secondary-structure
     restraints."""
     return _cns_render_template(
-        "dg_sa",
-        {
-            "pdb_infile": pdb_infile,
-            "mtf_infile": mtf_infile,
-            "num_structures": num_structures,
-            "ec_pair_tbl_infile": ec_pair_tbl_infile,
-            "ss_dist_tbl_infile": ss_dist_tbl_infile,
-            "ss_angle_tbl_infile": ss_angle_tbl_infile,
-            "pdb_outfile_basename": outfile_prefix,
-            "hbond_tbl_infile": "",
-            "log_level": log_level,
-            "md_cool_noe_scale_factor": 5,
-            "ss_dist_noe_avg_mode": "cent",
-            "ec_pair_noe_avg_mode": "cent",
-        },
-        template_dir,
+        "dg_sa", template_dir,
+        pdb_infile=pdb_infile,
+        mtf_infile=mtf_infile,
+        num_structures=num_structures,
+        ec_pair_tbl_infile=ec_pair_tbl_infile,
+        ss_dist_tbl_infile=ss_dist_tbl_infile,
+        ss_angle_tbl_infile=ss_angle_tbl_infile,
+        pdb_outfile_basename=outfile_prefix,
+        hbond_tbl_infile="",
+        log_level=log_level,
+        md_cool_noe_scale_factor=5,
+        ss_dist_noe_avg_mode="cent",
+        ec_pair_noe_avg_mode="cent",
     )
 
 
@@ -188,18 +178,15 @@ def cns_generate_easy_inp(pdb_infile, pdb_outfile, mtf_outfile,
     """Input script adding hydrogens to a model (generate_easy
     protocol)."""
     return _cns_render_template(
-        "generate_easy",
-        {
-            "pdb_infile": pdb_infile,
-            "mtf_outfile": mtf_outfile,
-            "pdb_outfile": pdb_outfile,
-            "hydrogen_flag": "true",
-            "pdb_o_format": "false",
-            "ile_cd_becomes": "",   # default: CD1
-            "ot1_becomes": "",      # default: O
-            "ot2_becomes": "",      # default: OXT
-        },
-        template_dir,
+        "generate_easy", template_dir,
+        pdb_infile=pdb_infile,
+        mtf_outfile=mtf_outfile,
+        pdb_outfile=pdb_outfile,
+        hydrogen_flag="true",
+        pdb_o_format="false",
+        ile_cd_becomes="",   # default: CD1
+        ot1_becomes="",      # default: O
+        ot2_becomes="",      # default: OXT
     )
 
 
@@ -207,32 +194,31 @@ def cns_minimize_inp(pdb_infile, mtf_infile, pdb_outfile, num_cycles=5,
                      template_dir=None):
     """Input script energy-minimizing a model."""
     return _cns_render_template(
-        "model_minimize",
-        {
-            "pdb_infile": pdb_infile,
-            "mtf_infile": mtf_infile,
-            "pdb_outfile": pdb_outfile,
-            "num_cycles": num_cycles,
-            "use_cryst": "false",
-            "space_group": "",
-        },
-        template_dir,
+        "model_minimize", template_dir,
+        pdb_infile=pdb_infile,
+        mtf_infile=mtf_infile,
+        pdb_outfile=pdb_outfile,
+        num_cycles=num_cycles,
+        use_cryst="false",
+        space_group="",
     )
+
+
+def _cns_atom_selection(resid, atom):
+    """One CNS atom selection term: (resid N and name X)."""
+    return f"(resid {resid} and name {atom})"
 
 
 def cns_dist_restraint(resid_i, atom_i, resid_j, atom_j, dist, lower,
                        upper, weight=None, comment=None):
     """CNS distance restraint line (assign ... dist lower upper)."""
-    weight_str = "weight {} ".format(weight) if weight is not None else ""
-    comment_str = "! {}".format(comment) if comment is not None else ""
-
-    return (
-        "assign (resid {} and name {}) (resid {} and name {})  "
-        "{} {} {} {}{}".format(
-            resid_i, atom_i, resid_j, atom_j, dist, lower, upper,
-            weight_str, comment_str,
-        )
-    )
+    selections = " ".join([
+        _cns_atom_selection(resid_i, atom_i),
+        _cns_atom_selection(resid_j, atom_j),
+    ])
+    tail = "" if weight is None else f"weight {weight} "
+    tail += "" if comment is None else f"! {comment}"
+    return f"assign {selections}  {dist} {lower} {upper} {tail}"
 
 
 def cns_dihedral_restraint(resid_i, atom_i, resid_j, atom_j,
@@ -240,17 +226,15 @@ def cns_dihedral_restraint(resid_i, atom_i, resid_j, atom_j,
                            energy_constant, degrees, range, exponent,
                            comment=None):
     """CNS dihedral restraint line over four atoms."""
-    comment_str = " ! {}".format(comment) if comment is not None else ""
-
-    return (
-        "assign (resid {} and name {}) (resid {} and name {}) "
-        "(resid {} and name {}) (resid {} and name {})"
-        "  {} {} {} {}{}".format(
-            resid_i, atom_i, resid_j, atom_j,
-            resid_k, atom_k, resid_l, atom_l,
-            energy_constant, degrees, range, exponent, comment_str,
-        )
-    )
+    selections = " ".join([
+        _cns_atom_selection(resid_i, atom_i),
+        _cns_atom_selection(resid_j, atom_j),
+        _cns_atom_selection(resid_k, atom_k),
+        _cns_atom_selection(resid_l, atom_l),
+    ])
+    values = f"{energy_constant} {degrees} {range} {exponent}"
+    tail = "" if comment is None else f" ! {comment}"
+    return f"assign {selections}  {values}{tail}"
 
 
 def cns_dgsa_fold(residues, ec_pairs, prefix, config_file=None,
