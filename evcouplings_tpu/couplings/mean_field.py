@@ -38,7 +38,7 @@ def regularize_frequencies(f_i, pseudo_count=0.5):
 
     f~ = (1 - pc) * f + pc / q (reference mean_field.py:717-744).
     """
-    _, num_symbols = f_i.shape
+    num_symbols = f_i.shape[-1]
     return (1.0 - pseudo_count) * f_i + pseudo_count / float(num_symbols)
 
 
@@ -71,26 +71,25 @@ class MeanFieldDCA:
 
     def __init__(self, alignment):
         self._raw_alignment = alignment
-        target_seq = self._raw_alignment[0]
+        target_seq = alignment[0]
 
-        focus_cols = np.array([
-            c.isupper() and c not in (
-                self._raw_alignment._match_gap,
-                self._raw_alignment._insert_gap,
-            )
-            for c in target_seq
-        ])
-        focus_ali = self._raw_alignment.select(columns=focus_cols)
+        # focus columns: uppercase non-gap positions of the target
+        gaps = (alignment._match_gap, alignment._insert_gap)
+        focus_cols = np.fromiter(
+            (c.isupper() and c not in gaps for c in target_seq),
+            dtype=bool, count=len(target_seq),
+        )
+        focus_ali = alignment.select(columns=focus_cols)
 
         # target-sequence numbering restricted to focus columns
-        _, start, stop = parse_header(self._raw_alignment.ids[0])
-        self.index_list = np.array(range(start, stop + 1))[focus_cols]
+        _, start, stop = parse_header(alignment.ids[0])
+        self.index_list = np.arange(start, stop + 1)[focus_cols]
 
         # drop sequences containing non-alphabet symbols
-        np_alphabet = np.array(list(focus_ali.alphabet))
-        valid_sequences = np.array([
-            np.isin(seq, np_alphabet).all() for seq in focus_ali.matrix
-        ])
+        alphabet_arr = np.asarray(list(focus_ali.alphabet))
+        valid_sequences = np.isin(
+            focus_ali.matrix, alphabet_arr
+        ).all(axis=1)
         self.alignment = focus_ali.select(sequences=valid_sequences)
 
         self._reset()
@@ -101,10 +100,10 @@ class MeanFieldDCA:
         self.alignment.weights = None
         self.alignment._frequencies = None
         self.alignment._pair_frequencies = None
-        self.regularized_frequencies = None
-        self.regularized_pair_frequencies = None
-        self.covariance_matrix = None
-        self.covariance_matrix_inv = None
+        for attr in ("regularized_frequencies",
+                     "regularized_pair_frequencies",
+                     "covariance_matrix", "covariance_matrix_inv"):
+            setattr(self, attr, None)
 
     def fit(self, theta=0.8, pseudo_count=0.5, device=False, mesh=None):
         """Run mean-field DCA; returns a MeanFieldCouplingsModel.
@@ -131,28 +130,9 @@ class MeanFieldDCA:
         self.regularize_pair_frequencies(pseudo_count=pseudo_count)
 
         self.compute_covariance_matrix()
-        if mesh is not None:
-            from evcouplings_tpu.ops.mean_field import (
-                invert_covariance_sharded,
-            )
-
-            self.covariance_matrix_inv = np.asarray(
-                invert_covariance_sharded(self.covariance_matrix, mesh),
-                dtype=np.float64,
-            )
-        elif device:
-            from evcouplings_tpu.ops.mean_field import (
-                invert_covariance_device,
-            )
-
-            self.covariance_matrix_inv = np.asarray(
-                invert_covariance_device(self.covariance_matrix),
-                dtype=np.float64,
-            )
-        else:
-            self.covariance_matrix_inv = -np.linalg.inv(
-                self.covariance_matrix
-            )
+        self.covariance_matrix_inv = self._invert_covariance(
+            device, mesh
+        )
 
         J_ij = self.reshape_invC_to_4d()
         h_i = self.fields()
@@ -167,6 +147,30 @@ class MeanFieldDCA:
             theta=theta,
             pseudo_count=pseudo_count,
         )
+
+    def _invert_covariance(self, device, mesh):
+        """-C^-1 on the selected compute path: mesh-sharded triangular
+        solves, single-device TPU inversion, or host float64 numpy
+        (the parity default)."""
+        if mesh is not None:
+            from evcouplings_tpu.ops.mean_field import (
+                invert_covariance_sharded,
+            )
+
+            return np.asarray(
+                invert_covariance_sharded(self.covariance_matrix, mesh),
+                dtype=np.float64,
+            )
+        if device:
+            from evcouplings_tpu.ops.mean_field import (
+                invert_covariance_device,
+            )
+
+            return np.asarray(
+                invert_covariance_device(self.covariance_matrix),
+                dtype=np.float64,
+            )
+        return -np.linalg.inv(self.covariance_matrix)
 
     def regularize_frequencies(self, pseudo_count=0.5):
         self.regularized_frequencies = regularize_frequencies(
@@ -268,15 +272,13 @@ class MeanFieldCouplingsModel(CouplingsModel):
         return self._ecs.sort_values(by="di", ascending=False)
 
     def regularize_f_i(self):
-        self.regularized_f_i = regularize_frequencies(
-            self.f_i, pseudo_count=self.pseudo_count
-        )
+        self.regularized_f_i = \
+            regularize_frequencies(self.f_i, self.pseudo_count)
         return self.regularized_f_i
 
     def regularize_f_ij(self):
-        self.regularized_f_ij = regularize_pair_frequencies(
-            self.f_ij, pseudo_count=self.pseudo_count
-        )
+        self.regularized_f_ij = \
+            regularize_pair_frequencies(self.f_ij, self.pseudo_count)
         return self.regularized_f_ij
 
     def tilde_fields(self, i, j):
@@ -298,32 +300,35 @@ class MeanFieldCouplingsModel(CouplingsModel):
         """(L, L) direct information scores."""
         if self._di_scores is None:
             self._calculate_ecs()
+
         return self._di_scores
 
     def to_independent_model(self):
         """Single-site model: h = log f~, J = 0 (overrides the BFGS fit
         of the parent; reference mean_field.py:576-594)."""
-        c0 = deepcopy(self)
-        c0.h_i = np.log(self.regularized_f_i)
-        c0.J_ij.fill(0)
-        c0._reset_precomputed()
-        return c0
+        independent = deepcopy(self)
+        independent.h_i = np.log(self.regularized_f_i)
+        independent.J_ij.fill(0)
+        independent._reset_precomputed()
+        return independent
 
     def to_raw_ec_file(self, couplings_file):
         """Write the mean-field raw EC file:
         `i A_i j A_j mi_raw mi_apc di cn` per pair (i < j), 6 decimals
         (reference mean_field.py:596-617)."""
-        ii, jj = np.triu_indices(self.L, k=1)
         with open(couplings_file, "w") as f:
-            for i, j in zip(ii, jj):
-                f.write(" ".join(map(str, [
-                    self.index_list[i], self.target_seq[i],
-                    self.index_list[j], self.target_seq[j],
-                    "{0:.6f}".format(self.mi_scores_raw[i, j]),
-                    "{0:.6f}".format(self.mi_scores_apc[i, j]),
-                    "{0:.6f}".format(self.di_scores[i, j]),
-                    "{0:.6f}".format(self.cn_scores[i, j]),
-                ])) + "\n")
+            for i, j in zip(*np.triu_indices(self.L, k=1)):
+                f.write(
+                    "{} {} {} {} "
+                    "{:.6f} {:.6f} {:.6f} {:.6f}\n".format(
+                        self.index_list[i], self.target_seq[i],
+                        self.index_list[j], self.target_seq[j],
+                        self.mi_scores_raw[i, j],
+                        self.mi_scores_apc[i, j],
+                        self.di_scores[i, j],
+                        self.cn_scores[i, j],
+                    )
+                )
 
     def transform_from_plmc_model(self):
         """Fix up a model loaded from a plmc_v2 file (called by the codec
@@ -331,12 +336,12 @@ class MeanFieldCouplingsModel(CouplingsModel):
         the f_ij diagonal, and regularize frequencies."""
         self._decode_unused_fields()
 
-        idx = np.arange(self.L)
-        diag = np.zeros((self.L, self.num_symbols, self.num_symbols))
-        diag[:, np.arange(self.num_symbols), np.arange(self.num_symbols)] = (
-            self.f_i
+        # each (i, i) block becomes diag(f_i[i]) — multiplying by the
+        # identity keeps f_i bitwise on the diagonal and zeros the rest
+        sites = np.arange(self.L)
+        self.f_ij[sites, sites] = (
+            self.f_i[:, :, None] * np.identity(self.num_symbols)
         )
-        self.f_ij[idx, idx] = diag
 
         self.regularize_f_i()
         self.regularize_f_ij()
@@ -345,20 +350,18 @@ class MeanFieldCouplingsModel(CouplingsModel):
     def _encode_unused_fields(self):
         """Store the pseudo-count as -lambda_h and placeholders for the
         plmc-only fields, for serialization."""
-        self.lambda_J = _PLACEHOLDER
-        self.lambda_group = _PLACEHOLDER
-        self.num_iter = _PLACEHOLDER
+        for plmc_only in ("lambda_J", "lambda_group", "num_iter"):
+            setattr(self, plmc_only, _PLACEHOLDER)
         self.lambda_h = -self.pseudo_count
 
     def _decode_unused_fields(self, save_pseudo_count=True):
         """Null out plmc-only fields; optionally recover the pseudo-count
         from lambda_h."""
-        self.lambda_J = None
-        self.lambda_group = None
-        self.num_iter = None
         if save_pseudo_count:
             self.pseudo_count = -self.lambda_h
-        self.lambda_h = None
+        for plmc_only in ("lambda_J", "lambda_group", "num_iter",
+                          "lambda_h"):
+            setattr(self, plmc_only, None)
 
     def to_file(self, out_file, precision="float32", file_format="plmc_v2"):
         """Write in plmc_v2 format (plmc_v1 is not supported for
