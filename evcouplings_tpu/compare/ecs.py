@@ -8,15 +8,23 @@ Parity target: reference evcouplings/compare/ecs.py — add_distances
 import numpy as np
 
 
+def _drop_short_range(ec_table, min_sequence_dist):
+    """Rows with sequence separation |i - j| >= min_sequence_dist
+    (all rows when the threshold is None)."""
+    if min_sequence_dist is None:
+        return ec_table
+    separation = (ec_table.i - ec_table.j).abs()
+    return ec_table[separation >= min_sequence_dist]
+
+
 def add_distances(ec_table, dist_map, target_column="dist"):
     """Annotate each EC pair (columns i, j) with its distance from the
     map (NaN where unavailable)."""
-    ec_table = ec_table.copy()
-    ec_table.loc[:, target_column] = [
+    pair_distances = [
         dist_map.dist(i, j, raise_na=False)
         for i, j in zip(ec_table.i, ec_table.j)
     ]
-    return ec_table
+    return ec_table.assign(**{target_column: pair_distances})
 
 
 def add_precision(ec_table, dist_cutoff=5, score="cn",
@@ -24,20 +32,19 @@ def add_precision(ec_table, dist_cutoff=5, score="cn",
                   dist_column="dist"):
     """Cumulative precision of ECs as contact predictors: at each rank,
     TP / (TP + FP) where TP = pairs with distance <= dist_cutoff."""
-    ec_table = ec_table.sort_values(by=score, ascending=False, kind="stable")
+    ranked = _drop_short_range(
+        ec_table.sort_values(by=score, ascending=False, kind="stable"),
+        min_sequence_dist,
+    )
 
-    if min_sequence_dist is not None:
-        ec_table = ec_table.query("abs(i - j) >= @min_sequence_dist")
+    # running counts down the ranking: contacts vs resolved pairs
+    distances = ranked.loc[:, dist_column]
+    contacts_so_far = (distances <= dist_cutoff).cumsum()
+    resolved_so_far = distances.notnull().cumsum()
 
-    ec_table = ec_table.copy()
-
-    true_pos_count = (
-        ec_table.loc[:, dist_column] <= dist_cutoff
-    ).cumsum()
-    pos_count = ec_table.loc[:, dist_column].notnull().cumsum()
-
-    ec_table.loc[:, target_column] = true_pos_count / pos_count
-    return ec_table
+    return ranked.assign(
+        **{target_column: contacts_so_far / resolved_so_far}
+    )
 
 
 def coupling_scores_compared(ec_table, dist_map, dist_map_multimer=None,
@@ -46,22 +53,25 @@ def coupling_scores_compared(ec_table, dist_map, dist_map_multimer=None,
     """Build the "CouplingScoresCompared"-style table: distances (min
     of monomer/multimer if both given) plus precision column."""
     if dist_map_multimer is None:
-        x = add_distances(ec_table, dist_map)
+        compared = add_distances(ec_table, dist_map)
     else:
-        x = add_distances(ec_table, dist_map, "dist_intra")
-        x = add_distances(x, dist_map_multimer, "dist_multimer")
-        x.loc[:, "dist"] = np.fmin(x.dist_intra, x.dist_multimer)
+        compared = add_distances(ec_table, dist_map, "dist_intra")
+        compared = add_distances(
+            compared, dist_map_multimer, "dist_multimer"
+        )
+        compared = compared.assign(
+            dist=np.fmin(compared.dist_intra, compared.dist_multimer)
+        )
 
-    if min_sequence_dist is not None:
-        x = x.query("abs(i - j) >= @min_sequence_dist")
+    compared = _drop_short_range(compared, min_sequence_dist)
 
     if dist_cutoff is not None:
-        x = add_precision(
-            x, dist_cutoff, score=score,
+        compared = add_precision(
+            compared, dist_cutoff, score=score,
             min_sequence_dist=min_sequence_dist,
         )
 
     if output_file is not None:
-        x.to_csv(output_file, index=False)
+        compared.to_csv(output_file, index=False)
 
-    return x
+    return compared
