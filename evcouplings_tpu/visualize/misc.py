@@ -15,27 +15,25 @@ def plot_context(font="Helvetica", size=12, axis_label_size=12,
                  tick_label_size=12, tick_direction="out", dpi=300,
                  additional_param_dict=None):
     """matplotlib rc_context with sensible publication-figure defaults."""
-    from matplotlib import rc_context
-
-    param_dict = {
+    rc_params = dict.fromkeys(
+        ("xtick.labelsize", "ytick.labelsize"), tick_label_size
+    )
+    rc_params.update(dict.fromkeys(
+        ("xtick.direction", "ytick.direction"), tick_direction
+    ))
+    rc_params.update(dict.fromkeys(("figure.dpi", "savefig.dpi"), dpi))
+    rc_params.update({
         "font.family": font,
         "font.size": size,
         "axes.labelsize": axis_label_size,
         "axes.titlesize": axis_title_size,
         "axes.linewidth": axis_line_width,
-        "xtick.labelsize": tick_label_size,
-        "ytick.labelsize": tick_label_size,
-        "xtick.direction": tick_direction,
-        "ytick.direction": tick_direction,
-        "figure.dpi": dpi,
-        "savefig.dpi": dpi,
         "savefig.bbox": "tight",
-        "pdf.fonttype": 42,
-    }
-    if additional_param_dict is not None:
-        param_dict.update(additional_param_dict)
+        "pdf.fonttype": 42,  # embed editable TrueType text
+    })
+    rc_params.update(additional_param_dict or {})
 
-    return rc_context(param_dict)
+    return mpl.rc_context(rc_params)
 
 
 def remove_chart_junk(ax=None, remove=("top", "right"),
@@ -45,32 +43,32 @@ def remove_chart_junk(ax=None, remove=("top", "right"),
     if ax is None:
         ax = plt.gca()
 
-    for line in remove:
-        ax.spines[line].set_visible(False)
+    for edge in remove:
+        ax.spines[edge].set_visible(False)
 
     ax.xaxis.set_ticks_position(x_ticks_loc)
     ax.yaxis.set_ticks_position(y_ticks_loc)
 
-    if hide_x_labels:
-        plt.setp(ax.get_xticklabels(), visible=False)
-    if hide_y_labels:
-        plt.setp(ax.get_yticklabels(), visible=False)
+    for hide, labels in (
+        (hide_x_labels, ax.get_xticklabels()),
+        (hide_y_labels, ax.get_yticklabels()),
+    ):
+        if hide:
+            plt.setp(labels, visible=False)
 
 
 def rgb2hex(r, g, b, a=None):
     """RGB fractions (0-1) to "#rrggbb" (alpha ignored)."""
-    return "#{:02x}{:02x}{:02x}".format(
-        int(255 * r), int(255 * g), int(255 * b)
-    )
+    channels = (int(255 * c) for c in (r, g, b))
+    return "#" + "".join("{:02x}".format(c) for c in channels)
 
 
 def colormap(min_value, max_value, colormap=None, to_hex=True):
     """Value -> color mapping function over [min_value, max_value]."""
-    if colormap is None:
-        colormap = plt.cm.RdBu_r
-
-    norm = mpl.colors.Normalize(vmin=min_value, vmax=max_value)
-    mapper = plt.cm.ScalarMappable(norm=norm, cmap=colormap)
+    mapper = plt.cm.ScalarMappable(
+        norm=mpl.colors.Normalize(vmin=min_value, vmax=max_value),
+        cmap=plt.cm.RdBu_r if colormap is None else colormap,
+    )
 
     def _colmap(value):
         rgba = mapper.to_rgba(value)

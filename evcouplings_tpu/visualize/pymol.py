@@ -19,21 +19,37 @@ def _write_pymol_commands(commands, output_file):
             f.write(cmd_str)
 
 
+def _chain_clause(chain):
+    """The " and chain '<c>'" selector suffix, or "" without a chain."""
+    return "" if chain is None else " and chain '{}'".format(chain)
+
+
+def _styled(row, key):
+    """True when the optional style column exists and holds a value."""
+    return key in row and pd.notnull(row[key])
+
+
+def _pymol_color(hex_color):
+    """Pymol spells hex colors 0xrrggbb."""
+    return hex_color.replace("#", "0x")
+
+
+# predicted 3-state -> pymol ss codes (coil stays unassigned)
+_SS_CODES = {"H": "H", "E": "S"}
+
+
 def pymol_secondary_structure(residues, output_file, chain=None,
                               sec_struct_column="sec_struct_3state"):
     """Assign predicted secondary structure (H/E) to a structure."""
-    chain_sel = " and chain '{}'".format(chain) if chain is not None else ""
-    state_mapping = {"H": "H", "E": "S"}
+    on_chain = _chain_clause(chain)
 
-    cmds = []
-    for _, r in residues.iterrows():
-        sec_struct = r[sec_struct_column]
-        if sec_struct in state_mapping:
-            cmds.append(
-                "alter (resi {}{}), ss='{}'".format(
-                    r["i"], chain_sel, state_mapping[sec_struct]
-                )
-            )
+    cmds = [
+        "alter (resi {}{}), ss='{}'".format(
+            row["i"], on_chain, _SS_CODES[row[sec_struct_column]]
+        )
+        for _, row in residues.iterrows()
+        if row[sec_struct_column] in _SS_CODES
+    ]
     cmds.append("rebuild")
 
     _write_pymol_commands(cmds, output_file)
@@ -49,38 +65,37 @@ def pymol_pair_lines(pairs, output_file, chain=None, atom="CA",
     dict used with segment_i / segment_j columns; chain_i / chain_j
     columns override both.
     """
-    cmds = []
-
-    def _selector(row, column):
+    def endpoint(row, column):
+        # chain resolution precedence: explicit chain_<col> column,
+        # then per-segment dict / fixed name, else none
         if "chain_" + column in row:
-            c = row["chain_" + column]
-        elif chain is not None:
-            if isinstance(chain, dict):
-                c = chain[row["segment_" + column]]
-            else:
-                c = chain
+            on = row["chain_" + column]
+        elif isinstance(chain, dict):
+            on = chain[row["segment_" + column]]
         else:
-            c = None
+            on = chain
 
-        chain_sel = "chain '{}' and ".format(c) if c is not None else ""
-        return "{}resid {} and name {}".format(chain_sel, row[column], atom)
-
-    for i, (_, r) in enumerate(pairs.iterrows(), start=1):
-        id_ = "{}{}".format(pair_prefix, i)
-        cmds.append(
-            "dist {}, {}, {}, label=0".format(
-                id_, _selector(r, "i"), _selector(r, "j")
-            )
+        prefix = "" if on is None else "chain '{}' and ".format(on)
+        return "{}resid {} and name {}".format(
+            prefix, row[column], atom
         )
 
-        if "color" in r and pd.notnull(r["color"]):
-            cmds.append(
-                "color {}, {}".format(r["color"].replace("#", "0x"), id_)
-            )
+    cmds = []
+    for number, (_, row) in enumerate(pairs.iterrows(), start=1):
+        line_id = pair_prefix + str(number)
+        cmds.append("dist {}, {}, {}, label=0".format(
+            line_id, endpoint(row, "i"), endpoint(row, "j")
+        ))
 
-        for param in ("dash_radius", "dash_gap", "dash_length"):
-            if param in r and pd.notnull(r[param]):
-                cmds.append("set {}, {}, {}".format(param, r[param], id_))
+        if _styled(row, "color"):
+            cmds.append("color {}, {}".format(
+                _pymol_color(row["color"]), line_id
+            ))
+        cmds.extend(
+            "set {}, {}, {}".format(param, row[param], line_id)
+            for param in ("dash_radius", "dash_gap", "dash_length")
+            if _styled(row, param)
+        )
 
     _write_pymol_commands(cmds, output_file)
     return cmds
@@ -89,21 +104,24 @@ def pymol_pair_lines(pairs, output_file, chain=None, atom="CA",
 def pymol_mapping(mapping, output_file, chain=None, atom=None):
     """Map per-residue properties (color / show / b_factor columns) onto
     a structure, selecting residues by column i."""
-    chain_sel = " and chain '{}'".format(chain) if chain is not None else ""
-    atom_sel = " and name {}".format(atom) if atom is not None else ""
+    suffix = _chain_clause(chain) + (
+        "" if atom is None else " and name {}".format(atom)
+    )
 
     cmds = []
-    for _, r in mapping.iterrows():
-        sel = "resid {}{}{}".format(r["i"], chain_sel, atom_sel)
+    for _, row in mapping.iterrows():
+        selection = "resid {}{}".format(row["i"], suffix)
 
-        if "color" in r and pd.notnull(r["color"]):
+        if _styled(row, "color"):
+            cmds.append("color {}, {}".format(
+                _pymol_color(row["color"]), selection
+            ))
+        if _styled(row, "show"):
+            cmds.append("show {}, {}".format(row["show"], selection))
+        if _styled(row, "b_factor"):
             cmds.append(
-                "color {}, {}".format(r["color"].replace("#", "0x"), sel)
+                "alter {}, b={}".format(selection, row["b_factor"])
             )
-        if "show" in r and pd.notnull(r["show"]):
-            cmds.append("show {}, {}".format(r["show"], sel))
-        if "b_factor" in r and pd.notnull(r["b_factor"]):
-            cmds.append("alter {}, b={}".format(sel, r["b_factor"]))
 
     _write_pymol_commands(cmds, output_file)
     return cmds
