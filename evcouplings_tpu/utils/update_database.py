@@ -11,7 +11,6 @@ import errno
 import ftplib
 import os
 import zlib
-from functools import partial
 from pathlib import Path
 
 import click
@@ -42,116 +41,118 @@ def symlink_force(target, link_name):
     try:
         os.symlink(target, link_name)
     except OSError as e:
-        if e.errno == errno.EEXIST:
-            os.remove(link_name)
-            os.symlink(target, link_name)
-        else:
-            raise e
+        if e.errno != errno.EEXIST:
+            raise
+        os.remove(link_name)
+        os.symlink(target, link_name)
 
 
 def download_ftp_file(ftp_url, ftp_cwd, file_url, output_path,
                       file_handling="wb", gziped=False, verbose=False):
     """Download a file from an FTP server, decompressing gzip content
     on the fly into output_path."""
-    def _callback(_bar, decompressor, chunk):
-        if gziped:
-            out.write(decompressor.decompress(chunk))
-        else:
-            out.write(chunk)
-        if verbose:
-            _bar += len(chunk)
-
     ftp = ftplib.FTP(ftp_url)
     ftp.login()
     ftp.cwd(ftp_cwd)
-    with open(output_path, file_handling) as out:
-        filesize = ftp.size(file_url)
-        pbar = Progressbar(filesize) if verbose else None
 
-        # automatic gzip header detection
-        decompressor = zlib.decompressobj(zlib.MAX_WBITS | 32)
-        callback = partial(_callback, pbar, decompressor)
-        ftp.retrbinary(
-            "RETR %s" % file_url, callback, blocksize=8192
-        )
+    with open(output_path, file_handling) as out:
+        progress = Progressbar(ftp.size(file_url)) if verbose else None
+        # zlib with MAX_WBITS|32: automatic gzip header detection
+        inflate = zlib.decompressobj(zlib.MAX_WBITS | 32)
+
+        def receive(chunk):
+            out.write(inflate.decompress(chunk) if gziped else chunk)
+            if verbose:
+                progress += len(chunk)
+
+        ftp.retrbinary("RETR %s" % file_url, receive, blocksize=8192)
+
     ftp.quit()
+
+
+def _ensure_dir(base, *parts):
+    """Absolute path base/parts..., created if missing."""
+    target = os.path.join(os.path.abspath(base), *parts)
+    Path(target).mkdir(parents=True, exist_ok=True)
+    return target
+
+
+def _refresh_sifts(sifts_dir, stamp, symlink):
+    """Regenerate the SIFTS mapping table + sequence FASTA, optionally
+    repointing the *_current symlinks."""
+    from evcouplings_tpu.compare.sifts import SIFTS
+
+    dated = os.path.join(sifts_dir, SIFTS_SUFFIX)
+    sifts_table = dated.format(extension="csv", **stamp)
+    sifts_fasta = dated.format(extension="fasta", **stamp)
+
+    # constructing SIFTS with a non-existent table path triggers the
+    # download + conversion
+    fresh = SIFTS(sifts_table)
+    fresh.create_sequence_file(sifts_fasta)
+
+    if symlink:
+        current = os.path.join(sifts_dir, SIFTS_CURRENT)
+        symlink_force(sifts_table, current.format(extension="csv"))
+        symlink_force(sifts_fasta, current.format(extension="fasta"))
+
+
+def _refresh_sequence_db(db_dir, db_type, stamp, symlink, verbose):
+    """Download one sequence database release (uniprot = SwissProt +
+    TrEMBL concatenated; uniref90/100 as-is), optionally repointing the
+    *_current symlink."""
+    out_path = os.path.join(
+        db_dir, DB_SUFFIX.format(type=db_type, **stamp)
+    )
+
+    if db_type == "uniprot":
+        # SwissProt + TrEMBL concatenated into one file
+        for part, mode in (("sprot", "wb"), ("trembl", "ab")):
+            download_ftp_file(
+                UNIPROT_URL, UNIPROT_CWD,
+                UNIPROT_FILE.format(type=part), out_path,
+                gziped=True, file_handling=mode, verbose=verbose,
+            )
+    else:
+        download_ftp_file(
+            DB_URL, DB_CWD.format(type=db_type),
+            DB_FILE.format(type=db_type), out_path,
+            gziped=True, verbose=verbose,
+        )
+
+    if symlink:
+        symlink_force(
+            out_path,
+            os.path.join(db_dir, DB_CURRENT.format(type=db_type)),
+        )
 
 
 def run(**kwargs):
     """Refresh SIFTS mapping files and UniProt/UniRef databases."""
-    from evcouplings_tpu.compare.sifts import SIFTS
-
-    now = datetime.datetime.now()
-    year, month, day = now.year, now.month, now.day
+    today = datetime.datetime.now()
+    stamp = {
+        "year": today.year, "month": today.month, "day": today.day,
+    }
     verbose = kwargs.get("verbose", False)
     symlink = kwargs.get("symlink", False)
 
-    # SIFTS mapping table + sequence database
     if verbose:
         print("Updating SIFTS")
-
-    sifts_dir = os.path.abspath(
+    sifts_dir = _ensure_dir(
         kwargs.get("sifts", os.path.realpath(__file__))
     )
-    Path(sifts_dir).mkdir(parents=True, exist_ok=True)
+    _refresh_sifts(sifts_dir, stamp, symlink)
 
-    sifts = os.path.join(sifts_dir, SIFTS_SUFFIX)
-    sifts_curr = os.path.join(sifts_dir, SIFTS_CURRENT)
-    sifts_table = sifts.format(
-        year=year, month=month, day=day, extension="csv"
-    )
-    sifts_fasta = sifts.format(
-        year=year, month=month, day=day, extension="fasta"
-    )
-
-    # constructing SIFTS with a non-existent table path triggers the
-    # download + conversion
-    s_new = SIFTS(sifts_table)
-    s_new.create_sequence_file(sifts_fasta)
-
-    if symlink:
-        symlink_force(sifts_table, sifts_curr.format(extension="csv"))
-        symlink_force(sifts_fasta, sifts_curr.format(extension="fasta"))
-
-    # sequence databases
-    db_path = os.path.abspath(
+    db_base = os.path.abspath(
         kwargs.get("db", os.path.realpath(__file__))
     )
-    for db_type in ["uniprot", "uniref100", "uniref90"]:
+    for db_type in ("uniprot", "uniref100", "uniref90"):
         if verbose:
             print("Updating", db_type)
-
-        db_full_path = os.path.join(db_path, db_type)
-        Path(db_full_path).mkdir(parents=True, exist_ok=True)
-
-        out_path = os.path.join(
-            db_full_path,
-            DB_SUFFIX.format(type=db_type, year=year, month=month),
+        _refresh_sequence_db(
+            _ensure_dir(db_base, db_type), db_type, stamp, symlink,
+            verbose,
         )
-        db_curr = os.path.join(
-            db_full_path, DB_CURRENT.format(type=db_type)
-        )
-
-        if db_type == "uniprot":
-            # SwissProt + TrEMBL concatenated into one file
-            for i, type_d in enumerate(["sprot", "trembl"]):
-                file_url = UNIPROT_FILE.format(type=type_d)
-                download_ftp_file(
-                    UNIPROT_URL, UNIPROT_CWD, file_url, out_path,
-                    gziped=True,
-                    file_handling="ab" if i else "wb",
-                    verbose=verbose,
-                )
-        else:
-            db_file = DB_FILE.format(type=db_type)
-            db_cwd = DB_CWD.format(type=db_type)
-            download_ftp_file(
-                DB_URL, db_cwd, db_file, out_path,
-                gziped=True, verbose=verbose,
-            )
-
-        if symlink:
-            symlink_force(out_path, db_curr)
 
 
 CONTEXT_SETTINGS = dict(help_option_names=["-h", "--help"])
