@@ -16,11 +16,8 @@ import pandas as pd
 
 from evcouplings_tpu.utils.calculations import entropy_map
 
-COMPONENT_TO_INDEX = {
-    "full": 0,
-    "couplings": 1,
-    "fields": 2,
-}
+# delta_hamiltonian() component tuple layout
+COMPONENT_TO_INDEX = {"full": 0, "couplings": 1, "fields": 2}
 
 
 def extract_mutations(mutation_string, offset=0, sep=","):
@@ -46,13 +43,13 @@ def predict_mutation_table(model, table, output_column="prediction_epistatic",
     `segment` argument), positions are looked up as (segment, pos) keys
     for multi-segment complex models.
     """
-    if hamiltonian in COMPONENT_TO_INDEX:
+    try:
         component = COMPONENT_TO_INDEX[hamiltonian]
-    else:
+    except KeyError:
         raise ValueError(
             "Invalid selection for hamiltonian. "
             "Valid values are: " + ", ".join(COMPONENT_TO_INDEX)
-        )
+        ) from None
 
     if not model.has_target_seq:
         raise ValueError(
@@ -66,34 +63,7 @@ def predict_mutation_table(model, table, output_column="prediction_epistatic",
         pred.index if mutant_column is None
         else pred.loc[:, mutant_column]
     )
-
-    if "segment" in pred.columns and pred.loc[:, "segment"].notnull().all():
-        # per-row comma-separated segment list paired with the mutations
-        mutation_list = []
-        for seg_str, mut_str in zip(pred.loc[:, "segment"], mutations):
-            segs = seg_str.split(",")
-            muts = extract_mutations(mut_str)
-            # wild-type rows ("wt"/"wild"/empty) carry no mutations;
-            # their segment annotation is irrelevant and they score
-            # Delta-E = 0 (the reference reaches the same outcome
-            # because its zip silently truncates)
-            if muts and len(segs) != len(muts):
-                raise ValueError(
-                    "Number of mutations does not match number of "
-                    "segments of origin: {} vs {}".format(mut_str, seg_str)
-                )
-            mutation_list.append([
-                ((seg, pos), aa_from, aa_to)
-                for seg, (pos, aa_from, aa_to) in zip(segs, muts)
-            ])
-    elif segment is not None:
-        mutation_list = [
-            [((segment, pos), aa_from, aa_to)
-             for (pos, aa_from, aa_to) in extract_mutations(m)]
-            for m in mutations
-        ]
-    else:
-        mutation_list = [extract_mutations(m) for m in mutations]
+    mutation_list = _mutation_lists(pred, mutations, segment)
 
     def _predict(m):
         try:
@@ -105,6 +75,48 @@ def predict_mutation_table(model, table, output_column="prediction_epistatic",
     return pred
 
 
+def _with_segment_keys(muts, seg):
+    """Substitutions re-keyed for multi-segment models:
+    pos -> (segment, pos)."""
+    return [((seg, pos), aa_from, aa_to) for pos, aa_from, aa_to in muts]
+
+
+def _paired_segment_mutations(seg_str, mut_str):
+    """One dataset row's substitutions, each keyed by its entry in the
+    row's comma-separated segment list."""
+    segs = seg_str.split(",")
+    muts = extract_mutations(mut_str)
+    # wild-type rows ("wt"/"wild"/empty) carry no mutations; their
+    # segment annotation is irrelevant and they score Delta-E = 0
+    # (the reference reaches the same outcome because its zip
+    # silently truncates)
+    if muts and len(segs) != len(muts):
+        raise ValueError(
+            "Number of mutations does not match number of "
+            "segments of origin: {} vs {}".format(mut_str, seg_str)
+        )
+    return [
+        ((seg, pos), aa_from, aa_to)
+        for seg, (pos, aa_from, aa_to) in zip(segs, muts)
+    ]
+
+
+def _mutation_lists(pred, mutations, segment):
+    """Per-row substitution lists, keyed by segment when the table (or
+    the caller) provides one."""
+    if "segment" in pred.columns and pred.loc[:, "segment"].notnull().all():
+        return [
+            _paired_segment_mutations(seg_str, mut_str)
+            for seg_str, mut_str in zip(pred.loc[:, "segment"], mutations)
+        ]
+    if segment is not None:
+        return [
+            _with_segment_keys(extract_mutations(m), segment)
+            for m in mutations
+        ]
+    return [extract_mutations(m) for m in mutations]
+
+
 def single_mutant_matrix(model, output_column="prediction_epistatic",
                          exclude_self_subs=True):
     """Table of all single substitutions of the model's target sequence,
@@ -114,39 +126,26 @@ def single_mutant_matrix(model, output_column="prediction_epistatic",
     values come from the precomputed (L, q) single-mutant matrix instead
     of per-substitution kernel calls.
     """
-    res = []
-    cons = entropy_map(model)
+    conservation = entropy_map(model)
+    columns = ["segment", "mutant", "pos", "wt", "subs", "frequency",
+               "column_conservation", output_column]
 
+    rows = []
     for pos in model.index_list:
         wt = model.seq(pos)
-        for subs in model.alphabet:
-            if subs in ("-", "."):
-                continue
-            if exclude_self_subs and subs == wt:
-                continue
+        # multi-segment models index positions by (segment_id, pos)
+        seg, label = pos if isinstance(pos, tuple) else (np.nan, pos)
 
-            # multi-segment models index positions by (segment_id, pos)
-            if isinstance(pos, tuple):
-                position_str, seg = pos[1], pos[0]
-            else:
-                position_str, seg = pos, np.nan
+        rows.extend(
+            (seg, "{}{}{}".format(wt, label, subs), label, wt, subs,
+             model.fi(pos, subs), conservation[pos],
+             model.smm(pos, subs))
+            for subs in model.alphabet
+            if subs not in ("-", ".")
+            and not (exclude_self_subs and subs == wt)
+        )
 
-            res.append({
-                "segment": seg,
-                "mutant": "{}{}{}".format(wt, position_str, subs),
-                "pos": position_str,
-                "wt": wt,
-                "subs": subs,
-                "frequency": model.fi(pos, subs),
-                "column_conservation": cons[pos],
-                output_column: model.smm(pos, subs),
-            })
-
-    pred = pd.DataFrame(res)
-    return pred.loc[
-        :, ["segment", "mutant", "pos", "wt", "subs", "frequency",
-            "column_conservation", output_column]
-    ]
+    return pd.DataFrame(rows, columns=columns)
 
 
 def split_mutants(x, mutant_column="mutant"):
