@@ -28,18 +28,21 @@ def retrieve_sequence_ids(fileobj, regex=None):
     The FIRST matching regular expression wins per header. Returns
     (list of ids, {id: [full headers]}).
     """
-    if regex is None:
-        regex = ID_EXTRACTION_REGEX
+    patterns = ID_EXTRACTION_REGEX if regex is None else regex
+
+    def first_match(header):
+        for pattern in patterns:
+            hit = re.match(pattern, header)
+            if hit and hit.groups():
+                return hit.group(1)
+        return None
 
     sequence_ids = []
     id_to_full_header = defaultdict(list)
-
-    for current_id, _ in read_fasta(fileobj):
-        for pattern in regex:
-            m = re.match(pattern, current_id)
-            if m and len(m.groups()) > 0:
-                sequence_ids.append(m.group(1))
-                id_to_full_header[m.group(1)].append(current_id)
-                break
+    for header, _ in read_fasta(fileobj):
+        extracted = first_match(header)
+        if extracted is not None:
+            sequence_ids.append(extracted)
+            id_to_full_header[extracted].append(header)
 
     return sequence_ids, id_to_full_header

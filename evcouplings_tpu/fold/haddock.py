@@ -15,20 +15,12 @@ def haddock_dist_restraint(resid_i, chain_i, resid_j, chain_j,
     atom selections are currently not emitted (they break HADDOCK
     docking; the parameters are kept for API compatibility).
     """
-    comment_str = comment if comment is not None else ""
-
-    atom_str_i = ""
-    atom_str_j = ""
-
-    return (
-        "! {}\n"
-        "assign (resid {} and segid {}{})\n"
-        "(\n"
-        " (resid {} and segid {}{})\n"
-        ") {} {} {}".format(
-            comment_str,
-            resid_i, chain_i, atom_str_i,
-            resid_j, chain_j, atom_str_j,
-            dist, upper, lower,
-        )
-    )
+    # note the reference's (dist, upper, lower) value order — kept
+    # for byte-identical restraint files
+    return "\n".join([
+        "! {}".format("" if comment is None else comment),
+        "assign (resid {} and segid {})".format(resid_i, chain_i),
+        "(",
+        " (resid {} and segid {})".format(resid_j, chain_j),
+        ") {} {} {}".format(dist, upper, lower),
+    ])

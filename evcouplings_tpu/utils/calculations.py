@@ -16,12 +16,10 @@ def entropy(X, normalize=False):
     (1 = fully conserved), computed as 1 - H / log2(len(X)).
     """
     X = np.asarray(X, dtype=float)
-    X_ = X[X > 0]
-    H = -np.sum(X_ * np.log2(X_))
+    support = X[X > 0]
+    H = -np.sum(support * np.log2(support))
 
-    if normalize:
-        return 1 - (H / np.log2(len(X)))
-    return H
+    return 1 - (H / np.log2(len(X))) if normalize else H
 
 
 def entropy_rows(F, normalize=False):
@@ -41,29 +39,31 @@ def entropy_vector(model, normalize=True):
 
 def entropy_map(model, normalize=True):
     """Map from position (model numbering) to column entropy."""
-    cons = entropy_vector(model, normalize)
-    return dict(zip(model.index_list, cons))
+    return dict(zip(
+        model.index_list, entropy_vector(model, normalize)
+    ))
 
 
 def dihedral_angle(p0, p1, p2, p3):
     """Dihedral/torsion angle (radians) defined by four 3D points."""
-    b0 = -1.0 * (p1 - p0)
-    b1 = p2 - p1
-    b2 = p3 - p2
+    bond_back = -1.0 * (p1 - p0)
+    axis = p2 - p1
+    bond_fwd = p3 - p2
 
-    b1 = b1 / np.linalg.norm(b1)
+    axis = axis / np.linalg.norm(axis)
 
-    # vector rejections of b0/b2 onto the plane perpendicular to b1
-    v = b0 - np.dot(b0, b1) * b1
-    w = b2 - np.dot(b2, b1) * b1
+    # vector rejections of the outer bonds onto the plane
+    # perpendicular to the central axis
+    rej_back = bond_back - np.dot(bond_back, axis) * axis
+    rej_fwd = bond_fwd - np.dot(bond_fwd, axis) * axis
 
-    x = np.dot(v, w)
-    y = np.dot(np.cross(b1, v), w)
-    return np.arctan2(y, x)
+    return np.arctan2(
+        np.dot(np.cross(axis, rej_back), rej_fwd),
+        np.dot(rej_back, rej_fwd),
+    )
 
 
 def median_absolute_deviation(x, scale=1.4826):
     """Scaled median absolute deviation (default scale matches Gaussian SD)."""
-    med = np.median(x)
-    mad = np.median(np.abs(x - med))
-    return scale * mad
+    spread = np.abs(x - np.median(x))
+    return scale * np.median(spread)
