@@ -22,25 +22,27 @@ def read_species_annotation_table(annotation_file):
     of OS (UniProt) / Tax (UniRef) is better populated."""
     data = pd.read_csv(annotation_file, dtype=str)
 
-    annotation_column = None
-    current_num_annotations = 0
+    # strictly-better population wins, so ties keep the EARLIER
+    # column (OS preferred over Tax, like the reference)
+    populated = {
+        column: data[column].notnull().sum()
+        for column in SPECIES_ANNOTATION_COLUMNS
+        if column in data
+    }
+    best_column, best_count = None, 0
+    for column, count in populated.items():
+        if count > best_count:
+            best_column, best_count = column, count
 
-    for column in SPECIES_ANNOTATION_COLUMNS:
-        if column not in data:
-            continue
-        num_annotations = sum(data[column].notnull())
-        if num_annotations > current_num_annotations:
-            annotation_column = column
-            current_num_annotations = num_annotations
-
-    if annotation_column is None:
+    if best_column is None:
         raise InvalidParameterError(
             "provided annotation file {} has no annotation "
             "information".format(annotation_file)
         )
 
-    data = data.assign(species=data.loc[:, annotation_column])
-    return data[["id", "name", "species"]]
+    return data.assign(species=data.loc[:, best_column])[
+        ["id", "name", "species"]
+    ]
 
 
 def most_similar_by_organism(similarities, id_to_organism):
@@ -50,13 +52,12 @@ def most_similar_by_organism(similarities, id_to_organism):
     annotation table with species column. Returns rows with columns
     id, species, identity_to_query.
     """
-    data = similarities.merge(id_to_organism, on="id")
+    annotated = similarities.merge(id_to_organism, on="id")
 
-    most_similar_in_species = (
-        data.sort_values(by="identity_to_query").groupby("species").last()
-    )
-    most_similar_in_species["species"] = most_similar_in_species.index
-    return most_similar_in_species.reset_index(drop=True)
+    # ascending sort + last() = the highest-identity row per species
+    best = annotated.sort_values(by="identity_to_query") \
+        .groupby("species").last()
+    return best.assign(species=best.index).reset_index(drop=True)
 
 
 def find_paralogs(target_id, id_to_organism, similarities,
@@ -65,16 +66,17 @@ def find_paralogs(target_id, id_to_organism, similarities,
     the identity threshold (putative paralogs)."""
     base_query_id, _, _ = parse_header(target_id)
 
-    annotation_data = similarities.merge(id_to_organism, on="id")
-    contains_annotation = [
-        base_query_id in x for x in annotation_data.id
-    ]
-    query_hits = annotation_data.loc[contains_annotation, :]
-    query_species = list(query_hits.species.dropna())
+    annotated = similarities.merge(id_to_organism, on="id")
 
-    paralogs = annotation_data.query("species == @query_species")
-    paralogs = paralogs.query("identity_to_query < @identity_threshold")
-    return paralogs
+    # species the query itself appears under (substring match on id)
+    own_species = annotated.species[
+        [base_query_id in hit for hit in annotated.id]
+    ].dropna()
+
+    return annotated[
+        annotated.species.isin(list(own_species))
+        & (annotated.identity_to_query < identity_threshold)
+    ]
 
 
 def filter_best_reciprocal(alignment, paralogs, most_similar_in_species,
@@ -84,19 +86,19 @@ def filter_best_reciprocal(alignment, paralogs, most_similar_in_species,
     ali = Alignment.from_path(alignment, "fasta")
 
     # paralog x sequence identity matrix (accelerator kernel per row)
-    identity_mat = np.zeros((len(paralogs), len(ali.ids)), dtype=float)
-    for idx, paralog_id in enumerate(paralogs.id):
-        identity_mat[idx, :] = ali.identities_to(
-            ali[ali.id_to_index[paralog_id]]
-        )
+    to_paralogs = np.array([
+        ali.identities_to(ali[ali.id_to_index[paralog_id]])
+        for paralog_id in paralogs.id
+    ], dtype=float).reshape(len(paralogs), len(ali.ids))
 
-    indices_to_keep = []
-    for index, row in most_similar_in_species.iterrows():
-        alignment_index = ali.id_to_index[row.id]
-        if np.all(
-            identity_mat[:, alignment_index]
-            < row.identity_to_query + allowed_error
-        ):
-            indices_to_keep.append(index)
+    def is_reciprocal(row):
+        # best reciprocal = no paralog matches this hit better than
+        # the query does (within the error margin)
+        column = to_paralogs[:, ali.id_to_index[row.id]]
+        return np.all(column < row.identity_to_query + allowed_error)
 
-    return most_similar_in_species.loc[indices_to_keep, :]
+    keep = [
+        index for index, row in most_similar_in_species.iterrows()
+        if is_reciprocal(row)
+    ]
+    return most_similar_in_species.loc[keep, :]
