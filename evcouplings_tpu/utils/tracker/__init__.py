@@ -78,36 +78,38 @@ def get_result_tracker(config):
             "of config when using a tracker."
         )
 
-    # optional credentials via environment variables
-    connection_string = connection_string.format(
-        username=environ.get(TRACKER_USERNAME_KEY),
-        password=environ.get(TRACKER_PASSWORD_KEY),
-    )
-
-    kwargs = {
-        "connection_string": connection_string,
-        "job_id": job_id,
-        "prefix": prefix,
-        "pipeline": pipeline,
-        "file_list": file_list,
-        "delete_list": delete_list,
-        "config": config,
-        "retry_max_number": management.get(
+    backend = _load_backend(tracker_type)
+    return backend(
+        # optional credentials via environment variables
+        connection_string=connection_string.format(
+            username=environ.get(TRACKER_USERNAME_KEY),
+            password=environ.get(TRACKER_PASSWORD_KEY),
+        ),
+        job_id=job_id,
+        prefix=prefix,
+        pipeline=pipeline,
+        file_list=file_list,
+        delete_list=delete_list,
+        config=config,
+        retry_max_number=management.get(
             "tracker_max_retries", TRACKER_MAX_NUM_RETRIES
         ),
-        "retry_wait": management.get(
+        retry_wait=management.get(
             "tracker_retry_wait", TRACKER_RETRY_WAIT
         ),
-    }
+    )
 
+
+def _load_backend(tracker_type):
+    """Import and return the tracker class for tracker_type (imports
+    stay lazy so optional backend dependencies load on demand)."""
     if tracker_type == "mongodb":
         from evcouplings_tpu.utils.tracker.mongodb import MongoDBTracker
-        return MongoDBTracker(**kwargs)
-    elif tracker_type == "sql":
+        return MongoDBTracker
+    if tracker_type == "sql":
         from evcouplings_tpu.utils.tracker.sql import SQLTracker
-        return SQLTracker(**kwargs)
-    else:
-        raise InvalidParameterError(
-            "Not a valid job result tracker: '{}'. "
-            "Valid options are: None, 'sql', 'mongodb'".format(tracker_type)
-        )
+        return SQLTracker
+    raise InvalidParameterError(
+        "Not a valid job result tracker: '{}'. "
+        "Valid options are: None, 'sql', 'mongodb'".format(tracker_type)
+    )

@@ -17,15 +17,11 @@ class ResultTracker(ABC):
     def __init__(self, connection_string, job_id, prefix, pipeline,
                  file_list, delete_list, config,
                  retry_max_number=None, retry_wait=None):
-        self.connection_string = connection_string
-        self.job_id = job_id
-        self.prefix = prefix
-        self.pipeline = pipeline
-        self.file_list = file_list
-        self.delete_list = delete_list
-        self.config = config
-        self.retry_max_number = retry_max_number
-        self.retry_wait = retry_wait
+        # every constructor argument becomes an attribute of the
+        # same name (the backend subclasses read them directly)
+        settings = dict(locals())
+        del settings["self"]
+        vars(self).update(settings)
 
     @abstractmethod
     def update(self, status=None, message=None, stage=None, results=None):
