@@ -44,28 +44,27 @@ def run(cmd, stdin=None, check_returncode=True, working_dir=None,
     (int, str, str)
         Return code, stdout, stderr
     """
+    pipe = subprocess.PIPE
     try:
         with subprocess.Popen(
-            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            stdin=subprocess.PIPE, universal_newlines=True,
-            cwd=working_dir, shell=shell, env=env
+            cmd, stdin=pipe, stdout=pipe, stderr=pipe,
+            universal_newlines=True, cwd=working_dir, shell=shell,
+            env=env,
         ) as proc:
-            (stdout, stderr) = proc.communicate(stdin)
+            stdout, stderr = proc.communicate(stdin)
             return_code = proc.returncode
-
-            if check_returncode and return_code != 0:
-                raise ExternalToolError(
-                    "Call failed:\ncmd={}\nreturncode={}\nstdout={}\nstderr={}".format(
-                        cmd, return_code, stdout, stderr
-                    )
-                )
-
-        return return_code, stdout, stderr
-
     except (OSError, ValueError) as e:
         raise ExternalToolError(
             "Call to external tool failed and did not return: {}".format(cmd)
         ) from e
+
+    if check_returncode and return_code != 0:
+        raise ExternalToolError(
+            "Call failed:\ncmd={}\nreturncode={}\nstdout={}\nstderr={}"
+            .format(cmd, return_code, stdout, stderr)
+        )
+
+    return return_code, stdout, stderr
 
 
 def valid_file(file_path):
@@ -134,8 +133,8 @@ def tempdir():
 
 def write_file(file_path, content):
     """Write string content to a file."""
-    with open(file_path, "w") as f:
-        f.write(content)
+    with open(file_path, "w") as handle:
+        handle.write(content)
 
 
 def get_urllib(url, output_path):
