@@ -59,6 +59,17 @@ def _triu_pairs(L):
     return np.triu_indices(L, k=1)
 
 
+def _ec_derived(attr, doc):
+    """Lazy property over an EC-derived cache slot: trigger one
+    _calculate_ecs() pass when the slot is still empty."""
+    def getter(self):
+        if getattr(self, attr) is None:
+            self._calculate_ecs()
+        return getattr(self, attr)
+    getter.__doc__ = doc
+    return property(getter)
+
+
 class CouplingsModel:
     """Potts model parameter container with EC scoring and mutation deltas."""
 
@@ -517,40 +528,18 @@ class CouplingsModel:
             }
         ).sort_values(by="cn", ascending=False)
 
-    @property
-    def cn_scores(self):
-        """(L, L) corrected-norm scores."""
-        if self._cn_scores is None:
-            self._calculate_ecs()
-        return self._cn_scores
-
-    @property
-    def fn_scores(self):
-        """(L, L) Frobenius-norm scores."""
-        if self._fn_scores is None:
-            self._calculate_ecs()
-        return self._fn_scores
-
-    @property
-    def mi_scores_raw(self):
-        """(L, L) mutual information scores (no APC)."""
-        if self._mi_scores_raw is None:
-            self._calculate_ecs()
-        return self._mi_scores_raw
-
-    @property
-    def mi_scores_apc(self):
-        """(L, L) mutual information scores (APC-corrected)."""
-        if self._mi_scores_apc is None:
-            self._calculate_ecs()
-        return self._mi_scores_apc
-
-    @property
-    def ecs(self):
-        """EC DataFrame sorted by CN score."""
-        if self._ecs is None:
-            self._calculate_ecs()
-        return self._ecs
+    # EC-derived quantities are computed lazily by one _calculate_ecs
+    # pass and cached on their underscored slots
+    cn_scores = _ec_derived(
+        "_cn_scores", "(L, L) corrected-norm scores.")
+    fn_scores = _ec_derived(
+        "_fn_scores", "(L, L) Frobenius-norm scores.")
+    mi_scores_raw = _ec_derived(
+        "_mi_scores_raw", "(L, L) mutual information scores (no APC).")
+    mi_scores_apc = _ec_derived(
+        "_mi_scores_apc",
+        "(L, L) mutual information scores (APC-corrected).")
+    ecs = _ec_derived("_ecs", "EC DataFrame sorted by CN score.")
 
     def to_independent_model(self):
         """Single-site model fit with L2 regularization (BFGS per site).
@@ -585,10 +574,12 @@ class CouplingsModel:
         return c0
 
     # ------------------------------------------------------------------
-    # index-mapped accessors (syntactic sugar)
+    # index-mapped accessors (syntactic sugar); the method names and
+    # signatures are the reference's public API, the bodies are
+    # generated by the _mapped_* factories below the class
     # ------------------------------------------------------------------
 
-    def __map(self, indices, mapping):
+    def _map_key(self, indices, mapping):
         # single indices may be tuples ((segment, pos) keys), so only
         # non-tuple/non-string iterables are index sequences
         if (isinstance(indices, Iterable)
@@ -596,65 +587,18 @@ class CouplingsModel:
             return np.array([mapping[k] for k in indices])
         return mapping[indices]
 
-    def __resolve(self, axes):
+    def _resolve_axes(self, axes):
         """(value, mapping) pairs -> index tuple (None -> full slice)."""
         return tuple(
-            _SLICE if v is None else self.__map(v, m) for v, m in axes
+            _SLICE if v is None else self._map_key(v, m)
+            for v, m in axes
         )
-
-    def __4d_access(self, matrix, i=None, j=None, A_i=None, A_j=None):
-        pos, sym = self.index_map, self.alphabet_map
-        return matrix[self.__resolve(
-            ((i, pos), (j, pos), (A_i, sym), (A_j, sym))
-        )]
-
-    def __2d_access(self, matrix, i=None, A_i=None):
-        return matrix[self.__resolve(
-            ((i, self.index_map), (A_i, self.alphabet_map))
-        )]
-
-    def __2d_access_score_matrix(self, matrix, i=None, j=None):
-        return matrix[self.__resolve(
-            ((i, self.index_map), (j, self.index_map))
-        )]
-
-    def Jij(self, i=None, j=None, A_i=None, A_j=None):
-        """J_ij with index/symbol mapping applied."""
-        return self.__4d_access(self.J_ij, i, j, A_i, A_j)
-
-    def fij(self, i=None, j=None, A_i=None, A_j=None):
-        """f_ij with index/symbol mapping applied."""
-        return self.__4d_access(self.f_ij, i, j, A_i, A_j)
-
-    def hi(self, i=None, A_i=None):
-        """h_i with index/symbol mapping applied."""
-        return self.__2d_access(self.h_i, i, A_i)
-
-    def fi(self, i=None, A_i=None):
-        """f_i with index/symbol mapping applied."""
-        return self.__2d_access(self.f_i, i, A_i)
-
-    def cn(self, i=None, j=None):
-        """CN scores with index mapping applied."""
-        return self.__2d_access_score_matrix(self.cn_scores, i, j)
-
-    def fn(self, i=None, j=None):
-        """FN scores with index mapping applied."""
-        return self.__2d_access_score_matrix(self.fn_scores, i, j)
-
-    def mi_apc(self, i=None, j=None):
-        """APC-corrected MI scores with index mapping applied."""
-        return self.__2d_access_score_matrix(self.mi_scores_apc, i, j)
-
-    def mi_raw(self, i=None, j=None):
-        """Raw MI scores with index mapping applied."""
-        return self.__2d_access_score_matrix(self.mi_scores_raw, i, j)
 
     def mn(self, i=None):
         """Map sequence numbering to internal model numbering."""
         if i is None:
             return np.array(sorted(self.index_map.values()))
-        return self.__map(i, self.index_map)
+        return self._map_key(i, self.index_map)
 
     def mui(self, i=None):
         """Legacy alias of mn()."""
@@ -664,7 +608,7 @@ class CouplingsModel:
         """Map internal numbering to sequence numbering."""
         if i is None:
             return np.array(self.index_list)
-        return self.__map(i, self.index_list)
+        return self._map_key(i, self.index_list)
 
     def itu(self, i=None):
         """Legacy alias of sn()."""
@@ -674,13 +618,68 @@ class CouplingsModel:
         """Target sequence symbols (optionally at mapped positions)."""
         if i is None:
             return self.target_seq
-        i = self.__map(i, self.index_map)
-        return self.__map(i, self.target_seq)
+        internal = self._map_key(i, self.index_map)
+        return self._map_key(internal, self.target_seq)
 
-    def smm(self, i=None, A_i=None):
-        """Single-mutant delta Hamiltonians with index/symbol mapping."""
-        return self.__2d_access(self.single_mut_mat, i, A_i)
 
-    def dmm(self, i=None, j=None, A_i=None, A_j=None):
-        """Double-mutant delta Hamiltonians with index/symbol mapping."""
-        return self.__4d_access(self.double_mut_mat, i, j, A_i, A_j)
+def _mapped_tensor4(source, doc):
+    """Accessor factory for (L, L, q, q) tensors: positions i/j and
+    symbols A_i/A_j translate through the model's index/alphabet maps,
+    with None selecting the full axis."""
+    def accessor(self, i=None, j=None, A_i=None, A_j=None):
+        pos, sym = self.index_map, self.alphabet_map
+        return getattr(self, source)[self._resolve_axes(
+            ((i, pos), (j, pos), (A_i, sym), (A_j, sym))
+        )]
+    accessor.__doc__ = doc
+    return accessor
+
+
+def _mapped_site(source, doc):
+    """Accessor factory for (L, q) matrices (position + symbol)."""
+    def accessor(self, i=None, A_i=None):
+        return getattr(self, source)[self._resolve_axes(
+            ((i, self.index_map), (A_i, self.alphabet_map))
+        )]
+    accessor.__doc__ = doc
+    return accessor
+
+
+def _mapped_pair(source, doc):
+    """Accessor factory for (L, L) score matrices (two positions)."""
+    def accessor(self, i=None, j=None):
+        return getattr(self, source)[self._resolve_axes(
+            ((i, self.index_map), (j, self.index_map))
+        )]
+    accessor.__doc__ = doc
+    return accessor
+
+
+# the reference's sugar accessor API (model.py:927-1098): method name,
+# factory shape, backing attribute/property
+for _name, _factory, _source, _doc in [
+    ("Jij", _mapped_tensor4, "J_ij",
+     "J_ij with index/symbol mapping applied."),
+    ("fij", _mapped_tensor4, "f_ij",
+     "f_ij with index/symbol mapping applied."),
+    ("dmm", _mapped_tensor4, "double_mut_mat",
+     "Double-mutant delta Hamiltonians with index/symbol mapping."),
+    ("hi", _mapped_site, "h_i",
+     "h_i with index/symbol mapping applied."),
+    ("fi", _mapped_site, "f_i",
+     "f_i with index/symbol mapping applied."),
+    ("smm", _mapped_site, "single_mut_mat",
+     "Single-mutant delta Hamiltonians with index/symbol mapping."),
+    ("cn", _mapped_pair, "cn_scores",
+     "CN scores with index mapping applied."),
+    ("fn", _mapped_pair, "fn_scores",
+     "FN scores with index mapping applied."),
+    ("mi_apc", _mapped_pair, "mi_scores_apc",
+     "APC-corrected MI scores with index mapping applied."),
+    ("mi_raw", _mapped_pair, "mi_scores_raw",
+     "Raw MI scores with index mapping applied."),
+]:
+    _accessor = _factory(_source, _doc)
+    _accessor.__name__ = _name
+    _accessor.__qualname__ = "CouplingsModel." + _name
+    setattr(CouplingsModel, _name, _accessor)
