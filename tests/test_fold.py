@@ -342,3 +342,96 @@ class TestFilterReferenceParity:
         pd.testing.assert_series_equal(
             ours["cys_clash"], theirs["cys_clash"]
         )
+
+
+@pytest.fixture
+def df_append_shim(monkeypatch):
+    """The reference's ranking code uses DataFrame.append, which
+    pandas >= 2 removed; reinstate it as a concat wrapper so the live
+    reference implementation can run for the differential tests."""
+    def append(self, other, ignore_index=False):
+        return pd.concat([self, other], ignore_index=ignore_index)
+
+    monkeypatch.setattr(pd.DataFrame, "append", append, raising=False)
+
+
+class TestDihedralReferenceParity:
+    """The strand-pairing dihedral search (nearest-partner span,
+    orientation vote, tie handling, 2011-protocol residue guards) must
+    match the live reference implementation value-for-value."""
+
+    @staticmethod
+    def _random_trace(seed, drop_rate=0.0):
+        rng = np.random.default_rng(seed)
+        n = 36
+        pos = np.arange(1, n + 1)
+        keep = rng.random(n) >= drop_rate
+        xyz = rng.normal(scale=4.0, size=(n, 3)).cumsum(axis=0) * 0.6
+        return pd.DataFrame({
+            "i": pos[keep], "x": xyz[keep, 0],
+            "y": xyz[keep, 1], "z": xyz[keep, 2],
+        })
+
+    @pytest.mark.parametrize("seed", [5, 7, 13, 21, 34])
+    @pytest.mark.parametrize("original", [True, False])
+    def test_beta_dihedrals_match_reference(self, seed, original, df_append_shim):
+        from reference_shim import load_reference
+
+        if load_reference() is None:
+            pytest.skip("reference package not loadable")
+        import evcouplings.fold.ranking as ref_ranking
+
+        from evcouplings_tpu.fold.ranking import _beta_dihedrals
+
+        coords = self._random_trace(seed, drop_rate=0.06 * (seed % 3))
+        segments = [(3, 9), (12, 18), (22, 29)]
+
+        try:
+            theirs = ref_ranking._beta_dihedrals(
+                coords, segments, original=original
+            )
+            their_error = None
+        except KeyError:
+            theirs, their_error = None, KeyError
+
+        try:
+            ours = _beta_dihedrals(coords, segments, original=original)
+            our_error = None
+        except KeyError:
+            ours, our_error = None, KeyError
+
+        # crash parity: the 2011 protocol's unguarded j-2 lookup must
+        # fail in exactly the same configurations
+        assert our_error is their_error
+        if their_error is not None:
+            return
+
+        assert len(ours) == len(theirs)
+        if len(ours):
+            for column in ("i", "j", "strand_i", "strand_j"):
+                assert ours[column].astype(int).tolist() == \
+                    theirs[column].astype(int).tolist(), column
+            np.testing.assert_allclose(
+                ours.dihedral.astype(float).values,
+                theirs.dihedral.astype(float).values,
+                rtol=0, atol=0,
+            )
+
+    @pytest.mark.parametrize("seed", [2, 9])
+    def test_alpha_dihedrals_match_reference(self, seed, df_append_shim):
+        from reference_shim import load_reference
+
+        if load_reference() is None:
+            pytest.skip("reference package not loadable")
+        import evcouplings.fold.ranking as ref_ranking
+
+        from evcouplings_tpu.fold.ranking import _alpha_dihedrals
+
+        coords = self._random_trace(seed, drop_rate=0.1)
+        segments = [(4, 12), (20, 30)]
+
+        theirs = ref_ranking._alpha_dihedrals(coords, segments)
+        ours = _alpha_dihedrals(coords, segments)
+        pd.testing.assert_frame_equal(
+            ours, theirs, check_dtype=False
+        )
