@@ -101,19 +101,20 @@ def test_dgsa_hbond_class_optional():
     # render the template directly for this variant
     from evcouplings_tpu.fold.cns import _cns_render_template
 
-    out2 = _cns_render_template("dg_sa", {
-        "pdb_infile": "e.pdb", "mtf_infile": "t.mtf",
-        "num_structures": 3,
-        "ec_pair_tbl_infile": "a.tbl",
-        "ss_dist_tbl_infile": "b.tbl",
-        "ss_angle_tbl_infile": "c.tbl",
-        "pdb_outfile_basename": "t",
-        "hbond_tbl_infile": "hb.tbl",
-        "log_level": "quiet",
-        "md_cool_noe_scale_factor": 5,
-        "ss_dist_noe_avg_mode": "cent",
-        "ec_pair_noe_avg_mode": "cent",
-    })
+    out2 = _cns_render_template(
+        "dg_sa",
+        pdb_infile="e.pdb", mtf_infile="t.mtf",
+        num_structures=3,
+        ec_pair_tbl_infile="a.tbl",
+        ss_dist_tbl_infile="b.tbl",
+        ss_angle_tbl_infile="c.tbl",
+        pdb_outfile_basename="t",
+        hbond_tbl_infile="hb.tbl",
+        log_level="quiet",
+        md_cool_noe_scale_factor=5,
+        ss_dist_noe_avg_mode="cent",
+        ec_pair_noe_avg_mode="cent",
+    )
     assert_fully_rendered(out2)
     assert "class hbnd" in out2
     assert "@@hb.tbl" in out2
