@@ -38,7 +38,17 @@ class Segment:
     @classmethod
     def from_list(cls, segment):
         """Create from list representation [segment_id, segment_type,
-        sequence_id, region_start, region_end, positions] (config format)."""
+        sequence_id, region_start, region_end, positions] (config format).
+
+        Any other arity is a malformed config list and raises ValueError
+        (zip would silently truncate or pad, turning e.g. a missing
+        region bound into positions=None).
+        """
+        if len(segment) != len(cls._LIST_FIELDS):
+            raise ValueError(
+                "Invalid segment list %r: expected %d elements %r"
+                % (segment, len(cls._LIST_FIELDS), cls._LIST_FIELDS)
+            )
         return cls(**dict(zip(cls._LIST_FIELDS, segment)))
 
     def to_list(self):

@@ -61,6 +61,7 @@ def download_ftp_file(ftp_url, ftp_cwd, file_url, output_path,
         inflate = zlib.decompressobj(zlib.MAX_WBITS | 32)
 
         def receive(chunk):
+            nonlocal progress
             out.write(inflate.decompress(chunk) if gziped else chunk)
             if verbose:
                 progress += len(chunk)

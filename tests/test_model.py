@@ -223,6 +223,16 @@ class TestSegments:
         assert Segment.from_list(s.to_list()).sequence_id == "SEQ1"
         assert s.default_chain_name() == "B"
 
+    def test_from_list_rejects_malformed(self):
+        # wrong-arity config lists must fail loudly (reference
+        # couplings/mapping.py:78 unpacks exactly six elements)
+        with pytest.raises(ValueError, match="Invalid segment list"):
+            Segment.from_list(["A_1", "aa", "SEQ1", 10, 20])
+        with pytest.raises(ValueError, match="Invalid segment list"):
+            Segment.from_list(
+                ["A_1", "aa", "SEQ1", 10, 20, None, "extra"]
+            )
+
     def test_mapper_focus_mode(self):
         s1 = Segment("aa", "X", 1, 3, segment_id="A_1")
         s2 = Segment("aa", "Y", 10, 12, segment_id="B_1")

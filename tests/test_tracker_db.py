@@ -471,6 +471,24 @@ class TestUpdateDatabase:
         )
         assert out.read_bytes() == payload
 
+    def test_download_ftp_file_verbose_progress(self, tmp_path,
+                                                monkeypatch, capsys):
+        # verbose=True drives the Progressbar from inside the receive()
+        # closure — regression for the missing `nonlocal progress`
+        # (UnboundLocalError on the first chunk)
+        payload = b"x" * 30000
+        _FakeFTP.store = {
+            ("/db/", "big.gz"): gzip.compress(payload)
+        }
+        monkeypatch.setattr("ftplib.FTP", _FakeFTP)
+        out = tmp_path / "big.dat"
+        download_ftp_file(
+            "u", "/db/", "big.gz", str(out), gziped=True, verbose=True,
+        )
+        assert out.read_bytes() == payload
+        # the bar writes carriage-return frames to stderr
+        assert "[" in capsys.readouterr().err
+
     def test_download_ftp_file_append(self, tmp_path, monkeypatch):
         _FakeFTP.store = {
             ("/db/", "one.gz"): gzip.compress(b"first\n"),
