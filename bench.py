@@ -45,6 +45,142 @@ def measured_cpu_baseline():
     except (OSError, KeyError, ValueError):
         return None
 
+
+# ---------------------------------------------------------------------
+# MFU / roofline accounting (VERDICT r4 item 1)
+# ---------------------------------------------------------------------
+# Peak dense-matmul throughput per chip by device kind (bf16 into f32
+# accumulation — the MXU mode every GEMM here runs in; f32 "highest"
+# math is built from bf16 passes, so bf16 peak is the one roofline).
+# Sources: published TPU specs (v4 275, v5e 197, v5p 459, v6e/Trillium
+# 918 TFLOP/s bf16; HBM 1228/819/2765/1640 GB/s).
+TPU_BF16_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+TPU_HBM_BYTES_PER_S = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5": 2765e9,
+    "TPU v6 lite": 1640e9,
+}
+
+
+def device_peak(kind=None):
+    """{device_kind, bf16_peak_flops, hbm_bytes_per_s} for the local
+    chip (or an explicit device_kind string), None when the device is
+    not a known TPU. Longest-prefix match so "TPU v5" (v5p) does not
+    shadow "TPU v5 lite" (v5e)."""
+    if kind is None:
+        import jax
+
+        kind = getattr(jax.devices()[0], "device_kind", "")
+    best = None
+    for k in TPU_BF16_PEAK_FLOPS:
+        if kind.startswith(k) and (best is None or len(k) > len(best)):
+            best = k
+    if best is None:
+        return None
+    return {
+        "device_kind": kind,
+        "bf16_peak_flops": TPU_BF16_PEAK_FLOPS[best],
+        "hbm_bytes_per_s": TPU_HBM_BYTES_PER_S[best],
+    }
+
+
+def plm_flops_per_seq_site(l, q):
+    """MXU FLOPs per sequence-site of one value+gradient pass of the
+    PLM objective (ops/plm.py _make_block_math + the dJh contraction;
+    identical for the carried and two-phase layouts, which reorder the
+    same GEMMs). Per row block of B rows:
+
+        logits GEMM  (B, Lq_aug) @ (Lq_aug, Lq)   2*B*Lq_aug*Lq
+        Z  seg GEMM  (B, Lq)     @ (Lq, L)        2*B*Lq*L
+        1/Z seg GEMM (B, L)      @ (L, Lq)^T      2*B*L*Lq
+        dJh GEMM     (B, Lq)^T   @ (B, Lq_aug)    2*B*Lq*Lq_aug
+
+    -> per row 4*Lq*Lq_aug + 4*L*Lq; per seq*site divide by L. Counts
+    useful model FLOPs only: elementwise VPU work (exp, residual) and
+    the N-independent optimizer epilogue are excluded, and the f32
+    "highest" mode's 3 bf16 passes per GEMM are NOT multiplied in
+    (see parity_mxu_duty for the pass-adjusted duty)."""
+    from evcouplings_tpu.ops.plm import _augmented_width
+
+    lq = l * q
+    lq_aug = _augmented_width(lq)
+    return 4 * q * lq_aug + 4 * lq
+
+
+def plm_hbm_bytes_per_row(l, q, block_size, elt_bytes=2):
+    """Dominant HBM bytes moved per MSA row by one two-phase
+    value+gradient step: the augmented one-hot read twice (phase-1
+    slice + phase-2 GEMM operand), the residual written then re-read,
+    the int8 codes, and the (Lq_aug, Lq) parameter matrix re-fetched
+    once per row block. The N-independent epilogue (dJh write,
+    optimizer state) is excluded — it amortizes to zero at bench N."""
+    from evcouplings_tpu.ops.plm import _augmented_width
+
+    lq = l * q
+    lq_aug = _augmented_width(lq)
+    return (
+        2 * lq_aug * elt_bytes        # one-hot read, phases 1 and 2
+        + 2 * lq * elt_bytes          # residual write + read
+        + l                           # int8 codes
+        + lq_aug * lq * elt_bytes / block_size  # J_aug per block
+    )
+
+
+# f32 "highest" structured precision = 3 bf16 MXU passes per GEMM
+# (ops/plm.py _PrecTriple: one exact operand per GEMM, 3 passes
+# instead of bf16_6x's 6)
+_PARITY_MXU_PASSES = 3
+
+
+def _mfu_records(throughput, parity_throughput, peak="auto"):
+    """Roofline record for the headline numbers: achieved model
+    FLOP/s, fraction of chip bf16 peak (MFU), arithmetic intensity vs
+    the HBM ridge point. Pure arithmetic given the measured
+    throughputs — separated out so the CI gate can run it off-chip."""
+    if peak == "auto":
+        peak = device_peak()
+    if peak is None:
+        return {"mfu_skipped": "unknown device kind"}
+
+    flop = plm_flops_per_seq_site(L, Q)
+    ai = (
+        flop * L / plm_hbm_bytes_per_row(L, Q, block_size=8192)
+    )
+    ridge = peak["bf16_peak_flops"] / peak["hbm_bytes_per_s"]
+    out = {
+        "mfu_device_kind": peak["device_kind"],
+        "mfu_peak_tflops_bf16": round(peak["bf16_peak_flops"] / 1e12, 1),
+        "mfu_flop_per_seq_site": flop,
+        # production mode (bf16): compute-bound position on the roofline
+        "mfu_ai_flop_per_byte": round(ai, 1),
+        "mfu_ridge_flop_per_byte": round(ridge, 1),
+    }
+    if throughput:
+        tflops = throughput * flop / 1e12
+        out["mfu_production_tflops"] = round(tflops, 1)
+        out["mfu_production"] = round(
+            tflops * 1e12 / peak["bf16_peak_flops"], 3
+        )
+    if parity_throughput:
+        tflops = parity_throughput * flop / 1e12
+        out["mfu_parity_tflops"] = round(tflops, 1)
+        out["mfu_parity"] = round(
+            tflops * 1e12 / peak["bf16_peak_flops"], 3
+        )
+        # the MXU performs 3 bf16 passes per exact-f32 GEMM, so its
+        # duty cycle in parity mode is 3x the model-FLOP MFU
+        out["parity_mxu_passes"] = _PARITY_MXU_PASSES
+        out["parity_mxu_duty"] = round(
+            out["mfu_parity"] * _PARITY_MXU_PASSES, 3
+        )
+    return out
+
 # Larger N amortizes the N-independent per-step epilogue (optimizer +
 # regularizer traffic over the (Lq, Lq) arrays): measured 420M
 # seq*site/s at N=16384, 448M at 32768, 463M at 65536, 471M at 131072,
@@ -206,39 +342,61 @@ def _bench_mi_apc():
     """BASELINE config #1: MI+APC EC scoring on a small monomer MSA —
     reweighting, weighted single/pair frequencies, mutual information,
     APC correction (reference hot loops: align/alignment.py:1078-1233,
-    model.py:744-827)."""
-    from evcouplings_tpu.ops.frequencies import (
-        frequencies, pair_frequencies,
-    )
-    from evcouplings_tpu.ops.scores import apc, mi_scores
-    from evcouplings_tpu.ops.weights import num_cluster_members
+    model.py:744-827), then the skew-normal EM mixture rescoring the
+    couplings protocol applies to the scored pairs (reference
+    pairs.py:541-613).
+
+    Since round 5 the kernel chain runs as ONE device dispatch
+    (ops/scores.py mi_apc_from_codes) instead of five dispatches with
+    host round-trips — the r4 record's 870 ms was tunnel latency and a
+    32 MB f_ij fetch, not compute. The record splits kernel time from
+    the CPU EM rescore (VERDICT r4 item 4)."""
+    import pandas as pd
+
+    from evcouplings_tpu.couplings.pairs import add_mixture_probability
+    from evcouplings_tpu.ops.scores import mi_apc_from_codes
 
     n1, l1 = 4096, 96
     rng = np.random.default_rng(1)
     m = rng.integers(0, Q, size=(n1, l1)).astype(np.int8)
+    # correlated column pairs so the EM mixture sees a signal tail
+    for (a, b) in ((3, 50), (10, 77), (20, 31)):
+        m[:, b] = (m[:, a] + rng.integers(0, 2, size=n1)) % Q
 
-    def run(codes):
-        w = 1.0 / np.asarray(num_cluster_members(codes, 0.8))
-        fi = np.asarray(frequencies(codes, w, Q))
-        fij = np.asarray(pair_frequencies(codes, w, Q, fi))
-        mi = mi_scores(fij, fi)
-        return apc(mi)
+    def kernel(codes):
+        _, mi_apc = mi_apc_from_codes(codes, 0.8, num_symbols=Q)
+        return mi_apc
 
-    run(m)  # warm/compile
-    # best of 3: this path is a chain of small dispatches whose
-    # wall clock is dominated by tunnel round-trip latency, which is
-    # noisy — a single sample has measured 4x run-to-run swings
-    dt = float("inf")
+    kernel(m)  # warm/compile
+    # best of 3: a single tunnel round trip has measured 4x swings
+    kernel_dt = float("inf")
     for rep in range(3):
         m[0, 0] = (m[0, 0] + 1) % Q  # avoid tunnel dispatch caching
         t0 = time.perf_counter()
-        scored = run(m)
+        scored = kernel(m)
         float(scored[0, 1])
-        dt = min(dt, time.perf_counter() - t0)
+        kernel_dt = min(kernel_dt, time.perf_counter() - t0)
+
+    # EC table from the upper triangle, then the protocol's skew-normal
+    # EM probability pass (CPU scipy)
+    ii, jj = np.triu_indices(l1, k=1)
+    ecs = pd.DataFrame(
+        {"i": ii + 1, "j": jj + 1, "cn": scored[ii, jj]}
+    ).sort_values("cn", ascending=False)
+    t0 = time.perf_counter()
+    rescored = add_mixture_probability(ecs, model="skewnormal",
+                                       score="cn")
+    rescore_dt = time.perf_counter() - t0
+    assert rescored["probability"].between(0, 1).all()
+
+    dt = kernel_dt + rescore_dt
     return {
         "mi_apc_value": round(l1 * (l1 - 1) / 2 / dt, 1),
-        "mi_apc_unit": "scored pairs/s (N=4096, L=96)",
+        "mi_apc_unit": "scored pairs/s (N=4096, L=96, incl. EM "
+                       "rescoring)",
         "mi_apc_ms": round(dt * 1e3, 2),
+        "mi_apc_kernel_ms": round(kernel_dt * 1e3, 2),
+        "mi_apc_rescore_ms": round(rescore_dt * 1e3, 2),
     }
 
 
@@ -425,6 +583,222 @@ def _bench_reweighting_512k():
     }
 
 
+def _write_pipeline_inputs(tmp, n_rows, l_cols, first_index=11,
+                           seed=5):
+    """Synthetic inputs for the hermetic monomer pipeline: a focus
+    a2m with planted covarying column pairs, plus a SIFTS table and a
+    local BinaryCIF structure in which exactly those pairs are true
+    3D contacts (so the compare stage has signal, not just files)."""
+    import pandas as pd
+
+    from evcouplings_tpu.compare import bcif
+
+    rng = np.random.default_rng(seed)
+    aa = np.array(list("ACDEFGHIKLMNPQRSTVWY"))
+    mat = np.empty((n_rows, l_cols), dtype="U1")
+    for col in range(l_cols):
+        mat[:, col] = rng.choice(
+            aa, size=n_rows, p=rng.dirichlet(np.ones(20) * 0.4)
+        )
+    planted = [
+        (c_i, c_j, conc)
+        for (c_i, c_j, conc) in
+        ((5, l_cols * 5 // 12, 0.9),
+         (l_cols // 5, l_cols * 3 // 4, 0.8),
+         (l_cols // 3, l_cols * 11 // 12, 0.7))
+    ]
+    for ci, cj, conc in planted:
+        state = rng.integers(0, 2, size=n_rows)
+        partner = np.where(
+            rng.random(n_rows) < conc, state, 1 - state
+        )
+        mat[:, ci] = np.where(state == 0, "A", "W")
+        mat[:, cj] = np.where(partner == 0, "C", "Y")
+    mat[rng.integers(1, n_rows, 60), rng.integers(0, l_cols, 60)] = "-"
+
+    a2m = os.path.join(tmp, "input.a2m")
+    last = first_index + l_cols - 1
+    with open(a2m, "w") as f:
+        f.write(">TARGET_SEQ/{}-{}\n".format(first_index, last))
+        f.write("".join(mat[0]) + "\n")
+        for r in range(1, n_rows):
+            f.write(">seq{}/1-{}\n{}\n".format(
+                r, l_cols, "".join(mat[r])
+            ))
+
+    # structure: CA trace on a line, planted pairs bent to 3.8 A
+    res_ids = np.arange(1, l_cols + 1)
+    coords = np.zeros((l_cols, 3))
+    coords[:, 0] = np.arange(l_cols) * 6.0
+    for ci, cj, _ in planted:
+        coords[cj] = coords[ci] + np.array([0.0, 3.8, 0.0])
+    n = l_cols
+    structure_dir = os.path.join(tmp, "structures")
+    os.makedirs(structure_dir, exist_ok=True)
+    bcif.write_bcif(os.path.join(structure_dir, "9zzz.bcif"), {
+        "_atom_site": {
+            "pdbx_PDB_model_num": np.ones(n, dtype=int),
+            "group_PDB": ["ATOM"] * n,
+            "id": res_ids,
+            "type_symbol": ["C"] * n,
+            "label_atom_id": ["CA"] * n,
+            "auth_atom_id": ["CA"] * n,
+            "label_alt_id": [""] * n,
+            "label_comp_id": ["ALA"] * n,
+            "auth_comp_id": ["ALA"] * n,
+            "label_asym_id": ["A"] * n,
+            "auth_asym_id": ["A"] * n,
+            "label_entity_id": ["1"] * n,
+            "label_seq_id": res_ids,
+            "auth_seq_id": res_ids,
+            "pdbx_PDB_ins_code": [""] * n,
+            "Cartn_x": coords[:, 0],
+            "Cartn_y": coords[:, 1],
+            "Cartn_z": coords[:, 2],
+            "occupancy": np.ones(n),
+            "B_iso_or_equiv": np.full(n, 20.0),
+            "pdbx_formal_charge": np.zeros(n, dtype=int),
+        },
+    })
+
+    sifts_table = os.path.join(tmp, "sifts.csv")
+    pd.DataFrame([{
+        "pdb_id": "9zzz", "pdb_chain": "A",
+        "uniprot_ac": "TARGET_SEQ",
+        "resseq_start": 1, "resseq_end": l_cols,
+        "coord_start": "1", "coord_end": str(l_cols),
+        "uniprot_start": first_index, "uniprot_end": last,
+    }]).to_csv(sifts_table, index=False)
+
+    return a2m, structure_dir, sifts_table
+
+
+def _bench_pipeline_e2e(n_rows=2048, l_cols=96):
+    """VERDICT r4 item 6: wall-clock of the FULL hermetic monomer
+    pipeline through the production runtime (utils/pipeline.py
+    execute_wrapped) — existing-alignment -> couplings PLM fit
+    (on-chip) -> compare vs a bundled synthetic structure -> mutate
+    dE matrix — with the per-stage split from the pipeline's own
+    runtime table, so the record shows shell overhead does not erode
+    the kernel wins (reference stage chain being timed:
+    utils/pipeline.py:92-262)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from evcouplings_tpu.utils import pipeline as pl
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        a2m, structure_dir, sifts_table = _write_pipeline_inputs(
+            tmp, n_rows, l_cols
+        )
+        config = {
+            "pipeline": "protein_monomer",
+            "stages": ["align", "couplings", "compare", "mutate"],
+            "global": {
+                "prefix": os.path.join(tmp, "out", "job"),
+                "sequence_id": "TARGET_SEQ",
+                "theta": 0.8,
+            },
+            "tools": {
+                "jackhmmer": None, "hhfilter": None, "plmc": None,
+            },
+            "databases": {},
+            "align": {
+                "protocol": "existing",
+                "input_alignment": a2m,
+                "first_index": None,
+                "extract_annotation": False,
+                "seqid_filter": None,
+                "hhfilter": None,
+                "minimum_sequence_coverage": 50,
+                "minimum_column_coverage": 70,
+                "compute_num_effective_seqs": True,
+            },
+            "couplings": {
+                "protocol": "standard",
+                "focus_mode": True,
+                "alphabet": None,
+                "ignore_gaps": False,
+                "iterations": 50,
+                "lambda_h": 0.01,
+                "lambda_J": 0.01,
+                "lambda_group": None,
+                "lambda_J_times_Lq": True,
+                "scale_clusters": None,
+                "cpu": None,
+                "reuse_ecs": False,
+                "min_sequence_distance": 3,
+                "scoring_model": "skewnormal",
+                "frequencies_file": None,
+            },
+            "compare": {
+                "protocol": "standard",
+                "min_sequence_distance": 5,
+                "pdb_mmtf_dir": structure_dir,
+                "atom_filter": None,
+                "compare_multimer": False,
+                "distance_cutoff": 5,
+                "scale_sizes": True,
+                "pdb_ids": None,
+                "max_num_hits": 25,
+                "max_num_structures": 10,
+                "sifts_mapping_table": sifts_table,
+                "sifts_sequence_db": None,
+                "by_alignment": False,
+                "pdb_alignment_method": "jackhmmer",
+                "alignment_min_overlap": 20,
+                "sequence_file": None,
+                "region": None,
+                "use_bitscores": True,
+                "domain_threshold": 0.5,
+                "sequence_threshold": 0.5,
+                "plot_probability_cutoffs": [0.9],
+                "boundaries": "union",
+                "plot_lowest_count": 2,
+                "plot_highest_count": 3,
+                "plot_increase": 1,
+                "draw_secondary_structure": False,
+            },
+            "mutate": {
+                "protocol": "standard",
+                "mutation_dataset_file": None,
+            },
+            "management": {},
+        }
+
+        t0 = time.perf_counter()
+        state = pl.execute_wrapped(**config)
+        total = time.perf_counter() - t0
+
+        # sanity: the chain actually produced its terminal artifacts
+        assert os.path.isfile(state["ec_compared_longrange_file"])
+        assert os.path.isfile(state["mutation_matrix_file"])
+
+        runtime = pd.read_csv(state["runtime_file"])
+        stage_s = runtime.groupby("scope").seconds.sum()
+        out = {
+            "pipeline_e2e_s": round(total, 2),
+            "pipeline_e2e_shape": "N={}, L={}".format(n_rows, l_cols),
+        }
+        for stage in ("align", "couplings", "compare", "mutate"):
+            out["pipeline_{}_s".format(stage)] = round(
+                float(stage_s.get(stage, 0.0)), 2
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _pipeline_e2e_records():
+    try:
+        return _bench_pipeline_e2e()
+    except Exception as e:  # pragma: no cover - defensive
+        return {"pipeline_e2e_error": repr(e)[:200]}
+
+
 def _family_config_records():
     """One-line records for BASELINE configs #1/#3/#4/#5 (config #2,
     the PLM fit, is the headline above). Failures degrade to an error
@@ -515,10 +889,20 @@ def main():
             round(large_l / PLMC_32T_BASELINE, 2)
             if large_l is not None else None
         ),
+        # MFU / roofline position of the two headline modes (VERDICT
+        # r4 item 1): achieved model FLOP/s as a fraction of the
+        # chip's bf16 MXU peak, plus the arithmetic-intensity vs
+        # ridge-point placement — the absolute, hardware-independent
+        # form of the relative speedups above
+        **_mfu_records(throughput, parity_throughput),
         # BASELINE configs #1 (MI+APC), #3 (dE scan), #4 (EVcomplex
         # inter/intra), #5 (restraints + contact-map comparison) —
         # one record each so the whole family is driver-evidenced
         **_family_config_records(),
+        # full hermetic monomer pipeline wall clock + stage split
+        # (VERDICT r4 item 6): align -> couplings (on-chip PLM) ->
+        # compare -> mutate through the production pipeline runtime
+        **_pipeline_e2e_records(),
         # Pallas reweighting certification at N >= 512k (VERDICT r3
         # item 7): throughput + HBM footprint vs the XLA path
         **_reweighting_512k_records(),

@@ -180,6 +180,43 @@ class TestScores:
                 )
         np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
+    def test_mi_apc_from_codes_matches_host_chain(self):
+        """The fused one-dispatch device chain (reweight -> f_i/f_ij ->
+        MI -> APC) must agree with the step-by-step float64 host chain:
+        values to f32 tolerance, top-pair RANKS exactly."""
+        from evcouplings_tpu.ops.frequencies import (
+            frequencies, pair_frequencies,
+        )
+        from evcouplings_tpu.ops.scores import mi_apc_from_codes
+        from evcouplings_tpu.ops.weights import num_cluster_members
+
+        n, L, q, theta = 500, 40, 21, 0.8
+        rng = np.random.default_rng(11)
+        # correlated columns so MI has real structure (pure noise would
+        # make rank agreement vacuous)
+        m = rng.integers(0, q, size=(n, L)).astype(np.int8)
+        m[:, 7] = m[:, 3]
+        m[:, 25] = (m[:, 12] + 1) % q
+        m[10] = m[4]  # a duplicate row exercises the reweighting
+
+        w = 1.0 / num_cluster_members(m, theta)
+        fi = frequencies(m, w, q)
+        fij = pair_frequencies(m, w, q, fi)
+        want_raw = mi_scores(fij, fi)
+        want_apc = apc(want_raw)
+
+        got_raw, got_apc = mi_apc_from_codes(m, theta, num_symbols=q)
+        np.testing.assert_allclose(got_raw, want_raw, rtol=2e-5,
+                                   atol=1e-7)
+        np.testing.assert_allclose(got_apc, want_apc, rtol=2e-4,
+                                   atol=1e-6)
+
+        # rank agreement on the top-L upper-triangle pairs
+        ii, jj = np.triu_indices(L, k=1)
+        order = np.argsort(-want_apc[ii, jj])[:L]
+        got_order = np.argsort(-got_apc[ii, jj])[:L]
+        assert np.array_equal(order, got_order)
+
 
 class TestPallasReweighting:
     """Pallas streaming kernel vs the XLA path (interpret mode on CPU;
