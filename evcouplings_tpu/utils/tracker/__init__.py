@@ -49,47 +49,35 @@ def get_result_tracker(config):
     "mongodb" -> MongoDBTracker. Credentials may be substituted into
     the connection string from environment variables.
     """
-    # copy so the tracker cannot accidentally mutate the job config
+    # copy so the tracker cannot accidentally mutate the job config;
+    # empty "management:" / "global:" YAML sections parse as None
     config = deepcopy(config)
-
-    # an empty "management:" YAML section parses as None
     management = config.get("management") or {}
-    tracker_type = management.get("tracker_type")
 
+    tracker_type = management.get("tracker_type")
     if tracker_type is None:
         return NullTracker()
 
-    connection_string = management.get("connection_string")
-    job_id = management.get("job_id", None)
-    # an empty "global:" YAML section parses as None too
-    prefix = (config.get("global") or {}).get("prefix", None)
-    pipeline = config.get("pipeline")
-    file_list = management.get("tracker_file_list", None)
-    delete_list = management.get("delete", [])
-
-    if connection_string is None:
-        raise InvalidParameterError(
-            "Must provide parameter 'connection_string' in management "
-            "section of config when using a tracker."
-        )
-    if job_id is None:
-        raise InvalidParameterError(
-            "Must provide unique 'job_id' in management section "
-            "of config when using a tracker."
-        )
+    # the two settings a tracker cannot run without
+    for required in ("connection_string", "job_id"):
+        if management.get(required) is None:
+            raise InvalidParameterError(
+                "Using a tracker requires '{}' in the management "
+                "section of the config.".format(required)
+            )
 
     backend = _load_backend(tracker_type)
     return backend(
         # optional credentials via environment variables
-        connection_string=connection_string.format(
+        connection_string=management["connection_string"].format(
             username=environ.get(TRACKER_USERNAME_KEY),
             password=environ.get(TRACKER_PASSWORD_KEY),
         ),
-        job_id=job_id,
-        prefix=prefix,
-        pipeline=pipeline,
-        file_list=file_list,
-        delete_list=delete_list,
+        job_id=management["job_id"],
+        prefix=(config.get("global") or {}).get("prefix"),
+        pipeline=config.get("pipeline"),
+        file_list=management.get("tracker_file_list"),
+        delete_list=management.get("delete", []),
         config=config,
         retry_max_number=management.get(
             "tracker_max_retries", TRACKER_MAX_NUM_RETRIES

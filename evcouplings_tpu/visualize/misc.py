@@ -15,14 +15,16 @@ def plot_context(font="Helvetica", size=12, axis_label_size=12,
                  tick_label_size=12, tick_direction="out", dpi=300,
                  additional_param_dict=None):
     """matplotlib rc_context with sensible publication-figure defaults."""
-    rc_params = dict.fromkeys(
-        ("xtick.labelsize", "ytick.labelsize"), tick_label_size
-    )
-    rc_params.update(dict.fromkeys(
-        ("xtick.direction", "ytick.direction"), tick_direction
-    ))
-    rc_params.update(dict.fromkeys(("figure.dpi", "savefig.dpi"), dpi))
-    rc_params.update({
+    per_axis = {
+        "{}tick.{}".format(axis, prop): value
+        for axis in "xy"
+        for prop, value in (("labelsize", tick_label_size),
+                            ("direction", tick_direction))
+    }
+    rc_params = {
+        **per_axis,
+        "figure.dpi": dpi,
+        "savefig.dpi": dpi,
         "font.family": font,
         "font.size": size,
         "axes.labelsize": axis_label_size,
@@ -30,9 +32,8 @@ def plot_context(font="Helvetica", size=12, axis_label_size=12,
         "axes.linewidth": axis_line_width,
         "savefig.bbox": "tight",
         "pdf.fonttype": 42,  # embed editable TrueType text
-    })
-    rc_params.update(additional_param_dict or {})
-
+        **(additional_param_dict or {}),
+    }
     return mpl.rc_context(rc_params)
 
 
@@ -40,27 +41,25 @@ def remove_chart_junk(ax=None, remove=("top", "right"),
                       x_ticks_loc="bottom", y_ticks_loc="left",
                       hide_x_labels=False, hide_y_labels=False):
     """Remove spines/ticks for a cleaner plot."""
-    if ax is None:
-        ax = plt.gca()
+    ax = plt.gca() if ax is None else ax
 
     for edge in remove:
         ax.spines[edge].set_visible(False)
 
-    ax.xaxis.set_ticks_position(x_ticks_loc)
-    ax.yaxis.set_ticks_position(y_ticks_loc)
-
-    for hide, labels in (
-        (hide_x_labels, ax.get_xticklabels()),
-        (hide_y_labels, ax.get_yticklabels()),
+    for axis, location, hidden in (
+        (ax.xaxis, x_ticks_loc, hide_x_labels),
+        (ax.yaxis, y_ticks_loc, hide_y_labels),
     ):
-        if hide:
-            plt.setp(labels, visible=False)
+        axis.set_ticks_position(location)
+        if hidden:
+            plt.setp(axis.get_ticklabels(), visible=False)
 
 
 def rgb2hex(r, g, b, a=None):
     """RGB fractions (0-1) to "#rrggbb" (alpha ignored)."""
-    channels = (int(255 * c) for c in (r, g, b))
-    return "#" + "".join("{:02x}".format(c) for c in channels)
+    return "#{:02x}{:02x}{:02x}".format(
+        *(int(255 * channel) for channel in (r, g, b))
+    )
 
 
 def colormap(min_value, max_value, colormap=None, to_hex=True):
@@ -69,9 +68,6 @@ def colormap(min_value, max_value, colormap=None, to_hex=True):
         norm=mpl.colors.Normalize(vmin=min_value, vmax=max_value),
         cmap=plt.cm.RdBu_r if colormap is None else colormap,
     )
-
-    def _colmap(value):
-        rgba = mapper.to_rgba(value)
-        return rgb2hex(*rgba) if to_hex else rgba
-
-    return _colmap
+    if to_hex:
+        return lambda value: rgb2hex(*mapper.to_rgba(value))
+    return mapper.to_rgba

@@ -1,12 +1,14 @@
 """
-EC visualization: Pymol line/enrichment scripts (contact-map plotting
-lives in this module too once the compare stage lands).
+EC visualization: Pymol line/enrichment scripts and contact-map
+plotting.
 
 Parity target: reference evcouplings/visualize/pairs.py —
-ec_lines_pymol_script (:1274), enrichment_pymol_script (:1344).
+ec_lines_pymol_script (:1274), enrichment_pymol_script (:1344),
+plot_contact_map (:195), complex_contact_map (:393).
 """
 
 from copy import deepcopy
+from itertools import groupby
 
 from evcouplings_tpu.visualize.pymol import pymol_mapping, pymol_pair_lines
 
@@ -23,6 +25,20 @@ _ENRICHMENT_COLORS = [
     (247, 252, 253),   # almost white
 ]
 
+# pymol dash geometry for EC lines
+_DASH_GEOMETRY = {"dash_radius": 0.345, "dash_gap": 0.075,
+                  "dash_length": 0.925}
+
+
+def _chain_clause(chain):
+    """The ', chain ...' suffix pymol commands take (empty without a
+    chain; multi-chain dicts get an or-joined selector)."""
+    if chain is None:
+        return ""
+    if isinstance(chain, dict):
+        return ", chain " + " or chain ".join(chain.values())
+    return ", chain '{}'".format(chain)
+
 
 def ec_lines_pymol_script(ec_table, output_file, distance_cutoff=5,
                           score_column="cn", chain=None):
@@ -31,38 +47,42 @@ def ec_lines_pymol_script(ec_table, output_file, distance_cutoff=5,
     Line radius scales with score; if a "dist" column exists, pairs
     beyond distance_cutoff are colored red (false positives).
     """
-    t = ec_table.copy()
-
-    for prop, val in [
-        ("dash_radius", 0.345), ("dash_gap", 0.075), ("dash_length", 0.925)
-    ]:
-        t.loc[:, prop] = val
+    t = ec_table.assign(**_DASH_GEOMETRY)
 
     if score_column is not None:
-        scaling_factor = 0.5 / ec_table.loc[:, score_column].max()
-        t.loc[:, "dash_radius"] = (
-            ec_table.loc[:, score_column] * scaling_factor
+        # radius proportional to score, topping out at 0.5, floored
+        # at zero for negative scores
+        radius = 0.5 * t[score_column] / t[score_column].max()
+        t["dash_radius"] = radius.clip(lower=0)
+
+    if "dist" in t.columns and distance_cutoff is not None:
+        # true contacts green, false positives red; pairs with no
+        # distance (NaN) stay uncolored
+        t["color"] = (
+            pd.Series(np.nan, index=t.index, dtype=object)
+            .mask(t.dist <= distance_cutoff, "green")
+            .mask(t.dist > distance_cutoff, "red")
         )
-        t.loc[t.dash_radius < 0, "dash_radius"] = 0
-
-    if "dist" in ec_table and distance_cutoff is not None:
-        t.loc[t.dist <= distance_cutoff, "color"] = "green"
-        t.loc[t.dist > distance_cutoff, "color"] = "red"
     else:
-        t.loc[:, "color"] = "green"
+        t["color"] = "green"
 
-    if chain is not None:
-        if isinstance(chain, dict):
-            chain_sel = ", chain " + " or chain ".join(chain.values())
-        else:
-            chain_sel = ", chain '{}'".format(chain)
-    else:
-        chain_sel = ""
-
+    sel = _chain_clause(chain)
     with open(output_file, "w") as f:
-        f.write("as cartoon{}\n".format(chain_sel))
-        f.write("color grey80{}\n".format(chain_sel))
+        f.write("as cartoon{}\ncolor grey80{}\n".format(sel, sel))
         pymol_pair_lines(t, f, chain)
+
+
+def _paint_quantile_bins(t, fractions, names):
+    """Assign color names to row blocks of t (already sorted by
+    enrichment, descending): block k = rows between the
+    fractions[k-1] and fractions[k] quantile boundaries (truncating
+    row counts like the reference)."""
+    edges = [int(frac * len(t)) for frac in fractions]
+    lo = 0
+    for name, hi in zip(names, edges):
+        t.loc[t.index[lo:hi], "color"] = name
+        lo = hi
+    return edges
 
 
 def enrichment_pymol_script(enrichment_table, output_file,
@@ -73,65 +93,55 @@ def enrichment_pymol_script(enrichment_table, output_file,
     sequential colormap (top category also rendered as spheres when
     sphere_view). Legacy mode reproduces the 2011 red/yellow scheme.
     """
+    palette = None
     if legacy:
         t = enrichment_table.query("enrichment > 1").copy()
-        t.loc[:, "b_factor"] = t.enrichment
-
-        boundary1 = int(0.05 * len(t))   # top 5%
-        boundary2 = int(0.15 * len(t))   # top 15%
-
-        t.loc[:, "color"] = "yelloworange"
-        t.loc[t.iloc[0:boundary1].index, "color"] = "red"
-        t.loc[t.iloc[boundary1:boundary2].index, "color"] = "orange"
-        sphere_boundary = boundary2
-        color_list = None
+        t["b_factor"] = t.enrichment
+        t["color"] = "yelloworange"
+        # top 5% red, next 10% orange, spheres through the top 15%
+        edges = _paint_quantile_bins(
+            t, (0.05, 0.15), ("red", "orange")
+        )
+        sphere_rows = edges[-1]
     else:
         t = deepcopy(enrichment_table)
-        t.loc[:, "b_factor"] = t.enrichment
-
-        boundary_list = [
-            int(frac * len(t))
-            for frac in (.11, .22, .33, .44, .55, .66, .77, .88, 1.0)
+        t["b_factor"] = t.enrichment
+        t["color"] = ""
+        palette = [
+            tuple(channel / 255 for channel in rgb)
+            for rgb in _ENRICHMENT_COLORS
         ]
-        color_list = [
-            (x / 255, y / 255, z / 255) for x, y, z in _ENRICHMENT_COLORS
-        ]
-
-        prior = 0
-        for idx, boundary in enumerate(boundary_list):
-            t.loc[t.iloc[prior:boundary].index, "color"] = (
-                "color{}".format(idx)
-            )
-            prior = boundary
-        sphere_boundary = boundary_list[1]
+        edges = _paint_quantile_bins(
+            t,
+            (.11, .22, .33, .44, .55, .66, .77, .88, 1.0),
+            ["color{}".format(k) for k in range(len(palette))],
+        )
+        # spheres through the second bin boundary (top ~22%)
+        sphere_rows = edges[1]
 
     if sphere_view:
-        t.loc[t.iloc[0:sphere_boundary].index, "show"] = "spheres"
+        t.loc[t.index[:sphere_rows], "show"] = "spheres"
 
-    chain_sel = ", chain '{}'".format(chain) if chain is not None else ""
-
+    sel = _chain_clause(chain)
     with open(output_file, "w") as f:
-        if chain is None:
-            f.write("alter all, b=0.0\n")
-        else:
-            f.write("alter chain '{}', b=0.0\n".format(chain))
+        reset_target = "all" if chain is None \
+            else "chain '{}'".format(chain)
+        f.write("alter {}, b=0.0\n".format(reset_target))
 
-        if legacy:
-            f.write("color grey80{}\n".format(chain_sel))
+        if palette is None:
+            f.write("color grey80{}\n".format(sel))
         else:
-            for idx, c in enumerate(color_list):
-                f.write(
-                    "set_color color{}, [{},{},{}]\n".format(
-                        idx, c[0], c[1], c[2]
-                    )
-                )
-            f.write("color color{}{}\n".format(len(color_list) - 1, chain_sel))
+            for k, (r, g, b) in enumerate(palette):
+                f.write("set_color color{}, [{},{},{}]\n".format(
+                    k, r, g, b
+                ))
+            f.write("color color{}{}\n".format(len(palette) - 1, sel))
 
-        f.write("as cartoon{}\n".format(chain_sel))
+        f.write("as cartoon{}\n".format(sel))
         pymol_mapping(t, f, chain)
 
         if not sphere_view:
-            f.write("cartoon putty{}\n".format(chain_sel))
+            f.write("cartoon putty{}\n".format(sel))
 
 
 # ---------------------------------------------------------------------------
@@ -143,6 +153,29 @@ def enrichment_pymol_script(enrichment_table, output_file,
 import matplotlib.pyplot as plt
 import numpy as np
 import pandas as pd
+
+
+def _axes(ax):
+    """The target axes: the given one, else matplotlib's current."""
+    return plt.gca() if ax is None else ax
+
+
+_BOUNDARY_MODES = ("union", "intersection", "ecs", "structure")
+
+
+def _check_boundary_mode(mode):
+    if mode not in _BOUNDARY_MODES:
+        raise ValueError(
+            "Not a valid value for boundaries: {}".format(mode)
+        )
+
+
+def _numeric_set(values):
+    """Positions coerced to a set of ints; non-numeric entries
+    (insertion codes, NaN) are dropped rather than crashing."""
+    nums = pd.to_numeric(pd.Series(list(values)), errors="coerce")
+    return set(nums.dropna().astype(int))
+
 
 def _scatter_style(color, size, **extra):
     """Edge-less scatter style for contact-map dots."""
@@ -185,27 +218,17 @@ STYLE_STRUCTURE_COVERAGE = {
 def find_secondary_structure_segments(sse_string, offset=0):
     """Identify (state, start, end) segments in an H/E/C string.
 
-    Parity: reference pairs.py:1225-1272.
+    Parity: reference pairs.py:1225-1272. "-" (no data) stays a
+    distinct state: the cartoon SKIPS those spans instead of drawing
+    a coil line across numbering gaps.
     """
-    # "-" (no data) stays distinct: the cartoon SKIPS those spans
-    # instead of drawing a coil line across numbering gaps
-
     segments = []
-    seg_start = 0
-    current = sse_string[0]
-
-    for i, state in enumerate(sse_string[1:], start=1):
-        if state != current:
-            segments.append(
-                (current, seg_start + offset, i - 1 + offset)
-            )
-            current = state
-            seg_start = i
-
-    segments.append(
-        (current, seg_start + offset, len(sse_string) - 1 + offset)
-    )
-    return offset, len(sse_string) - 1 + offset, segments
+    cursor = offset
+    for state, run in groupby(sse_string):
+        length = sum(1 for _ in run)
+        segments.append((state, cursor, cursor + length - 1))
+        cursor += length
+    return offset, offset + len(sse_string) - 1, segments
 
 
 def secondary_structure_cartoon(sse, ax=None, sequence_start=0,
@@ -218,8 +241,7 @@ def secondary_structure_cartoon(sse, ax=None, sequence_start=0,
                                 coil_color="k", draw_coils=True):
     """Draw a 1D secondary-structure cartoon along an axis: zig-zag for
     helices, arrows for strands, thin lines for coil."""
-    if ax is None:
-        ax = plt.gca()
+    ax = _axes(ax)
 
     def _pos(p):
         # full mirror of the sequence axis when flip_direction is set
@@ -229,11 +251,13 @@ def secondary_structure_cartoon(sse, ax=None, sequence_start=0,
             return sequence_end - (p - sequence_start)
         return p
 
-    def _xy(pos, offset):
-        # place along the sequence axis, offset on the other axis
-        pos = _pos(pos)
-        return (pos, center + offset) if horizontal else \
-            (center + offset, pos)
+    def _line(seq_coords, off_coords, color, lw):
+        # a polyline whose first coordinate runs along the sequence
+        # axis; swap for vertical cartoons
+        a, b = np.asarray(seq_coords), np.asarray(off_coords)
+        xs, ys = (a, b) if horizontal else (b, a)
+        ax.plot(xs, ys, color=color, linewidth=lw,
+                solid_capstyle="round", clip_on=clip)
 
     # cartoons sit OUTSIDE the axis limits (plot_secondary_structure
     # places them at max(range) + margin): default clipping would
@@ -245,50 +269,55 @@ def secondary_structure_cartoon(sse, ax=None, sequence_start=0,
             state = "C"
 
         if state == "H":
-            # zig-zag helix
-            xs = np.arange(start, end + 0.01, helix_turn_length / 2)
-            ys = np.empty_like(xs)
-            ys[0::2] = center - width / 2
-            ys[1::2] = center + width / 2
-            xs = np.array([_pos(x) for x in xs])
-            pts = np.stack([xs, ys] if horizontal else [ys, xs]).T
-            ax.plot(
-                pts[:, 0], pts[:, 1], color=helix_color,
-                linewidth=line_width, solid_capstyle="round",
-                clip_on=clip,
+            # zig-zag helix: alternate between the two edge offsets
+            # every half turn
+            seq = np.arange(start, end + 0.01, helix_turn_length / 2)
+            off = center + np.where(
+                np.arange(seq.size) % 2, width / 2, -width / 2
             )
+            _line([_pos(s) for s in seq], off, helix_color, line_width)
         elif state == "E":
             # strand: arrow along the (possibly mirrored) sequence
-            # direction
-            x0, x1 = _pos(start), _pos(end)
+            # direction, drawn through an orientation-generic delta
+            tail, tip = _pos(start), _pos(end)
+            d_seq = tip - tail
+            arrow_args = dict(
+                width=width * strand_width_factor,
+                head_length=min(1.5, abs(end - start)),
+                length_includes_head=True,
+                facecolor=strand_color, edgecolor="none",
+                clip_on=clip,
+            )
             if horizontal:
-                ax.arrow(
-                    x0, center, x1 - x0, 0,
-                    width=width * strand_width_factor,
-                    head_length=min(1.5, abs(end - start)),
-                    length_includes_head=True,
-                    facecolor=strand_color, edgecolor="none",
-                    clip_on=clip,
-                )
+                ax.arrow(tail, center, d_seq, 0, **arrow_args)
             else:
-                ax.arrow(
-                    center, x0, 0, x1 - x0,
-                    width=width * strand_width_factor,
-                    head_length=min(1.5, abs(end - start)),
-                    length_includes_head=True,
-                    facecolor=strand_color, edgecolor="none",
-                    clip_on=clip,
-                )
+                ax.arrow(center, tail, 0, d_seq, **arrow_args)
         elif state == "-":
             # no data: draw nothing across the gap
             continue
         elif draw_coils:
-            pts = [_xy(start, 0), _xy(end, 0)]
-            ax.plot(
-                [pts[0][0], pts[1][0]], [pts[0][1], pts[1][1]],
-                color=coil_color, linewidth=line_width / 2,
-                clip_on=clip,
-            )
+            _line([_pos(start), _pos(end)], [center, center],
+                  coil_color, line_width / 2)
+
+
+def _combine_ranges(mode, primary, fallback):
+    """One axis extent from the EC-position set and the structure-
+    position set under the given boundaries mode; an empty set
+    borrows the other's range."""
+    ec_rng = _span(primary) if primary else _span(fallback)
+    st_rng = _span(fallback) if fallback else _span(primary)
+    if mode == "ecs":
+        return ec_rng
+    if mode == "structure":
+        return st_rng
+    lows, highs = (ec_rng[0], st_rng[0]), (ec_rng[1], st_rng[1])
+    if mode == "union":
+        return min(lows), max(highs)
+    return max(lows), min(highs)       # intersection
+
+
+def _span(positions):
+    return min(positions), max(positions)
 
 
 def find_boundaries(boundaries, ecs, monomer, multimer, symmetric):
@@ -309,58 +338,34 @@ def find_boundaries(boundaries, ecs, monomer, multimer, symmetric):
         return boundaries, boundaries
 
     if isinstance(boundaries, list):
-        if (len(boundaries) != 2 or len(boundaries[0]) != 2
-                or len(boundaries[1]) != 2):
+        well_formed = (
+            len(boundaries) == 2
+            and all(len(side) == 2 for side in boundaries)
+        )
+        if not well_formed:
             raise ValueError(
                 "boundaries must be a list of 2 tuples with 2 elements "
                 "[(min_x, max_x), (min_y, max_y)]."
             )
         return tuple(boundaries[0]), tuple(boundaries[1])
 
-    if boundaries not in ("union", "intersection", "ecs", "structure"):
-        raise ValueError(
-            "Not a valid value for boundaries: {}".format(boundaries)
-        )
+    _check_boundary_mode(boundaries)
 
     def _axis_extent(axis):
-        def _nums(values):
-            # ids may carry insertion codes / NaN — coerce like
-            # _axis_ids, do not crash the whole plot
-            return set(pd.to_numeric(
-                pd.Series(list(values)), errors="coerce"
-            ).dropna().astype(int))
-
         ec_pos = set()
         if ecs is not None and len(ecs) > 0:
-            if symmetric:
-                ec_pos = _nums(ecs.i) | _nums(ecs.j)
-            else:
-                ec_pos = _nums(getattr(ecs, axis))
+            cols = (ecs.i, ecs.j) if symmetric else (getattr(ecs, axis),)
+            for col in cols:
+                ec_pos |= _numeric_set(col)
 
         structure_pos = set()
         for dm in (monomer, multimer):
             if dm is not None:
-                structure_pos |= _nums(
+                structure_pos |= _numeric_set(
                     getattr(dm, "residues_" + axis).id
                 )
 
-        # whichever set is empty falls back to the other, making
-        # union/intersection trivially the defined set
-        min_ec, max_ec = (
-            (min(ec_pos), max(ec_pos)) if ec_pos
-            else (min(structure_pos), max(structure_pos))
-        )
-        min_st, max_st = (
-            (min(structure_pos), max(structure_pos)) if structure_pos
-            else (min(ec_pos), max(ec_pos))
-        )
-
-        return {
-            "union": (min(min_ec, min_st), max(max_ec, max_st)),
-            "intersection": (max(min_ec, min_st), min(max_ec, max_st)),
-            "ecs": (min_ec, max_ec),
-            "structure": (min_st, max_st),
-        }[boundaries]
+        return _combine_ranges(boundaries, ec_pos, structure_pos)
 
     return _axis_extent("i"), _axis_extent("j")
 
@@ -372,28 +377,25 @@ def set_range(pairs=None, symmetric=True, x=None, y=None,
 
     Parity: reference visualize/pairs.py:651-757.
     """
-    if ax is None:
-        ax = plt.gca()
+    ax = _axes(ax)
 
-    x_range, y_range = None, None
+    def _pad(lo, hi):
+        return lo - margin, hi + margin
 
+    x_range = y_range = None
     if pairs is not None:
-        i = pairs.i.astype(int)
-        j = pairs.j.astype(int)
+        i, j = pairs.i.astype(int), pairs.j.astype(int)
         if symmetric:
-            x_range = (
-                min(i.min(), j.min()) - margin,
-                max(i.max(), j.max()) + margin,
-            )
-            y_range = x_range
+            both = pd.concat([i, j])
+            x_range = y_range = _pad(both.min(), both.max())
         else:
-            x_range = (i.min() - margin, i.max() + margin)
-            y_range = (j.min() - margin, j.max() + margin)
+            x_range = _pad(i.min(), i.max())
+            y_range = _pad(j.min(), j.max())
 
     if x is not None:
-        x_range = (x[0] - margin, x[1] + margin)
+        x_range = _pad(*x)
     if y is not None:
-        y_range = (y[0] - margin, y[1] + margin)
+        y_range = _pad(*y)
 
     if x_range is None or y_range is None:
         raise ValueError(
@@ -401,15 +403,15 @@ def set_range(pairs=None, symmetric=True, x=None, y=None,
             "x: {} y: {}".format(x_range, y_range)
         )
 
-    inverted_x = ax.xaxis_inverted()
-    inverted_y = ax.yaxis_inverted()
+    # remember orientation before set_*lim resets it
+    flip_x = ax.xaxis_inverted()
+    flip_y = ax.yaxis_inverted() or invert_y
 
     ax.set_xlim(x_range)
     ax.set_ylim(y_range)
-
-    if inverted_x:
+    if flip_x:
         ax.invert_xaxis()
-    if inverted_y or invert_y:
+    if flip_y:
         ax.invert_yaxis()
 
     ax.yaxis.set_ticks_position("left")
@@ -424,22 +426,30 @@ def scale(style, ax=None):
     """Scale dot size / secondary-structure width in a style dict by
     the linear extent of the plot, so elements keep a constant visual
     size across map lengths. Parity: reference pairs.py:759-785."""
-    if ax is None:
-        ax = plt.gca()
-
-    x_range = ax.get_xlim()
-    y_range = ax.get_ylim()
-    L = max(
-        abs(x_range[1] - x_range[0]),
-        abs(y_range[1] - y_range[0]),
+    ax = _axes(ax)
+    extent = max(
+        abs(np.diff(ax.get_xlim())[0]),
+        abs(np.diff(ax.get_ylim())[0]),
     )
 
-    style = deepcopy(style)
-    if "s" in style:
-        style["s"] = style["s"] ** 2 / L
-    if "width" in style:
-        style["width"] = style["width"] * L / 100
-    return style
+    rescaled = deepcopy(style)
+    for key, transform in (
+        ("s", lambda v: v ** 2 / extent),
+        ("width", lambda v: v * extent / 100),
+    ):
+        if key in rescaled:
+            rescaled[key] = transform(rescaled[key])
+    return rescaled
+
+
+def _block(ax, anchor, size_x, size_y, color, clip_on=True):
+    """A borderless background rectangle behind the map content."""
+    from matplotlib import patches
+
+    ax.add_patch(patches.Rectangle(
+        anchor, size_x, size_y, linewidth=0, edgecolor="none",
+        facecolor=color, zorder=-10, clip_on=clip_on,
+    ))
 
 
 def plot_ec_coverage(all_ecs, symmetric, style=STYLE_EC_COVERAGE,
@@ -449,41 +459,30 @@ def plot_ec_coverage(all_ecs, symmetric, style=STYLE_EC_COVERAGE,
 
     Parity: reference visualize/pairs.py:787-863.
     """
-    from matplotlib import patches
-
     from evcouplings_tpu.utils.helpers import find_segments
 
-    if ax is None:
-        ax = plt.gca()
-    if style is None:
-        style = {}
+    ax = _axes(ax)
+    style = style or {}
 
+    pos_i = set(all_ecs.i.values)
+    pos_j = set(all_ecs.j.values)
     if symmetric:
-        all_pos = sorted(set(all_ecs.i.values) | set(all_ecs.j.values))
-        pos_i, pos_j = all_pos, all_pos
+        pos_i = pos_j = sorted(pos_i | pos_j)
     else:
-        pos_i = sorted(set(all_ecs.i.values))
-        pos_j = sorted(set(all_ecs.j.values))
+        pos_i, pos_j = sorted(pos_i), sorted(pos_j)
 
     margin = style.get("margin", 0)
-    width = style.get("width", 1)
-    x_offset = max(ax.get_xlim()) + margin
-    y_offset = max(ax.get_ylim()) + margin
+    bar = style.get("width", 1)
+    color = style.get("color")
+    along_x = max(ax.get_ylim()) + margin   # bars above the map
+    along_y = max(ax.get_xlim()) + margin   # bars beside the map
 
-    def _draw(segments, offset, is_x):
-        for start, end in segments:
-            length = end - start + 1
-            if is_x:
-                anchor, size_x, size_y = (start, offset), length, width
-            else:
-                anchor, size_x, size_y = (offset, start), width, length
-            ax.add_patch(patches.Rectangle(
-                anchor, size_x, size_y, linewidth=0, edgecolor="none",
-                facecolor=style.get("color"), zorder=-10, clip_on=False,
-            ))
-
-    _draw(find_segments(pos_i), y_offset, True)
-    _draw(find_segments(pos_j), x_offset, False)
+    for start, end in find_segments(pos_i):
+        _block(ax, (start, along_x), end - start + 1, bar, color,
+               clip_on=False)
+    for start, end in find_segments(pos_j):
+        _block(ax, (along_y, start), bar, end - start + 1, color,
+               clip_on=False)
 
 
 def plot_structure_coverage(structure_coverage,
@@ -498,27 +497,22 @@ def plot_structure_coverage(structure_coverage,
 
     Parity: reference visualize/pairs.py:866-912.
     """
-    from matplotlib import patches
+    ax = _axes(ax)
+    style = style or {}
 
-    if ax is None:
-        ax = plt.gca()
-    if style is None:
-        style = {}
-
-    if "missing_coverage_color" in style:
-        ax.set_facecolor(style["missing_coverage_color"])
+    missing = style.get("missing_coverage_color")
+    if missing is not None:
+        ax.set_facecolor(missing)
 
     available = style.get("available_coverage_color")
-
     for coverage_i, coverage_j, _ in structure_coverage:
         for start_i, end_i in coverage_i:
             for start_j, end_j in coverage_j:
-                ax.add_patch(patches.Rectangle(
-                    (start_i, start_j),
+                _block(
+                    ax, (start_i, start_j),
                     end_i - start_i + 1, end_j - start_j + 1,
-                    linewidth=0, edgecolor="none",
-                    facecolor=available, zorder=-10,
-                ))
+                    available,
+                )
 
 
 def plot_secondary_structure(secstruct_i, secstruct_j=None, ax=None,
@@ -532,10 +526,8 @@ def plot_secondary_structure(secstruct_i, secstruct_j=None, ax=None,
 
     Parity: reference visualize/pairs.py:915-1044.
     """
-    if ax is None:
-        ax = plt.gca()
-    if style is None:
-        style = {}
+    ax = _axes(ax)
+    style = style or {}
     if secstruct_j is None:
         secstruct_j = secstruct_i
 
@@ -543,24 +535,24 @@ def plot_secondary_structure(secstruct_i, secstruct_j=None, ax=None,
         if isinstance(secstruct, pd.DataFrame):
             if "sec_struct_3state" not in secstruct.columns:
                 return None, None, None
-            secstruct = secstruct.dropna(subset=["sec_struct_3state"])
+            with_ss = secstruct.dropna(subset=["sec_struct_3state"])
             secstruct = dict(zip(
-                secstruct.id.astype(int), secstruct.sec_struct_3state
+                with_ss.id.astype(int), with_ss.sec_struct_3state
             ))
 
         # keep only positions inside the plot range (drawing outside
         # the axes creates artifacts)
         lo, hi = min(axis_range), max(axis_range)
-        secstruct = {
+        inside = {
             pos: state for pos, state in secstruct.items()
             if lo <= pos < hi
         }
-        if not secstruct:
+        if not inside:
             return None, None, None
 
-        first, last = min(secstruct), max(secstruct) + 1
+        first, last = min(inside), max(inside) + 1
         sse_str = "".join(
-            secstruct.get(pos, "-") for pos in range(first, last)
+            inside.get(pos, "-") for pos in range(first, last)
         )
         return find_secondary_structure_segments(sse_str, offset=first)
 
@@ -569,35 +561,21 @@ def plot_secondary_structure(secstruct_i, secstruct_j=None, ax=None,
     else:
         margin += style.get("width", 1)
 
-    x_range = ax.get_xlim()
-    y_range = ax.get_ylim()
+    x_range, y_range = ax.get_xlim(), ax.get_ylim()
 
-    start_i, end_i, segments_i = _extract(secstruct_i, x_range)
-    if segments_i is not None:
+    # one cartoon per axis: along x the cartoon sits above the map
+    # (offset past the y extent), along y beside it (past x)
+    for source, source_range, offset_range, along_x in (
+        (secstruct_i, x_range, y_range, True),
+        (secstruct_j, y_range, x_range, False),
+    ):
+        start, end, segments = _extract(source, source_range)
+        if segments is None:
+            continue
         secondary_structure_cartoon(
-            segments_i,
-            **{
-                **style,
-                "center": max(y_range) + margin,
-                "ax": ax,
-                "sequence_start": start_i,
-                "sequence_end": end_i,
-                "horizontal": True,
-            },
-        )
-
-    start_j, end_j, segments_j = _extract(secstruct_j, y_range)
-    if segments_j is not None:
-        secondary_structure_cartoon(
-            segments_j,
-            **{
-                **style,
-                "center": max(x_range) + margin,
-                "ax": ax,
-                "sequence_start": start_j,
-                "sequence_end": end_j,
-                "horizontal": False,
-            },
+            segments, ax=ax, sequence_start=start, sequence_end=end,
+            horizontal=along_x, center=max(offset_range) + margin,
+            **style,
         )
 
 
@@ -606,8 +584,7 @@ def plot_pairs(pairs, symmetric=False, ax=None, style=None):
     columns override the style. (Parameter named `pairs` for keyword
     compatibility with the reference, visualize/pairs.py.)"""
     pairs_table = pairs
-    if ax is None:
-        ax = plt.gca()
+    ax = _axes(ax)
     style = dict(style or STYLE_EC)
 
     if pairs_table is None or len(pairs_table) == 0:
@@ -645,17 +622,17 @@ def _axis_ids(ecs, distance_maps, which):
     return ids
 
 
-def plot_contact_map(ecs=None, monomer=None, multimer=None,
-                     distance_cutoff=5, secondary_structure=None,
-                     show_secstruct=True, ec_coverage=None,
-                     show_structure_coverage=False, scale_sizes=True,
-                     ec_style=STYLE_EC, monomer_style=STYLE_CONTACT,
-                     multimer_style=STYLE_CONTACT_MULTIMER,
-                     secstruct_style=STYLE_SECSTRUCT,
-                     ec_coverage_style=STYLE_EC_COVERAGE,
-                     structure_coverage_style=STYLE_STRUCTURE_COVERAGE,
-                     margin=5, invert_y=True, boundaries="union",
-                     symmetric=True, ax=None):
+def plot_contact_map(
+        ecs=None, monomer=None, multimer=None, distance_cutoff=5,
+        secondary_structure=None, show_secstruct=True,
+        ec_coverage=None, show_structure_coverage=False,
+        scale_sizes=True, ec_style=STYLE_EC,
+        monomer_style=STYLE_CONTACT,
+        multimer_style=STYLE_CONTACT_MULTIMER,
+        secstruct_style=STYLE_SECSTRUCT,
+        ec_coverage_style=STYLE_EC_COVERAGE,
+        structure_coverage_style=STYLE_STRUCTURE_COVERAGE, margin=5,
+        invert_y=True, boundaries="union", symmetric=True, ax=None):
     """Contact map: structure contacts as background discs, ECs as
     points (green/red split by distance_cutoff when distances known).
 
@@ -665,8 +642,7 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
     plot_structure_coverage, cartoons through
     plot_secondary_structure).
     """
-    if ax is None:
-        ax = plt.gca()
+    ax = _axes(ax)
 
     # resolve and fix axis boundaries FIRST: size scaling and cartoon
     # placement read the axis extents
@@ -684,12 +660,7 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
             and isinstance(boundaries, str):
         # a mode string cannot be resolved against an empty axis —
         # fall back to unit extents (after validating the mode)
-        if boundaries not in (
-                "union", "intersection", "ecs", "structure"):
-            raise ValueError(
-                "Not a valid value for boundaries: {}".format(
-                    boundaries)
-            )
+        _check_boundary_mode(boundaries)
         (min_i, max_i), (min_j, max_j) = (0, 1), (0, 1)
     else:
         (min_i, max_i), (min_j, max_j) = find_boundaries(
@@ -697,17 +668,17 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
         )
 
     ax.set_xlim(min_i - margin, max_i + margin)
-    if invert_y:
-        ax.set_ylim(max_j + margin, min_j - margin)
-    else:
-        ax.set_ylim(min_j - margin, max_j + margin)
+    y_lim = (min_j - margin, max_j + margin)
+    ax.set_ylim(*(reversed(y_lim) if invert_y else y_lim))
 
     if scale_sizes:
-        ec_style = scale(ec_style, ax=ax)
-        monomer_style = scale(monomer_style, ax=ax)
-        multimer_style = scale(multimer_style, ax=ax)
-        secstruct_style = scale(secstruct_style, ax=ax)
-        ec_coverage_style = scale(ec_coverage_style, ax=ax)
+        ec_style, monomer_style, multimer_style, secstruct_style, \
+            ec_coverage_style = (
+                scale(s, ax=ax) for s in (
+                    ec_style, monomer_style, multimer_style,
+                    secstruct_style, ec_coverage_style,
+                )
+            )
 
     # background: structural coverage shading, then contacts
     if show_structure_coverage:
@@ -719,16 +690,14 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
             )
     # contacts() already emits BOTH (i, j) and (j, i) for symmetric
     # maps — re-mirroring in plot_pairs double-composited every disc
-    if monomer is not None:
-        contacts = monomer.contacts(max_dist=distance_cutoff)
-        plot_pairs(
-            contacts, symmetric=False, ax=ax, style=monomer_style,
-        )
-    if multimer is not None:
-        contacts = multimer.contacts(max_dist=distance_cutoff)
-        plot_pairs(
-            contacts, symmetric=False, ax=ax, style=multimer_style,
-        )
+    for dist_map, disc_style in (
+        (monomer, monomer_style), (multimer, multimer_style),
+    ):
+        if dist_map is not None:
+            plot_pairs(
+                dist_map.contacts(max_dist=distance_cutoff),
+                symmetric=False, ax=ax, style=disc_style,
+            )
 
     # coverage bars of the full EC table alongside the axes
     if ec_coverage is not None and len(ec_coverage) > 0:
@@ -752,7 +721,7 @@ def plot_contact_map(ecs=None, monomer=None, multimer=None,
                 dists = np.fmin(dists, dists_mm)
             color = np.where(dists <= distance_cutoff, "#50a455", "#b2402f")
             color[np.isnan(dists)] = "#404040"
-            ecs.loc[:, "color"] = color
+            ecs["color"] = color
         plot_pairs(ecs, symmetric=symmetric, ax=ax, style=ec_style)
 
     # secondary structure cartoons along both axes (gap-aware, from
@@ -805,8 +774,7 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
     Parity: reference pairs.py:393-579 (same parameters; quadrants
     rendered into one axes with offset positions).
     """
-    if ax is None:
-        ax = plt.gca()
+    ax = _axes(ax)
 
     # determine extents of both monomers, honoring the boundaries
     # mode (previously accepted and silently ignored)
@@ -821,32 +789,12 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
     def _extent(ids_ec, ids_st, k):
         if not ids_ec and not ids_st:
             return 0, 1
-        ec_rng = (
-            (min(ids_ec), max(ids_ec)) if ids_ec
-            else (min(ids_st), max(ids_st))
-        )
-        st_rng = (
-            (min(ids_st), max(ids_st)) if ids_st
-            else (min(ids_ec), max(ids_ec))
-        )
         if isinstance(boundaries, tuple):
             return boundaries
         if isinstance(boundaries, list):
             return tuple(boundaries[k])
-        if boundaries not in (
-                "union", "intersection", "ecs", "structure"):
-            raise ValueError(
-                "Not a valid value for boundaries: {}".format(
-                    boundaries)
-            )
-        return {
-            "union": (min(ec_rng[0], st_rng[0]),
-                      max(ec_rng[1], st_rng[1])),
-            "intersection": (max(ec_rng[0], st_rng[0]),
-                             min(ec_rng[1], st_rng[1])),
-            "ecs": ec_rng,
-            "structure": st_rng,
-        }[boundaries]
+        _check_boundary_mode(boundaries)
+        return _combine_ranges(boundaries, ids_ec, ids_st)
 
     min_1, max_1 = _extent(
         _ec_ids(intra1_ecs, "i"),
@@ -864,18 +812,20 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
     # read them
     lo = min_1 - margin
     hi = max_2 + offset_2 + margin
-    ax.set_xlim(lo, hi)
-    ax.set_ylim(hi, lo)
 
-    ec_style = STYLE_EC
-    contact_style = STYLE_CONTACT
-    multimer_style = STYLE_CONTACT_MULTIMER
-    secstruct_style = STYLE_SECSTRUCT
+    def _full_extents():
+        ax.set_xlim(lo, hi)
+        ax.set_ylim(hi, lo)
+
+    _full_extents()
+
+    styles = {
+        "ec": STYLE_EC, "contact": STYLE_CONTACT,
+        "multimer": STYLE_CONTACT_MULTIMER,
+        "secstruct": STYLE_SECSTRUCT,
+    }
     if scale_sizes:
-        ec_style = scale(ec_style, ax=ax)
-        contact_style = scale(contact_style, ax=ax)
-        multimer_style = scale(multimer_style, ax=ax)
-        secstruct_style = scale(secstruct_style, ax=ax)
+        styles = {k: scale(v, ax=ax) for k, v in styles.items()}
 
     def _shift(table, cols, offset):
         if table is None or len(table) == 0:
@@ -894,52 +844,47 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
         intra1_ecs, d_intra_i, d_multimer_i,
         show_secstruct=False, scale_sizes=False, margin=margin,
         boundaries=(min_1, max_1), invert_y=False, ax=ax,
-        ec_style=ec_style, monomer_style=contact_style,
-        multimer_style=multimer_style,
+        ec_style=styles["ec"], monomer_style=styles["contact"],
+        multimer_style=styles["multimer"],
     )
     # plot_contact_map narrows the limits to the monomer-1 block;
     # restore the full complex extents
-    ax.set_xlim(lo, hi)
-    ax.set_ylim(hi, lo)
+    _full_extents()
 
-    # monomer 2 block (shifted): intra + multimer contacts, then ECs
-    if d_intra_j is not None:
-        # contacts() already carries both orientations
-        contacts = _shift(d_intra_j.contacts(), ["i", "j"], offset_2)
-        plot_pairs(
-            contacts, symmetric=False, ax=ax, style=contact_style
-        )
-    if d_multimer_j is not None:
-        contacts = _shift(
-            d_multimer_j.contacts(), ["i", "j"], offset_2
-        )
-        plot_pairs(
-            contacts, symmetric=False, ax=ax, style=multimer_style
-        )
+    # monomer 2 block (shifted): intra + multimer contacts, then ECs.
+    # contacts() already carries both orientations.
+    for dist_map, disc_style in (
+        (d_intra_j, styles["contact"]), (d_multimer_j, styles["multimer"]),
+    ):
+        if dist_map is not None:
+            plot_pairs(
+                _shift(dist_map.contacts(), ["i", "j"], offset_2),
+                symmetric=False, ax=ax, style=disc_style,
+            )
     plot_pairs(
         _shift(intra2_ecs, ["i", "j"], offset_2),
-        symmetric=True, ax=ax, style=ec_style,
+        symmetric=True, ax=ax, style=styles["ec"],
     )
 
-    # inter quadrant: i from monomer 1, j from monomer 2 (shifted)
+    # inter quadrant: i from monomer 1, j from monomer 2 (shifted);
+    # each inter table is drawn in both orientations
+    def _both_orientations(table, point_style):
+        if table is None:
+            return
+        plot_pairs(table, symmetric=False, ax=ax, style=point_style)
+        plot_pairs(
+            table.rename(columns={"i": "j", "j": "i"}),
+            symmetric=False, ax=ax, style=point_style,
+        )
+
     if d_inter is not None:
-        contacts = d_inter.contacts()
-        contacts = _shift(contacts, ["j"], offset_2)
-        plot_pairs(
-            contacts, symmetric=False, ax=ax, style=contact_style
+        _both_orientations(
+            _shift(d_inter.contacts(), ["j"], offset_2),
+            styles["contact"],
         )
-        if contacts is not None:
-            flipped = contacts.rename(columns={"i": "j", "j": "i"})
-            plot_pairs(
-                flipped, symmetric=False, ax=ax, style=contact_style
-            )
-    inter_shifted = _shift(inter_ecs, ["j"], offset_2)
-    if inter_shifted is not None:
-        plot_pairs(
-            inter_shifted, symmetric=False, ax=ax, style=ec_style
-        )
-        flipped = inter_shifted.rename(columns={"i": "j", "j": "i"})
-        plot_pairs(flipped, symmetric=False, ax=ax, style=ec_style)
+    _both_orientations(
+        _shift(inter_ecs, ["j"], offset_2), styles["ec"]
+    )
 
     # secondary-structure cartoons: monomer 1 in place, monomer 2
     # shifted into its block
@@ -961,14 +906,14 @@ def complex_contact_map(intra1_ecs, intra2_ecs, inter_ecs,
             }
 
         ss = {}
-        if d_intra_i is not None:
-            ss.update(_ss_dict(d_intra_i, 0) or {})
-        if d_intra_j is not None:
-            ss.update(_ss_dict(d_intra_j, offset_2) or {})
+        for dist_map, offset in ((d_intra_i, 0), (d_intra_j, offset_2)):
+            if dist_map is not None:
+                ss.update(_ss_dict(dist_map, offset) or {})
         if ss:
-            plot_secondary_structure(ss, ax=ax, style=secstruct_style)
+            plot_secondary_structure(
+                ss, ax=ax, style=styles["secstruct"]
+            )
 
-    ax.set_xlim(lo, hi)
-    ax.set_ylim(hi, lo)
+    _full_extents()
     ax.set_aspect("equal", adjustable="box")
     return ax

@@ -11,13 +11,17 @@ cleaned state with the same methodology the review used
 normalized lines >= 8 chars, fraction present verbatim anywhere in the
 reference tree).
 
-Thresholds: files with >= 30 significant lines must stay under 55%
-(current worst: utils/system.py at 48%); tiny files (abstract
-interfaces, constants) are exempt — their handful of lines are pure
-API contract. The whole-package overlap must stay under 35%
-(currently ~28%), so contract-driven residue (config keys, column
-schemas, error texts pinned by tests/test_reference_api_compat.py)
-cannot quietly grow back into transcription.
+Thresholds (ratcheted in round 5 per the r4 verdict): files with
+>= 30 significant lines must stay under 50% (current worst:
+utils/system.py at 48%); tiny files (abstract interfaces, constants)
+are exempt — their handful of lines are pure API contract. The
+whole-package overlap must stay under 30% (currently ~26% after the
+round-5 trims of visualize/pairs.py 42->24%, align/ena.py 46->15%,
+utils/config.py 47->20%, visualize/misc.py 46->38%,
+utils/tracker/__init__.py 46->32%), so contract-driven residue
+(config keys, column schemas, error texts pinned by
+tests/test_reference_api_compat.py) cannot quietly grow back into
+transcription.
 """
 
 import os
@@ -35,9 +39,9 @@ pytestmark = pytest.mark.skipif(
     reason="reference tree not available on this machine",
 )
 
-_PER_FILE_LIMIT = 0.55
+_PER_FILE_LIMIT = 0.50
 _MIN_SIGNIFICANT_LINES = 30
-_PACKAGE_LIMIT = 0.35
+_PACKAGE_LIMIT = 0.30
 
 
 def _sweep():

@@ -382,10 +382,10 @@ class TestCommittedArtifact:
         with open(path) as f:
             return json.load(f)
 
-    def test_schema_v2(self, artifact):
-        assert artifact["schema_version"] == 2
+    def test_schema_v3(self, artifact):
+        assert artifact["schema_version"] == 3
         assert {"collective_accounting", "analytic_model",
-                "measurements"} <= set(artifact)
+                "model_validation", "measurements"} <= set(artifact)
 
     def test_accounting_section(self, artifact):
         acc = artifact["collective_accounting"]
@@ -436,10 +436,84 @@ class TestCommittedArtifact:
         ]
         assert hits and all(p["efficiency"] >= 0.8 for p in hits)
 
+    def test_model_validation_section(self, artifact):
+        """The committed artifact carries the measured functional-form
+        check (VERDICT r4 item 3): affine fits with honest R^2 at
+        every recorded mesh size, slope growing with mesh size, and
+        the two theoretical brackets recorded per fit."""
+        val = artifact["model_validation"]
+        assert not val.get("skipped"), val
+        fits = val["affine_fits"]
+        assert len(fits) >= 2
+        for f in fits:
+            assert f["r2"] >= 0.9, f
+            assert f["per_elem_s"] > 0
+            assert "ring_factor_growth" in f
+            assert "shared_bus_growth" in f
+            # ring is always the lower bracket of the two
+            assert f["ring_factor_growth"] <= f["shared_bus_growth"]
+        slopes = {f["devices"]: f["per_elem_s"] for f in fits}
+        d_min, d_max = min(slopes), max(slopes)
+        assert slopes[d_max] > slopes[d_min]
+        # the analytic model must cite the validation
+        assert "functional_form" in artifact["analytic_model"][
+            "assumptions"
+        ]
+
+
+class TestCommModelValidation:
+    """Live measurement of the all-reduce cost shape on the virtual
+    mesh (the affine-in-payload structural assumption of the ring
+    formula), plus the pure fit math."""
+
+    def test_affine_cost_fit_recovers_exact_affine(self):
+        from evcouplings_tpu.parallel.comm_accounting import (
+            affine_cost_fit,
+        )
+
+        # synthetic exactly-affine data: t = 1e-4 + d * 1e-9 * elems
+        measured = {
+            d: {e: 1e-4 + d * 1e-9 * e
+                for e in (1 << 14, 1 << 16, 1 << 18)}
+            for d in (2, 4, 8)
+        }
+        fits = affine_cost_fit(measured)
+        for f in fits:
+            assert f["r2"] == pytest.approx(1.0)
+            assert f["per_elem_s"] == pytest.approx(
+                f["devices"] * 1e-9
+            )
+            assert f["fixed_cost_s"] == pytest.approx(1e-4, rel=1e-6)
+        by_d = {f["devices"]: f for f in fits}
+        assert by_d[8]["slope_growth_vs_d2"] == pytest.approx(4.0)
+        assert by_d[8]["ring_factor_growth"] == pytest.approx(1.75)
+        assert by_d[8]["shared_bus_growth"] == pytest.approx(4.0)
+        with pytest.raises(ValueError):
+            affine_cost_fit({})
+
+    def test_measured_cost_is_affine_in_payload(self):
+        """Bare psum cost on the virtual mesh must be affine in
+        payload (loose R^2 bound: CI hosts are noisy) with a slope
+        that grows with mesh size."""
+        from evcouplings_tpu.parallel.comm_accounting import (
+            affine_cost_fit, measure_all_reduce_cost,
+        )
+
+        measured = measure_all_reduce_cost(
+            (2, 8), [1 << 14, 1 << 16, 1 << 18, 1 << 20], reps=11,
+        )
+        fits = affine_cost_fit(measured)
+        assert len(fits) == 2
+        for f in fits:
+            assert f["per_elem_s"] > 0
+            assert f["r2"] >= 0.85, f
+        slopes = {f["devices"]: f["per_elem_s"] for f in fits}
+        assert slopes[8] > slopes[2]
+
 
 class TestGeneratorEndToEnd:
     """bench_scaling.py still runs the sharded program at every mesh
-    size and writes the v2 artifact (subprocess, small shapes)."""
+    size and writes the v3 artifact (subprocess, small shapes)."""
 
     def test_generator(self, tmp_path):
         out = str(tmp_path / "scaling.json")
@@ -458,7 +532,8 @@ class TestGeneratorEndToEnd:
         with open(out) as f:
             artifact = json.load(f)
 
-        assert artifact["schema_version"] == 2
+        assert artifact["schema_version"] == 3
+        assert "model_validation" in artifact
         devices = {
             r["devices"] for r in artifact["measurements"]
             if r["metric"] == "plm_strong_scaling"
