@@ -804,6 +804,85 @@ def _bench_pipeline_e2e(n_rows=2048, l_cols=96):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+REAL_FAMILY_A2M = "/root/reference/notebooks/example/example_aln.a2m"
+
+
+def _bench_family_fit(l_cols=200, iterations=150):
+    """VERDICT r4 item 8 (stretch): a REAL biological family in every
+    bench round — the reference's bundled cadherin alignment
+    (notebooks/example/example_aln.a2m, 53 sequences) cut to its
+    first 200 match columns, fit on-chip with BOTH parametrizations
+    (symmetric = plmc semantics; asymmetric = site-sharded, Ekeberg
+    2013), recording wall time, N_eff, and the estimator-agreement
+    stats the CI gates track (tests/test_real_alignment.py). Adam at
+    150 iterations keeps the compile cost inside the bench budget;
+    the LBFGS variant of the same agreement check runs in CI."""
+    import tempfile
+
+    from scipy.stats import spearmanr
+
+    from evcouplings_tpu.align.alignment import Alignment
+    from evcouplings_tpu.couplings.fitter import run_plm
+    from evcouplings_tpu.couplings.pairs import read_raw_ec_file
+
+    if not os.path.isfile(REAL_FAMILY_A2M):
+        return {"family_fit_skipped": "reference alignment missing"}
+
+    tmp = tempfile.mkdtemp(prefix="bench_family_")
+    ali = Alignment.from_path(REAL_FAMILY_A2M)
+    sliced = os.path.join(tmp, "cad.a2m")
+    with open(sliced, "w") as f:
+        ali.select(columns=range(l_cols)).write(f, format="fasta")
+    focus = str(ali.ids[0])
+
+    results = {}
+    ecs = {}
+    for parametrization in ("symmetric", "asymmetric"):
+        ec_file = os.path.join(tmp, parametrization + "_ECs.txt")
+        t0 = time.perf_counter()
+        res = run_plm(
+            sliced, ec_file,
+            os.path.join(tmp, parametrization + ".model"),
+            focus_seq=focus, theta=0.8, iterations=iterations,
+            lambda_h=0.01, lambda_J=0.01 * 20 * (l_cols - 1),
+            parametrization=parametrization, solver="adam",
+            steps_per_call=25,
+        )
+        results[parametrization] = time.perf_counter() - t0
+        ecs[parametrization] = read_raw_ec_file(ec_file)
+
+    merged = ecs["symmetric"].merge(
+        ecs["asymmetric"], on=["i", "j"], suffixes=("_s", "_a")
+    )
+    half = l_cols // 2
+    tops = [
+        set(map(tuple, t.nlargest(half, "cn")[["i", "j"]].values))
+        for t in ecs.values()
+    ]
+    return {
+        "family_fit_name": "cadherin (example_aln.a2m)",
+        "family_fit_sites": l_cols,
+        "family_fit_rows": int(res.num_valid_seqs),
+        "family_fit_n_eff": round(float(res.effective_samples), 1),
+        "family_fit_iterations": iterations,
+        "family_fit_sym_wall_s": round(results["symmetric"], 1),
+        "family_fit_asym_wall_s": round(results["asymmetric"], 1),
+        "family_fit_estimator_spearman": round(
+            float(spearmanr(merged.cn_s, merged.cn_a).statistic), 4
+        ),
+        "family_fit_top_half_overlap": round(
+            len(tops[0] & tops[1]) / half, 3
+        ),
+    }
+
+
+def _family_fit_records():
+    try:
+        return _bench_family_fit()
+    except Exception as e:  # pragma: no cover - defensive
+        return {"family_fit_error": repr(e)[:200]}
+
+
 def _pipeline_e2e_records():
     try:
         return _bench_pipeline_e2e()
@@ -915,6 +994,10 @@ def main():
         # (VERDICT r4 item 6): align -> couplings (on-chip PLM) ->
         # compare -> mutate through the production pipeline runtime
         **_pipeline_e2e_records(),
+        # real biological family on-chip (VERDICT r4 item 8): the
+        # bundled cadherin alignment fit with both parametrizations +
+        # estimator-agreement stats
+        **_family_fit_records(),
         # Pallas reweighting certification at N >= 512k (VERDICT r3
         # item 7): throughput + HBM footprint vs the XLA path
         **_reweighting_512k_records(),

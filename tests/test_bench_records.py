@@ -49,6 +49,26 @@ def test_pipeline_e2e_record():
     assert 0 < stage_sum <= records["pipeline_e2e_s"] + 0.05
 
 
+def test_family_fit_record():
+    """The real-family bench record (VERDICT r4 item 8) must produce
+    agreement stats or an explicit skip. Reduced shape for CPU CI."""
+    import os
+
+    import bench
+
+    if not os.path.isfile(bench.REAL_FAMILY_A2M):
+        assert "family_fit_skipped" in bench._bench_family_fit()
+        return
+
+    records = bench._bench_family_fit(l_cols=60, iterations=60)
+    assert records["family_fit_rows"] > 40
+    assert 1 < records["family_fit_n_eff"] < records["family_fit_rows"]
+    # the two parametrizations must broadly agree on real data even
+    # at this reduced depth
+    assert records["family_fit_estimator_spearman"] > 0.7
+    assert 0 < records["family_fit_top_half_overlap"] <= 1
+
+
 def test_mfu_records():
     """The MFU/roofline record (VERDICT r4 item 1) must be present and
     internally consistent. Runs the pure-arithmetic record assembly
