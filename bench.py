@@ -362,7 +362,11 @@ def _bench_mi_apc():
     (ops/scores.py mi_apc_from_codes) instead of five dispatches with
     host round-trips — the r4 record's 870 ms was tunnel latency and a
     32 MB f_ij fetch, not compute. The record splits kernel time from
-    the CPU EM rescore (VERDICT r4 item 4)."""
+    the CPU EM rescore (VERDICT r4 item 4). The remaining rescore
+    time (~150 ms) is the reference's own EM schedule — a Nelder-Mead
+    refit of the constrained skew normal INSIDE every EM iteration
+    (reference pairs.py:541-613) — which the mixture-parity gates pin;
+    it is irreducible without changing the fitted model."""
     import pandas as pd
 
     from evcouplings_tpu.couplings.pairs import add_mixture_probability

@@ -21,6 +21,14 @@ def _unfilter(matrix):
     return matrix
 
 
+def _load_unfiltered(path):
+    """Monomer alignment with a2m filtering undone on every column."""
+    ali = Alignment.from_path(path, "fasta")
+    return ali.apply(
+        func=_unfilter, columns=np.arange(ali.matrix.shape[1])
+    )
+
+
 def write_concatenated_alignment(id_pairing, alignment_1, alignment_2,
                                  target_sequence_1, target_sequence_2):
     """Pair rows of two monomer alignments into one concatenated
@@ -31,57 +39,37 @@ def write_concatenated_alignment(id_pairing, alignment_1, alignment_2,
     alignments contain only the rows that made it into the
     concatenation (in the same order).
     """
-    ali_1 = Alignment.from_path(alignment_1, "fasta")
-    ali_2 = Alignment.from_path(alignment_2, "fasta")
+    ali_1 = _load_unfiltered(alignment_1)
+    ali_2 = _load_unfiltered(alignment_2)
 
-    all_cols_1 = np.arange(ali_1.matrix.shape[1])
-    all_cols_2 = np.arange(ali_2.matrix.shape[1])
-    ali_1 = ali_1.apply(func=_unfilter, columns=all_cols_1)
-    ali_2 = ali_2.apply(func=_unfilter, columns=all_cols_2)
+    def row(ali, seq_id):
+        return ali.matrix[ali.id_to_index[seq_id], :]
 
-    target_index_1 = ali_1.id_to_index[target_sequence_1]
-    target_index_2 = ali_2.id_to_index[target_sequence_2]
-
-    target_sequences = (
-        ali_1.matrix[target_index_1, :],
-        ali_2.matrix[target_index_2, :],
-    )
+    target_1 = row(ali_1, target_sequence_1)
+    target_2 = row(ali_2, target_sequence_2)
 
     # target header must end with /1-<range> for correct focus mode
-    length = len(target_sequences[0]) + len(target_sequences[1])
     target_header = "{}_{}/1-{}".format(
         parse_header(target_sequence_1)[0],
         parse_header(target_sequence_2)[0],
-        length,
+        target_1.size + target_2.size,
     )
 
-    sequences_to_write = [
-        (target_header, target_sequences[0], target_sequences[1])
+    # the paired target leads (index 0), then the paired members
+    triples = [(target_header, target_1, target_2)] + [
+        ("{}_{}".format(id1, id2), row(ali_1, id1), row(ali_2, id2))
+        for id1, id2 in zip(id_pairing.id_1, id_pairing.id_2)
     ]
-    target_seq_idx = 0
 
-    for id1, id2 in zip(id_pairing.id_1, id_pairing.id_2):
-        sequences_to_write.append((
-            "{}_{}".format(id1, id2),
-            ali_1.matrix[ali_1.id_to_index[id1], :],
-            ali_2.matrix[ali_2.id_to_index[id2], :],
+    def as_alignment(pick):
+        return Alignment.from_dict(OrderedDict(
+            (header, pick(seq1, seq2)) for header, seq1, seq2 in triples
         ))
-
-    sequences_full = OrderedDict([
-        (header, np.concatenate([seq1, seq2]))
-        for header, seq1, seq2 in sequences_to_write
-    ])
-    sequences_monomer_1 = OrderedDict([
-        (header, seq1) for header, seq1, seq2 in sequences_to_write
-    ])
-    sequences_monomer_2 = OrderedDict([
-        (header, seq2) for header, seq1, seq2 in sequences_to_write
-    ])
 
     return (
         target_header,
-        target_seq_idx,
-        Alignment.from_dict(sequences_full),
-        Alignment.from_dict(sequences_monomer_1),
-        Alignment.from_dict(sequences_monomer_2),
+        0,   # the paired target is always the first row
+        as_alignment(lambda a, b: np.concatenate([a, b])),
+        as_alignment(lambda a, b: a),
+        as_alignment(lambda a, b: b),
     )

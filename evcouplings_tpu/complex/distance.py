@@ -16,13 +16,10 @@ import pandas as pd
 def get_distance(annotation_1, annotation_2):
     """Distance in bases between two CDS locations on one genome
     (0 if they overlap)."""
-    location_1 = sorted(annotation_1)
-    location_2 = sorted(annotation_2)
-    x, y = sorted((location_1, location_2))
-
-    if x[0] <= x[1] < y[0]:
-        return y[0] - x[1]
-    return 0
+    lo1, hi1 = sorted(annotation_1)
+    lo2, hi2 = sorted(annotation_2)
+    # gap between whichever interval ends first and the other's start
+    return max(lo2 - hi1, lo1 - hi2, 0)
 
 
 def find_possible_partners(gene_location_table_1, gene_location_table_2):
@@ -68,39 +65,31 @@ def find_possible_partners(gene_location_table_1, gene_location_table_2):
     })
 
 
+_PAIRING_COLUMNS = ["uniprot_id_1", "uniprot_id_2", "distance"]
+
+
 def best_reciprocal_matching(possible_partners):
     """Pairs where each member is the other's closest CDS on the genome.
 
+    Vectorized (vs the reference's per-id Python loop,
+    complex/distance.py:52-113): take each side's closest-partner row
+    via a grouped idxmin (first minimal row, the reference's
+    tie-break), then keep the pairs both sides agree on.
+
     Returns DataFrame with columns uniprot_id_1, uniprot_id_2, distance.
     """
-    id_pairing_list = []
+    if len(possible_partners) == 0:
+        return pd.DataFrame(columns=_PAIRING_COLUMNS)
 
-    id_group_1 = possible_partners.groupby("uniprot_id_1")
-    id_group_2 = possible_partners.groupby("uniprot_id_2")
+    def closest_rows(side):
+        picked = possible_partners.groupby(side).distance.idxmin()
+        return possible_partners.loc[picked, _PAIRING_COLUMNS]
 
-    for uniprot_id_1 in id_group_1.groups.keys():
-        id_subset_1 = id_group_1.get_group(uniprot_id_1)
-
-        # closest partner of sequence 1 in the second alignment
-        closest_to_1 = id_subset_1.loc[
-            id_subset_1["distance"].idxmin()
-        ]["uniprot_id_2"]
-
-        # closest partner of that sequence back in the first alignment
-        id_subset_2 = id_group_2.get_group(closest_to_1)
-        closest_to_2 = id_subset_2.loc[
-            id_subset_2["distance"].idxmin()
-        ]["uniprot_id_1"]
-
-        if closest_to_2 == uniprot_id_1:
-            id_pairing_list.append(
-                (uniprot_id_1, closest_to_1, id_subset_1["distance"].min())
-            )
-
-    return pd.DataFrame(
-        id_pairing_list,
-        columns=["uniprot_id_1", "uniprot_id_2", "distance"],
+    reciprocal = closest_rows("uniprot_id_1").merge(
+        closest_rows("uniprot_id_2")[["uniprot_id_1", "uniprot_id_2"]],
+        on=["uniprot_id_1", "uniprot_id_2"],
     )
+    return reciprocal.reset_index(drop=True)
 
 
 def plot_distance_distribution(id_pair_to_distance, outfile):
@@ -111,15 +100,10 @@ def plot_distance_distribution(id_pair_to_distance, outfile):
     if len(distances) == 0:
         raise ValueError("No valid distances provided")
 
-    cdf = range(len(distances))
-
-    fig = plt.figure(figsize=(8, 6))
-    ax1 = fig.gca()
-    ax1.set_xscale("log")
-    ax1.set_xlim(xmin=1, xmax=max(distances))
-    ax1.set_ylabel("Number of sequences")
-    ax1.set_xlabel("Genome distance (bases)")
-    ax1.plot(distances, cdf)
-
-    plt.savefig(outfile)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.semilogx(distances, range(len(distances)))
+    ax.set_xlim(xmin=1, xmax=max(distances))
+    ax.set(xlabel="Genome distance (bases)",
+           ylabel="Number of sequences")
+    fig.savefig(outfile)
     plt.close(fig)

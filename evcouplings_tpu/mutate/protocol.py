@@ -38,6 +38,7 @@ def _plot_models(models_and_types, prefix, outcfg):
     """Render interactive (optional) + static mutation matrix plots."""
     try:
         from bokeh.io import output_file, save
+        from bokeh.plotting import figure as _bokeh_figure  # noqa: F401
         have_bokeh = True
     except ImportError:
         have_bokeh = False
@@ -46,14 +47,22 @@ def _plot_models(models_and_types, prefix, outcfg):
         filename = prefix + "_{}_model".format(type_.lower())
 
         if have_bokeh:
-            output_file(filename + ".html", "{} model".format(type_))
-            fig = vis_mutations.plot_mutation_matrix(
-                model, engine="bokeh"
-            )
-            save(fig)
-            outcfg["mutation_matrix_plot_files"].append(
-                filename + ".html"
-            )
+            # interactive plots are strictly optional: a broken or
+            # partially-installed bokeh must degrade to the static
+            # matplotlib artifact, not crash the mutate stage
+            try:
+                output_file(filename + ".html",
+                            "{} model".format(type_))
+                fig = vis_mutations.plot_mutation_matrix(
+                    model, engine="bokeh"
+                )
+                save(fig)
+            except (ImportError, AttributeError, TypeError):
+                have_bokeh = False
+            else:
+                outcfg["mutation_matrix_plot_files"].append(
+                    filename + ".html"
+                )
 
         vis_mutations.plot_mutation_matrix(model)
         plt.savefig(filename + ".pdf", bbox_inches="tight")

@@ -44,33 +44,34 @@ def run(cmd, stdin=None, check_returncode=True, working_dir=None,
     (int, str, str)
         Return code, stdout, stderr
     """
-    pipe = subprocess.PIPE
     try:
-        with subprocess.Popen(
-            cmd, stdin=pipe, stdout=pipe, stderr=pipe,
-            universal_newlines=True, cwd=working_dir, shell=shell,
-            env=env,
-        ) as proc:
-            stdout, stderr = proc.communicate(stdin)
-            return_code = proc.returncode
+        # input="" when no stdin: the tool's stdin must be an
+        # immediately-EOF pipe (inheriting the parent's stdin could
+        # hang interactive tools), matching Popen+communicate(None)
+        proc = subprocess.run(
+            cmd, input=stdin if stdin is not None else "",
+            capture_output=True, text=True,
+            cwd=working_dir, shell=shell, env=env,
+        )
     except (OSError, ValueError) as e:
         raise ExternalToolError(
             "Call to external tool failed and did not return: {}".format(cmd)
         ) from e
 
-    if check_returncode and return_code != 0:
+    if check_returncode and proc.returncode != 0:
         raise ExternalToolError(
             "Call failed:\ncmd={}\nreturncode={}\nstdout={}\nstderr={}"
-            .format(cmd, return_code, stdout, stderr)
+            .format(cmd, proc.returncode, proc.stdout, proc.stderr)
         )
 
-    return return_code, stdout, stderr
+    return proc.returncode, proc.stdout, proc.stderr
 
 
 def valid_file(file_path):
     """True if the file exists and is non-empty."""
     try:
-        return os.path.isfile(file_path) and os.path.getsize(file_path) > 0
+        return os.path.getsize(file_path) > 0 and \
+            os.path.isfile(file_path)
     except (OSError, TypeError):
         return False
 
@@ -83,7 +84,7 @@ def verify_resources(message, *args):
     ResourceError
         with `message` and a list of all invalid files
     """
-    invalid = [str(f) for f in args if not valid_file(f)]
+    invalid = [str(item) for item in args if not valid_file(item)]
     if invalid:
         raise ResourceError(
             "{}:\n{}".format(message, ", ".join(invalid))

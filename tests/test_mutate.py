@@ -169,3 +169,38 @@ def test_split_mutants_tolerates_unparseable_strings():
     assert np.isnan(out.num_mutations.iloc[1])
     assert out.num_mutations.iloc[2] == 2
     assert out.pos.iloc[2] == "10,12"
+
+
+def test_plot_models_degrades_on_broken_bokeh(tmp_path, monkeypatch):
+    """A bokeh package that imports but lacks the plotting surface
+    (e.g. a namespace stub, or a partially broken install) must
+    degrade to the static matplotlib artifact instead of crashing the
+    mutate stage with AttributeError."""
+    import sys
+    import types
+
+    import matplotlib
+    matplotlib.use("Agg")
+
+    from evcouplings_tpu.mutate import protocol as mutate_protocol
+    from evcouplings_tpu.mutate.calculations import single_mutant_matrix
+    from test_model import make_model
+
+    # inert bokeh: bokeh.io imports fine, bokeh.plotting has no figure
+    for name in ("bokeh", "bokeh.io", "bokeh.plotting", "bokeh.models"):
+        monkeypatch.setitem(sys.modules, name, types.ModuleType(name))
+    sys.modules["bokeh.io"].output_file = lambda *a, **k: None
+    sys.modules["bokeh.io"].save = lambda *a, **k: None
+
+    model = make_model()
+    singles = single_mutant_matrix(model)
+    outcfg = {"mutation_matrix_plot_files": []}
+    prefix = str(tmp_path / "mut")
+    mutate_protocol._plot_models(
+        [(singles, "Epistatic")], prefix, outcfg
+    )
+
+    # only the pdf artifact; no html, no exception
+    assert outcfg["mutation_matrix_plot_files"] == [
+        prefix + "_epistatic_model.pdf"
+    ]
