@@ -138,7 +138,8 @@ def plm_hbm_bytes_per_row(l, q, block_size, elt_bytes=2):
 _PARITY_MXU_PASSES = 3
 
 
-def _mfu_records(throughput, parity_throughput, peak="auto"):
+def _mfu_records(throughput, parity_throughput, large_l=None,
+                 peak="auto"):
     """Roofline record for the headline numbers: achieved model
     FLOP/s, fraction of chip bf16 peak (MFU), arithmetic intensity vs
     the HBM ridge point. Pure arithmetic given the measured
@@ -178,6 +179,16 @@ def _mfu_records(throughput, parity_throughput, peak="auto"):
         out["parity_mxu_passes"] = _PARITY_MXU_PASSES
         out["parity_mxu_duty"] = round(
             out["mfu_parity"] * _PARITY_MXU_PASSES, 3
+        )
+    if large_l:
+        # the asymmetric site-sharded fit runs the same four GEMMs
+        # per row (dJh restricted to local sites sums to the same
+        # total across shards), so the L=512 record shares the FLOP
+        # model at its own L
+        tflops = large_l * plm_flops_per_seq_site(L_BIG, Q) / 1e12
+        out["mfu_large_l_tflops"] = round(tflops, 1)
+        out["mfu_large_l"] = round(
+            tflops * 1e12 / peak["bf16_peak_flops"], 3
         )
     return out
 
@@ -989,7 +1000,7 @@ def main():
         # chip's bf16 MXU peak, plus the arithmetic-intensity vs
         # ridge-point placement — the absolute, hardware-independent
         # form of the relative speedups above
-        **_mfu_records(throughput, parity_throughput),
+        **_mfu_records(throughput, parity_throughput, large_l),
         # BASELINE configs #1 (MI+APC), #3 (dE scan), #4 (EVcomplex
         # inter/intra), #5 (restraints + contact-map comparison) —
         # one record each so the whole family is driver-evidenced

@@ -177,6 +177,36 @@ def _identify_structures(**kwargs):
     return sifts_map, sifts_map_full
 
 
+def _cutoff_sets(ecs_longrange, prefix, cutoffs):
+    """(output pdf path, non-empty EC subset) per probability cutoff —
+    the first plot series both contact-map makers produce."""
+    for cutoff in _as_list(cutoffs):
+        subset = ecs_longrange.query("probability >= @cutoff")
+        if len(subset) > 0:
+            yield (
+                prefix + "_significant_ECs_{}.pdf".format(cutoff),
+                subset,
+            )
+
+
+def _ramp_counts(kwargs, num_sites):
+    """EC counts of the count-ramp plot series (lowest..highest by
+    increase, each resolvable as an absolute count or a fraction of
+    the covered sites)."""
+    lowest, highest, step = (
+        _count_or_fraction(kwargs[key], num_sites)
+        for key in ("plot_lowest_count", "plot_highest_count",
+                    "plot_increase")
+    )
+    return range(lowest, highest + 1, step)
+
+
+def _finish_figure(fig, output_file):
+    if output_file is not None:
+        plt.savefig(output_file, bbox_inches="tight")
+        plt.close(fig)
+
+
 def _make_contact_maps(ec_table, d_intra, d_multimer, sifts_map,
                        **kwargs):
     """Contact-map PDFs at probability cutoffs and EC-count steps."""
@@ -204,10 +234,7 @@ def _make_contact_maps(ec_table, d_intra, d_multimer, sifts_map,
 
             plt.suptitle("{} evolutionary couplings".format(len(ecs)),
                          fontsize=14)
-
-            if output_file is not None:
-                plt.savefig(output_file, bbox_inches="tight")
-                plt.close(fig)
+            _finish_figure(fig, output_file)
 
     check_required(
         kwargs,
@@ -221,31 +248,19 @@ def _make_contact_maps(ec_table, d_intra, d_multimer, sifts_map,
     )
     prefix = kwargs["prefix"]
 
-    cm_files = []
-
     min_dist = kwargs["min_sequence_distance"]
     ecs_longrange = ec_table.query("abs(i - j) >= @min_dist")
 
-    for c in _as_list(kwargs["plot_probability_cutoffs"]):
-        ec_set = ecs_longrange.query("probability >= @c")
-        if len(ec_set) > 0:
-            output_file = (
-                prefix + "_significant_ECs_{}.pdf".format(c)
-            )
-            plot_cm(ec_set, output_file=output_file)
-            cm_files.append(output_file)
+    cm_files = []
+    for output_file, ec_set in _cutoff_sets(
+            ecs_longrange, prefix, kwargs["plot_probability_cutoffs"]):
+        plot_cm(ec_set, output_file=output_file)
+        cm_files.append(output_file)
 
     num_sites = _covered_site_count(ec_table)
-
-    lowest = _count_or_fraction(kwargs["plot_lowest_count"], num_sites)
-    highest = _count_or_fraction(
-        kwargs["plot_highest_count"], num_sites)
-    step = _count_or_fraction(kwargs["plot_increase"], num_sites)
-
-    for c in range(lowest, highest + 1, step):
-        ec_set = ecs_longrange.iloc[:c]
-        output_file = prefix + "_{}_ECs.pdf".format(c)
-        plot_cm(ec_set, output_file=output_file)
+    for count in _ramp_counts(kwargs, num_sites):
+        output_file = prefix + "_{}_ECs.pdf".format(count)
+        plot_cm(ecs_longrange.iloc[:count], output_file=output_file)
         cm_files.append(output_file)
 
     return cm_files
@@ -310,10 +325,7 @@ def _make_complex_contact_maps(ec_table, d_intra_i, d_multimer_i,
             plt.suptitle(
                 "{} inter-molecule evolutionary couplings".format(n_inter),
                 fontsize=14)
-
-            if output_file is not None:
-                plt.savefig(output_file, bbox_inches="tight")
-                plt.close(fig)
+            _finish_figure(fig, output_file)
             return True
 
     check_required(
@@ -336,24 +348,20 @@ def _make_complex_contact_maps(ec_table, d_intra_i, d_multimer_i,
         )
     )
 
-    for c in _as_list(kwargs["plot_probability_cutoffs"]):
-        ec_set = ecs_longrange.query("probability >= @c")
-        if len(ec_set) > 0:
-            output_file = (
-                prefix + "_significant_ECs_{}.pdf".format(c)
-            )
-            done = plot_complex_cm(
-                ec_set.query(
-                    "segment_i == segment_j == @first_segment_name"
-                ),
-                ec_set.query(
-                    "segment_i == segment_j == @second_segment_name"
-                ),
-                ec_set.query("segment_i != segment_j"),
-                output_file=output_file,
-            )
-            if done:
-                cm_files.append(output_file)
+    for output_file, ec_set in _cutoff_sets(
+            ecs_longrange, prefix, kwargs["plot_probability_cutoffs"]):
+        done = plot_complex_cm(
+            ec_set.query(
+                "segment_i == segment_j == @first_segment_name"
+            ),
+            ec_set.query(
+                "segment_i == segment_j == @second_segment_name"
+            ),
+            ec_set.query("segment_i != segment_j"),
+            output_file=output_file,
+        )
+        if done:
+            cm_files.append(output_file)
 
     # fraction parameters scale with the per-segment covered sites
     num_sites = sum(
@@ -363,12 +371,8 @@ def _make_complex_contact_maps(ec_table, d_intra_i, d_multimer_i,
         )
         for seg_name in (first_segment_name, second_segment_name)
     )
-    lowest = _count_or_fraction(kwargs["plot_lowest_count"], num_sites)
-    highest = _count_or_fraction(
-        kwargs["plot_highest_count"], num_sites)
-    step = _count_or_fraction(kwargs["plot_increase"], num_sites)
 
-    for c in range(lowest, highest + 1, step):
+    for c in _ramp_counts(kwargs, num_sites):
         ec_set_inter = ecs_longrange.query(
             "segment_i != segment_j"
         )[0:c]
@@ -632,19 +636,16 @@ def standard(**kwargs):
 def complex(**kwargs):
     """Protocol: compare complex ECs (intra + inter) to 3D
     structures."""
-    check_required(
-        kwargs,
-        [
-            "prefix", "ec_file", "min_sequence_distance",
-            "pdb_mmtf_dir", "atom_filter",
-            "first_compare_multimer", "second_compare_multimer",
-            "distance_cutoff", "segments",
-            "first_sequence_id", "second_sequence_id",
-            "first_sequence_file", "second_sequence_file",
-            "first_target_sequence_file",
-            "second_target_sequence_file", "scale_sizes",
-        ],
-    )
+    check_required(kwargs, [
+        "prefix", "ec_file", "min_sequence_distance", "pdb_mmtf_dir",
+        "atom_filter", "first_compare_multimer",
+        "second_compare_multimer", "distance_cutoff", "segments",
+        *("{}_{}".format(side, what)
+          for side in ("first", "second")
+          for what in ("sequence_id", "sequence_file",
+                       "target_sequence_file")),
+        "scale_sizes",
+    ])
 
     prefix = kwargs["prefix"]
 

@@ -240,6 +240,8 @@ class ScoreMixtureModel:
         log_score = np.log(x[pos_ix])
 
         for _ in range(max_iter):
+            prev_theta = theta.copy()
+
             # E step: responsibility of the noise component
             z = 1 - cls.posterior_signal(x, *theta)
 
@@ -254,13 +256,34 @@ class ScoreMixtureModel:
             # M step — numerical for the constrained skew normal
             def neg_weighted_loglk(params):
                 loc = cls.skewnorm_constraint(params[0], params[1])
-                return -np.sum(
-                    z * np.log(cls.skewnorm_pdf(x, loc, *params))
-                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    terms = z * np.log(
+                        cls.skewnorm_pdf(x, loc, *params)
+                    )
+                # a zero-responsibility point contributes nothing even
+                # where the pdf underflows to 0: 0 * -inf is NaN and
+                # would poison the whole Nelder-Mead objective (latent
+                # in the reference, pairs.py:593-601). Positive-weight
+                # underflows still drive the objective to +inf, which
+                # correctly rejects the trial step.
+                return -np.sum(np.where(z > 0, terms, 0.0))
 
             theta[1:3] = op.fmin(neg_weighted_loglk, theta[1:3], disp=False)
 
-            new_loglk = loglk(theta)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                new_loglk = loglk(theta)
+
+            # degenerate updates (e.g. the skew-normal scale collapsing
+            # to 0 on near-singular data, which cascades NaN through
+            # the next E step — latent in the reference) stop the EM
+            # at the last healthy iterate instead of returning NaN
+            # parameters; on healthy data this never fires and the
+            # trajectory is unchanged
+            if not (np.isfinite(new_loglk)
+                    and np.all(np.isfinite(theta))):
+                theta = prev_theta
+                break
+
             delta = new_loglk - cur_loglk
             cur_loglk = new_loglk
             if delta <= tolerance:

@@ -86,7 +86,7 @@ def test_mfu_records():
     # (Lq = 3360, Lq_aug = 3456)
     assert bench.plm_flops_per_seq_site(160, 21) == 4 * 21 * 3456 + 4 * 3360
 
-    records = bench._mfu_records(475.8e6, 184.8e6, peak=peak)
+    records = bench._mfu_records(475.8e6, 184.8e6, 144.5e6, peak=peak)
     for key in ("mfu_production", "mfu_parity", "mfu_production_tflops",
                 "mfu_parity_tflops", "mfu_peak_tflops_bf16",
                 "mfu_ai_flop_per_byte", "mfu_ridge_flop_per_byte",
@@ -99,6 +99,9 @@ def test_mfu_records():
     assert records["parity_mxu_duty"] == round(
         3 * records["mfu_parity"], 3
     )
+    # large-L record shares the FLOP model at L=512 (~70% of peak at
+    # the r4 measured rate)
+    assert 0.5 < records["mfu_large_l"] <= 1.0
     # compute-bound: arithmetic intensity must clear the HBM ridge
     assert records["mfu_ai_flop_per_byte"] > records[
         "mfu_ridge_flop_per_byte"

@@ -342,3 +342,20 @@ class TestScoringGuards:
         with np.errstate(over="raise"):
             p = m.predict_proba_true(np.array([[-1e4], [1e4]]))
         assert p[0] == 0.0 and p[1] == 1.0
+
+
+def test_score_mixture_em_survives_degenerate_data():
+    """Near-singular score distributions (a point mass plus extreme
+    outliers) collapse the skew-normal scale and cascaded NaN through
+    the reference's EM (pairs.py:541-613 has no guard); the fit must
+    stop at the last healthy iterate and return finite parameters and
+    in-range probabilities instead."""
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.normal(0, 0.02, 2000), [5.0, 8.0, 1e4]])
+
+    m = ScoreMixtureModel(x)
+    assert np.all(np.isfinite(m.params))
+
+    p = m.probability(np.array([0.0, 0.05, 5.0, 1e4]))
+    assert np.all(np.isfinite(p))
+    assert np.all((0 <= p) & (p <= 1))
