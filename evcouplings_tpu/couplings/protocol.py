@@ -88,6 +88,40 @@ def _resolve_fit_device_count(fit_devices):
     return n_total
 
 
+def _ec_stage_outcfg(prefix, kwargs, model_file):
+    """Base outcfg of an EC-inference stage: the artifact paths plus
+    the inputs passed through for downstream stages — shared by the
+    PLM and mean-field entry points."""
+    return {
+        "model_file": model_file,
+        "raw_ec_file": prefix + "_ECs.txt",
+        "ec_file": prefix + "_CouplingScores.csv",
+        **{key: kwargs[key]
+           for key in ("focus_mode", "focus_sequence", "segments")},
+    }
+
+
+def _segments_from_config(kwargs):
+    """Segment objects from the config's list-of-lists form (None
+    passes through)."""
+    if kwargs["segments"] is None:
+        return None
+    return [mapping.Segment.from_list(s) for s in kwargs["segments"]]
+
+
+def _validated_choice(value, choices, what):
+    """value, after checking it is one of choices (InvalidParameterError
+    naming the offending setting otherwise) — shared by the protocol
+    dispatcher and the per-protocol enum settings."""
+    if value not in choices:
+        raise InvalidParameterError(
+            "Invalid {}: {}. Valid options are: {}".format(
+                what, value, ", ".join(choices)
+            )
+        )
+    return value
+
+
 def _resolve_alphabet(choice):
     """Alphabet string from a config value (None -> protein;
     "aa"/"dna"/"rna" shortcuts resolve through ALPHABET_MAP)."""
@@ -134,26 +168,14 @@ def infer_plmc(**kwargs):
     )
 
     prefix = kwargs["prefix"]
-    model = prefix + ".model"
-
-    outcfg = {
-        "model_file": model,
-        "raw_ec_file": prefix + "_ECs.txt",
-        "ec_file": prefix + "_CouplingScores.csv",
-        # passed through stage
-        "focus_mode": kwargs["focus_mode"],
-        "focus_sequence": kwargs["focus_sequence"],
-        "segments": kwargs["segments"],
-    }
+    outcfg = _ec_stage_outcfg(prefix, kwargs, prefix + ".model")
 
     verify_resources(
         "Input alignment does not exist", kwargs["alignment_file"]
     )
     create_prefix_folders(prefix)
 
-    segments = kwargs["segments"]
-    if segments is not None:
-        segments = [mapping.Segment.from_list(s) for s in segments]
+    segments = _segments_from_config(kwargs)
 
     alphabet = _resolve_alphabet(kwargs["alphabet"])
     lambda_J = _scaled_lambda_j(kwargs, alphabet)
@@ -459,19 +481,14 @@ def complex_probability(ecs, scoring_model, use_all_ecs=False,
     if use_all_ecs:
         return pairs.add_mixture_probability(ecs, model=scoring_model)
 
-    inter_ecs = ecs.query("segment_i != segment_j")
-    intra_ecs = ecs.query("segment_i == segment_j")
-
-    intra_ecs = pairs.add_mixture_probability(
-        intra_ecs, model=scoring_model, score=score
-    )
-    inter_ecs = pairs.add_mixture_probability(
-        inter_ecs, model=scoring_model, score=score
-    )
-
-    return pd.concat([intra_ecs, inter_ecs]).sort_values(
-        score, ascending=False
-    )
+    rescored = [
+        pairs.add_mixture_probability(
+            part, model=scoring_model, score=score
+        )
+        for part in (ecs.query("segment_i == segment_j"),
+                     ecs.query("segment_i != segment_j"))
+    ]
+    return pd.concat(rescored).sort_values(score, ascending=False)
 
 
 def complex(**kwargs):
@@ -488,19 +505,11 @@ def complex(**kwargs):
     outcfg, ecs, segments = infer_plmc(**kwargs)
     model = CouplingsModel(outcfg["model_file"])
 
-    if kwargs["scoring_model"] in SCORING_MODELS:
-        use_all_ecs = bool(kwargs["use_all_ecs_for_scoring"]) \
-            if kwargs["use_all_ecs_for_scoring"] is not None else False
-        ecs = complex_probability(
-            ecs, kwargs["scoring_model"], use_all_ecs
-        )
-    else:
-        raise InvalidParameterError(
-            "Invalid scoring_model parameter: "
-            "{}. Valid options are: {}".format(
-                kwargs["scoring_model"], ", ".join(SCORING_MODELS)
-            )
-        )
+    scoring_model = _validated_choice(
+        kwargs["scoring_model"], SCORING_MODELS, "scoring_model"
+    )
+    use_all_ecs = bool(kwargs["use_all_ecs_for_scoring"] or False)
+    ecs = complex_probability(ecs, scoring_model, use_all_ecs)
 
     # segment -> PDB chain convention: A, B, ... in segment order
     chain_mapping = dict(zip(
@@ -531,16 +540,11 @@ def complex(**kwargs):
 
 def mean_field(**kwargs):
     """Protocol: infer ECs by mean-field DCA (focus mode only)."""
-    check_required(
-        kwargs,
-        [
-            "prefix", "alignment_file", "segments",
-            "focus_mode", "focus_sequence", "theta",
-            "pseudo_count", "alphabet",
-            "min_sequence_distance",
-            "ec_score_type",
-        ],
-    )
+    check_required(kwargs, [
+        "prefix", "alignment_file", "segments", "focus_mode",
+        "focus_sequence", "theta", "pseudo_count", "alphabet",
+        "min_sequence_distance", "ec_score_type",
+    ])
 
     if not kwargs["focus_mode"]:
         raise InvalidParameterError(
@@ -549,23 +553,13 @@ def mean_field(**kwargs):
 
     prefix = kwargs["prefix"]
     model_file = prefix + ".model"
-
-    outcfg = {
-        "model_file": model_file,
-        "raw_ec_file": prefix + "_ECs.txt",
-        "ec_file": prefix + "_CouplingScores.csv",
-        "focus_mode": kwargs["focus_mode"],
-        "focus_sequence": kwargs["focus_sequence"],
-        "segments": kwargs["segments"],
-    }
+    outcfg = _ec_stage_outcfg(prefix, kwargs, model_file)
 
     alignment_file = kwargs["alignment_file"]
     verify_resources("Input alignment does not exist", alignment_file)
     create_prefix_folders(prefix)
 
-    segments = kwargs["segments"]
-    if segments is not None:
-        segments = [mapping.Segment.from_list(s) for s in segments]
+    segments = _segments_from_config(kwargs)
 
     alphabet = _resolve_alphabet(kwargs["alphabet"])
 
@@ -612,15 +606,10 @@ def mean_field(**kwargs):
         names=["i", "A_i", "j", "A_j", "mi_raw", "mi_apc", "di", "cn"],
     )
 
-    ec_score_type = kwargs.get("ec_score_type", "cn")
-    valid_ec_type_choices = ["cn", "di", "mi_raw", "mi_apc"]
-    if ec_score_type not in valid_ec_type_choices:
-        raise InvalidParameterError(
-            "Invalid choice for valid_ec_type: {}, valid options "
-            "are: {}".format(
-                ec_score_type, ", ".join(valid_ec_type_choices)
-            )
-        )
+    ec_score_type = _validated_choice(
+        kwargs.get("ec_score_type", "cn"),
+        ("cn", "di", "mi_raw", "mi_apc"), "ec_score_type",
+    )
 
     if ec_score_type == "cn":
         # distribution-based rescoring only applies to CN scores
@@ -729,11 +718,7 @@ def run(**kwargs):
     """Dispatch to the couplings protocol named by kwargs["protocol"]."""
     check_required(kwargs, ["protocol"])
 
-    selected = kwargs["protocol"]
-    if selected not in PROTOCOLS:
-        raise InvalidParameterError(
-            "Invalid protocol selection: {}. Valid protocols are: "
-            "{}".format(selected, ", ".join(PROTOCOLS))
-        )
-
+    selected = _validated_choice(
+        kwargs["protocol"], PROTOCOLS, "protocol selection"
+    )
     return PROTOCOLS[selected](**kwargs)

@@ -52,23 +52,24 @@ import evcouplings_tpu.mutate.protocol as mt
 import evcouplings_tpu.fold.protocol as fd
 import evcouplings_tpu.complex.protocol as pp
 
-# supported pipelines: list of (stage name, runner, output key prefix)
+# supported pipelines: list of (stage name, runner, output key
+# prefix). The complex pipeline swaps the single align stage for two
+# prefixed ones plus concatenation, then shares the monomer tail.
+_MONOMER_STAGES = [
+    ("align", ap.run, None),
+    ("couplings", cp.run, None),
+    ("compare", cm.run, None),
+    ("mutate", mt.run, None),
+    ("fold", fd.run, None),
+]
+
 PIPELINES = {
-    "protein_monomer": [
-        ("align", ap.run, None),
-        ("couplings", cp.run, None),
-        ("compare", cm.run, None),
-        ("mutate", mt.run, None),
-        ("fold", fd.run, None),
-    ],
+    "protein_monomer": _MONOMER_STAGES,
     "protein_complex": [
         ("align_1", ap.run, "first_"),
         ("align_2", ap.run, "second_"),
         ("concatenate", pp.run, None),
-        ("couplings", cp.run, None),
-        ("compare", cm.run, None),
-        ("mutate", mt.run, None),
-        ("fold", fd.run, None),
+        *_MONOMER_STAGES[1:],
     ],
 }
 
