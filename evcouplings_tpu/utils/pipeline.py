@@ -379,6 +379,12 @@ def _write_flag(prefix, extension, content):
 def execute_wrapped(**config):
     """Execute a pipeline with signal/exception handling documented via
     flag files (.done/.failed/.terminated/.bailout) and the tracker."""
+    # opt-in persistent XLA compilation cache for every stage's jitted
+    # programs (no-op unless EVCOUPLINGS_JAX_CACHE_DIR is set)
+    from evcouplings_tpu._jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     tracker = get_result_tracker(config)
 
     try:
