@@ -700,7 +700,7 @@ def _write_pipeline_inputs(tmp, n_rows, l_cols, first_index=11,
     return a2m, structure_dir, sifts_table
 
 
-def _bench_pipeline_e2e(n_rows=2048, l_cols=96):
+def _bench_pipeline_e2e(n_rows=2048, l_cols=96, warm_run=True):
     """VERDICT r4 item 6: wall-clock of the FULL hermetic monomer
     pipeline through the production runtime (utils/pipeline.py
     execute_wrapped) — existing-alignment -> couplings PLM fit
@@ -708,7 +708,46 @@ def _bench_pipeline_e2e(n_rows=2048, l_cols=96):
     dE matrix — with the per-stage split from the pipeline's own
     runtime table, so the record shows shell overhead does not erode
     the kernel wins (reference stage chain being timed:
-    utils/pipeline.py:92-262)."""
+    utils/pipeline.py:92-262).
+
+    A second, fresh-workdir run at the same shapes quantifies the
+    persistent compile cache (EVCOUPLINGS_COMPILE_CACHE,
+    _jax_cache.py): the cold couplings stage is dominated by XLA
+    compilation through the remote tunnel, which the warm run loads
+    from disk instead."""
+    import shutil
+    import tempfile
+
+    from evcouplings_tpu._jax_cache import enable_persistent_cache
+
+    cache_dir = tempfile.mkdtemp(prefix="bench_e2e_xla_")
+    try:
+        cache_on = enable_persistent_cache(cache_dir)
+
+        total, stage_s = _run_pipeline_once(n_rows, l_cols)
+        out = {
+            "pipeline_e2e_s": round(total, 2),
+            "pipeline_e2e_shape": "N={}, L={}".format(n_rows, l_cols),
+        }
+        for stage in ("align", "couplings", "compare", "mutate"):
+            out["pipeline_{}_s".format(stage)] = round(
+                float(stage_s.get(stage, 0.0)), 2
+            )
+
+        if warm_run and cache_on:
+            total_w, stage_w = _run_pipeline_once(n_rows, l_cols)
+            out["pipeline_e2e_warm_s"] = round(total_w, 2)
+            out["pipeline_couplings_warm_s"] = round(
+                float(stage_w.get("couplings", 0.0)), 2
+            )
+        return out
+    finally:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+
+
+def _run_pipeline_once(n_rows, l_cols):
+    """One full 4-stage monomer pipeline run in a fresh workdir.
+    Returns (total wall seconds, per-stage seconds series)."""
     import shutil
     import tempfile
 
@@ -805,16 +844,7 @@ def _bench_pipeline_e2e(n_rows=2048, l_cols=96):
         assert os.path.isfile(state["mutation_matrix_file"])
 
         runtime = pd.read_csv(state["runtime_file"])
-        stage_s = runtime.groupby("scope").seconds.sum()
-        out = {
-            "pipeline_e2e_s": round(total, 2),
-            "pipeline_e2e_shape": "N={}, L={}".format(n_rows, l_cols),
-        }
-        for stage in ("align", "couplings", "compare", "mutate"):
-            out["pipeline_{}_s".format(stage)] = round(
-                float(stage_s.get(stage, 0.0)), 2
-            )
-        return out
+        return total, runtime.groupby("scope").seconds.sum()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

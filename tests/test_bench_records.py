@@ -47,6 +47,10 @@ def test_pipeline_e2e_record():
         for s in ("align", "couplings", "compare", "mutate")
     )
     assert 0 < stage_sum <= records["pipeline_e2e_s"] + 0.05
+    # the warm rerun (persistent compile cache, fresh workdir) must
+    # also complete and carry its couplings split
+    assert records["pipeline_e2e_warm_s"] > 0
+    assert records["pipeline_couplings_warm_s"] > 0
 
 
 def test_family_fit_record():
