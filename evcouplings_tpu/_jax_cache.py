@@ -27,7 +27,7 @@ _configured = False
 def enable_persistent_cache(cache_dir=None, min_compile_secs=1.0):
     """Point JAX at an on-disk compilation cache directory.
 
-    cache_dir defaults to $EVCOUPLINGS_JAX_CACHE_DIR; with neither
+    cache_dir defaults to $EVCOUPLINGS_COMPILE_CACHE; with neither
     set this is a no-op. Safe to call from every entry point — the
     first successful configuration wins. Returns True when the cache
     is active after the call.

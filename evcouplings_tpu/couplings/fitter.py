@@ -207,7 +207,7 @@ def run_plm(alignment, couplings_file, param_file=None, focus_seq=None,
     Returns PlmResult (same fields as the reference PlmcResult).
     """
     # opt-in persistent XLA compilation cache (no-op unless
-    # EVCOUPLINGS_JAX_CACHE_DIR is set): first-compile costs through
+    # EVCOUPLINGS_COMPILE_CACHE is set): first-compile costs through
     # a remote tunnel dominate small fits, and cached programs load
     # in well under a second across processes
     from evcouplings_tpu._jax_cache import enable_persistent_cache

@@ -380,7 +380,7 @@ def execute_wrapped(**config):
     """Execute a pipeline with signal/exception handling documented via
     flag files (.done/.failed/.terminated/.bailout) and the tracker."""
     # opt-in persistent XLA compilation cache for every stage's jitted
-    # programs (no-op unless EVCOUPLINGS_JAX_CACHE_DIR is set)
+    # programs (no-op unless EVCOUPLINGS_COMPILE_CACHE is set)
     from evcouplings_tpu._jax_cache import enable_persistent_cache
 
     enable_persistent_cache()

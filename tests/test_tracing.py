@@ -80,7 +80,7 @@ class TestDeviceTrace:
 # ---------------------------------------------------------------------
 
 def test_persistent_cache_knob(tmp_path, monkeypatch):
-    """EVCOUPLINGS_JAX_CACHE_DIR wires jax's on-disk compilation
+    """EVCOUPLINGS_COMPILE_CACHE wires jax's on-disk compilation
     cache; without it the helper is a no-op. (Cross-process cache
     hits are exercised on the real tunnel: measured 4.2 s -> 0.6 s
     first-compile for the parity value+grad at N=8192, L=96.)"""
